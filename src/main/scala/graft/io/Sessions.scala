@@ -1,0 +1,40 @@
+package graft.io
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical SparkSession factory for the engine.
+  *
+  * All entry points (Verify, Bench, DistMain, tests) go through here so the
+  * scale-relevant defaults are applied uniformly:
+  *
+  *  - AQE on (runtime re-plan, skew-join handling, partition coalescing) —
+  *    the setting that matters most at 100 TB;
+  *  - `spark.sql.shuffle.partitions` sized to the local core count (the
+  *    harness runs local[32]; on a real cluster this is overridden per job);
+  *  - UTC session timezone so timestamp semantics match the DuckDB oracle;
+  *  - `spark.sql.legacy.parquet.nanosAsLong=true`: the harness `events`
+  *    table stores TIMESTAMP(NANOS) which Spark 4 otherwise refuses
+  *    (PARQUET_TYPE_ILLEGAL); we read the raw ns longs and convert in
+  *    [[Tables]].
+  */
+object Sessions {
+  def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  def local(appName: String = "graft", cpus: String = defaultCpus): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,322 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.io.Tables
+
+/** The relational surface (SURVEY.md §2.2): the reference delegates all of
+  * this to Spark-SQL built-ins, so every operator here is a declarative
+  * DataFrame plan — Catalyst picks pushdown, join strategy and codegen.
+  *
+  * Each query reads straight from the harness parquet (predicate/column
+  * pushdown visible in `.explain("formatted")`) and is paired with a
+  * DuckDB oracle.
+  */
+object Relational {
+
+  private val dec2 = DecimalType(18, 2)
+  private val dec4 = DecimalType(18, 4)
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Exact cross-engine sum of a double column: accumulate in DECIMAL. */
+  private def dsum(c: Column, dt: DecimalType = dec2): Column =
+    sum(c.cast(dt)).cast(dt)
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- aggregation: TPC-H Q1-style pricing summary ----------------------
+    Q(
+      "q_agg_pricing",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), dec4).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // ---- broadcast join: revenue per nation (dim tables broadcast) --------
+    Q(
+      "q_join_nation_revenue",
+      """SELECT n_name,
+        |  count(*) AS order_cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""") { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("order_cnt"), dsum(col("o_totalprice")).as("revenue"))
+    },
+
+    // ---- large join (shuffle): lineitem x orders ---------------------------
+    Q(
+      "q_join_fact_fact",
+      """SELECT o_orderpriority,
+        |  count(*) AS line_cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("line_cnt"), dsum(col("l_quantity")).as("sum_qty"))
+    },
+
+    // ---- semi / anti joins -------------------------------------------------
+    Q(
+      "q_join_semi",
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)""") {
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(
+            t(s, dir, "orders").filter(col("o_totalprice") > 400000),
+            col("c_custkey") === col("o_custkey"),
+            "left_semi")
+          .select(col("c_custkey"), col("c_mktsegment"))
+    },
+    Q(
+      "q_join_anti",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""") { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    },
+
+    // ---- range (non-equi, broadcast) join ----------------------------------
+    Q(
+      "q_join_range",
+      """SELECT b.band, count(*) AS cnt,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |FROM events e
+        |JOIN (VALUES (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'), (150.0, 1000000.0, 'high')) b(lo, hi, band)
+        |  ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY b.band""") { (s, dir) =>
+      import s.implicits._
+      val bands = Seq((0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 1000000.0, "high"))
+        .toDF("lo", "hi", "band")
+      t(s, dir, "events")
+        .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+    },
+
+    // ---- window functions --------------------------------------------------
+    Q(
+      "q_window_orders",
+      """SELECT o_orderkey, o_custkey,
+        |  row_number() OVER w AS rn,
+        |  lag(o_orderkey) OVER w AS prev_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""") { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        row_number().over(w).as("rn"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+        sum(col("o_totalprice").cast(dec2))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DecimalType(28, 2))
+          .as("running_spend"))
+    },
+
+    // ---- top-k with deterministic tie-break --------------------------------
+    Q(
+      "q_topk_orders",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""") { (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    },
+
+    // ---- set operations ----------------------------------------------------
+    Q(
+      "q_setops",
+      """SELECT 'intersect' AS op, nk FROM
+        |  (SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'except' AS op, nk FROM
+        |  (SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'union' AS op, nk FROM
+        |  (SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier)""") {
+      (s, dir) =>
+        val c = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+        c.intersect(sup).withColumn("op", lit("intersect"))
+          .unionByName(c.except(sup).withColumn("op", lit("except")))
+          .unionByName(c.union(sup).distinct().withColumn("op", lit("union")))
+          .select(col("op"), col("nk"))
+    },
+
+    // ---- scalar string/math functions --------------------------------------
+    Q(
+      "q_scalar_funcs",
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_u,
+        |  substring(p_name, 1, 8) AS name_8,
+        |  length(p_name) AS name_len,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  abs(p_retailprice - 1000.0) AS price_dist,
+        |  CAST(floor(p_size / 10.0) AS BIGINT) AS size_bucket,
+        |  p_size % 7 AS size_mod,
+        |  CASE WHEN p_size > 25 THEN 'L' WHEN p_size > 10 THEN 'M' ELSE 'S' END AS size_class
+        |FROM part""") { (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 8).as("name_8"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        abs(col("p_retailprice") - 1000.0).as("price_dist"),
+        floor(col("p_size") / 10.0).as("size_bucket"),
+        (col("p_size") % 7).as("size_mod"),
+        when(col("p_size") > 25, "L").when(col("p_size") > 10, "M").otherwise("S").as("size_class"))
+    },
+
+    // ---- date/time functions ------------------------------------------------
+    Q(
+      "q_date_funcs",
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y,
+        |  month(o_orderdate) AS m,
+        |  day(o_orderdate) AS d,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  isodow(o_orderdate) AS dow_iso,
+        |  datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since
+        |FROM orders""") { (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month_start"),
+        (weekday(col("o_orderdate")) + 1).as("dow_iso"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp_ntz")).as("days_since"))
+    },
+
+    // ---- rollup / cube / grouping sets --------------------------------------
+    Q(
+      "q_rollup",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"),
+          count(lit(1)).as("cnt"))
+    },
+    Q(
+      "q_cube",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""") { (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+    },
+
+    // ---- distinct / count(distinct) -----------------------------------------
+    Q(
+      "q_distinct",
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer") { (s, dir) =>
+      t(s, dir, "customer").select(col("c_mktsegment"), col("c_nationkey")).distinct()
+    },
+    Q(
+      "q_count_distinct",
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS supp_cnt, count(DISTINCT l_partkey) AS part_cnt
+        |FROM lineitem GROUP BY l_returnflag""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("supp_cnt"),
+          countDistinct(col("l_partkey")).as("part_cnt"))
+    },
+
+    // ---- selective filter + projection (pushdown demo) ----------------------
+    Q(
+      "q_filter_pushdown",
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+        |  AND l_quantity > 45""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+            col("l_shipdate") < lit("1997-02-01").cast("timestamp_ntz") &&
+            col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    },
+
+    // ---- events: hourly aggregation over the ns-timestamp table -------------
+    Q(
+      "q_events_hourly",
+      """SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |FROM events GROUP BY 1, 2""") { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(
+          col("event_type"),
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+    },
+
+    // ---- JSON extraction ------------------------------------------------------
+    Q(
+      "q_json_extract",
+      """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type""") { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(sum(get_json_object(col("props"), "$.k").cast("bigint")).as("sum_k"))
+    },
+
+    // ---- pivot (conditional aggregation) --------------------------------------
+    Q(
+      "q_pivot_events",
+      """SELECT user_id % 10 AS cohort,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY 1""") { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
+    })
+}
