@@ -1,0 +1,81 @@
+package graft.config
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** JSON task model, capability-parity with the reference CLI config
+  * (reference: datacooker-dist-cli/.../Configuration.java:89-107).
+  *
+  * Shape:
+  * {{{
+  * { "directionName": [
+  *     { "source": {"adapter": "hadoopColumnar", "path": "...",
+  *                  "part_count": 4, "name": "optional",
+  *                  "params": {"delimiter": ",", ...}},
+  *       "dest":   {"adapter": "parquet", "path": "...", "params": {}} } ] }
+  * }}}
+  *
+  * Params stay loosely typed (`Map[String, Any]`) exactly like the
+  * reference's `Map<String, Object>`; each adapter validates and coerces
+  * them against its declared [[graft.adapters.ParamDef]]s.
+  */
+final case class DistLocation(
+    adapter: String,
+    path: String,
+    partCount: Int = 0,
+    subName: Option[String] = None,
+    params: Map[String, Any] = Map.empty)
+
+final case class DistTask(source: DistLocation, dest: DistLocation)
+
+final case class DistConfig(directions: Map[String, Seq[DistTask]]) {
+  def direction(name: String): Seq[DistTask] =
+    directions.getOrElse(
+      name,
+      throw new IllegalArgumentException(
+        s"Direction '$name' not found; configured: ${directions.keys.mkString(", ")}"))
+}
+
+object DistConfig {
+  private val om = new ObjectMapper()
+
+  def parse(json: String): DistConfig = {
+    val root = om.readTree(json)
+    require(root.isObject, "Config root must be a JSON object of directions")
+    val dirs = root.properties().asScala.map { e =>
+      val tasks = e.getValue.elements().asScala.map { t =>
+        DistTask(location(t, "source"), location(t, "dest"))
+      }.toSeq
+      e.getKey -> tasks
+    }.toMap
+    DistConfig(dirs)
+  }
+
+  private def location(task: JsonNode, field: String): DistLocation = {
+    val n = Option(task.get(field)).getOrElse(
+      throw new IllegalArgumentException(s"Task is missing required '$field'"))
+    def req(k: String): String = Option(n.get(k)).map(_.asText()).getOrElse(
+      throw new IllegalArgumentException(s"'$field' is missing required '$k'"))
+    DistLocation(
+      adapter = req("adapter"),
+      path = req("path"),
+      partCount = Option(n.get("part_count")).map(_.asInt()).getOrElse(0),
+      subName = Option(n.get("name")).map(_.asText()),
+      params = Option(n.get("params")).map(any(_).asInstanceOf[Map[String, Any]])
+        .getOrElse(Map.empty))
+  }
+
+  /** JsonNode → plain Scala values (String/Boolean/Long/Double/Seq/Map). */
+  private def any(n: JsonNode): Any = n match {
+    case _ if n.isTextual => n.asText()
+    case _ if n.isBoolean => n.asBoolean()
+    case _ if n.isIntegralNumber => n.asLong()
+    case _ if n.isFloatingPointNumber => n.asDouble()
+    case _ if n.isArray => n.elements().asScala.map(any).toSeq
+    case _ if n.isObject =>
+      n.properties().asScala.map(e => e.getKey -> any(e.getValue)).toMap
+    case _ if n.isNull => null
+    case other => other.asText()
+  }
+}

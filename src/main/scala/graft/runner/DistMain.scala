@@ -1,0 +1,88 @@
+package graft.runner
+
+import scala.collection.immutable.ListMap
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.adapters.{AdapterConf, Adapters}
+import graft.config.{DistConfig, DistTask}
+import graft.io.Sessions
+
+/** Config-driven copy/ETL runner — the reference's single entry point
+  * (datacooker-dist-cli/.../Main.java:33-162) re-expressed Spark-first:
+  * per task, `spark.read` → optional select/repartition → `df.write`;
+  * Catalyst supplies analyze/optimize/physical stages in between.
+  *
+  * CLI parity: `-c config -d direction -l [-L cores] [-m driverMem] [-u]`
+  * (Configuration.java:29-36). The config file itself may live on any
+  * Hadoop FS (reference fetches it through Spark, Main.java:71-83).
+  */
+object DistMain {
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    val local = opts.contains("l")
+    val spark =
+      if (local) Sessions.local("graft-dist", opts.getOrElse("L", Sessions.defaultCpus))
+      else SparkSession.builder().appName("graft-dist").getOrCreate()
+    try {
+      val configPath = opts.getOrElse("c",
+        throw new IllegalArgumentException("-c <config.json> is required"))
+      val config = DistConfig.parse(readFile(spark, configPath))
+      val direction = opts.get("d") match {
+        case Some(d) => d
+        case None if config.directions.size == 1 => config.directions.keys.head
+        case None => throw new IllegalArgumentException(
+          s"-d <direction> required; configured: ${config.directions.keys.mkString(", ")}")
+      }
+      runDirection(spark, config.direction(direction), direction)
+    } finally spark.stop()
+  }
+
+  /** Run one direction: ordered tasks, each load → save, with the
+    * reference's sub-name routing (Main.java:139-146): for each stream of
+    * a multi-stream load, the part after the source name becomes the
+    * destination subdirectory, optionally prefixed by dest.name. */
+  def runDirection(spark: SparkSession, tasks: Seq[DistTask], direction: String): Unit =
+    tasks.zipWithIndex.foreach { case (task, i) =>
+      val ia = Adapters.input(task.source.adapter)
+      val inConf = AdapterConf(ia.meta, task.source.params)
+      val sourceName = task.source.subName.getOrElse(s"$direction#$i")
+      val streams: ListMap[String, _] =
+        ia.load(spark, task.source.path, sourceName, task.source.partCount, inConf)
+
+      val oa = Adapters.output(task.dest.adapter)
+      val outConf = AdapterConf(oa.meta, task.dest.params)
+      streams.foreach { case (streamName, df) =>
+        var sub = streamName.stripPrefix(sourceName).stripPrefix("/")
+        task.dest.subName.foreach { dn =>
+          sub = if (sub.isEmpty) dn else s"$dn/$sub"
+        }
+        oa.save(sub, df.asInstanceOf[org.apache.spark.sql.DataFrame], task.dest.path, outConf)
+      }
+    }
+
+  /** Read a (possibly remote) config file through the Hadoop FS API. */
+  def readFile(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Minimal getopt: flags l/u take no value; c/d/t/m/L take one. */
+  private[runner] def parseArgs(args: Array[String]): Map[String, String] = {
+    val flags = Set("l", "u", "h")
+    val out = Map.newBuilder[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i).dropWhile(_ == '-')
+      if (flags.contains(a)) { out += a -> "true"; i += 1 }
+      else if (i + 1 < args.length) { out += a -> args(i + 1); i += 2 }
+      else throw new IllegalArgumentException(s"Option -$a needs a value")
+    }
+    out.result()
+  }
+}
