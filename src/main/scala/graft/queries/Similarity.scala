@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossHash.{duck, h}
+import graft.io.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`Array[Float]`, 64-dim, ~unit-norm so dot ≈ cosine).
+  *
+  *  - `q_ann_topk`: brute-force top-k — the correctness baseline. The
+  *    small query set is broadcast against the full candidate scan (no
+  *    shuffle of the big side); ranking uses an exact DECIMAL dot product
+  *    so cross-engine hashes match. At 100 TB the scan parallelizes
+  *    per-partition and the per-query top-k is a windowed shuffle on
+  *    query_id only.
+  *  - `q_ann_lsh`: the scale path — 4 random-hyperplane sign bits
+  *    (hash-derived, deterministic) bucket the vectors; top-k runs within
+  *    the query's bucket only, turning the all-pairs scan into a
+  *    bucket-equi-join. Recall is probabilistic; the baseline above
+  *    measures it.
+  *
+  * Hyperplane weights are pseudo-random doubles derived from
+  * [[graft.functions.CrossHash]]: w(j,i) = ((h(j#i) % 2001) - 1000)/1000.0,
+  * identical in both engines, so even the LSH variant is hash-verified.
+  */
+object Similarity {
+
+  /** Spark SQL: exact decimal dot product of two float arrays. */
+  private def dot(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b,
+       |  (x, y) -> cast(cast(x as double) * cast(y as double) as decimal(28,12))),
+       |  cast(0 as decimal(28,12)), (acc, v) -> cast(acc + v as decimal(28,12)))""".stripMargin
+
+  private def duckDot(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, 64),
+       |  i -> CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(28,12))))""".stripMargin
+
+  /** Spark SQL: 4-bit random-hyperplane LSH bucket of `v`. */
+  private def bucket(v: String): String =
+    s"""aggregate(sequence(0, 3), 0, (acc, j) ->
+       |  acc + (CASE WHEN aggregate(sequence(1, 64), cast(0 as double), (a2, i) ->
+       |      a2 + (((${h("concat(cast(j as string), '#', cast(i as string))")} % 2001) - 1000) / 1000.0)
+       |        * cast(element_at($v, i) as double)) >= 0
+       |    THEN shiftleft(1, j) ELSE 0 END))""".stripMargin
+
+  private def duckBucket(v: String): String =
+    s"""list_sum(list_transform(generate_series(0, 3), j ->
+       |  CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+       |      i -> (((${duck("j::VARCHAR || '#' || i::VARCHAR")} % 2001) - 1000) / 1000.0)
+       |        * CAST($v[i] AS DOUBLE)), (x, y) -> x + y) >= 0
+       |  THEN (1 << j) ELSE 0 END))::INT""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- brute-force top-10 by exact decimal dot ---------------------------
+    Q(
+      "q_ann_topk",
+      s"""SELECT query_id, cand_id, rn, dot FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    ${duckDot("q.embedding", "c.embedding")} AS dot,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY ${duckDot("q.embedding", "c.embedding")} DESC, c.vec_id) AS rn
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+        |) WHERE rn <= 10""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val scored = e.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+        .join(broadcast(q), col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"), expr(dot("q_emb", "c_emb")).as("dot"))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("cand_id"))))
+        .filter(col("rn") <= 10)
+        .select(col("query_id"), col("cand_id"), col("rn"), col("dot"))
+    },
+
+    // ---- LSH-bucketed top-3 (the scale path) -------------------------------
+    Q(
+      "q_ann_lsh",
+      s"""WITH bucketed AS (
+        |  SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket FROM embeddings
+        |)
+        |SELECT query_id, cand_id, bucket, rn, dot FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.bucket AS bucket,
+        |    ${duckDot("q.embedding", "c.embedding")} AS dot,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY ${duckDot("q.embedding", "c.embedding")} DESC, c.vec_id) AS rn
+        |  FROM bucketed q JOIN bucketed c
+        |    ON q.bucket = c.bucket AND q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+        |) WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      val bucketed = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), expr(bucket("embedding")).cast("int").as("bucket"))
+      val q = bucketed.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+      val c = bucketed
+        .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("bucket").as("c_bucket"))
+      c.join(broadcast(q), col("bucket") === col("c_bucket") && col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"), col("bucket"), expr(dot("q_emb", "c_emb")).as("dot"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("cand_id"))))
+        .filter(col("rn") <= 3)
+        .select(col("query_id"), col("cand_id"), col("bucket"), col("rn"), col("dot"))
+    })
+}

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossHash.{duck, h}
+import graft.io.Tables
+
+/** Text-analysis operators over the `documents` table — the per-document
+  * statistics a training-data pipeline computes before filtering: token
+  * counts (whitespace + BPE-ish regex), quality signals, marker-based
+  * language ID, and content fingerprints.
+  *
+  * Every expression is a codegen'd Spark builtin (split / HOFs / regexp) —
+  * one narrow projection per query, no shuffle except the final
+  * fingerprint groupBy. All are row-parallel and scale linearly: at 100 TB
+  * these run as a single map stage over the parquet scan.
+  *
+  * Determinism: ratios are per-row IEEE double (bit-identical in DuckDB);
+  * nothing float is aggregated; hashes go through [[graft.functions.CrossHash]].
+  */
+object TextAnalysis {
+
+  private val tokens = "split(trim(text), '\\\\s+')"
+  private val duckTokens = raw"regexp_split_to_array(trim(text), '\s+')"
+
+  // language marker stopword sets (n-gram heuristic: most-frequent
+  // function words per language; deterministic argmax with fixed
+  // precedence en > de > fr > es)
+  private val markers = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- token counting: whitespace + BPE-ish regex ------------------------
+    Q(
+      "q_text_stats",
+      raw"""SELECT doc_id,
+        |  len($duckTokens) AS n_tokens,
+        |  len(list_distinct($duckTokens)) AS n_types,
+        |  CAST(length(text) AS BIGINT) AS n_chars_text,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_re_tokens,
+        |  CAST(length(text) AS DOUBLE) / len($duckTokens) AS chars_per_token
+        |FROM documents""") { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        expr(s"size($tokens)").cast("long").as("n_tokens"),
+        expr(s"size(array_distinct($tokens))").cast("long").as("n_types"),
+        length(col("text")).cast("long").as("n_chars_text"),
+        expr(raw"size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0))")
+          .cast("long").as("n_re_tokens"),
+        expr(s"cast(length(text) as double) / size($tokens)").as("chars_per_token"))
+    },
+
+    // ---- quality scoring: stopword/punct ratios, flag ----------------------
+    Q(
+      "q_text_quality",
+      raw"""SELECT doc_id,
+        |  CAST(len(list_filter($duckTokens, t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+        |    / len($duckTokens) AS stopword_ratio,
+        |  CAST(length(text) - length(regexp_replace(text, '[^a-z0-9\s]', '', 'g')) AS BIGINT) AS n_punct,
+        |  CAST(length(text) AS DOUBLE) / len($duckTokens) AS chars_per_token,
+        |  CASE WHEN len($duckTokens) >= 10
+        |        AND CAST(len(list_filter($duckTokens, t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+        |            / len($duckTokens) >= 0.01
+        |       THEN 'keep' ELSE 'drop' END AS quality_flag
+        |FROM documents""") { (s, dir) =>
+      val stopRatio =
+        s"cast(size(filter($tokens, t -> t in ('the','a','of','and','is'))) as double) / size($tokens)"
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        expr(stopRatio).as("stopword_ratio"),
+        expr(raw"length(text) - length(regexp_replace(text, '[^a-z0-9\\s]', ''))")
+          .cast("long").as("n_punct"),
+        expr(s"cast(length(text) as double) / size($tokens)").as("chars_per_token"),
+        expr(s"case when size($tokens) >= 10 and $stopRatio >= 0.01 then 'keep' else 'drop' end")
+          .as("quality_flag"))
+    },
+
+    // ---- language ID: marker-word scoring, fixed precedence ----------------
+    Q(
+      "q_text_langid", {
+        val scores = markers.map { case (l, ws) =>
+          s"CAST(len(list_filter($duckTokens, t -> t IN (${ws.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS s_$l"
+        }.mkString(",\n  ")
+        """SELECT doc_id, lang AS lang_declared, s_en, s_de, s_fr, s_es,
+          |  CASE WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+          |       WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+          |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_predicted
+          |FROM (SELECT doc_id, lang,
+          |  """.stripMargin + scores + "\n  FROM documents)"
+      }) { (s, dir) =>
+      val scored = markers.foldLeft(
+        Tables(s, dir, "documents").select(col("doc_id"), col("lang").as("lang_declared"), col("text"))) {
+        case (df, (l, ws)) =>
+          df.withColumn(
+            s"s_$l",
+            expr(s"size(filter($tokens, t -> t in (${ws.map("'" + _ + "'").mkString(",")})))")
+              .cast("long"))
+      }
+      scored.select(
+        col("doc_id"), col("lang_declared"),
+        col("s_en"), col("s_de"), col("s_fr"), col("s_es"),
+        expr("""case when s_en >= greatest(s_de, s_fr, s_es) then 'en'
+                |     when s_de >= greatest(s_fr, s_es) then 'de'
+                |     when s_fr >= s_es then 'fr' else 'es' end""".stripMargin)
+          .as("lang_predicted"))
+    },
+
+    // ---- document fingerprinting: full-text + 8-token-prefix clusters ------
+    Q(
+      "q_text_fingerprint",
+      s"""SELECT ${duck("text")} AS fp,
+        |  ${duck(s"array_to_string(($duckTokens)[1:8], ' ')")} AS prefix_fp,
+        |  doc_id
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        expr(h("text")).as("fp"),
+        expr(h(s"concat_ws(' ', slice($tokens, 1, 8))")).as("prefix_fp"),
+        col("doc_id"))
+    },
+
+    // ---- prefix-cluster dedup summary (shared-prefix near-dup groups) ------
+    Q(
+      "q_text_prefix_clusters",
+      s"""SELECT prefix_fp, count(*) AS cnt, min(doc_id) AS keep_id
+        |FROM (SELECT doc_id, ${duck(s"array_to_string(($duckTokens)[1:8], ' ')")} AS prefix_fp
+        |      FROM documents)
+        |GROUP BY prefix_fp HAVING count(*) > 1""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), expr(h(s"concat_ws(' ', slice($tokens, 1, 8))")).as("prefix_fp"))
+        .groupBy(col("prefix_fp"))
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keep_id"))
+        .filter(col("cnt") > 1)
+    })
+}
