@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface of the engine: watermarked windowed
+  * aggregation and stateful gap-sessionization over the same `events`
+  * schema the batch engine uses.
+  *
+  * Scale shape: both operators shuffle once on their grouping key
+  * (event_type+window / user_id) and keep per-key state in the state
+  * store — the standard Structured Streaming pattern that scales with
+  * executor count. Watermarks bound state size; without them a 100 TB
+  * backfill would accumulate unbounded session state.
+  */
+object Streams {
+
+  final case class Event(
+      event_id: Long,
+      ts: Timestamp,
+      user_id: Long,
+      event_type: String,
+      value: Double)
+
+  final case class Session(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long,
+      sum_value: Double)
+
+  final case class SessionState(
+      start: Long, last: Long, n: Long, total: Double)
+
+  val gapMs: Long = 30L * 60 * 1000
+
+  /** Tumbling 1-hour windowed counts/sums per event_type, 2h watermark. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .select(
+        col("window.start").as("hour"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Gap-based sessionization (30-min inactivity closes a session) with
+    * processing-time-independent event-time state timeouts. Emits a
+    * session when the gap passes the watermark. Batch twin:
+    * [[graft.queries.Events]] `q_sessionize`.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(
+              userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(
+                    userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** File-source entry: tail a directory of parquet events (schema from
+    * the batch table) and stream the windowed aggregation to parquet. */
+  def run(spark: SparkSession, inDir: String, outDir: String, checkpoint: String): Unit = {
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    windowedAgg(stream).writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+      .awaitTermination()
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.multimodal.Media
+
+/** Multimodal plumbing: schema, determinism, batch shape, partition
+  * preservation, and the stubbed resize/frame-sample contracts. */
+class MediaSpec extends SparkSpec {
+
+  test("synthesize: stable schema, kinds, payload bytes") {
+    val ds = Media.synthesize(spark, sf())
+    assert(ds.schema.fieldNames.toSeq ==
+      Seq("media_id", "kind", "payload", "meta"))
+    assert(ds.schema("payload").dataType.typeName == "binary")
+    val r = ds.filter(_.media_id == 7).head()
+    assert(r.kind == "audio") // 7 % 3 == 1
+    assert(new String(r.payload, "UTF-8").nonEmpty)
+    assert(r.meta.sampleRate == 16000)
+  }
+
+  test("extractFeatures: deterministic, histogram sums to byte_len") {
+    val ds = Media.synthesize(spark, sf())
+    val a = Media.extractFeatures(ds, batchSize = 7).collect().sortBy(_.media_id)
+    val b = Media.extractFeatures(ds, batchSize = 64).collect().sortBy(_.media_id)
+    assert(a.length == 500)
+    // batch size must not change results (pure batch-wise map)
+    assert(a.zip(b).forall { case (x, y) =>
+      x.media_id == y.media_id && x.byte_len == y.byte_len &&
+        x.histogram.sameElements(y.histogram) && x.embedding.sameElements(y.embedding)
+    })
+    assert(a.forall(f => f.histogram.sum == f.byte_len))
+    assert(a.forall(_.embedding.length == 8))
+  }
+
+  test("extractFeatures preserves partitioning (map-only stage)") {
+    val ds = Media.synthesize(spark, sf()).repartition(5)
+    assert(Media.extractFeatures(ds).rdd.getNumPartitions == 5)
+  }
+
+  test("resize caps payload at w*h and rewrites metadata") {
+    val out = Media.resize(Media.synthesize(spark, sf()), 8, 8).collect()
+    assert(out.forall(_.payload.length <= 64))
+    assert(out.forall(r => r.meta.width == 8 && r.meta.height == 8))
+  }
+
+  test("frameSample emits n frames per record with bounded windows") {
+    val frames = Media.frameSample(Media.synthesize(spark, sf()).limit(10), 4)
+    assert(frames.columns.toSeq == Seq("media_id", "frame_no", "frame_bytes"))
+    assert(frames.count() == 40)
+    assert(frames.selectExpr("max(octet_length(frame_bytes))").head().getInt(0) <= 16)
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{Event, Session}
+
+/** Structured Streaming specs driven by MemoryStream: windowed agg
+  * emission under watermark advance, and sessionization equivalence with
+  * the batch q_sessionize logic. */
+class StreamingSpec extends SparkSpec {
+
+  // day-1 offset: an event exactly at the initial watermark (epoch 0)
+  // is treated as late and dropped, so keep test times off epoch
+  private def ts(minutes: Long): Timestamp = new Timestamp((1440 + minutes) * 60000L)
+
+  test("windowedAgg: tumbling hourly counts emitted after watermark passes") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val query = Streams.windowedAgg(mem.toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two events in hour 0, one in hour 1; then advance watermark far
+      mem.addData(
+        Event(1, ts(5), 1, "click", 1.5),
+        Event(2, ts(20), 2, "click", 2.5),
+        Event(3, ts(70), 1, "view", 3.0))
+      query.processAllAvailable()
+      mem.addData(Event(4, ts(500), 9, "view", 0.0)) // watermark -> 500m-120m
+      query.processAllAvailable()
+      val rows = spark.table("win_out")
+        .selectExpr("cast(hour as long) h", "event_type", "cnt", "cast(sum_value as string)")
+        .collect().map(r => (r.getLong(0) / 3600 - 24, r.getString(1), r.getLong(2), r.getString(3)))
+        .toSet
+      assert(rows.contains((0L, "click", 2L, "4.00")))
+      assert(rows.contains((1L, "view", 1L, "3.00")))
+    } finally query.stop()
+  }
+
+  test("sessionize: 30-min gap closes sessions; counts/sums match batch rule") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val query = Streams.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: events at 0,10,20 (one session), then 60 (new session)
+      mem.addData(
+        Event(1, ts(0), 1, "c", 1.0),
+        Event(2, ts(10), 1, "c", 2.0),
+        Event(3, ts(20), 1, "c", 3.0),
+        Event(4, ts(60), 1, "c", 4.0))
+      query.processAllAvailable()
+      // advance watermark way past all timeouts to flush state
+      mem.addData(Event(99, ts(10000), 2, "c", 0.0))
+      query.processAllAvailable()
+      val sessions = spark.table("sess_out").as[Session].collect()
+        .filter(_.user_id == 1).sortBy(_.session_start.getTime)
+      assert(sessions.length == 2)
+      assert(sessions(0).n_events == 3 && sessions(0).sum_value == 6.0)
+      assert(sessions(0).session_start == ts(0) && sessions(0).session_end == ts(20))
+      assert(sessions(1).n_events == 1 && sessions(1).sum_value == 4.0)
+    } finally query.stop()
+  }
+
+  test("file-source streaming matches batch windowedAgg on the events table") {
+    import spark.implicits._
+    val base = tmpDir("stream")
+    // batch result over the harness events (ts as timestamp)
+    val batch = graft.io.Tables(spark, sf(), "events")
+      .select(col("ts").cast("timestamp").as("ts"), $"event_type", $"value")
+    val expect = Streams.windowedAgg(batch).count()
+    // same data through the streaming path (one file = one micro-batch)
+    batch.write.parquet(s"$base/in")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$base/in").schema).parquet(s"$base/in")
+    val q = Streams.windowedAgg(stream).writeStream
+      .format("memory").queryName("file_win").outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("file_win").count() == expect)
+    } finally q.stop()
+  }
+
+  private def col(n: String) = org.apache.spark.sql.functions.col(n)
+}
