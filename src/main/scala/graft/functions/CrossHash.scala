@@ -25,4 +25,12 @@ object CrossHash {
   /** DuckDB SQL fragment with identical semantics. */
   def duck(inner: String): String =
     s"('0x' || substr(md5($inner), 1, 15))::BIGINT"
+
+  /** Same hash evaluated driver-side (for plan-time constants such as
+    * MinHash permutation seeds). */
+  def local(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
 }

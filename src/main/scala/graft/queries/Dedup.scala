@@ -51,17 +51,24 @@ object Dedup {
     },
 
     // ---- MinHash + LSH near-dup pairs --------------------------------------
+    // One md5 per shingle, computed once (explode + 16 min-aggregates);
+    // the 16 "permutations" are XOR-mixes with plan-time seed constants
+    // (overflow-free in both engines). Verify intersects hashed shingle
+    // sets — same result as string sets since both engines share the
+    // hash. A nested-HOF formulation would re-inline the shingle hash
+    // into the per-seed lambda (CollapseProject), i.e. 16 md5s/shingle.
     Q(
       "q_dedup_minhash_lsh",
       raw"""WITH tok AS (
         |  SELECT doc_id, $duckTokens AS w FROM documents
         |), sh AS (
-        |  SELECT doc_id, $duckShingles AS shingles FROM tok WHERE len(w) >= 3
+        |  SELECT doc_id, list_transform($duckShingles, s -> ${duck("s")}) AS hsh
+        |  FROM tok WHERE len(w) >= 3
         |), mh AS (
-        |  SELECT doc_id, shingles,
-        |    list_transform(generate_series(0, 15),
-        |      i -> list_min(list_transform(shingles,
-        |        s -> ${duck("i::VARCHAR || '#' || s")}))) AS sig
+        |  SELECT doc_id, hsh,
+        |    list_transform(
+        |      list_transform(generate_series(0, 15), i -> ${duck("'seed#' || i::VARCHAR")}),
+        |      sd -> list_min(list_transform(hsh, v -> xor(v, sd)))) AS sig
         |  FROM sh
         |), bands AS (
         |  SELECT doc_id, b,
@@ -73,32 +80,40 @@ object Dedup {
         |  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id
         |)
         |SELECT id_a, id_b,
-        |  CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
-        |  len(list_distinct(x.shingles || y.shingles)) AS jaccard
+        |  CAST(len(list_intersect(x.hsh, y.hsh)) AS DOUBLE) /
+        |  len(list_distinct(x.hsh || y.hsh)) AS jaccard
         |FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
-        |WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
-        |      len(list_distinct(x.shingles || y.shingles)) >= 0.5""") { (s, dir) =>
+        |WHERE CAST(len(list_intersect(x.hsh, y.hsh)) AS DOUBLE) /
+        |      len(list_distinct(x.hsh || y.hsh)) >= 0.5""") { (s, dir) =>
+      val seeds = (0 until 16).map(i => graft.functions.CrossHash.local(s"seed#$i"))
       val sh = Tables(s, dir, "documents")
         .select(col("doc_id"), expr(tokens).as("w"))
         .filter(expr("size(w) >= 3"))
         .select(col("doc_id"), expr(shingles).as("shingles"))
-      val mh = sh.select(
-        col("doc_id"), col("shingles"),
-        expr(s"""transform(sequence(0, 15),
-                |  i -> array_min(transform(shingles,
-                |    s -> ${h("concat(cast(i as string), '#', s)")})))""".stripMargin).as("sig"))
-      val bands = mh
-        .select(col("doc_id"), col("sig"), explode(expr("sequence(0, 3)")).as("b"))
-        .select(
-          col("doc_id"), col("b"),
-          expr("""md5(cast(concat_ws('', cast(element_at(sig, b*4+1) as string), ',',
-                 |  cast(element_at(sig, b*4+2) as string), ',',
-                 |  cast(element_at(sig, b*4+3) as string), ',',
-                 |  cast(element_at(sig, b*4+4) as string)) as binary))""".stripMargin).as("bk"))
+      val mins = seeds.zipWithIndex.map { case (sd, i) =>
+        min(expr(s"v ^ ${sd}L")).as(s"m$i")
+      }
+      // hash AFTER the explode: a flat md5 projection is codegen'd,
+      // while the same hash inside a transform() lambda is interpreted
+      val sigs = sh
+        .select(col("doc_id"), explode(col("shingles")).as("s"))
+        .select(col("doc_id"), expr(h("s")).as("v"))
+        .groupBy(col("doc_id"))
+        .agg(mins.head, mins.tail: _*)
+      val bandStructs = (0 until 4).map { b =>
+        val key = (0 until 4).map(j => s"cast(m${b * 4 + j} as string)").mkString(", ',', ")
+        s"struct($b as b, md5(cast(concat_ws('', $key) as binary)) as bk)"
+      }.mkString(", ")
+      val bands = sigs
+        .select(col("doc_id"), explode(expr(s"array($bandStructs)")).as("band"))
+        .select(col("doc_id"), col("band.b").as("b"), col("band.bk").as("bk"))
       val cand = bands.as("a")
         .join(bands.as("c"), expr("a.b = c.b and a.bk = c.bk and a.doc_id < c.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("c.doc_id").as("id_b"))
         .distinct()
+      // verify on the string shingle sets: same jaccard values as the
+      // oracle's hashed sets (the shared hash is injective here), one
+      // less md5 pass
       cand
         .join(sh.select(col("doc_id"), col("shingles").as("sh_a")), col("doc_id") === col("id_a"))
         .drop("doc_id")
@@ -114,14 +129,16 @@ object Dedup {
     // ---- SimHash signatures + band-blocked hamming pairs -------------------
     Q(
       "q_dedup_simhash", {
+        // token hashes computed once, reused across all 60 bits
         val duckSim =
-          s"""list_sum(list_transform(generate_series(0, 59), b ->
-             |  CASE WHEN list_sum(list_transform(w, t ->
-             |    CASE WHEN ((${duck("t")} >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+          """list_sum(list_transform(generate_series(0, 59), b ->
+             |  CASE WHEN list_sum(list_transform(hs, v ->
+             |    CASE WHEN ((v >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
              |  THEN (1::BIGINT << b) ELSE 0 END))::BIGINT""".stripMargin
         raw"""WITH sh AS (
           |  SELECT doc_id, $duckSim AS simhash
-          |  FROM (SELECT doc_id, $duckTokens AS w FROM documents)
+          |  FROM (SELECT doc_id, list_transform($duckTokens, t -> ${duck("t")}) AS hs
+          |        FROM documents)
           |), bands AS (
           |  SELECT doc_id, simhash, b, (simhash >> (b*15)) & 32767 AS bk
           |  FROM sh, unnest(generate_series(0, 3)) AS t(b)
@@ -133,15 +150,22 @@ object Dedup {
           |SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
           |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 5""".stripMargin
       }) { (s, dir) =>
+      // explode + 60 conditional aggregates: each token is hashed ONCE
+      // and the per-bit +/-1 sums run as one codegen'd HashAggregate
+      // with map-side partials (a nested-HOF formulation would re-inline
+      // the hash into the per-bit lambda via CollapseProject, i.e. 60
+      // md5s per token)
+      val bitSums = (0 until 60).map(b =>
+        sum(expr(s"CASE WHEN (shiftright(v, $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
+      val assemble = (0 until 60)
+        .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b}L ELSE 0L END)")
+        .mkString(" + ")
       val sim = Tables(s, dir, "documents")
-        .select(col("doc_id"), expr(tokens).as("w"))
-        .select(
-          col("doc_id"),
-          expr(s"""aggregate(sequence(0, 59), cast(0 as bigint), (acc, b) ->
-                  |  acc + (CASE WHEN aggregate(w, 0, (a2, t) ->
-                  |    a2 + (CASE WHEN (shiftright(${h("t")}, b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
-                  |  THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END))""".stripMargin)
-            .as("simhash"))
+        .select(col("doc_id"), explode(expr(tokens)).as("t"))
+        .select(col("doc_id"), expr(h("t")).as("v"))
+        .groupBy(col("doc_id"))
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), expr(assemble).as("simhash"))
       val bands = sim
         .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("b"))
         .withColumn("bk", expr("shiftright(simhash, b*15) & 32767"))
@@ -155,29 +179,52 @@ object Dedup {
         .select(col("id_a"), col("id_b"), expr("cast(bit_count(sim_a ^ sim_b) as int)").as("hamming"))
     },
 
-    // ---- n-gram Jaccard verify kernel (language-blocked pairs) -------------
+    // ---- n-gram Jaccard set-similarity join (inverted index) ---------------
+    // NOT an all-pairs verify: explode (doc, shingle) and equi-join on
+    // the shingle itself, so only pairs sharing >= 1 shingle are ever
+    // generated; |intersection| falls out of a count per pair and
+    // |union| = n_a + n_b - inter. Result set is identical to the
+    // quadratic formulation (jaccard >= 0.3 > 0 implies a shared
+    // shingle), but the shuffle is on high-cardinality shingle hashes —
+    // the formulation that survives 100 TB. Oracle mirrors it 1:1.
     Q(
       "q_dedup_ngram_jaccard",
       raw"""WITH sh AS (
         |  SELECT doc_id, lang, $duckShingles AS shingles
         |  FROM (SELECT doc_id, lang, $duckTokens AS w FROM documents) WHERE len(w) >= 3
+        |), ex AS (
+        |  SELECT doc_id, lang, len(shingles) AS n_sh, unnest(shingles) AS v FROM sh
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b, count(*) AS i
+        |  FROM ex a JOIN ex b ON a.v = b.v AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
         |)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-        |  len(list_distinct(a.shingles || b.shingles)) AS jaccard
-        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-        |      len(list_distinct(a.shingles || b.shingles)) >= 0.3""") { (s, dir) =>
+        |SELECT id_a, id_b, CAST(i AS DOUBLE) / (n_a + n_b - i) AS jaccard
+        |FROM inter WHERE CAST(i AS DOUBLE) / (n_a + n_b - i) >= 0.3""") { (s, dir) =>
+      // Join key is xxhash64 of the exploded shingle — a flat codegen'd
+      // expression (HOF-embedded hashes run interpreted), and the 8-byte
+      // key shuffles cheaper than the shingle strings. The oracle joins
+      // the strings themselves: identical pair set, since distinct
+      // shingles map 1:1 to distinct hashes (64-bit, ~collision-free).
       val sh = Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"), expr(tokens).as("w"))
         .filter(expr("size(w) >= 3"))
         .select(col("doc_id"), col("lang"), expr(shingles).as("shingles"))
-      sh.as("a")
-        .join(sh.as("b"), expr("a.lang = b.lang and a.doc_id < b.doc_id"))
+      val ex = sh
         .select(
-          col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          expr("cast(size(array_intersect(a.shingles, b.shingles)) as double) / size(array_union(a.shingles, b.shingles))")
-            .as("jaccard"))
+          col("doc_id"), col("lang"), expr("size(shingles)").as("n_sh"),
+          explode(col("shingles")).as("s"))
+        .select(col("doc_id"), col("lang"), col("n_sh"), xxhash64(col("s")).as("v"))
+      ex.as("a")
+        .join(ex.as("b"), expr("a.v = b.v and a.lang = b.lang and a.doc_id < b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(
+          first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"),
+          count(lit(1)).as("i"))
+        .select(
+          col("id_a"), col("id_b"),
+          expr("cast(i as double) / (n_a + n_b - i)").as("jaccard"))
         .filter(col("jaccard") >= 0.3)
     },
 
@@ -192,13 +239,25 @@ object Dedup {
         |WHERE list_sum(list_transform(generate_series(1, 64),
         |    i -> CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
         |         AS DECIMAL(28,12)))) >= 0.35""") { (s, dir) =>
+      // salted like the jaccard join: `label` has ~10 distinct values,
+      // so an unsalted blocked self-join caps parallelism at 10
+      val salts = 8
       val e = Tables(s, dir, "embeddings")
+      val ea = e.withColumn("salt", pmod(hash(col("vec_id")), lit(salts)))
+      val eb = e.withColumn("salt", explode(expr(s"sequence(0, ${salts - 1})")))
       val dot =
         """aggregate(zip_with(a.embedding, b.embedding,
           |  (x, y) -> cast(cast(x as double) * cast(y as double) as decimal(28,12))),
           |  cast(0 as decimal(28,12)), (acc, v) -> cast(acc + v as decimal(28,12)))""".stripMargin
-      e.as("a")
-        .join(e.as("b"), expr("a.label = b.label and a.vec_id < b.vec_id"))
+      // cheap double prefilter with a conservative margin (64-term double
+      // dot error << 1e-9), then the exact DECIMAL dot only on survivors
+      val ddot =
+        """aggregate(zip_with(a.embedding, b.embedding,
+          |  (x, y) -> cast(x as double) * cast(y as double)),
+          |  cast(0 as double), (acc, v) -> acc + v)""".stripMargin
+      ea.as("a")
+        .join(eb.as("b"), expr("a.label = b.label and a.salt = b.salt and a.vec_id < b.vec_id"))
+        .filter(expr(s"$ddot >= 0.3499999"))
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), expr(dot).as("dot"))
         .filter(col("dot") >= 0.35)
     })
