@@ -250,11 +250,10 @@ object Dedup {
           |  (x, y) -> cast(cast(x as double) * cast(y as double) as decimal(28,12))),
           |  cast(0 as decimal(28,12)), (acc, v) -> cast(acc + v as decimal(28,12)))""".stripMargin
       // cheap double prefilter with a conservative margin (64-term double
-      // dot error << 1e-9), then the exact DECIMAL dot only on survivors
-      val ddot =
-        """aggregate(zip_with(a.embedding, b.embedding,
-          |  (x, y) -> cast(x as double) * cast(y as double)),
-          |  cast(0 as double), (acc, v) -> acc + v)""".stripMargin
+      // dot error << 1e-9), then the exact DECIMAL dot only on survivors.
+      // dot_f is the native codegen'd expression (GraftExtensions); it
+      // sums in the same index order as the HOF left fold.
+      val ddot = "dot_f(a.embedding, b.embedding)"
       ea.as("a")
         .join(eb.as("b"), expr("a.label = b.label and a.salt = b.salt and a.vec_id < b.vec_id"))
         .filter(expr(s"$ddot >= 0.3499999"))

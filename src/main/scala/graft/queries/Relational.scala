@@ -100,9 +100,12 @@ object Relational {
     Q(
       "q_join_anti",
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""") { (s, dir) =>
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""") { (s, dir) =>
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(
+          t(s, dir, "orders").filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
     },
 
@@ -301,6 +304,79 @@ object Relational {
       t(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(sum(get_json_object(col("props"), "$.k").cast("bigint")).as("sum_k"))
+    },
+
+    // ---- correlated subquery (decorrelated to a group-stats join) -----------
+    // "orders above the customer's average": expressed multiply-through
+    // (price * cnt > sum) so both engines compare exact per-row doubles
+    // instead of a division-of-aggregates
+    Q(
+      "q_corr_subquery",
+      """SELECT o.o_orderkey, o.o_custkey FROM orders o
+        |JOIN (SELECT o_custkey AS ck, count(*) AS cnt,
+        |        CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |      FROM orders GROUP BY 1) g ON o.o_custkey = g.ck
+        |WHERE o.o_totalprice * g.cnt > g.total""") { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val g = o.groupBy(col("o_custkey").as("ck"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).cast("double").as("total"))
+      o.join(g, col("o_custkey") === col("ck"))
+        .filter(col("o_totalprice") * col("cnt") > col("total"))
+        .select(col("o_orderkey"), col("o_custkey"))
+    },
+
+    // ---- string function breadth -------------------------------------------
+    Q(
+      "q_string_funcs",
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '*') AS brand_pad,
+        |  rpad(p_brand, 12, '.') AS brand_rpad,
+        |  reverse(p_name) AS name_rev,
+        |  replace(p_type, ' ', '_') AS type_us,
+        |  translate(p_brand, 'AB', 'ab') AS brand_tr,
+        |  strpos(p_name, 'a') AS first_a,
+        |  repeat(p_brand, 2) AS cont2,
+        |  split_part(p_type, ' ', 1) AS type_head,
+        |  left(p_name, 5) AS name_l5,
+        |  right(p_name, 5) AS name_r5
+        |FROM part""") { (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        rpad(col("p_brand"), 12, ".").as("brand_rpad"),
+        reverse(col("p_name")).as("name_rev"),
+        expr("replace(p_type, ' ', '_')").as("type_us"),
+        translate(col("p_brand"), "AB", "ab").as("brand_tr"),
+        expr("instr(p_name, 'a')").cast("long").as("first_a"),
+        expr("repeat(p_brand, 2)").as("cont2"),
+        expr("split_part(p_type, ' ', 1)").as("type_head"),
+        expr("left(p_name, 5)").as("name_l5"),
+        expr("right(p_name, 5)").as("name_r5"))
+    },
+
+    // ---- array aggregation (ordered, deterministic) -------------------------
+    Q(
+      "q_array_agg",
+      """SELECT user_id,
+        |  list_sort(list_distinct(list(event_type))) AS types,
+        |  count(*) AS n
+        |FROM events GROUP BY user_id""") { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sort_array(array_distinct(collect_list(col("event_type")))).as("types"),
+          count(lit(1)).as("n"))
+    },
+
+    // ---- group filter (HAVING) ----------------------------------------------
+    Q(
+      "q_having",
+      """SELECT o_custkey, count(*) AS cnt FROM orders
+        |GROUP BY o_custkey HAVING count(*) >= 15""") { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 15)
     },
 
     // ---- pivot (conditional aggregation) --------------------------------------
