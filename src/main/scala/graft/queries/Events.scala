@@ -53,5 +53,34 @@ object Events {
           count(lit(1)).as("n_events"),
           min(col("tus")).as("t_start"),
           max(col("tus")).as("t_end"))
+    },
+
+    // ---- AS-OF join (custom operator, DuckDB native ASOF as oracle) --------
+    // for every event: the user's latest purchase at-or-before that
+    // event. Runs through graft.plans.AsOfJoinExec — co-partitioned
+    // linear merge, no pair blowup.
+    Q(
+      "q_asof_join",
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+        |), p AS (
+        |  SELECT user_id AS p_user, epoch_us(ts) AS p_tus, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |)
+        |SELECT e.event_id, e.user_id, e.tus, p.purchase_id, p.p_tus
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.p_user AND e.tus >= p.p_tus""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"), expr("ts_ns div 1000").as("tus"))
+        // dedup to one purchase per (user, time) so the as-of pick is
+        // deterministic under time ties
+        val purchases = Tables(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id").as("p_user"), expr("ts_ns div 1000").as("p_tus"))
+          .agg(max(col("event_id")).as("purchase_id"))
+          .select(col("p_user"), col("p_tus"), col("purchase_id"))
+        org.apache.spark.sql.graft.AsOfApi
+          .join(ev, purchases, "user_id", "p_user", "tus", "p_tus")
+          .select(col("event_id"), col("user_id"), col("tus"), col("purchase_id"), col("p_tus"))
     })
 }
