@@ -94,6 +94,15 @@ object Streams {
       }
   }
 
+  /** Streaming exact-dedup on event_id: duplicates arriving within the
+    * watermark horizon are dropped with bounded state (the streaming twin
+    * of `q_dedup_exact`; at 100 TB/day the watermark bounds the key
+    * state the store must hold). */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** File-source entry: tail a directory of parquet events (schema from
     * the batch table) and stream the windowed aggregation to parquet. */
   def run(spark: SparkSession, inDir: String, outDir: String, checkpoint: String): Unit = {

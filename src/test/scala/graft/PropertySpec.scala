@@ -1,0 +1,69 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.runner.DocGen
+
+/** Property tests (SURVEY §5 plan item 4) using raw ScalaCheck
+  * generators with fixed seeds (the scalatest-scalacheck bridge is not
+  * on the offline classpath): CSV escaping round-trip, column-reorder
+  * permutation invariance, partition-count invariants — plus DocGen
+  * completeness. */
+class PropertySpec extends SparkSpec {
+
+  private def cases[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen(Gen.Parameters.default, Seed(42L + i)))
+
+  private val cell: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(8)),
+    Gen.oneOf("a,b", "quote\"inside", "tab\there", "semi;colon", "x", "line'quote"))
+
+  test("CSV write/read round-trips arbitrary cell content (quoting/escaping)") {
+    import spark.implicits._
+    for (rows <- cases(Gen.listOfN(20, Gen.zip(cell, cell)), 8) if rows.nonEmpty) {
+      val base = tmpDir("prop")
+      val df = rows.toDF("c1", "c2")
+      df.write.mode("overwrite").option("header", true).csv(s"file:$base/csv")
+      val back = spark.read.option("header", true).csv(s"file:$base/csv")
+      // Spark CSV writes "" and reads it back as null — normalize both
+      def s(r: org.apache.spark.sql.Row, i: Int): String =
+        Option(r.getString(i)).getOrElse("")
+      val a = df.collect().map(r => (s(r, 0), s(r, 1))).sorted
+      val b = back.collect().map(r => (s(r, 0), s(r, 1))).sorted
+      assert(a.sameElements(b), s"mismatch for ${rows.take(3)}...")
+    }
+  }
+
+  test("columns param: any permutation of columns is honored exactly") {
+    val all = spark.read.parquet(s"${sf()}/nation.parquet").columns.toSeq
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 10) {
+      val perm = rnd.shuffle(all).take(1 + rnd.nextInt(all.size))
+      val loaded = new graft.adapters.HadoopParquetInput().load(
+        spark, s"file:${sf()}/nation.parquet", "n", 0,
+        graft.adapters.AdapterConf(
+          new graft.adapters.HadoopParquetInput().meta,
+          Map("columns" -> perm)))
+      assert(loaded("n").columns.toSeq == perm)
+    }
+  }
+
+  test("part_count: output partitions equal the requested count") {
+    for (n <- Seq(1, 2, 5, 8)) {
+      val loaded = new graft.adapters.HadoopParquetInput().load(
+        spark, s"file:${sf()}/orders.parquet", "o", n,
+        graft.adapters.AdapterConf(new graft.adapters.HadoopParquetInput().meta, Map.empty))
+      assert(loaded("o").rdd.getNumPartitions == n)
+    }
+  }
+
+  test("DocGen covers every registered adapter verb and param") {
+    val doc = DocGen.render()
+    val verbs = graft.adapters.Adapters.inputs.values.map(_.meta.verb).toSet ++
+      graft.adapters.Adapters.outputs.values.map(_.meta.verb)
+    verbs.foreach(v => assert(doc.contains(s"`$v`"), s"missing verb $v"))
+    graft.adapters.Adapters.inputs.values.flatMap(_.meta.params).foreach(p =>
+      assert(doc.contains(s"`${p.name}`"), s"missing param ${p.name}"))
+  }
+}

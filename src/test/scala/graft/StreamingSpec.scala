@@ -69,6 +69,26 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dedup drops duplicate event_ids within the watermark") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = Streams.dedup(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "c", 1.0),
+        Event(1, ts(0), 1, "c", 1.0), // exact dup, same batch
+        Event(2, ts(1), 1, "c", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(2), 1, "c", 1.0)) // dup across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.sameElements(Array(1L, 2L)))
+    } finally q.stop()
+  }
+
   test("file-source streaming matches batch windowedAgg on the events table") {
     import spark.implicits._
     val base = tmpDir("stream")
