@@ -86,10 +86,16 @@ object Dedup {
         |WHERE CAST(len(list_intersect(x.hsh, y.hsh)) AS DOUBLE) /
         |      len(list_distinct(x.hsh || y.hsh)) >= 0.5""") { (s, dir) =>
       val seeds = (0 until 16).map(i => graft.functions.CrossHash.local(s"seed#$i"))
+      // the shingle set feeds three plan branches (signatures + both
+      // sides of the candidate verify); persist materializes the
+      // HOF-interpreted construction once instead of three times — the
+      // standard move for a diamond dataflow (at cluster scale:
+      // MEMORY_AND_DISK_SER or a checkpoint)
       val sh = Tables(s, dir, "documents")
         .select(col("doc_id"), expr(tokens).as("w"))
         .filter(expr("size(w) >= 3"))
         .select(col("doc_id"), expr(shingles).as("shingles"))
+        .persist()
       val mins = seeds.zipWithIndex.map { case (sd, i) =>
         min(expr(s"v ^ ${sd}L")).as(s"m$i")
       }
@@ -211,11 +217,15 @@ object Dedup {
         .select(col("doc_id"), col("lang"), expr(tokens).as("w"))
         .filter(expr("size(w) >= 3"))
         .select(col("doc_id"), col("lang"), expr(shingles).as("shingles"))
+      // persist: the exploded posting list feeds both sides of the
+      // self-join; materializing it once halves the (HOF-interpreted)
+      // shingle construction cost
       val ex = sh
         .select(
           col("doc_id"), col("lang"), expr("size(shingles)").as("n_sh"),
           explode(col("shingles")).as("s"))
         .select(col("doc_id"), col("lang"), col("n_sh"), xxhash64(col("s")).as("v"))
+        .persist()
       ex.as("a")
         .join(ex.as("b"), expr("a.v = b.v and a.lang = b.lang and a.doc_id < b.doc_id"))
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
