@@ -33,7 +33,13 @@ private[adapters] object HadoopFiles {
   }
 
   /** sub_dirs-aware load: one stream per first-level subdir, else one
-    * stream under the task name. */
+    * stream under the task name.
+    *
+    * `partitioning` mirrors the reference's record-keying modes
+    * (SURVEY §1.4, Partitioning.HASHCODE/RANDOM): `hashcode` hash-
+    * partitions rows on all columns (equal rows co-locate,
+    * distribution-equivalent to keying every record by hashCode),
+    * `random` round-robins. */
   def loadStreams(
       spark: SparkSession,
       path: String,
@@ -41,7 +47,15 @@ private[adapters] object HadoopFiles {
       partCount: Int,
       conf: AdapterConf)(read: String => DataFrame): ListMap[String, DataFrame] = {
     def part(df: DataFrame): DataFrame =
-      if (partCount > 0) df.repartition(partCount) else df
+      if (partCount <= 0) df
+      else conf.str("partitioning", "hashcode") match {
+        case "random" => df.repartition(partCount)
+        case "hashcode" =>
+          df.repartition(partCount, org.apache.spark.sql.functions.hash(
+            df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*))
+        case other => throw new IllegalArgumentException(
+          s"partitioning must be 'hashcode' or 'random', got '$other'")
+      }
     if (conf.bool("sub_dirs", dflt = false)) {
       val subs = subDirs(spark, path)
       ListMap(subs.map(s => s"$name/$s" -> part(read(s"$path/$s"))): _*)
@@ -67,7 +81,8 @@ final class HadoopColumnarInput extends InputAdapter {
       ParamDef("schema_from_file", "Read schema from the file header line", Some(true)),
       ParamDef("schema_default", "Explicit column list; '_' skips a position"),
       ParamDef("columns", "Columns to select (subset, any order)"),
-      ParamDef("sub_dirs", "Each first-level subdirectory becomes its own stream", Some(false))))
+      ParamDef("sub_dirs", "Each first-level subdirectory becomes its own stream", Some(false)),
+      ParamDef("partitioning", "Row partitioning with part_count: hashcode (co-locate equal rows) or random", Some("hashcode"))))
 
   def load(
       spark: SparkSession,
@@ -110,7 +125,8 @@ final class HadoopTextInput extends InputAdapter {
     "hadoopText",
     "Plain text files, one record per line",
     Seq("file:/data/in", "hdfs:///data/in", "s3a://bucket/prefix"),
-    Seq(ParamDef("sub_dirs", "Each first-level subdirectory becomes its own stream", Some(false))))
+    Seq(ParamDef("sub_dirs", "Each first-level subdirectory becomes its own stream", Some(false)),
+      ParamDef("partitioning", "Row partitioning with part_count: hashcode (co-locate equal rows) or random", Some("hashcode"))))
 
   def load(
       spark: SparkSession,
@@ -128,7 +144,8 @@ final class HadoopParquetInput extends InputAdapter {
     Seq("file:/data/in", "s3a://bucket/prefix"),
     Seq(
       ParamDef("columns", "Columns to select (subset, any order)"),
-      ParamDef("sub_dirs", "Each first-level subdirectory becomes its own stream", Some(false))))
+      ParamDef("sub_dirs", "Each first-level subdirectory becomes its own stream", Some(false)),
+      ParamDef("partitioning", "Row partitioning with part_count: hashcode (co-locate equal rows) or random", Some("hashcode"))))
 
   def load(
       spark: SparkSession,
