@@ -87,6 +87,7 @@ object Adapters {
     "hadoopColumnar" -> new HadoopColumnarInput,
     "hadoopText" -> new HadoopTextInput,
     "hadoopParquet" -> new HadoopParquetInput,
+    "hadoopJson" -> new HadoopJsonInput,
     "jdbcColumnar" -> new JdbcColumnarInput,
     // s3direct* verbs of the reference are the same Hadoop sources on
     // s3a:// paths (endpoint/keys via fs.s3a.* Hadoop conf):
@@ -97,6 +98,7 @@ object Adapters {
     "hadoopColumnar" -> new HadoopColumnarOutput,
     "hadoopText" -> new HadoopTextOutput,
     "hadoopParquet" -> new HadoopParquetOutput,
+    "hadoopJson" -> new HadoopJsonOutput,
     "jdbcColumnar" -> new JdbcColumnarOutput,
     "s3directColumnar" -> new HadoopColumnarOutput,
     "s3directText" -> new HadoopTextOutput,

@@ -124,6 +124,27 @@ class DistPipelineSpec extends SparkSpec {
     assert(lines.sameElements(Array("line one", "line two")))
   }
 
+  test("json adapter round trip with gzip codec") {
+    val base = tmpDir("dist")
+    val conf = DistConfig.parse(s"""{
+      "toJson": [{
+        "source": {"adapter": "hadoopParquet", "path": "file:${sf()}/nation.parquet",
+                   "params": {"columns": ["n_nationkey", "n_name"]}},
+        "dest":   {"adapter": "hadoopJson", "path": "file:$base/json",
+                   "params": {"codec": "gzip"}}}],
+      "back": [{
+        "source": {"adapter": "hadoopJson", "path": "file:$base/json"},
+        "dest":   {"adapter": "hadoopParquet", "path": "file:$base/pq"}}]
+    }""")
+    DistMain.runDirection(spark, conf.direction("toJson"), "toJson")
+    assert(Files.list(Paths.get(s"$base/json")).toArray
+      .exists(_.toString.endsWith(".json.gz")), "expected gzip-compressed parts")
+    DistMain.runDirection(spark, conf.direction("back"), "back")
+    val back = spark.read.parquet(s"file:$base/pq")
+    assert(back.count() == 25)
+    assert(back.columns.sorted.toSeq == Seq("n_name", "n_nationkey"))
+  }
+
   test("unknown adapter and unknown param fail fast") {
     val conf = DistConfig.parse(
       """{"d": [{"source": {"adapter": "nope", "path": "/x"},

