@@ -104,5 +104,57 @@ object Similarity {
           Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("cand_id"))))
         .filter(col("rn") <= 3)
         .select(col("query_id"), col("cand_id"), col("bucket"), col("rn"), col("dot"))
+    },
+
+    // ---- IVF-style ANN: inverted file by nearest centroid ------------------
+    // Deterministic "training-free" IVF: a fixed centroid subset
+    // (vec_id % 50 == 7), every vector assigned to its nearest centroid
+    // (exact decimal dot, ties to the lowest centroid id) — the
+    // inverted-file cells. Queries probe only their own cell. At scale
+    // the assignment is one broadcast-centroids map stage and the probe
+    // a cell-equi-join — same shapes as production IVF with trained
+    // centroids.
+    Q(
+      "q_ann_ivf",
+      s"""WITH cents AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 50 = 7
+        |), assign AS (
+        |  SELECT vec_id, embedding, c_id AS cell FROM (
+        |    SELECT v.vec_id, v.embedding, c.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY ${duckDot("v.embedding", "c.c_emb")} DESC, c.c_id) AS crn
+        |    FROM embeddings v CROSS JOIN cents c
+        |  ) WHERE crn = 1
+        |)
+        |SELECT query_id, cand_id, cell, rn, dot FROM (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS cand_id, q.cell,
+        |    ${duckDot("q.embedding", "x.embedding")} AS dot,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY ${duckDot("q.embedding", "x.embedding")} DESC, x.vec_id) AS rn
+        |  FROM assign q JOIN assign x
+        |    ON q.cell = x.cell AND q.vec_id % 100 = 0 AND q.vec_id <> x.vec_id
+        |) WHERE rn <= 5""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") % 50 === 7)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val assign = e
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("c_id"),
+          expr(dot("embedding", "c_emb")).as("cdot"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("cdot").desc, col("c_id"))))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+      val q = assign.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))
+      assign
+        .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb2"), col("cell").as("x_cell"))
+        .join(broadcast(q), col("cell") === col("x_cell") && col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"), col("cell"),
+          expr(dot("q_emb", "c_emb2")).as("dot"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("cand_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("cand_id"), col("cell"), col("rn"), col("dot"))
     })
 }

@@ -123,6 +123,44 @@ object TextAnalysis {
         col("doc_id"))
     },
 
+    // ---- end-to-end training-data filter pipeline ---------------------------
+    // the composed shape a real pipeline runs: quality gate AND
+    // dedup-keeper (lowest doc_id of each prefix cluster) -> per-lang
+    // survivor counts. One scan, one groupBy for the cluster keep-list
+    // (broadcast back), one final groupBy.
+    Q(
+      "q_pipeline_filter",
+      raw"""WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    ${duck(s"array_to_string(($duckTokens)[1:8], ' ')")} AS prefix_fp,
+        |    CASE WHEN len($duckTokens) >= 10
+        |          AND CAST(len(list_filter($duckTokens, t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+        |              / len($duckTokens) >= 0.01
+        |         THEN 1 ELSE 0 END AS ok
+        |  FROM documents
+        |), keepers AS (
+        |  SELECT prefix_fp, min(doc_id) AS keep_id FROM scored GROUP BY prefix_fp
+        |)
+        |SELECT lang, count(*) AS kept
+        |FROM scored s JOIN keepers k ON s.prefix_fp = k.prefix_fp AND s.doc_id = k.keep_id
+        |WHERE s.ok = 1
+        |GROUP BY lang""") { (s, dir) =>
+      val stopRatio =
+        s"cast(size(filter($tokens, t -> t in ('the','a','of','and','is'))) as double) / size($tokens)"
+      val scored = Tables(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        expr(h(s"concat_ws(' ', slice($tokens, 1, 8))")).as("prefix_fp"),
+        expr(s"case when size($tokens) >= 10 and $stopRatio >= 0.01 then 1 else 0 end").as("ok"))
+      val keepers = scored.groupBy(col("prefix_fp").as("k_fp"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      scored
+        .join(broadcast(keepers),
+          col("prefix_fp") === col("k_fp") && col("doc_id") === col("keep_id"))
+        .filter(col("ok") === 1)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("kept"))
+    },
+
     // ---- prefix-cluster dedup summary (shared-prefix near-dup groups) ------
     Q(
       "q_text_prefix_clusters",
