@@ -156,5 +156,28 @@ object Similarity {
           Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("cand_id"))))
         .filter(col("rn") <= 5)
         .select(col("query_id"), col("cand_id"), col("cell"), col("rn"), col("dot"))
+    },
+
+    // ---- per-label embedding centroids (element-wise DECIMAL sums) ---------
+    // vector aggregation without float-sum nondeterminism: posexplode
+    // the vectors, sum each (label, dim) in DECIMAL — one shuffle on
+    // (label, dim), map-side combined. Divide by cnt downstream for the
+    // mean when needed.
+    Q(
+      "q_label_centroids",
+      """SELECT label, dim,
+        |  CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,8))) AS DECIMAL(28,8)) AS csum,
+        |  count(*) AS cnt
+        |FROM (SELECT label, i - 1 AS dim, embedding[i] AS x
+        |      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i))
+        |GROUP BY label, dim""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(
+          // float->decimal via double: Spark's direct float cast goes
+          // through the float's short toString and rounds differently
+          sum(col("x").cast("double").cast("decimal(18,8)")).cast("decimal(28,8)").as("csum"),
+          count(lit(1)).as("cnt"))
     })
 }

@@ -161,6 +161,28 @@ object TextAnalysis {
         .agg(count(lit(1)).as("kept"))
     },
 
+    // ---- vocabulary building: corpus-wide top-100 tokens --------------------
+    // explode → map-side-combined count → top-k with deterministic
+    // tie-break; the first step of any tokenizer/vocab training run
+    Q(
+      "q_vocab_topk",
+      raw"""SELECT t, cnt FROM (
+        |  SELECT t, count(*) AS cnt,
+        |    row_number() OVER (ORDER BY count(*) DESC, t) AS rn
+        |  FROM (SELECT unnest($duckTokens) AS t FROM documents)
+        |  GROUP BY t
+        |) WHERE rn <= 100""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables(s, dir, "documents")
+        .select(explode(expr(tokens)).as("t"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("cnt").desc, col("t"))))
+        .filter(col("rn") <= 100)
+        .select(col("t"), col("cnt"))
+    },
+
     // ---- prefix-cluster dedup summary (shared-prefix near-dup groups) ------
     Q(
       "q_text_prefix_clusters",
