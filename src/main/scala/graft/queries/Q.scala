@@ -25,4 +25,16 @@ object Q {
   /** Non-SQL-expressible query: driver records a weaker rows-only check. */
   def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
     Q(name, None, fn)
+
+  /** One dialect-shared SQL string executed verbatim by BOTH engines:
+    * Spark runs it via `spark.sql` over the registered table views, the
+    * oracle runs the identical text in DuckDB — exercising the SQL-text
+    * entry path of the engine. */
+  def sqlShared(name: String, sql: String): Q = {
+    val text = sql.stripMargin.trim
+    Q(name, Some(text), (s: SparkSession, dir: String) => {
+      graft.io.Tables.registerAll(s, dir)
+      s.sql(text)
+    })
+  }
 }

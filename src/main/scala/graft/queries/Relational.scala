@@ -456,6 +456,13 @@ object Relational {
         .filter(col("cnt") >= 15)
     },
 
+    // ---- SQL-text interface: one dialect-shared string, both engines --------
+    Q.sqlShared(
+      "q_sql_interface",
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+
     // ---- pivot (conditional aggregation) --------------------------------------
     Q(
       "q_pivot_events",

@@ -94,6 +94,24 @@ object Streams {
       }
   }
 
+  /** Stream-stream join: clicks enriched with the purchase that follows
+    * within one hour, both sides watermarked so the state store evicts
+    * rows once the join window can no longer match (the condition that
+    * makes stream-stream joins bounded-state at scale). */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    c.join(
+      p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("user_id"), col("click_ts"), col("purchase_id"), col("purchase_ts"))
+  }
+
   /** Streaming exact-dedup on event_id: duplicates arriving within the
     * watermark horizon are dropped with bounded state (the streaming twin
     * of `q_dedup_exact`; at 100 TB/day the watermark bounds the key

@@ -89,6 +89,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join pairs clicks with purchases within the hour") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = Streams.clickToPurchase(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(Event(1, ts(0), 1, "click", 0), Event(2, ts(10), 2, "click", 0))
+      purchases.addData(
+        Event(10, ts(30), 1, "purchase", 9.99), // 30 min after click 1 -> match
+        Event(11, ts(90), 2, "purchase", 5.0)) // 80 min after click 2 -> no match
+      q.processAllAvailable()
+      val rows = spark.table("ss_join")
+        .select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 10L)))
+    } finally q.stop()
+  }
+
   test("file-source streaming matches batch windowedAgg on the events table") {
     import spark.implicits._
     val base = tmpDir("stream")
