@@ -456,6 +456,18 @@ object Relational {
         .filter(col("cnt") >= 15)
     },
 
+    // ---- sketch aggregation: HLL approximate distinct -----------------------
+    // sketches are engine-specific (no cross-engine hash possible), so
+    // this gets the driver's rows-only check; AggregatorSpec-style error
+    // bounds are asserted in SketchSpec
+    Q.noOracle("q_approx_distinct") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+    },
+
     // ---- SQL-text interface: one dialect-shared string, both engines --------
     Q.sqlShared(
       "q_sql_interface",
