@@ -475,6 +475,25 @@ object Relational {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin),
 
+    // ---- explicit GROUPING SETS (beyond rollup/cube) ------------------------
+    Q.sqlShared(
+      "q_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_s,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_p,
+        |  count(*) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin),
+
+    // ---- null-handling functions --------------------------------------------
+    Q.sqlShared(
+      "q_null_funcs",
+      """SELECT o_orderkey,
+        |  COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
+        |  CASE WHEN o_totalprice IS NULL THEN -1.0 ELSE o_totalprice END AS price_nn,
+        |  NULLIF(o_orderpriority, o_orderpriority) IS NULL AS always_true
+        |FROM orders""".stripMargin),
+
     // ---- pivot (conditional aggregation) --------------------------------------
     Q(
       "q_pivot_events",

@@ -92,8 +92,12 @@ object Similarity {
         |  FROM bucketed q JOIN bucketed c
         |    ON q.bucket = c.bucket AND q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
         |) WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      // persist: the bucketed frame feeds both the query and candidate
+      // sides, and the bucket HOF (4x64 hash-weights per row) is the
+      // expensive part
       val bucketed = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"), expr(bucket("embedding")).cast("int").as("bucket"))
+        .persist()
       val q = bucketed.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
       val c = bucketed
@@ -145,6 +149,7 @@ object Similarity {
           Window.partitionBy(col("vec_id")).orderBy(col("cdot").desc, col("c_id"))))
         .filter(col("crn") === 1)
         .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+        .persist() // assignment feeds both probe sides
       val q = assign.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))
       assign
