@@ -22,14 +22,22 @@ object Bench {
     SparkEntry.queries("q_filter_pushdown")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
 
-    val results = SparkEntry.allQueries.map { q =>
+    // min of two runs per query: this box's wall-clock variance between
+    // identical runs is 2-3x, and min-of-n is the standard de-noiser.
+    // The cache is cleared per run so queries that persist() internal
+    // frames still pay their full compute both times — we time the
+    // query, not a warm cache.
+    def once(q: graft.queries.Q): Double = {
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      val sec =
-        try {
-          q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => -1.0 }
-      q.name -> sec
+      try {
+        q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+    }
+    val results = SparkEntry.allQueries.map { q =>
+      val (a, b) = (once(q), once(q))
+      q.name -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
