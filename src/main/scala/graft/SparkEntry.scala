@@ -19,13 +19,20 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.functions.GraftRuntime.ensure(spark)
     allQueries.head.fn(spark, "/root/testdata/sf0.001")
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Every entry
+    * self-installs the engine extensions so the queries run on any
+    * session, not just ones built by [[graft.io.Sessions]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    allQueries.map(q => q.name -> q.fn).toMap
+    allQueries.map { q =>
+      q.name -> { (s: SparkSession, dir: String) =>
+        graft.functions.GraftRuntime.ensure(s)
+        q.fn(s, dir)
+      }
+    }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

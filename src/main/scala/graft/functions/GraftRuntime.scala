@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+import graft.plans.AsOfJoinStrategy
+
+/** Runtime installation of the engine's extensions onto an EXISTING
+  * session. `spark.sql.extensions=graft.functions.GraftExtensions` at
+  * session build is the preferred path (what [[graft.io.Sessions]]
+  * does), but a host application may hand us its own session — this
+  * makes every entry point self-healing there: the native functions go
+  * into the session function registry and the as-of strategy into
+  * `spark.experimental.extraStrategies` (both public, runtime-safe,
+  * idempotent). Also flips the nanos-timestamp legacy flag the harness
+  * events table needs.
+  */
+object GraftRuntime {
+
+  def ensure(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_f",
+      (children: Seq[Expression]) => DotProductF(children(0), children(1)),
+      "built-in")
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+  }
+}
