@@ -23,6 +23,7 @@ object AsOfApi {
       rightKey: String,
       leftTime: String,
       rightTime: String): DataFrame = {
+    graft.functions.GraftRuntime.ensure(left.sparkSession)
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
