@@ -167,20 +167,19 @@ object TextAnalysis {
     Q(
       "q_vocab_topk",
       raw"""SELECT t, cnt FROM (
-        |  SELECT t, count(*) AS cnt,
-        |    row_number() OVER (ORDER BY count(*) DESC, t) AS rn
+        |  SELECT t, count(*) AS cnt
         |  FROM (SELECT unnest($duckTokens) AS t FROM documents)
         |  GROUP BY t
-        |) WHERE rn <= 100""") { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
+        |) ORDER BY cnt DESC, t LIMIT 100""") { (s, dir) =>
+      // orderBy+limit compiles to a distributed TakeOrderedAndProject —
+      // never a global-order window (which would shuffle the whole
+      // vocabulary to one partition)
       Tables(s, dir, "documents")
         .select(explode(expr(tokens)).as("t"))
         .groupBy(col("t"))
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("cnt").desc, col("t"))))
-        .filter(col("rn") <= 100)
-        .select(col("t"), col("cnt"))
+        .orderBy(col("cnt").desc, col("t"))
+        .limit(100)
     },
 
     // ---- prefix-cluster dedup summary (shared-prefix near-dup groups) ------

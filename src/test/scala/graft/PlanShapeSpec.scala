@@ -37,6 +37,12 @@ class PlanShapeSpec extends SparkSpec {
       s"sessionize should shuffle exactly once:\n$p")
   }
 
+  test("q_vocab_topk: distributed TakeOrdered, no global-order window") {
+    val p = planOf("q_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Window"), "global-order window funnels all rows to one partition")
+  }
+
   test("no query plan contains a cartesian product or nested-loop join") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val p = SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
