@@ -394,10 +394,13 @@ object Relational {
         |        CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
         |      FROM orders GROUP BY 1) g ON o.o_custkey = g.ck
         |WHERE o.o_totalprice * g.cnt > g.total""") { (s, dir) =>
-      val o = t(s, dir, "orders")
-      val g = o.groupBy(col("o_custkey").as("ck"))
-        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).cast("double").as("total"))
-      o.join(g, col("o_custkey") === col("ck"))
+      // single-scan window formulation: the oracle's self-join computes
+      // the same group stats, but a whole-partition window avoids the
+      // second scan of orders (same one shuffle on o_custkey)
+      val w = Window.partitionBy(col("o_custkey"))
+      t(s, dir, "orders")
+        .withColumn("cnt", count(lit(1)).over(w))
+        .withColumn("total", sum(col("o_totalprice").cast(dec2)).over(w).cast(dec2).cast("double"))
         .filter(col("o_totalprice") * col("cnt") > col("total"))
         .select(col("o_orderkey"), col("o_custkey"))
     },
