@@ -24,6 +24,11 @@ object GraftRuntime {
       "dot_f",
       (children: Seq[Expression]) => DotProductF(children(0), children(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingles",
+      (children: Seq[Expression]) => Shingles(
+        children(0), children(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word n-gram shingle set as a native expression.
+  *
+  * The builtin formulation
+  * `array_distinct(transform(sequence(1, size(w)-n+1), i -> concat_ws(' ', ...)))`
+  * runs interpreted (HOFs have no codegen) and dominated the dedup
+  * pipeline: ~11s to shingle 5k documents at sf0.1. This expression is
+  * one tight loop over the `ArrayData` with a LinkedHashSet dedup —
+  * same output values (space-joined word n-grams, first-occurrence
+  * order), evaluated inside WholeStageCodegen via a static helper call.
+  */
+object Shingler {
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Static entry used by both interpreted eval and generated code. */
+  def shingle(words: ArrayData, n: Int): ArrayData = {
+    val len = words.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= len - n) {
+      var s = words.getUTF8String(i)
+      var j = 1
+      while (j < n) {
+        s = UTF8String.concat(s, SPACE, words.getUTF8String(i + j))
+        j += 1
+      }
+      seen.add(s)
+      i += 1
+    }
+    new GenericArrayData(seen.toArray().asInstanceOf[Array[Any]])
+  }
+}
+
+case class Shingles(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"shingles requires ARRAY<STRING> and n >= 1, got ${child.dataType.simpleString}, n=$n")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+
+  override def nullSafeEval(v: Any): Any =
+    Shingler.shingle(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Shingler.shingle($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles =
+    copy(child = newChild)
+}

@@ -30,9 +30,11 @@ object Dedup {
   private val tokens = "split(trim(text), '\\\\s+')"
   private val duckTokens = raw"regexp_split_to_array(trim(text), '\s+')"
 
-  /** Spark: word-3-gram shingle set. */
-  private val shingles =
-    s"array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2))))"
+  /** Spark: word-3-gram shingle set via the native codegen'd
+    * [[graft.functions.Shingles]] expression (the HOF formulation
+    * `array_distinct(transform(sequence(...), concat_ws(...)))` produces
+    * identical values but runs interpreted, ~10x slower). */
+  private val shingles = "shingles(w, 3)"
   private val duckShingles =
     "list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
 

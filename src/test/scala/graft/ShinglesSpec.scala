@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Native shingles expression: value parity with the HOF formulation,
+  * edge cases, codegen participation. */
+class ShinglesSpec extends SparkSpec {
+
+  private val hof =
+    "array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2))))"
+
+  test("shingles(w, 3) equals the HOF formulation on harness documents") {
+    val rows = graft.io.Tables(spark, sf(), "documents")
+      .select(expr("split(trim(text), '\\\\s+')").as("w"))
+      .filter(expr("size(w) >= 3"))
+      .select(expr("shingles(w, 3)").as("native"), expr(hof).as("hofv"))
+      .collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
+  test("edge cases: short arrays, duplicates, n=1") {
+    import spark.implicits._
+    val df = Seq(
+      Seq("a", "b"), // shorter than n -> empty
+      Seq("a", "b", "a", "b", "a"), // "a b a","b a b","a b a" -> dedup
+      Seq("x", "y", "z")
+    ).toDF("w")
+    val out = df.selectExpr("shingles(w, 3) s").collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq())
+    assert(out(1) == Seq("a b a", "b a b"))
+    assert(out(2) == Seq("x y z"))
+    val uni = df.selectExpr("shingles(w, 1) s").collect().map(_.getSeq[String](0))
+    assert(uni(1) == Seq("a", "b"))
+  }
+
+  test("shingles runs inside WholeStageCodegen") {
+    val plan = graft.io.Tables(spark, sf(), "documents")
+      .select(expr("shingles(split(trim(text), '\\\\s+'), 3)").as("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("shingles") && l.contains("*(")))
+  }
+}
