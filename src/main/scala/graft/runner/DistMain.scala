@@ -24,8 +24,14 @@ object DistMain {
     val opts = parseArgs(args)
     val local = opts.contains("l")
     val spark =
-      if (local) Sessions.local("graft-dist", opts.getOrElse("L", Sessions.defaultCpus))
-      else SparkSession.builder().appName("graft-dist").getOrCreate()
+      if (local) {
+        // -m driver memory only takes effect if the JVM was launched with
+        // enough heap (local mode = driver-only); recorded on the conf so
+        // spark-submit wrappers pick it up. -u re-enables the UI.
+        opts.get("m").foreach(m => System.setProperty("spark.driver.memory", m))
+        if (opts.contains("u")) System.setProperty("spark.ui.enabled", "true")
+        Sessions.local("graft-dist", opts.getOrElse("L", Sessions.defaultCpus))
+      } else SparkSession.builder().appName("graft-dist").getOrCreate()
     try {
       val configPath = opts.getOrElse("c",
         throw new IllegalArgumentException("-c <config.json> is required"))
