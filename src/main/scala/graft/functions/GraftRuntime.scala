@@ -29,6 +29,10 @@ object GraftRuntime {
       (children: Seq[Expression]) => Shingles(
         children(0), children(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_dec",
+      (children: Seq[Expression]) => DecimalDot(children(0), children(1)),
+      "built-in")
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy

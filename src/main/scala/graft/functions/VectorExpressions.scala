@@ -91,6 +91,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Shingles].getName, "shingles"),
       (children: Seq[Expression]) => Shingles(
         children(0), children(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_dec"),
+      new ExpressionInfo(classOf[DecimalDot].getName, "dot_dec"),
+      (children: Seq[Expression]) => DecimalDot(children(0), children(1))))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -257,10 +257,7 @@ object Dedup {
       val e = Tables(s, dir, "embeddings")
       val ea = e.withColumn("salt", pmod(hash(col("vec_id")), lit(salts)))
       val eb = e.withColumn("salt", explode(expr(s"sequence(0, ${salts - 1})")))
-      val dot =
-        """aggregate(zip_with(a.embedding, b.embedding,
-          |  (x, y) -> cast(cast(x as double) * cast(y as double) as decimal(28,12))),
-          |  cast(0 as decimal(28,12)), (acc, v) -> cast(acc + v as decimal(28,12)))""".stripMargin
+      val dot = "dot_dec(a.embedding, b.embedding)"
       // cheap double prefilter with a conservative margin (64-term double
       // dot error << 1e-9), then the exact DECIMAL dot only on survivors.
       // dot_f is the native codegen'd expression (GraftExtensions); it

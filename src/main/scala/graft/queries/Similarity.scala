@@ -27,11 +27,11 @@ import graft.io.Tables
   */
 object Similarity {
 
-  /** Spark SQL: exact decimal dot product of two float arrays. */
-  private def dot(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b,
-       |  (x, y) -> cast(cast(x as double) * cast(y as double) as decimal(28,12))),
-       |  cast(0 as decimal(28,12)), (acc, v) -> cast(acc + v as decimal(28,12)))""".stripMargin
+  /** Spark SQL: exact decimal dot product of two float arrays, via the
+    * native codegen'd [[graft.functions.DecimalDot]] (bit-identical to
+    * the HOF formulation — DecimalDotSpec — but one static loop instead
+    * of interpreted per-element lambdas). */
+  private def dot(a: String, b: String): String = s"dot_dec($a, $b)"
 
   private def duckDot(a: String, b: String): String =
     s"""list_sum(list_transform(generate_series(1, 64),
