@@ -88,6 +88,7 @@ object Adapters {
     "hadoopText" -> new HadoopTextInput,
     "hadoopParquet" -> new HadoopParquetInput,
     "hadoopJson" -> new HadoopJsonInput,
+    "hadoopOrc" -> new HadoopOrcInput,
     "jdbcColumnar" -> new JdbcColumnarInput,
     // s3direct* verbs of the reference are the same Hadoop sources on
     // s3a:// paths (endpoint/keys via fs.s3a.* Hadoop conf):
@@ -99,6 +100,7 @@ object Adapters {
     "hadoopText" -> new HadoopTextOutput,
     "hadoopParquet" -> new HadoopParquetOutput,
     "hadoopJson" -> new HadoopJsonOutput,
+    "hadoopOrc" -> new HadoopOrcOutput,
     "jdbcColumnar" -> new JdbcColumnarOutput,
     "s3directColumnar" -> new HadoopColumnarOutput,
     "s3directText" -> new HadoopTextOutput,

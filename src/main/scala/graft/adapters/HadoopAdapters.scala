@@ -203,6 +203,48 @@ final class HadoopJsonOutput extends OutputAdapter {
       .json(OutPath(path, subName))
 }
 
+
+final class HadoopOrcInput extends InputAdapter {
+  val meta: AdapterMeta = AdapterMeta(
+    "hadoopOrc",
+    "ORC files (schema carried by the files; vectorized scan)",
+    Seq("file:/data/in", "s3a://bucket/prefix"),
+    Seq(
+      ParamDef("columns", "Columns to select (subset, any order)"),
+      ParamDef("sub_dirs", "Each first-level subdirectory becomes its own stream", Some(false)),
+      ParamDef("partitioning", "Row partitioning with part_count: hashcode (co-locate equal rows) or random", Some("hashcode"))))
+
+  def load(
+      spark: SparkSession,
+      path: String,
+      name: String,
+      partCount: Int,
+      conf: AdapterConf): ListMap[String, DataFrame] =
+    HadoopFiles.loadStreams(spark, path, name, partCount, conf) { p =>
+      val df = spark.read.orc(p)
+      conf.strSeq("columns") match {
+        case Some(cols) => df.select(cols.map(col): _*)
+        case None => df
+      }
+    }
+}
+
+final class HadoopOrcOutput extends OutputAdapter {
+  val meta: AdapterMeta = AdapterMeta(
+    "hadoopOrc",
+    "ORC files (columnar, compressed, splittable)",
+    Seq("file:/data/out", "s3a://bucket/prefix"),
+    Seq(
+      ParamDef("codec", "Compression codec", Some("snappy")),
+      ParamDef("columns", "Columns to write; '_' skips a column")))
+
+  def save(subName: String, df: DataFrame, path: String, conf: AdapterConf): Unit =
+    HadoopFiles.selectColumns(df, conf).write
+      .mode("overwrite")
+      .option("compression", conf.str("codec", "snappy"))
+      .orc(OutPath(path, subName))
+}
+
 private[adapters] object OutPath {
   def apply(path: String, subName: String): String =
     if (subName.isEmpty) path else s"$path/$subName"

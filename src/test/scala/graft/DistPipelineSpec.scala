@@ -145,6 +145,24 @@ class DistPipelineSpec extends SparkSpec {
     assert(back.columns.sorted.toSeq == Seq("n_name", "n_nationkey"))
   }
 
+  test("orc adapter round trip") {
+    val base = tmpDir("dist")
+    val conf = DistConfig.parse(s"""{
+      "d": [{
+        "source": {"adapter": "hadoopParquet", "path": "file:${sf()}/region.parquet"},
+        "dest":   {"adapter": "hadoopOrc", "path": "file:$base/orc"}}],
+      "back": [{
+        "source": {"adapter": "hadoopOrc", "path": "file:$base/orc",
+                   "params": {"columns": ["r_name", "r_regionkey"]}},
+        "dest":   {"adapter": "hadoopParquet", "path": "file:$base/pq"}}]
+    }""")
+    DistMain.runDirection(spark, conf.direction("d"), "d")
+    DistMain.runDirection(spark, conf.direction("back"), "back")
+    val back = spark.read.parquet(s"file:$base/pq")
+    assert(back.columns.toSeq == Seq("r_name", "r_regionkey"))
+    assert(back.count() == 5)
+  }
+
   test("unknown adapter and unknown param fail fast") {
     val conf = DistConfig.parse(
       """{"d": [{"source": {"adapter": "nope", "path": "/x"},
