@@ -55,6 +55,28 @@ object Events {
           max(col("tus")).as("t_end"))
     },
 
+    // ---- tumbling time-window aggregation (the window() builtin) -----------
+    // the batch form of the streaming windowedAgg: 1-hour tumbling
+    // windows via window(), start/end surfaced as epoch-µs longs so the
+    // oracle (date_trunc arithmetic) hash-matches exactly
+    Q(
+      "q_tumbling_window",
+      """SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS w_start,
+        |  CAST(epoch_us(date_trunc('hour', ts)) + 3600000000 AS BIGINT) AS w_end,
+        |  event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+        .select(
+          expr("unix_micros(cast(window.start as timestamp))").as("w_start"),
+          expr("unix_micros(cast(window.end as timestamp))").as("w_end"),
+          col("event_type"), col("cnt"), col("sum_value"))
+    },
+
     // ---- AS-OF join (custom operator, DuckDB native ASOF as oracle) --------
     // for every event: the user's latest purchase at-or-before that
     // event. Runs through graft.plans.AsOfJoinExec — co-partitioned
