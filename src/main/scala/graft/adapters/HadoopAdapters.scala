@@ -82,7 +82,10 @@ final class HadoopColumnarInput extends InputAdapter {
       ParamDef("schema_default", "Explicit column list; '_' skips a position"),
       ParamDef("columns", "Columns to select (subset, any order)"),
       ParamDef("sub_dirs", "Each first-level subdirectory becomes its own stream", Some(false)),
-      ParamDef("partitioning", "Row partitioning with part_count: hashcode (co-locate equal rows) or random", Some("hashcode"))))
+      ParamDef("partitioning", "Row partitioning with part_count: hashcode (co-locate equal rows) or random", Some("hashcode")),
+      ParamDef("per_file_schema",
+        "Read each file's own header (files may order/name columns differently; " +
+          "union by name)", Some(false))))
 
   def load(
       spark: SparkSession,
@@ -96,23 +99,40 @@ final class HadoopColumnarInput extends InputAdapter {
       val reader = spark.read
         .option("sep", delim)
         .option("header", fromHeader && conf.strSeq("schema_default").isEmpty)
-      val df = conf.strSeq("schema_default") match {
-        case Some(schema) =>
-          // Positional names; '_' placeholders become unique throwaway
-          // names and are dropped after the scan (Catalyst prunes them
-          // out of the parse).
-          val named = schema.zipWithIndex.map {
-            case ("_", i) => s"__skip_$i"
-            case (n, _) => n
-          }
-          val st = StructType(named.map(StructField(_, StringType, nullable = true)))
-          reader.schema(st).csv(p)
-            .drop(named.filter(_.startsWith("__skip_")): _*)
-        case None =>
-          // Columnar delimited text is untyped in the reference: every
-          // value is a String (S3DirectColumnarInputStream.java:80-88).
-          reader.option("inferSchema", "false").csv(p)
-      }
+      // Reference semantics edge case (S3DirectColumnarInputStream.java:33-42):
+      // the header of EACH object is honored, so files under one prefix may
+      // order (or subset) their columns differently. Spark's CSV source
+      // assumes one schema per load, so this mode reads per file and
+      // unions by name. Driver-side listing — same as the reference's own
+      // driver listObjects — so intended for moderate file counts.
+      val df =
+        if (fromHeader && conf.bool("per_file_schema", dflt = false)) {
+          val fsPath = new Path(p)
+          val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val files =
+            if (fs.getFileStatus(fsPath).isDirectory)
+              fs.listStatus(fsPath).toSeq.filter(_.isFile)
+                .map(_.getPath.toString).sorted
+            else Seq(p)
+          files.map(reader.csv(_))
+            .reduce(_.unionByName(_, allowMissingColumns = true))
+        } else conf.strSeq("schema_default") match {
+          case Some(schema) =>
+            // Positional names; '_' placeholders become unique throwaway
+            // names and are dropped after the scan (Catalyst prunes them
+            // out of the parse).
+            val named = schema.zipWithIndex.map {
+              case ("_", i) => s"__skip_$i"
+              case (n, _) => n
+            }
+            val st = StructType(named.map(StructField(_, StringType, nullable = true)))
+            reader.schema(st).csv(p)
+              .drop(named.filter(_.startsWith("__skip_")): _*)
+          case None =>
+            // Columnar delimited text is untyped in the reference: every
+            // value is a String (S3DirectColumnarInputStream.java:80-88).
+            reader.option("inferSchema", "false").csv(p)
+        }
       conf.strSeq("columns") match {
         case Some(cols) => df.select(cols.map(col): _*)
         case None => df

@@ -145,6 +145,23 @@ class DistPipelineSpec extends SparkSpec {
     assert(back.columns.sorted.toSeq == Seq("n_name", "n_nationkey"))
   }
 
+  test("per_file_schema: heterogeneous per-file headers union by name") {
+    val base = tmpDir("dist")
+    Files.createDirectories(Paths.get(s"$base/in"))
+    Files.writeString(Paths.get(s"$base/in/a.csv"), "id\tname\n1\talice\n")
+    Files.writeString(Paths.get(s"$base/in/b.csv"), "name\tid\textra\nbob\t2\tx\n")
+    val streams = new graft.adapters.HadoopColumnarInput().load(
+      spark, s"file:$base/in", "h", 0,
+      graft.adapters.AdapterConf(
+        new graft.adapters.HadoopColumnarInput().meta,
+        Map("per_file_schema" -> true)))
+    val df = streams("h")
+    assert(df.columns.toSet == Set("id", "name", "extra"))
+    val rows = df.selectExpr("id", "name", "coalesce(extra, '-') e")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set(("1", "alice", "-"), ("2", "bob", "x")))
+  }
+
   test("orc adapter round trip") {
     val base = tmpDir("dist")
     val conf = DistConfig.parse(s"""{
