@@ -244,9 +244,9 @@ object Dedup {
     Q(
       "q_dedup_embedding",
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  list_sum(list_transform(generate_series(1, 64),
+        |  CAST(list_sum(list_transform(generate_series(1, 64),
         |    i -> CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
-        |         AS DECIMAL(28,12)))) AS dot
+        |         AS DECIMAL(28,12)))) AS DOUBLE) AS dot
         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_sum(list_transform(generate_series(1, 64),
         |    i -> CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
@@ -266,7 +266,8 @@ object Dedup {
       ea.as("a")
         .join(eb.as("b"), expr("a.label = b.label and a.salt = b.salt and a.vec_id < b.vec_id"))
         .filter(expr(s"$ddot >= 0.3499999"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), expr(dot).as("dot"))
-        .filter(col("dot") >= 0.35)
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), expr(dot).as("ddot"))
+        .filter(col("ddot") >= 0.35)
+        .select(col("id_a"), col("id_b"), col("ddot").cast("double").as("dot"))
     })
 }

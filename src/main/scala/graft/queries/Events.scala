@@ -64,13 +64,13 @@ object Events {
       """SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS w_start,
         |  CAST(epoch_us(date_trunc('hour', ts)) + 3600000000 AS BIGINT) AS w_end,
         |  event_type, count(*) AS cnt,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
       Tables(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(
           count(lit(1)).as("cnt"),
-          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").cast("double").as("sum_value"))
         .select(
           expr("unix_micros(cast(window.start as timestamp))").as("w_start"),
           expr("unix_micros(cast(window.end as timestamp))").as("w_end"),

@@ -22,9 +22,15 @@ object Relational {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
-  /** Exact cross-engine sum of a double column: accumulate in DECIMAL. */
+  /** Exact cross-engine sum of a double column: accumulate in DECIMAL
+    * (order-independent), surface as DOUBLE. The final double cast is
+    * deliberate: the driver's value compare normalizes DECIMAL
+    * differently per engine when values carry trailing zeros (the r1/r2
+    * hash failures were exactly the queries with a trailing-zero
+    * decimal in the output), while decimal→double is correctly rounded
+    * and bit-identical in both engines. */
   private def dsum(c: Column, dt: DecimalType = dec2): Column =
-    sum(c.cast(dt)).cast(dt)
+    sum(c.cast(dt)).cast(dt).cast("double")
 
   val queries: Seq[Q] = Seq(
 
@@ -32,9 +38,9 @@ object Relational {
     Q(
       "q_agg_pricing",
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -54,7 +60,7 @@ object Relational {
       "q_join_nation_revenue",
       """SELECT n_name,
         |  count(*) AS order_cnt,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -73,7 +79,7 @@ object Relational {
       "q_join_fact_fact",
       """SELECT o_orderpriority,
         |  count(*) AS line_cnt,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority""") { (s, dir) =>
@@ -113,7 +119,7 @@ object Relational {
     Q(
       "q_join_range",
       """SELECT b.band, count(*) AS cnt,
-        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |  CAST(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
         |FROM events e
         |JOIN (VALUES (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'), (150.0, 1000000.0, 'high')) b(lo, hi, band)
         |  ON e.value >= b.lo AND e.value < b.hi
@@ -133,8 +139,8 @@ object Relational {
       """SELECT o_orderkey, o_custkey,
         |  row_number() OVER w AS rn,
         |  lag(o_orderkey) OVER w AS prev_orderkey,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS running_spend
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS DOUBLE) AS running_spend
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""") { (s, dir) =>
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -146,6 +152,7 @@ object Relational {
         sum(col("o_totalprice").cast(dec2))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast(DecimalType(28, 2))
+          .cast("double")
           .as("running_spend"))
     },
 
@@ -287,7 +294,7 @@ object Relational {
       "q_events_hourly",
       """SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
         |  count(*) AS cnt,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""") { (s, dir) =>
       t(s, dir, "events")
         .groupBy(
@@ -311,7 +318,7 @@ object Relational {
     Q(
       "q_tpch_q3",
       """SELECT l_orderkey,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
         |  o_orderdate, o_orderpriority
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |  JOIN lineitem ON l_orderkey = o_orderkey
@@ -337,7 +344,7 @@ object Relational {
     Q(
       "q_tpch_q5",
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
         |FROM customer
         |  JOIN orders ON c_custkey = o_custkey
         |  JOIN lineitem ON l_orderkey = o_orderkey
@@ -362,7 +369,7 @@ object Relational {
     Q(
       "q_tpch_q10",
       """SELECT c_custkey, c_name,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
         |  n_name
         |FROM customer
         |  JOIN orders ON c_custkey = o_custkey
@@ -435,16 +442,19 @@ object Relational {
     },
 
     // ---- array aggregation (ordered, deterministic) -------------------------
+    // surfaced as a joined string: the driver's pandas-level row sort
+    // chokes on array-typed columns (unhashable ndarray), so the set is
+    // built as an array and serialized at the boundary
     Q(
       "q_array_agg",
       """SELECT user_id,
-        |  list_sort(list_distinct(list(event_type))) AS types,
+        |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types,
         |  count(*) AS n
         |FROM events GROUP BY user_id""") { (s, dir) =>
       t(s, dir, "events")
         .groupBy(col("user_id"))
         .agg(
-          sort_array(array_distinct(collect_list(col("event_type")))).as("types"),
+          array_join(sort_array(array_distinct(collect_list(col("event_type")))), ",").as("types"),
           count(lit(1)).as("n"))
     },
 
@@ -475,7 +485,7 @@ object Relational {
     Q.sqlShared(
       "q_sql_interface",
       """SELECT l_returnflag, count(*) AS cnt,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin),
 
     // ---- explicit GROUPING SETS (beyond rollup/cube) ------------------------

@@ -57,7 +57,7 @@ object Similarity {
     // ---- brute-force top-10 by exact decimal dot ---------------------------
     Q(
       "q_ann_topk",
-      s"""SELECT query_id, cand_id, rn, dot FROM (
+      s"""SELECT query_id, cand_id, rn, CAST(dot AS DOUBLE) AS dot FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
         |    ${duckDot("q.embedding", "c.embedding")} AS dot,
         |    row_number() OVER (PARTITION BY q.vec_id
@@ -75,7 +75,7 @@ object Similarity {
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("cand_id"))))
         .filter(col("rn") <= 10)
-        .select(col("query_id"), col("cand_id"), col("rn"), col("dot"))
+        .select(col("query_id"), col("cand_id"), col("rn"), col("dot").cast("double").as("dot"))
     },
 
     // ---- LSH-bucketed top-3 (the scale path) -------------------------------
@@ -84,7 +84,7 @@ object Similarity {
       s"""WITH bucketed AS (
         |  SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket FROM embeddings
         |)
-        |SELECT query_id, cand_id, bucket, rn, dot FROM (
+        |SELECT query_id, cand_id, bucket, rn, CAST(dot AS DOUBLE) AS dot FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.bucket AS bucket,
         |    ${duckDot("q.embedding", "c.embedding")} AS dot,
         |    row_number() OVER (PARTITION BY q.vec_id
@@ -107,7 +107,7 @@ object Similarity {
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("cand_id"))))
         .filter(col("rn") <= 3)
-        .select(col("query_id"), col("cand_id"), col("bucket"), col("rn"), col("dot"))
+        .select(col("query_id"), col("cand_id"), col("bucket"), col("rn"), col("dot").cast("double").as("dot"))
     },
 
     // ---- IVF-style ANN: inverted file by nearest centroid ------------------
@@ -130,7 +130,7 @@ object Similarity {
         |    FROM embeddings v CROSS JOIN cents c
         |  ) WHERE crn = 1
         |)
-        |SELECT query_id, cand_id, cell, rn, dot FROM (
+        |SELECT query_id, cand_id, cell, rn, CAST(dot AS DOUBLE) AS dot FROM (
         |  SELECT q.vec_id AS query_id, x.vec_id AS cand_id, q.cell,
         |    ${duckDot("q.embedding", "x.embedding")} AS dot,
         |    row_number() OVER (PARTITION BY q.vec_id
@@ -160,7 +160,7 @@ object Similarity {
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("cand_id"))))
         .filter(col("rn") <= 5)
-        .select(col("query_id"), col("cand_id"), col("cell"), col("rn"), col("dot"))
+        .select(col("query_id"), col("cand_id"), col("cell"), col("rn"), col("dot").cast("double").as("dot"))
     },
 
     // ---- per-label embedding centroids (element-wise DECIMAL sums) ---------
@@ -171,7 +171,7 @@ object Similarity {
     Q(
       "q_label_centroids",
       """SELECT label, dim,
-        |  CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,8))) AS DECIMAL(28,8)) AS csum,
+        |  CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,8))) AS DECIMAL(28,8)) AS DOUBLE) AS csum,
         |  count(*) AS cnt
         |FROM (SELECT label, i - 1 AS dim, embedding[i] AS x
         |      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i))
@@ -182,7 +182,7 @@ object Similarity {
         .agg(
           // float->decimal via double: Spark's direct float cast goes
           // through the float's short toString and rounds differently
-          sum(col("x").cast("double").cast("decimal(18,8)")).cast("decimal(28,8)").as("csum"),
+          sum(col("x").cast("double").cast("decimal(18,8)")).cast("decimal(28,8)").cast("double").as("csum"),
           count(lit(1)).as("cnt"))
     })
 }
