@@ -35,7 +35,10 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
     }
-    val results = SparkEntry.allQueries.map { q =>
+    // SPARK_GRAFT_ONLY=q_a,q_b limits the run (dev iteration; driver unsets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val picked = SparkEntry.allQueries.filter(q => only.forall(_.contains(q.name)))
+    val results = picked.map { q =>
       val (a, b) = (once(q), once(q))
       q.name -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
     }

@@ -16,18 +16,31 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-    name match {
-      case "events" =>
-        raw
-          .withColumnRenamed("ts", "ts_ns")
-          .withColumn("ts", expr("cast(timestamp_micros(ts_ns div 1000) as timestamp_ntz)"))
-      case _ => raw
-    }
-  }
+  // Memoized per (session, dir, table): `spark.read.parquet` re-reads the
+  // footer for schema inference on every call (~50-100ms each), which put
+  // a ~0.5-1s planning floor under every query — and registerAll paid it
+  // ten-fold. The logical plan is immutable, so reuse is safe.
+  private val frames =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+  // last-registered dir per session (re-register on dir switch, so a
+  // session alternating between scale factors always sees fresh views)
+  private val registered =
+    new java.util.concurrent.ConcurrentHashMap[Int, String]()
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    frames.computeIfAbsent((System.identityHashCode(spark), sfDir, name), _ => {
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      name match {
+        case "events" =>
+          raw
+            .withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", expr("cast(timestamp_micros(ts_ns div 1000) as timestamp_ntz)"))
+        case _ => raw
+      }
+    })
 
   /** Register every table as a temp view so `spark.sql` works on it. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    all.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+    if (registered.put(System.identityHashCode(spark), sfDir) != sfDir)
+      all.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
 }

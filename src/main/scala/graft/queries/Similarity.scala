@@ -37,13 +37,21 @@ object Similarity {
     s"""list_sum(list_transform(generate_series(1, 64),
        |  i -> CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(28,12))))""".stripMargin
 
-  /** Spark SQL: 4-bit random-hyperplane LSH bucket of `v`. */
-  private def bucket(v: String): String =
-    s"""aggregate(sequence(0, 3), 0, (acc, j) ->
-       |  acc + (CASE WHEN aggregate(sequence(1, 64), cast(0 as double), (a2, i) ->
-       |      a2 + (((${h("concat(cast(j as string), '#', cast(i as string))")} % 2001) - 1000) / 1000.0)
-       |        * cast(element_at($v, i) as double)) >= 0
-       |    THEN shiftleft(1, j) ELSE 0 END))""".stripMargin
+  /** 4-bit random-hyperplane LSH bucket as a flat codegen'd column: the
+    * hyperplane weights are plan-time constants (same CrossHash-derived
+    * pseudo-randoms the oracle recomputes per row), and each plane is a
+    * 64-term double sum in the HOF's left-fold order — bit-identical
+    * values, but inside WholeStageCodegen instead of 4x64 interpreted
+    * lambda calls plus 256 md5s per row. */
+  private def bucketCol(v: String): org.apache.spark.sql.Column = {
+    def planeSum(j: Int) = (1 to 64).map { i =>
+      val w = ((graft.functions.CrossHash.local(s"$j#$i") % 2001) - 1000) / 1000.0
+      lit(w) * element_at(col(v), i).cast("double")
+    }.reduceLeft(_ + _)
+    (0 until 4)
+      .map(j => when(planeSum(j) >= 0, lit(1 << j)).otherwise(lit(0)))
+      .reduceLeft(_ + _)
+  }
 
   private def duckBucket(v: String): String =
     s"""list_sum(list_transform(generate_series(0, 3), j ->
@@ -65,13 +73,27 @@ object Similarity {
         |  FROM embeddings q JOIN embeddings c
         |    ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
         |) WHERE rn <= 10""".stripMargin) { (s, dir) =>
+      // two-phase: score every pair with the codegen'd DOUBLE dot (the
+      // 64-term double sum is within ~1e-13 of the exact decimal dot),
+      // keep everything within 1e-9 of the 10th-best, and compute the
+      // exact DECIMAL dot only on those ~10/query survivors. Arrays are
+      // projected away before the ranking shuffle, so the window moves
+      // 24-byte rows, not 256-byte vectors.
       val e = Tables(s, dir, "embeddings")
       val q = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       val scored = e.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
         .join(broadcast(q), col("query_id") =!= col("cand_id"))
-        .select(col("query_id"), col("cand_id"), expr(dot("q_emb", "c_emb")).as("dot"))
-      scored
+        .select(col("query_id"), col("cand_id"), expr("dot_f(q_emb, c_emb)").as("ddot"))
+      val w = Window.partitionBy(col("query_id"))
+      val surv = scored
+        .withColumn("rnd", row_number().over(w.orderBy(col("ddot").desc, col("cand_id"))))
+        .withColumn("th", max(when(col("rnd") === 10, col("ddot"))).over(w))
+        .filter(col("th").isNull || col("ddot") >= col("th") - 1e-9)
+        .select(col("query_id"), col("cand_id"))
+      e.join(broadcast(surv), col("vec_id") === col("cand_id"))
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("cand_id"), expr(dot("q_emb", "embedding")).as("dot"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("cand_id"))))
         .filter(col("rn") <= 10)
@@ -93,10 +115,9 @@ object Similarity {
         |    ON q.bucket = c.bucket AND q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
         |) WHERE rn <= 3""".stripMargin) { (s, dir) =>
       // persist: the bucketed frame feeds both the query and candidate
-      // sides, and the bucket HOF (4x64 hash-weights per row) is the
-      // expensive part
+      // sides of the bucket-equi-join
       val bucketed = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"), expr(bucket("embedding")).cast("int").as("bucket"))
+        .select(col("vec_id"), col("embedding"), bucketCol("embedding").cast("int").as("bucket"))
         .persist()
       val q = bucketed.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
@@ -141,8 +162,23 @@ object Similarity {
       val e = Tables(s, dir, "embeddings")
       val cents = e.filter(col("vec_id") % 50 === 7)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-      val assign = e
+      // two-phase assignment: |V| x |C| double dots in one codegen'd map
+      // stage (no shuffle — the per-vector max comes back as a broadcast),
+      // then the exact DECIMAL dot only on the ~1 surviving centroid per
+      // vector (margin 1e-9 >> the double dot's ~1e-13 error, so the
+      // exact ranking is unaffected)
+      val ddots = e.select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("c_id"), expr("dot_f(embedding, c_emb)").as("cdd"))
+      val maxes = ddots.groupBy(col("vec_id")).agg(max(col("cdd")).as("mx"))
+        .withColumnRenamed("vec_id", "mx_vec")
+      val best = ddots
+        .join(broadcast(maxes), col("vec_id") === col("mx_vec"))
+        .filter(col("cdd") >= col("mx") - 1e-9)
+        .select(col("vec_id").as("b_vec"), col("c_id"))
+      val assign = e
+        .join(broadcast(best), col("vec_id") === col("b_vec"))
+        .join(broadcast(cents), "c_id")
         .select(col("vec_id"), col("embedding"), col("c_id"),
           expr(dot("embedding", "c_emb")).as("cdot"))
         .withColumn("crn", row_number().over(
