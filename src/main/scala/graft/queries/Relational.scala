@@ -527,5 +527,38 @@ object Relational {
         .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
         .count()
         .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
+    },
+
+    // ---- percentiles (exact, discrete) --------------------------------------
+    // percentile_disc built from rank arithmetic: value at row
+    // ceil(p * n) of the group's sort order. Engine-native quantile
+    // functions interpolate with engine-specific float expressions; the
+    // rank formulation is pure integer + comparison logic, so it is
+    // deterministic cross-engine AND the shape that scales (one window
+    // shuffle on the group key, no global sort).
+    Q(
+      "q_percentiles",
+      """WITH r AS (
+        |  SELECT o_orderpriority AS prio, o_totalprice AS v,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT prio,
+        |  min(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN v END) AS p25,
+        |  min(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN v END) AS p50,
+        |  min(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN v END) AS p75,
+        |  max(v) AS p100
+        |FROM r GROUP BY prio""") { (s, dir) =>
+      val w = Window.partitionBy(col("prio"))
+      val r = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio"), col("o_totalprice").as("v"), col("o_orderkey"))
+        .withColumn("rn", row_number().over(w.orderBy(col("v"), col("o_orderkey"))))
+        .withColumn("n", count(lit(1)).over(w))
+      r.groupBy(col("prio"))
+        .agg(
+          min(when(col("rn") === ceil(lit(0.25) * col("n")).cast("bigint"), col("v"))).as("p25"),
+          min(when(col("rn") === ceil(lit(0.50) * col("n")).cast("bigint"), col("v"))).as("p50"),
+          min(when(col("rn") === ceil(lit(0.75) * col("n")).cast("bigint"), col("v"))).as("p75"),
+          max(col("v")).as("p100"))
     })
 }

@@ -194,5 +194,46 @@ object TextAnalysis {
         .groupBy(col("prefix_fp"))
         .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keep_id"))
         .filter(col("cnt") > 1)
+    },
+
+    // ---- array-function breadth over the token array -----------------------
+    Q(
+      "q_array_funcs",
+      raw"""SELECT doc_id,
+        |  len($duckTokens) AS n_words,
+        |  array_to_string(($duckTokens)[1:3], ' ') AS first3,
+        |  list_contains($duckTokens, 'the') AS has_the,
+        |  CAST(coalesce(list_position($duckTokens, 'the'), 0) AS BIGINT) AS the_pos,
+        |  array_to_string(list_reverse_sort(list_distinct(($duckTokens)[1:5])), ',') AS head_sorted,
+        |  ($duckTokens)[-1] AS last_word
+        |FROM documents""") { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        expr(s"size($tokens)").cast("long").as("n_words"),
+        expr(s"array_join(slice($tokens, 1, 3), ' ')").as("first3"),
+        expr(s"array_contains($tokens, 'the')").as("has_the"),
+        expr(s"array_position($tokens, 'the')").as("the_pos"),
+        expr(s"array_join(reverse(array_sort(array_distinct(slice($tokens, 1, 5)))), ',')")
+          .as("head_sorted"),
+        expr(s"element_at($tokens, -1)").as("last_word"))
+    },
+
+    // ---- regex-function breadth (dialect-shared simple patterns) -----------
+    Q(
+      "q_regex_funcs",
+      raw"""SELECT doc_id,
+        |  regexp_extract(text, '[0-9]+', 0) AS first_num,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_nums,
+        |  regexp_replace(text, '[0-9]+', '#', 'g') AS masked,
+        |  regexp_matches(text, '[a-z]+ing') AS has_ing,
+        |  CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS n_consonant_chars
+        |FROM documents""") { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        regexp_extract(col("text"), "[0-9]+", 0).as("first_num"),
+        expr("size(regexp_extract_all(text, '[0-9]+', 0))").cast("long").as("n_nums"),
+        regexp_replace(col("text"), "[0-9]+", "#").as("masked"),
+        col("text").rlike("[a-z]+ing").as("has_ing"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).cast("long").as("n_consonant_chars"))
     })
 }
