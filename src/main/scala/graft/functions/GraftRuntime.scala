@@ -33,6 +33,14 @@ object GraftRuntime {
       "dot_dec",
       (children: Seq[Expression]) => DecimalDot(children(0), children(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_agg",
+      (children: Seq[Expression]) => SimHashAgg(children.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_agg",
+      (children: Seq[Expression]) => MinHashAgg(children(0), children(1)),
+      "built-in")
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy

@@ -95,6 +95,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_dec"),
       new ExpressionInfo(classOf[DecimalDot].getName, "dot_dec"),
       (children: Seq[Expression]) => DecimalDot(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_agg"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
+      (children: Seq[Expression]) => SimHashAgg(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_agg"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
+      (children: Seq[Expression]) => MinHashAgg(children(0), children(1))))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -98,18 +98,20 @@ object Dedup {
         .filter(expr("size(w) >= 3"))
         .select(col("doc_id"), expr(shingles).as("shingles"))
         .persist()
-      val mins = seeds.zipWithIndex.map { case (sd, i) =>
-        min(expr(s"v ^ ${sd}L")).as(s"m$i")
-      }
       // hash AFTER the explode: a flat md5 projection is codegen'd,
-      // while the same hash inside a transform() lambda is interpreted
+      // while the same hash inside a transform() lambda is interpreted.
+      // The 16 XOR-permutation mins fold in ONE long[16] buffer
+      // ([[graft.functions.MinHashAgg]]) — value-identical to 16
+      // separate min(v ^ seed) agg columns, one agg slot instead of 16
+      val seedArr = seeds.map(sd => s"${sd}L").mkString(",")
       val sigs = sh
         .select(col("doc_id"), explode(col("shingles")).as("s"))
         .select(col("doc_id"), expr(h("s")).as("v"))
         .groupBy(col("doc_id"))
-        .agg(mins.head, mins.tail: _*)
+        .agg(expr(s"minhash_agg(v, array($seedArr))").as("sig"))
       val bandStructs = (0 until 4).map { b =>
-        val key = (0 until 4).map(j => s"cast(m${b * 4 + j} as string)").mkString(", ',', ")
+        val key = (0 until 4)
+          .map(j => s"cast(element_at(sig, ${b * 4 + j + 1}) as string)").mkString(", ',', ")
         s"struct($b as b, md5(cast(concat_ws('', $key) as binary)) as bk)"
       }.mkString(", ")
       val bands = sigs
@@ -158,22 +160,16 @@ object Dedup {
           |SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
           |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 5""".stripMargin
       }) { (s, dir) =>
-      // explode + 60 conditional aggregates: each token is hashed ONCE
-      // and the per-bit +/-1 sums run as one codegen'd HashAggregate
-      // with map-side partials (a nested-HOF formulation would re-inline
-      // the hash into the per-bit lambda via CollapseProject, i.e. 60
-      // md5s per token)
-      val bitSums = (0 until 60).map(b =>
-        sum(expr(s"CASE WHEN (shiftright(v, $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
-      val assemble = (0 until 60)
-        .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b}L ELSE 0L END)")
-        .mkString(" + ")
+      // explode + ONE typed imperative aggregate: each token is hashed
+      // once (flat codegen'd projection) and [[graft.functions.SimHashAgg]]
+      // folds all 60 bit-counters in a single int[60] buffer with
+      // map-side partials — value-identical to the oracle's 60-sum
+      // formulation, one agg slot instead of 60
       val sim = Tables(s, dir, "documents")
         .select(col("doc_id"), explode(expr(tokens)).as("t"))
         .select(col("doc_id"), expr(h("t")).as("v"))
         .groupBy(col("doc_id"))
-        .agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"), expr(assemble).as("simhash"))
+        .agg(expr("simhash_agg(v)").as("simhash"))
       val bands = sim
         .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("b"))
         .withColumn("bk", expr("shiftright(simhash, b*15) & 32767"))
