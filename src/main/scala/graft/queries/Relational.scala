@@ -560,5 +560,33 @@ object Relational {
           min(when(col("rn") === ceil(lit(0.50) * col("n")).cast("bigint"), col("v"))).as("p50"),
           min(when(col("rn") === ceil(lit(0.75) * col("n")).cast("bigint"), col("v"))).as("p75"),
           max(col("v")).as("p100"))
+    },
+
+    // ---- typed-UDAF top-k per group -----------------------------------------
+    // graft.functions.Aggregators.TopK: bounded O(k) heap state with
+    // map-side merges, instead of the full per-group sort a
+    // row_number window would shuffle. The oracle IS that window
+    // formulation — proving the two shapes agree value-for-value.
+    Q(
+      "q_topk_per_group",
+      """SELECT prio, rn, v, id FROM (
+        |  SELECT o_orderpriority AS prio, o_totalprice AS v, o_orderkey AS id,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""") { (s, dir) =>
+      val topk = udaf(
+        new graft.functions.Aggregators.TopK(3),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("tk"))
+        .select(col("prio"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(
+          col("prio"),
+          (col("pos") + 1).cast("int").as("rn"),
+          col("e._1").as("v"),
+          col("e._2").as("id"))
     })
 }

@@ -20,4 +20,27 @@ class SketchSpec extends SparkSpec {
         s"flag ${r.getString(0)}: approx $approx vs exact $exact")
     }
   }
+
+  test("count-min sketch: never underestimates, overestimate bounded by eps*n") {
+    val li = graft.io.Tables(spark, sf("sf0.01"), "lineitem")
+    val n = li.count()
+    val cms = li.stat.countMinSketch(col("l_returnflag"), eps = 0.001, confidence = 0.99, seed = 42)
+    val exact = li.groupBy(col("l_returnflag")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (flag, cnt) =>
+      val est = cms.estimateCount(flag)
+      assert(est >= cnt, s"$flag: CMS underestimated $est < $cnt")
+      assert(est <= cnt + (0.001 * n).toLong * 3, s"$flag: CMS overestimate $est vs $cnt")
+    }
+  }
+
+  test("bloom filter: no false negatives, false-positive rate near fpp") {
+    val orders = graft.io.Tables(spark, sf("sf0.01"), "orders")
+    val keys = orders.select(col("o_orderkey")).collect().map(_.getLong(0))
+    val bf = orders.stat.bloomFilter("o_orderkey", keys.length.toLong, 0.03)
+    assert(keys.forall(bf.mightContain), "bloom filter dropped a present key")
+    val absent = (1L to 20000L).map(_ + 10_000_000L)
+    val fp = absent.count(bf.mightContain).toDouble / absent.size
+    assert(fp < 0.09, s"false-positive rate $fp far above configured 0.03")
+  }
 }
