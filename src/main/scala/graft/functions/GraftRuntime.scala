@@ -41,6 +41,13 @@ object GraftRuntime {
       "minhash_agg",
       (children: Seq[Expression]) => MinHashAgg(children(0), children(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dec_cast",
+      (children: Seq[Expression]) => FastDecimalCast(
+        children(0),
+        children(1).eval().asInstanceOf[Number].intValue(),
+        children(2).eval().asInstanceOf[Number].intValue()),
+      "built-in")
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy

@@ -103,6 +103,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_agg"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
       (children: Seq[Expression]) => MinHashAgg(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("dec_cast"),
+      new ExpressionInfo(classOf[FastDecimalCast].getName, "dec_cast"),
+      (children: Seq[Expression]) => FastDecimalCast(
+        children(0),
+        children(1).eval().asInstanceOf[Number].intValue(),
+        children(2).eval().asInstanceOf[Number].intValue())))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

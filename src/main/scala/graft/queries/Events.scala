@@ -70,7 +70,7 @@ object Events {
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(
           count(lit(1)).as("cnt"),
-          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").cast("double").as("sum_value"))
+          sum(expr("dec_cast(value, 18, 2)")).cast("decimal(18,2)").cast("double").as("sum_value"))
         .select(
           expr("unix_micros(cast(window.start as timestamp))").as("w_start"),
           expr("unix_micros(cast(window.end as timestamp))").as("w_end"),

@@ -30,7 +30,8 @@ object Relational {
     * decimal in the output), while decimal→double is correctly rounded
     * and bit-identical in both engines. */
   private def dsum(c: Column, dt: DecimalType = dec2): Column =
-    sum(c.cast(dt)).cast(dt).cast("double")
+    sum(call_function("dec_cast", c.cast("double"), lit(dt.precision), lit(dt.scale)))
+      .cast(dt).cast("double")
 
   val queries: Seq[Q] = Seq(
 
@@ -149,7 +150,7 @@ object Relational {
         col("o_custkey"),
         row_number().over(w).as("rn"),
         lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
-        sum(col("o_totalprice").cast(dec2))
+        sum(call_function("dec_cast", col("o_totalprice"), lit(18), lit(2)))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast(DecimalType(28, 2))
           .cast("double")
@@ -412,7 +413,9 @@ object Relational {
       val w = Window.partitionBy(col("o_custkey"))
       t(s, dir, "orders")
         .withColumn("cnt", count(lit(1)).over(w))
-        .withColumn("total", sum(col("o_totalprice").cast(dec2)).over(w).cast(dec2).cast("double"))
+        .withColumn("total",
+          sum(call_function("dec_cast", col("o_totalprice"), lit(18), lit(2)))
+            .over(w).cast(dec2).cast("double"))
         .filter(col("o_totalprice") * col("cnt") > col("total"))
         .select(col("o_orderkey"), col("o_custkey"))
     },

@@ -218,7 +218,7 @@ object Similarity {
         .agg(
           // float->decimal via double: Spark's direct float cast goes
           // through the float's short toString and rounds differently
-          sum(col("x").cast("double").cast("decimal(18,8)")).cast("decimal(28,8)").cast("double").as("csum"),
+          sum(expr("dec_cast(cast(x as double), 18, 8)")).cast("decimal(28,8)").cast("double").as("csum"),
           count(lit(1)).as("cnt"))
     })
 }
