@@ -85,10 +85,20 @@ object Similarity {
       val scored = e.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
         .join(broadcast(q), col("query_id") =!= col("cand_id"))
         .select(col("query_id"), col("cand_id"), expr("dot_f(q_emb, c_emb)").as("ddot"))
-      val w = Window.partitionBy(col("query_id"))
+      // per-query 10th-best double score via the bounded-heap TopK
+      // aggregate: O(k) state with map-side partials — never a full
+      // sort-shuffle of the |Q| x |V| score stream — then broadcast the
+      // per-query threshold back over a recomputed (map-only) score pass
+      val topk10 = udaf(
+        new graft.functions.Aggregators.TopK(10),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      val th = scored.groupBy(col("query_id").as("t_qid"))
+        .agg(topk10(col("ddot"), col("cand_id")).as("tk"))
+        .select(col("t_qid"), expr("element_at(tk, 10)._1").as("th"))
       val surv = scored
-        .withColumn("rnd", row_number().over(w.orderBy(col("ddot").desc, col("cand_id"))))
-        .withColumn("th", max(when(col("rnd") === 10, col("ddot"))).over(w))
+        .join(broadcast(th), col("query_id") === col("t_qid"))
         .filter(col("th").isNull || col("ddot") >= col("th") - 1e-9)
         .select(col("query_id"), col("cand_id"))
       e.join(broadcast(surv), col("vec_id") === col("cand_id"))
