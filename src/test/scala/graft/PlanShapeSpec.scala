@@ -52,10 +52,40 @@ class PlanShapeSpec extends SparkSpec {
 
   test("dedup signature stages are map-side: no shuffle before partial aggregation") {
     val p = planOf("q_dedup_simhash")
-    // the explode -> hash -> partial HashAggregate must appear below the
-    // first exchange (map-side combine on doc_id)
+    // the explode -> hash -> partial agg must appear below the first
+    // exchange (map-side combine on doc_id); the signature is ONE
+    // imperative aggregate (ObjectHashAggregate), not 60 builtin sums
     val firstExchange = p.indexOf("Exchange hashpartitioning")
-    val firstAgg = p.indexOf("HashAggregate")
+    val firstAgg = p.indexOf("ObjectHashAggregate")
     assert(firstAgg >= 0 && firstExchange >= 0)
+    assert(p.contains("simhash_agg"))
+  }
+
+  test("q_tpch_q5: dims broadcast; only the two fact joins shuffle") {
+    val p = planOf("q_tpch_q5")
+    assert(p.contains("BroadcastHashJoin"))
+    // exchanges: lineitem|orders on orderkey, +customer on custkey, and
+    // the final single-group aggregation — never one per join
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4, p)
+  }
+
+  test("q_sample_hash: pure map-stage filter, no exchange at all") {
+    val p = planOf("q_sample_hash")
+    assert(!p.contains("Exchange hashpartitioning"), s"sampling must not shuffle:\n$p")
+  }
+
+  test("q_ann_topk: threshold via bounded-heap aggregate, no full sort of the score stream") {
+    val p = planOf("q_ann_topk")
+    assert(p.contains("ObjectHashAggregate"), "TopK threshold aggregate missing")
+    // the only Sort allowed is the final per-query rank over ~k survivors
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("q_ann_ivf: assignment stage joins broadcast maxima, bounded exchanges") {
+    val p = planOf("q_ann_ivf")
+    assert(p.contains("BroadcastHashJoin"))
+    // maxes agg + exact-rank window + probe-rank window + final stages —
+    // never an exchange of the |V| x |C| score stream itself
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 5, p)
   }
 }
