@@ -69,6 +69,31 @@ private[adapters] object HadoopFiles {
       case Some(cols) => df.select(cols.filterNot(_ == "_").map(col): _*)
       case None => df
     }
+
+  /** Shared file-output params — the knobs a 100 TB write needs:
+    * hive-style `partition_by` directories (downstream partition
+    * pruning), `sort_by` within partitions (run-length/dictionary
+    * friendliness + min-max row-group pruning), and
+    * `max_records_per_file` (bounds file size irrespective of task
+    * count). */
+  val writeParams: Seq[ParamDef] = Seq(
+    ParamDef("partition_by", "Hive-style partition columns (dir per value)"),
+    ParamDef("sort_by", "Sort rows within each write task (encoding + min/max pruning)"),
+    ParamDef("max_records_per_file", "Cap records per output file (0 = no cap)", Some(0)))
+
+  /** Column-selected, optionally sorted writer with the shared params applied. */
+  def writer(df: DataFrame, conf: AdapterConf): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+    val base = selectColumns(df, conf)
+    val sorted = conf.strSeq("sort_by") match {
+      case Some(cs) => base.sortWithinPartitions(cs.map(col): _*)
+      case None => base
+    }
+    var w = sorted.write.mode("overwrite")
+    conf.strSeq("partition_by").foreach(cs => w = w.partitionBy(cs: _*))
+    val cap = conf.int("max_records_per_file", 0)
+    if (cap > 0) w = w.option("maxRecordsPerFile", cap.toLong)
+    w
+  }
 }
 
 final class HadoopColumnarInput extends InputAdapter {
@@ -214,11 +239,10 @@ final class HadoopJsonOutput extends OutputAdapter {
     Seq("file:/data/out", "s3a://bucket/prefix"),
     Seq(
       ParamDef("codec", "Compression codec", Some("none")),
-      ParamDef("columns", "Columns to write; '_' skips a column")))
+      ParamDef("columns", "Columns to write; '_' skips a column")) ++ HadoopFiles.writeParams)
 
   def save(subName: String, df: DataFrame, path: String, conf: AdapterConf): Unit =
-    HadoopFiles.selectColumns(df, conf).write
-      .mode("overwrite")
+    HadoopFiles.writer(df, conf)
       .option("compression", conf.str("codec", "none"))
       .json(OutPath(path, subName))
 }
@@ -256,11 +280,10 @@ final class HadoopOrcOutput extends OutputAdapter {
     Seq("file:/data/out", "s3a://bucket/prefix"),
     Seq(
       ParamDef("codec", "Compression codec", Some("snappy")),
-      ParamDef("columns", "Columns to write; '_' skips a column")))
+      ParamDef("columns", "Columns to write; '_' skips a column")) ++ HadoopFiles.writeParams)
 
   def save(subName: String, df: DataFrame, path: String, conf: AdapterConf): Unit =
-    HadoopFiles.selectColumns(df, conf).write
-      .mode("overwrite")
+    HadoopFiles.writer(df, conf)
       .option("compression", conf.str("codec", "snappy"))
       .orc(OutPath(path, subName))
 }
@@ -279,11 +302,10 @@ final class HadoopColumnarOutput extends OutputAdapter {
       ParamDef("delimiter", "Column delimiter", Some("\t")),
       ParamDef("codec", "Compression codec (none/gzip/snappy/...)", Some("none")),
       ParamDef("header", "Write a header line", Some(false)),
-      ParamDef("columns", "Columns to write; '_' skips a column")))
+      ParamDef("columns", "Columns to write; '_' skips a column")) ++ HadoopFiles.writeParams)
 
   def save(subName: String, df: DataFrame, path: String, conf: AdapterConf): Unit =
-    HadoopFiles.selectColumns(df, conf).write
-      .mode("overwrite")
+    HadoopFiles.writer(df, conf)
       .option("sep", conf.str("delimiter", "\t"))
       .option("header", conf.bool("header", dflt = false))
       .option("compression", conf.str("codec", "none"))
@@ -323,11 +345,10 @@ final class HadoopParquetOutput extends OutputAdapter {
     Seq("file:/data/out", "s3a://bucket/prefix"),
     Seq(
       ParamDef("codec", "Compression codec", Some("snappy")),
-      ParamDef("columns", "Columns to write; '_' skips a column")))
+      ParamDef("columns", "Columns to write; '_' skips a column")) ++ HadoopFiles.writeParams)
 
   def save(subName: String, df: DataFrame, path: String, conf: AdapterConf): Unit =
-    HadoopFiles.selectColumns(df, conf).write
-      .mode("overwrite")
+    HadoopFiles.writer(df, conf)
       .option("compression", conf.str("codec", "snappy"))
       .parquet(OutPath(path, subName))
 }

@@ -180,6 +180,42 @@ class DistPipelineSpec extends SparkSpec {
     assert(back.count() == 5)
   }
 
+  test("partition_by + sort_by + max_records_per_file on the parquet sink") {
+    val base = tmpDir("dist")
+    val cfg = s"""{
+      "d": [{
+        "source": {"adapter": "hadoopParquet", "path": "file:${sf()}/orders.parquet"},
+        "dest":   {"adapter": "hadoopParquet", "path": "file:$base/part",
+                   "params": {"partition_by": ["o_orderstatus"],
+                              "sort_by": ["o_orderkey"],
+                              "max_records_per_file": 500}}}]
+    }"""
+    write(s"$base/config.json", cfg)
+    val conf = DistConfig.parse(DistMain.readFile(spark, s"file:$base/config.json"))
+    DistMain.runDirection(spark, conf.direction("d"), "d")
+
+    // hive-style dirs per status value
+    val dirs = new java.io.File(s"$base/part").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.forall(_.startsWith("o_orderstatus=")), dirs.mkString(","))
+    assert(dirs.length >= 2)
+    // a partition filter prunes to one dir and rows survive intact
+    val back = spark.read.parquet(s"file:$base/part")
+    val orig = spark.read.parquet(s"${sf()}/orders.parquet")
+    assert(back.count() == orig.count())
+    assert(back.filter("o_orderstatus = 'F'").count() ==
+      orig.filter("o_orderstatus = 'F'").count())
+    // file cap respected (each data file holds <= 500 records)
+    val files = new java.io.File(s"$base/part").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val cnt = spark.read.parquet(s"file:${f.getAbsolutePath}").count()
+      assert(cnt <= 500, s"${f.getName} has $cnt rows")
+    }
+  }
+
   test("unknown adapter and unknown param fail fast") {
     val conf = DistConfig.parse(
       """{"d": [{"source": {"adapter": "nope", "path": "/x"},
