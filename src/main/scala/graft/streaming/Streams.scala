@@ -121,6 +121,54 @@ object Streams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  final case class UserStats(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Per-user running counters on the Spark 4 `transformWithState`
+    * arbitrary-state API (state-store v2): one `ValueState` cell per
+    * user updated in place, an updated row emitted per user per
+    * micro-batch. The v2 API is the scale successor of
+    * `flatMapGroupsWithState` — typed state cells (value/list/map) with
+    * per-cell TTL, queryable state metadata, and RocksDB changelog
+    * checkpointing behind it. */
+  class RunningStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserStats] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)](
+        "stats",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserStats] = {
+      var (n, total) = if (state.exists()) state.get() else (0L, 0.0)
+      rows.foreach { e => n += 1; total += e.value }
+      state.update((n, total))
+      Iterator.single(UserStats(key, n, total))
+    }
+  }
+
+  /** Running per-user stats stream (Update mode). Needs the RocksDB
+    * state store provider (set by [[graft.io.Sessions]] for streaming
+    * workloads or per query). */
+  def runningStats(events: Dataset[Event]): Dataset[UserStats] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new RunningStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** File-source entry: tail a directory of parquet events (schema from
     * the batch table) and stream the windowed aggregation to parquet. */
   def run(spark: SparkSession, inDir: String, outDir: String, checkpoint: String): Unit = {

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, max, struct}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.Streams
@@ -108,6 +109,38 @@ class StreamingSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(rows == Set((1L, 10L)))
     } finally q.stop()
+  }
+
+  test("transformWithState runningStats: per-user ValueState across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Event]
+    val q = Streams.runningStats(mem.toDS())
+      .writeStream.format("memory").queryName("tws_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(Event(1, ts(0), 1, "c", 1.0), Event(2, ts(1), 1, "c", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(2), 1, "c", 4.0), Event(4, ts(2), 2, "c", 10.0))
+      q.processAllAvailable()
+      // Update mode: latest row per user carries the running totals
+      val last = spark.table("tws_out").groupBy("user_id")
+        .agg(max(struct($"n_events", $"sum_value")).as("m"))
+        .select($"user_id", $"m.n_events", $"m.sum_value")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(last(1L) == ((3L, 7.0)))
+      assert(last(2L) == ((1L, 10.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("file-source streaming matches batch windowedAgg on the events table") {
