@@ -565,6 +565,53 @@ object Relational {
           max(col("v")).as("p100"))
     },
 
+    // ---- window-function breadth (ranks, offsets, frame endpoints) ----------
+    // percent_rank/cume_dist are ratios of window integers — per-row
+    // IEEE division, bit-identical cross-engine
+    Q(
+      "q_window_funcs",
+      """SELECT o_orderkey,
+        |  dense_rank() OVER w AS drank,
+        |  ntile(4) OVER w AS quartile,
+        |  lead(o_orderkey) OVER w AS next_key,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key,
+        |  percent_rank() OVER w AS prank,
+        |  cume_dist() OVER w AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)""") {
+      (s, dir) =>
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders").select(
+          col("o_orderkey"),
+          dense_rank().over(w).as("drank"),
+          ntile(4).over(w).as("quartile"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key"),
+          first_value(col("o_orderkey")).over(w).as("first_key"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_key"),
+          percent_rank().over(w).as("prank"),
+          cume_dist().over(w).as("cdist"))
+    },
+
+    // ---- bag-semantics set operations ---------------------------------------
+    Q(
+      "q_setops_all",
+      """SELECT op, nk, count(*) AS cnt FROM (
+        |  SELECT 'intersect_all' AS op, nk FROM
+        |    (SELECT c_nationkey AS nk FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier)
+        |  UNION ALL
+        |  SELECT 'except_all' AS op, nk FROM
+        |    (SELECT c_nationkey AS nk FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier)
+        |) GROUP BY op, nk""") { (s, dir) =>
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      c.intersectAll(sup).withColumn("op", lit("intersect_all"))
+        .unionByName(c.exceptAll(sup).withColumn("op", lit("except_all")))
+        .groupBy(col("op"), col("nk"))
+        .agg(count(lit(1)).as("cnt"))
+    },
+
     // ---- typed-UDAF top-k per group -----------------------------------------
     // graft.functions.Aggregators.TopK: bounded O(k) heap state with
     // map-side merges, instead of the full per-group sort a
