@@ -211,19 +211,24 @@ object Dedup {
       // key shuffles cheaper than the shingle strings. The oracle joins
       // the strings themselves: identical pair set, since distinct
       // shingles map 1:1 to distinct hashes (64-bit, ~collision-free).
+      //
+      // persist the ARRAY frame, not the exploded postings: downstream
+      // needs both size(shingles) and explode(shingles), and
+      // CollapseProject would otherwise re-inline the shingle
+      // construction into each (2x per row, then 2x again for the two
+      // join sides). Cached arrays make the explode passes pure reads —
+      // and the doc-level frame is the smallest thing to cache at
+      // corpus scale (postings are |shingles| x bigger).
       val sh = Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"), expr(tokens).as("w"))
         .filter(expr("size(w) >= 3"))
         .select(col("doc_id"), col("lang"), expr(shingles).as("shingles"))
-      // persist: the exploded posting list feeds both sides of the
-      // self-join; materializing it once halves the (HOF-interpreted)
-      // shingle construction cost
+        .persist()
       val ex = sh
         .select(
           col("doc_id"), col("lang"), expr("size(shingles)").as("n_sh"),
           explode(col("shingles")).as("s"))
         .select(col("doc_id"), col("lang"), col("n_sh"), xxhash64(col("s")).as("v"))
-        .persist()
       ex.as("a")
         .join(ex.as("b"), expr("a.v = b.v and a.lang = b.lang and a.doc_id < b.doc_id"))
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
