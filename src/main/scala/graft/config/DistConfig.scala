@@ -27,7 +27,16 @@ final case class DistLocation(
     subName: Option[String] = None,
     params: Map[String, Any] = Map.empty)
 
-final case class DistTask(source: DistLocation, dest: DistLocation)
+/** One pipeline task: load → optional SQL transform → save. `transform`
+  * is a SQL statement run against the loaded stream, which is bound as
+  * the temp view `_input` (applied per stream on multi-stream loads).
+  * The reference delegates SQL processing to its sibling ETL tool
+  * (README.md:1 "to supplement Data Cooker ETL"); this engine carries
+  * the SQL surface natively, so the pipeline can use it in place. */
+final case class DistTask(
+    source: DistLocation,
+    dest: DistLocation,
+    transform: Option[String] = None)
 
 final case class DistConfig(directions: Map[String, Seq[DistTask]]) {
   def direction(name: String): Seq[DistTask] =
@@ -45,7 +54,10 @@ object DistConfig {
     require(root.isObject, "Config root must be a JSON object of directions")
     val dirs = root.properties().asScala.map { e =>
       val tasks = e.getValue.elements().asScala.map { t =>
-        DistTask(location(t, "source"), location(t, "dest"))
+        DistTask(
+          location(t, "source"),
+          location(t, "dest"),
+          Option(t.get("transform")).map(_.asText()))
       }.toSeq
       e.getKey -> tasks
     }.toMap

@@ -60,12 +60,22 @@ object DistMain {
 
       val oa = Adapters.output(task.dest.adapter)
       val outConf = AdapterConf(oa.meta, task.dest.params)
-      streams.foreach { case (streamName, df) =>
+      streams.foreach { case (streamName, df0) =>
         var sub = streamName.stripPrefix(sourceName).stripPrefix("/")
         task.dest.subName.foreach { dn =>
           sub = if (sub.isEmpty) dn else s"$dn/$sub"
         }
-        oa.save(sub, df.asInstanceOf[org.apache.spark.sql.DataFrame], task.dest.path, outConf)
+        // optional in-pipeline SQL transform: the stream is bound as the
+        // `_input` view; the engine's native functions (dot_f, shingles,
+        // dec_cast, simhash_agg, ...) are available in the statement
+        val df = task.transform match {
+          case Some(sql) =>
+            graft.functions.GraftRuntime.ensure(spark)
+            df0.asInstanceOf[org.apache.spark.sql.DataFrame].createOrReplaceTempView("_input")
+            spark.sql(sql)
+          case None => df0.asInstanceOf[org.apache.spark.sql.DataFrame]
+        }
+        oa.save(sub, df, task.dest.path, outConf)
       }
     }
 

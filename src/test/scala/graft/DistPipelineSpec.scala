@@ -216,6 +216,25 @@ class DistPipelineSpec extends SparkSpec {
     }
   }
 
+  test("in-pipeline SQL transform over the _input view, engine functions available") {
+    val base = tmpDir("dist")
+    val cfg = s"""{
+      "d": [{
+        "source": {"adapter": "hadoopParquet", "path": "file:${sf()}/documents.parquet"},
+        "transform": "SELECT lang, count(*) AS cnt, min(${"fp"}) AS min_fp FROM (SELECT lang, xxhash64(text) AS fp FROM _input) GROUP BY lang",
+        "dest":   {"adapter": "hadoopParquet", "path": "file:$base/out"}}]
+    }"""
+    write(s"$base/config.json", cfg)
+    val conf = DistConfig.parse(DistMain.readFile(spark, s"file:$base/config.json"))
+    DistMain.runDirection(spark, conf.direction("d"), "d")
+    val out = spark.read.parquet(s"file:$base/out")
+    assert(out.columns.toSeq == Seq("lang", "cnt", "min_fp"))
+    val expect = spark.read.parquet(s"${sf()}/documents.parquet")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
   test("unknown adapter and unknown param fail fast") {
     val conf = DistConfig.parse(
       """{"d": [{"source": {"adapter": "nope", "path": "/x"},
