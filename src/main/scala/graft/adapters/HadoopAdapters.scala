@@ -107,6 +107,7 @@ final class HadoopColumnarInput extends InputAdapter {
       ParamDef("schema_default", "Explicit column list; '_' skips a position"),
       ParamDef("columns", "Columns to select (subset, any order)"),
       ParamDef("sub_dirs", "Each first-level subdirectory becomes its own stream", Some(false)),
+      ParamDef("recursive", "Recurse into nested directories (the reference's S3 prefix listing is recursive)", Some(false)),
       ParamDef("partitioning", "Row partitioning with part_count: hashcode (co-locate equal rows) or random", Some("hashcode")),
       ParamDef("per_file_schema",
         "Read each file's own header (files may order/name columns differently; " +
@@ -122,6 +123,7 @@ final class HadoopColumnarInput extends InputAdapter {
       val delim = conf.str("delimiter", "\t")
       val fromHeader = conf.bool("schema_from_file", dflt = true)
       val reader = spark.read
+        .option("recursiveFileLookup", conf.bool("recursive", dflt = false))
         .option("sep", delim)
         .option("header", fromHeader && conf.strSeq("schema_default").isEmpty)
       // Reference semantics edge case (S3DirectColumnarInputStream.java:33-42):
@@ -171,6 +173,7 @@ final class HadoopTextInput extends InputAdapter {
     "Plain text files, one record per line",
     Seq("file:/data/in", "hdfs:///data/in", "s3a://bucket/prefix"),
     Seq(ParamDef("sub_dirs", "Each first-level subdirectory becomes its own stream", Some(false)),
+      ParamDef("recursive", "Recurse into nested directories (the reference's S3 prefix listing is recursive)", Some(false)),
       ParamDef("partitioning", "Row partitioning with part_count: hashcode (co-locate equal rows) or random", Some("hashcode"))))
 
   def load(
@@ -179,7 +182,8 @@ final class HadoopTextInput extends InputAdapter {
       name: String,
       partCount: Int,
       conf: AdapterConf): ListMap[String, DataFrame] =
-    HadoopFiles.loadStreams(spark, path, name, partCount, conf)(spark.read.text(_))
+    HadoopFiles.loadStreams(spark, path, name, partCount, conf)(
+      spark.read.option("recursiveFileLookup", conf.bool("recursive", dflt = false)).text(_))
 }
 
 final class HadoopParquetInput extends InputAdapter {
@@ -190,6 +194,7 @@ final class HadoopParquetInput extends InputAdapter {
     Seq(
       ParamDef("columns", "Columns to select (subset, any order)"),
       ParamDef("sub_dirs", "Each first-level subdirectory becomes its own stream", Some(false)),
+      ParamDef("recursive", "Recurse into nested directories (the reference's S3 prefix listing is recursive)", Some(false)),
       ParamDef("partitioning", "Row partitioning with part_count: hashcode (co-locate equal rows) or random", Some("hashcode"))))
 
   def load(
@@ -199,7 +204,8 @@ final class HadoopParquetInput extends InputAdapter {
       partCount: Int,
       conf: AdapterConf): ListMap[String, DataFrame] =
     HadoopFiles.loadStreams(spark, path, name, partCount, conf) { p =>
-      val df = spark.read.parquet(p)
+      val df = spark.read
+        .option("recursiveFileLookup", conf.bool("recursive", dflt = false)).parquet(p)
       conf.strSeq("columns") match {
         case Some(cols) => df.select(cols.map(col): _*)
         case None => df
@@ -215,6 +221,7 @@ final class HadoopJsonInput extends InputAdapter {
     Seq(
       ParamDef("columns", "Columns to select (subset, any order)"),
       ParamDef("sub_dirs", "Each first-level subdirectory becomes its own stream", Some(false)),
+      ParamDef("recursive", "Recurse into nested directories (the reference's S3 prefix listing is recursive)", Some(false)),
       ParamDef("partitioning", "Row partitioning with part_count: hashcode (co-locate equal rows) or random", Some("hashcode"))))
 
   def load(
@@ -224,7 +231,8 @@ final class HadoopJsonInput extends InputAdapter {
       partCount: Int,
       conf: AdapterConf): ListMap[String, DataFrame] =
     HadoopFiles.loadStreams(spark, path, name, partCount, conf) { p =>
-      val df = spark.read.json(p)
+      val df = spark.read
+        .option("recursiveFileLookup", conf.bool("recursive", dflt = false)).json(p)
       conf.strSeq("columns") match {
         case Some(cols) => df.select(cols.map(col): _*)
         case None => df
@@ -256,6 +264,7 @@ final class HadoopOrcInput extends InputAdapter {
     Seq(
       ParamDef("columns", "Columns to select (subset, any order)"),
       ParamDef("sub_dirs", "Each first-level subdirectory becomes its own stream", Some(false)),
+      ParamDef("recursive", "Recurse into nested directories (the reference's S3 prefix listing is recursive)", Some(false)),
       ParamDef("partitioning", "Row partitioning with part_count: hashcode (co-locate equal rows) or random", Some("hashcode"))))
 
   def load(
@@ -265,7 +274,8 @@ final class HadoopOrcInput extends InputAdapter {
       partCount: Int,
       conf: AdapterConf): ListMap[String, DataFrame] =
     HadoopFiles.loadStreams(spark, path, name, partCount, conf) { p =>
-      val df = spark.read.orc(p)
+      val df = spark.read
+        .option("recursiveFileLookup", conf.bool("recursive", dflt = false)).orc(p)
       conf.strSeq("columns") match {
         case Some(cols) => df.select(cols.map(col): _*)
         case None => df

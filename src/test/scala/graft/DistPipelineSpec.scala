@@ -235,6 +235,24 @@ class DistPipelineSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("recursive input lookup finds nested files (reference S3 prefix semantics)") {
+    val base = tmpDir("dist")
+    // nested layout: base/in/y=1/part.parquet, base/in/y=2/deep/part.parquet
+    val n = spark.read.parquet(s"${sf()}/nation.parquet")
+    n.limit(10).write.parquet(s"$base/in/y=1")
+    n.limit(5).write.parquet(s"$base/in/y=2/deep")
+    val cfg = s"""{
+      "d": [{
+        "source": {"adapter": "hadoopParquet", "path": "file:$base/in",
+                   "params": {"recursive": true}},
+        "dest":   {"adapter": "hadoopParquet", "path": "file:$base/out"}}]
+    }"""
+    write(s"$base/config.json", cfg)
+    val conf = DistConfig.parse(DistMain.readFile(spark, s"file:$base/config.json"))
+    DistMain.runDirection(spark, conf.direction("d"), "d")
+    assert(spark.read.parquet(s"file:$base/out").count() == 15)
+  }
+
   test("unknown adapter and unknown param fail fast") {
     val conf = DistConfig.parse(
       """{"d": [{"source": {"adapter": "nope", "path": "/x"},
