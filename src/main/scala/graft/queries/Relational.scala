@@ -506,6 +506,18 @@ object Relational {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin),
 
+    // ---- correlated subqueries through the SQL-text path --------------------
+    // one dialect-shared statement: Catalyst decorrelates the EXISTS and
+    // the scalar subquery into joins (RewriteCorrelatedScalarSubquery /
+    // RewritePredicateSubquery) — no manual rewrite in the engine
+    Q.sqlShared(
+      "q_sql_subqueries",
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin),
+
     // ---- null-handling functions --------------------------------------------
     Q.sqlShared(
       "q_null_funcs",
