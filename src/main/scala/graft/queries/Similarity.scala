@@ -209,6 +209,109 @@ object Similarity {
         .select(col("query_id"), col("cand_id"), col("cell"), col("rn"), col("dot").cast("double").as("dot"))
     },
 
+    // ---- trained-centroid IVF: one deterministic k-means step --------------
+    // Lloyd's iteration, fully cross-engine: assign every vector to its
+    // nearest seed centroid (exact DECIMAL dot, ties to lowest id),
+    // recompute each cell's centroid as the element-wise mean (DECIMAL
+    // sums -> DOUBLE division, order-independent), then REASSIGN against
+    // the trained centroids (cast to float, identically in both engines)
+    // and report the cell movement. At scale each phase is the shape it
+    // must be: broadcast-centroids map stage, one (cell, dim) shuffle,
+    // broadcast-trained-centroids map stage.
+    Q(
+      "q_ann_kmeans",
+      s"""WITH cents AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 50 = 7
+        |), assign1 AS (
+        |  SELECT vec_id, embedding, c_id AS cell FROM (
+        |    SELECT v.vec_id, v.embedding, c.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY ${duckDot("v.embedding", "c.c_emb")} DESC, c.c_id) AS crn
+        |    FROM embeddings v CROSS JOIN cents c
+        |  ) WHERE crn = 1
+        |), trained AS (
+        |  SELECT cell, list_transform(
+        |      list_sort(list(struct_pack(dim := dim, mean := mean))),
+        |      r -> CAST(r.mean AS FLOAT)) AS t_emb
+        |  FROM (
+        |    SELECT cell, dim,
+        |      CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,8))) AS DECIMAL(28,8)) AS DOUBLE)
+        |        / count(*) AS mean
+        |    FROM (SELECT cell, i - 1 AS dim, embedding[i] AS x
+        |          FROM assign1, unnest(generate_series(1, len(embedding))) AS t(i))
+        |    GROUP BY cell, dim)
+        |  GROUP BY cell
+        |), assign2 AS (
+        |  SELECT vec_id, cell1, t_cell AS cell2 FROM (
+        |    SELECT a.vec_id, a.cell AS cell1, t.cell AS t_cell,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY ${duckDot("a.embedding", "t.t_emb")} DESC, t.cell) AS crn
+        |    FROM assign1 a CROSS JOIN trained t
+        |  ) WHERE crn = 1
+        |)
+        |SELECT cell2 AS cell, count(*) AS n_members,
+        |  CAST(sum(CASE WHEN cell1 <> cell2 THEN 1 ELSE 0 END) AS BIGINT) AS moved,
+        |  min(vec_id) AS min_member
+        |FROM assign2 GROUP BY cell2""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") % 50 === 7)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      // phase 1: nearest seed (double prefilter + exact decimal on the
+      // surviving ~1 candidate per vector — same two-phase shape as ivf)
+      val dd1 = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("c_id"), expr("dot_f(embedding, c_emb)").as("cdd"))
+      val mx1 = dd1.groupBy(col("vec_id")).agg(max(col("cdd")).as("mx"))
+        .withColumnRenamed("vec_id", "mx_vec")
+      val best1 = dd1.join(broadcast(mx1), col("vec_id") === col("mx_vec"))
+        .filter(col("cdd") >= col("mx") - 1e-9)
+        .select(col("vec_id").as("b_vec"), col("c_id"))
+      val assign1 = e.join(broadcast(best1), col("vec_id") === col("b_vec"))
+        .join(broadcast(cents), "c_id")
+        .select(col("vec_id"), col("embedding"), col("c_id"),
+          expr(dot("embedding", "c_emb")).as("cdot"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("cdot").desc, col("c_id"))))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+        .persist() // feeds centroid update AND reassignment
+      // phase 2: element-wise mean per cell — one (cell, dim) shuffle
+      // with map-side partials, exactly the q_label_centroids shape
+      val trained = assign1
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg((sum(expr("dec_cast(cast(x as double), 18, 8)")).cast("decimal(28,8)").cast("double")
+          / count(lit(1))).as("mean"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, mean))), r -> cast(r.mean as float))")
+          .as("t_emb"))
+        .select(col("cell").as("t_cell"), col("t_emb"))
+      // phase 3: reassign against the trained centroids — double
+      // prefilter again; the exact decimal dot runs only on the ~1
+      // surviving trained centroid per vector
+      val dd2 = assign1.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(trained))
+        .select(col("vec_id"), col("t_cell"), expr("dot_f(embedding, t_emb)").as("tdd"))
+      val mx2 = dd2.groupBy(col("vec_id")).agg(max(col("tdd")).as("mx2"))
+        .withColumnRenamed("vec_id", "mx2_vec")
+      val surv2 = dd2.join(broadcast(mx2), col("vec_id") === col("mx2_vec"))
+        .filter(col("tdd") >= col("mx2") - 1e-9)
+        .select(col("vec_id").as("s_vec"), col("t_cell").as("s_cell"))
+      val assign2 = assign1.select(col("vec_id"), col("embedding"), col("cell").as("cell1"))
+        .join(broadcast(surv2), col("vec_id") === col("s_vec"))
+        .join(broadcast(trained), col("s_cell") === col("t_cell"))
+        .select(col("vec_id"), col("cell1"), col("t_cell"),
+          expr(dot("embedding", "t_emb")).as("tdot"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("tdot").desc, col("t_cell"))))
+        .filter(col("crn") === 1)
+      assign2.groupBy(col("t_cell").as("cell"))
+        .agg(
+          count(lit(1)).as("n_members"),
+          sum(when(col("cell1") =!= col("t_cell"), 1).otherwise(0)).cast("bigint").as("moved"),
+          min(col("vec_id")).as("min_member"))
+    },
+
     // ---- per-label embedding centroids (element-wise DECIMAL sums) ---------
     // vector aggregation without float-sum nondeterminism: posexplode
     // the vectors, sum each (label, dim) in DECIMAL — one shuffle on
