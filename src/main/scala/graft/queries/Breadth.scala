@@ -1,0 +1,314 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.io.Tables
+
+/** Second breadth wave over the relational surface (SURVEY.md §2.2):
+  * outer joins, FILTER-style conditional aggregation, ordered string
+  * aggregation, min_by/max_by, exact statistical moments, RANGE window
+  * frames, bitwise/interval scalar breadth, lateral explode, and two more
+  * TPC-H-shaped pipelines adapted to the harness schema.
+  *
+  * Cross-engine determinism notes follow the project rules (CLAUDE.md):
+  * decimal accumulators surfaced as DOUBLE, packed-integer tie-breaks for
+  * arg extremes, per-row IEEE double arithmetic only.
+  */
+object Breadth {
+
+  private val dec2 = DecimalType(18, 2)
+  private val dec4 = DecimalType(18, 4)
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  private def dsum(c: Column, dt: DecimalType = dec2): Column =
+    sum(call_function("dec_cast", c.cast("double"), lit(dt.precision), lit(dt.scale)))
+      .cast(dt).cast("double")
+
+  /** Deterministic arg-extreme ordering: exact cents packed with the unique
+    * key so ties in the double price can never make the two engines pick
+    * different rows. DECIMAL(18,2)*100 is integer-valued, so the BIGINT
+    * cast is exact in both engines. */
+  private val packedPrice: Column =
+    (call_function("dec_cast", col("o_totalprice"), lit(18), lit(2)) * 100)
+      .cast("bigint") * lit(10000000L) + col("o_orderkey")
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- full outer join with unmatched rows on both sides ------------------
+    Q(
+      "q_join_full_outer",
+      """SELECT coalesce(c.nk, s.nk) AS nk,
+        |  coalesce(c.ccnt, 0) AS customers,
+        |  coalesce(s.scnt, 0) AS suppliers
+        |FROM (SELECT c_nationkey AS nk, count(*) AS ccnt FROM customer
+        |      WHERE c_nationkey < 15 GROUP BY 1) c
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey AS nk, count(*) AS scnt FROM supplier
+        |      WHERE s_nationkey >= 10 GROUP BY 1) s
+        |ON c.nk = s.nk""") { (s, dir) =>
+      val c = t(s, dir, "customer").filter(col("c_nationkey") < 15)
+        .groupBy(col("c_nationkey").as("cnk")).agg(count(lit(1)).as("ccnt"))
+      val sup = t(s, dir, "supplier").filter(col("s_nationkey") >= 10)
+        .groupBy(col("s_nationkey").as("snk")).agg(count(lit(1)).as("scnt"))
+      c.join(sup, col("cnk") === col("snk"), "full_outer")
+        .select(
+          coalesce(col("cnk"), col("snk")).as("nk"),
+          coalesce(col("ccnt"), lit(0L)).as("customers"),
+          coalesce(col("scnt"), lit(0L)).as("suppliers"))
+    },
+
+    // ---- conditional aggregation (FILTER clause semantics) ------------------
+    Q(
+      "q_conditional_agg",
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS big_qty_cnt,
+        |  count(*) FILTER (WHERE l_discount = 0.0) AS no_disc_cnt,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F')
+        |    AS DECIMAL(18,2)) AS DOUBLE) AS f_price,
+        |  CAST(min(l_extendedprice) FILTER (WHERE l_quantity >= 49) AS DOUBLE) AS min_hi_price
+        |FROM lineitem GROUP BY l_returnflag""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(when(col("l_quantity") > 25, 1)).as("big_qty_cnt"),
+          count(when(col("l_discount") === 0.0, 1)).as("no_disc_cnt"),
+          sum(when(col("l_linestatus") === "F",
+            call_function("dec_cast", col("l_extendedprice"), lit(18), lit(2))))
+            .cast(dec2).cast("double").as("f_price"),
+          min(when(col("l_quantity") >= 49, col("l_extendedprice")))
+            .cast("double").as("min_hi_price"))
+    },
+
+    // ---- ordered string aggregation (listagg / string_agg) ------------------
+    Q(
+      "q_string_agg",
+      """SELECT c_nationkey,
+        |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+        |  count(DISTINCT c_mktsegment) AS n_segments
+        |FROM customer GROUP BY c_nationkey""") { (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          array_join(sort_array(collect_set(col("c_mktsegment"))), ",").as("segments"),
+          countDistinct(col("c_mktsegment")).as("n_segments"))
+    },
+
+    // ---- min_by / max_by (arg extremes) -------------------------------------
+    Q(
+      "q_min_max_by",
+      """SELECT o_orderpriority,
+        |  arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)*10000000 + o_orderkey) AS priciest_order,
+        |  arg_min(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)*10000000 + o_orderkey) AS cheapest_order,
+        |  CAST(max(o_totalprice) AS DOUBLE) AS max_price,
+        |  CAST(min(o_totalprice) AS DOUBLE) AS min_price
+        |FROM orders GROUP BY o_orderpriority""") { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max_by(col("o_orderkey"), packedPrice).as("priciest_order"),
+          min_by(col("o_orderkey"), packedPrice).as("cheapest_order"),
+          max(col("o_totalprice")).cast("double").as("max_price"),
+          min(col("o_totalprice")).cast("double").as("min_price"))
+    },
+
+    // ---- exact statistical moments from decimal sums ------------------------
+    // var/stddev/corr recomputed from exact DECIMAL power sums with the
+    // SAME double-arithmetic closed form on both engines — the builtin
+    // streaming (Welford) aggregates are float-order-dependent and would
+    // break the hash gate. One map-side-combinable aggregation, no second
+    // pass: the shape that survives 100 TB.
+    Q(
+      "q_stats_moments",
+      """SELECT l_returnflag, n,
+        |  (n*sx2 - sx*sx) / (n*(n-1)) AS var_qty,
+        |  sqrt((n*sx2 - sx*sx) / (n*(n-1))) AS stddev_qty,
+        |  (n*sxy - sx*sy) / (sqrt(n*sx2 - sx*sx) * sqrt(n*sy2 - sy*sy)) AS corr_qty_price
+        |FROM (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx2,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS sy2,
+        |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)""") { (s, dir) =>
+      val dec244 = DecimalType(24, 4)
+      def psum(c: Column, dt: DecimalType) =
+        sum(call_function("dec_cast", c, lit(dt.precision), lit(dt.scale))).cast("double")
+      val sums = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          psum(col("l_quantity"), dec2).as("sx"),
+          psum(col("l_quantity") * col("l_quantity"), dec4).as("sx2"),
+          psum(col("l_extendedprice"), dec2).as("sy"),
+          psum(col("l_extendedprice") * col("l_extendedprice"), dec244).as("sy2"),
+          psum(col("l_quantity") * col("l_extendedprice"), dec244).as("sxy"))
+      val n = col("n"); val sx = col("sx"); val sx2 = col("sx2")
+      val sy = col("sy"); val sy2 = col("sy2"); val sxy = col("sxy")
+      sums.select(
+        col("l_returnflag"), n,
+        ((n * sx2 - sx * sx) / (n * (n - lit(1)))).as("var_qty"),
+        sqrt((n * sx2 - sx * sx) / (n * (n - lit(1)))).as("stddev_qty"),
+        ((n * sxy - sx * sy) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)))
+          .as("corr_qty_price"))
+    },
+
+    // ---- RANGE window frame (value-based, not row-based) --------------------
+    // 30-day trailing spend per customer: RANGE frames group peers by
+    // ordering value, so the result is order-independent — the frame that
+    // matters for time-series at scale (one shuffle on the partition key).
+    Q(
+      "q_window_range_frame",
+      """SELECT o_orderkey,
+        |  CAST(cnt AS BIGINT) AS orders_30d,
+        |  CAST(CAST(spend AS DECIMAL(28,2)) AS DOUBLE) AS spend_30d
+        |FROM (
+        |  SELECT o_orderkey,
+        |    count(*) OVER w AS cnt,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS spend
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY datediff('day', TIMESTAMP '1990-01-01 00:00:00', o_orderdate)
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW))""") { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(datediff(col("o_orderdate"), lit("1990-01-01").cast("timestamp_ntz")))
+        .rangeBetween(-30, Window.currentRow)
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        count(lit(1)).over(w).as("orders_30d"),
+        sum(call_function("dec_cast", col("o_totalprice"), lit(18), lit(2)))
+          .over(w).cast(DecimalType(28, 2)).cast("double").as("spend_30d"))
+    },
+
+    // ---- bitwise operators ---------------------------------------------------
+    Q(
+      "q_bitwise",
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS lo_byte,
+        |  o_orderkey | 15 AS or_15,
+        |  xor(o_orderkey, o_custkey) AS key_xor,
+        |  o_orderkey << 2 AS shl2,
+        |  o_orderkey >> 3 AS shr3,
+        |  ~o_orderkey AS inv
+        |FROM orders""") { (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("lo_byte"),
+        col("o_orderkey").bitwiseOR(lit(15L)).as("or_15"),
+        col("o_orderkey").bitwiseXOR(col("o_custkey")).as("key_xor"),
+        expr("shiftleft(o_orderkey, 2)").as("shl2"),
+        expr("shiftright(o_orderkey, 3)").as("shr3"),
+        bitwise_not(col("o_orderkey")).as("inv"))
+    },
+
+    // ---- interval / date arithmetic breadth ---------------------------------
+    Q(
+      "q_interval_arith",
+      """SELECT o_orderkey,
+        |  o_orderdate + INTERVAL 3 MONTH AS plus_3m,
+        |  o_orderdate - INTERVAL 45 DAY AS minus_45d,
+        |  last_day(o_orderdate) AS month_end,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  make_date(CAST(year(o_orderdate) AS INT), 1, 1) AS year_start
+        |FROM orders""") { (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        (col("o_orderdate") + expr("INTERVAL '3' MONTH")).as("plus_3m"),
+        (col("o_orderdate") - expr("INTERVAL '45' DAY")).as("minus_45d"),
+        last_day(col("o_orderdate")).as("month_end"),
+        quarter(col("o_orderdate")).cast("bigint").as("q"),
+        make_date(year(col("o_orderdate")), lit(1), lit(1)).as("year_start"))
+    },
+
+    // ---- union of differently-ordered schemas by column name ----------------
+    Q(
+      "q_union_by_name",
+      """SELECT src, count(*) AS cnt, count(DISTINCT k) AS dk FROM (
+        |  SELECT 'cust' AS src, c_custkey AS k, c_nationkey AS nk FROM customer
+        |  UNION ALL BY NAME
+        |  SELECT s_nationkey AS nk, s_suppkey AS k, 'supp' AS src FROM supplier
+        |) GROUP BY src""") { (s, dir) =>
+      val c = t(s, dir, "customer")
+        .select(lit("cust").as("src"), col("c_custkey").as("k"), col("c_nationkey").as("nk"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_nationkey").as("nk"), col("s_suppkey").as("k"), lit("supp").as("src"))
+      c.unionByName(sup)
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("k")).as("dk"))
+    },
+
+    // ---- lateral explode (correlated table expansion) -----------------------
+    Q(
+      "q_lateral_explode",
+      """SELECT n_nationkey, u.i AS i, n_name
+        |FROM nation, UNNEST(range(1, n_nationkey % 3 + 2)) AS u(i)""") { (s, dir) =>
+      t(s, dir, "nation")
+        .select(
+          col("n_nationkey"),
+          explode(sequence(lit(1L), (col("n_nationkey") % 3 + 1).cast("long"))).as("i"),
+          col("n_name"))
+    },
+
+    // ---- TPC-H Q14 shape: promo revenue share (two-sum division) ------------
+    Q(
+      "q_tpch_q14",
+      """SELECT
+        |  100.0 * CAST(CAST(sum(CAST(CASE WHEN p_type = 'ECONOMY'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,4)))
+        |    AS DECIMAL(18,4)) AS DOUBLE)
+        |  / CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |    AS DECIMAL(18,4)) AS DOUBLE) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'""") { (s, dir) =>
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+            col("l_shipdate") < lit("1996-02-01").cast("timestamp_ntz"))
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(
+          (lit(100.0) *
+            dsum(when(col("p_type") === "ECONOMY", rev).otherwise(lit(0.0)), dec4) /
+            dsum(rev, dec4)).as("promo_revenue"))
+    },
+
+    // ---- TPC-H Q18 shape: large-quantity orders -----------------------------
+    // groupBy-then-semi-join: the aggregate runs once over lineitem, the
+    // qualifying keys join back to orders (AQE broadcasts the tiny
+    // qualifying set at any scale where it stays small).
+    Q(
+      "q_tpch_q18",
+      """SELECT c_custkey, o_orderkey, o_orderdate,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+        |FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 210)
+        |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY totalprice DESC, o_orderkey LIMIT 100""") { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val bigKeys = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("q"))
+        .filter(col("q") > 210)
+        .select(col("l_orderkey").as("bk"))
+      li.join(bigKeys, col("l_orderkey") === col("bk"), "left_semi")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+          call_function("dec_cast", col("o_totalprice"), lit(18), lit(2))
+            .cast("double").as("totalprice"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("totalprice"), col("sum_qty"))
+    })
+}
