@@ -270,5 +270,88 @@ object Dedup {
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), expr(dot).as("ddot"))
         .filter(col("ddot") >= 0.35)
         .select(col("id_a"), col("id_b"), col("ddot").cast("double").as("dot"))
+    },
+
+    // ---- near-dup cluster assignment (connected components) ----------------
+    // Pair lists tell you WHAT is similar; pipelines need WHICH GROUP each
+    // doc belongs to (keep one per cluster). Cluster id = min doc_id in
+    // the connected component of the jaccard>=0.3 pair graph, computed by
+    // iterative min-label propagation to a fixpoint — the Pregel shape
+    // (GraphX/GraphFrames connected components do the same): per round
+    // one shuffle on doc_id, O(diameter) rounds, and near-dup components
+    // have tiny diameters at any corpus size. The fixpoint is unique, so
+    // the result is deterministic regardless of execution order; the
+    // oracle computes the same components with a recursive CTE.
+    Q(
+      "q_dedup_clusters",
+      raw"""WITH RECURSIVE sh AS (
+        |  SELECT doc_id, lang, $duckShingles AS shingles
+        |  FROM (SELECT doc_id, lang, $duckTokens AS w FROM documents) WHERE len(w) >= 3
+        |), ex AS (
+        |  SELECT doc_id, lang, len(shingles) AS n_sh, unnest(shingles) AS v FROM sh
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b, count(*) AS i
+        |  FROM ex a JOIN ex b ON a.v = b.v AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM inter WHERE CAST(i AS DOUBLE) / (n_a + n_b - i) >= 0.3
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM pairs
+        |), reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+        |)
+        |SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS n_members
+        |FROM (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val sh = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), expr(tokens).as("w"))
+        .filter(expr("size(w) >= 3"))
+        .select(col("doc_id"), col("lang"), expr(shingles).as("shingles"))
+      val ex = sh
+        .select(
+          col("doc_id"), col("lang"), expr("size(shingles)").as("n_sh"),
+          explode(col("shingles")).as("s"))
+        .select(col("doc_id"), col("lang"), col("n_sh"), xxhash64(col("s")).as("v"))
+      val pairs = ex.as("a")
+        .join(ex.as("b"), expr("a.v = b.v and a.lang = b.lang and a.doc_id < b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(
+          first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"),
+          count(lit(1)).as("i"))
+        .filter(expr("cast(i as double) / (n_a + n_b - i) >= 0.3"))
+        .select(col("id_a"), col("id_b"))
+      val edges = pairs
+        .union(pairs.select(col("id_b"), col("id_a")))
+        .toDF("src", "dst")
+        .persist() // reused every propagation round
+      var labels = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("doc_id").as("label"))
+        .persist()
+      var changed = 1L
+      while (changed > 0) {
+        val nbrMin = edges
+          .join(labels.select(col("doc_id").as("src"), col("label").as("srcl")), "src")
+          .groupBy(col("dst").as("doc_id"))
+          .agg(min(col("srcl")).as("nl"))
+        val next = labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          .persist()
+        changed = next
+          .join(labels.withColumnRenamed("label", "old"), "doc_id")
+          .filter(col("label") =!= col("old"))
+          .count()
+        labels.unpersist()
+        labels = next
+      }
+      edges.unpersist()
+      labels
+        .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("label"))))
+        .select(col("doc_id"), col("label").as("cluster_id"), col("n_members"))
     })
 }

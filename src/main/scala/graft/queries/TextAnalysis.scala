@@ -235,5 +235,39 @@ object TextAnalysis {
         regexp_replace(col("text"), "[0-9]+", "#").as("masked"),
         col("text").rlike("[a-z]+ing").as("has_ing"),
         length(regexp_replace(col("text"), "[aeiou]", "")).cast("long").as("n_consonant_chars"))
+    },
+
+    // ---- PII scrubbing (pre-training redaction pass) -----------------------
+    // Chained regexp_replace: emails, phone-shaped digit groups, then any
+    // remaining long digit runs, each to a typed placeholder. Pure
+    // row-parallel map stage (no shuffle at any scale); the redacted
+    // string itself is cross-engine verified by hash so the oracle proves
+    // byte-identical redaction without shipping the text through the
+    // compare. Patterns stay in the Java∩RE2 common subset.
+    Q(
+      "q_text_pii_redact",
+      raw"""SELECT doc_id,
+        |  ${duck(
+             "regexp_replace(regexp_replace(regexp_replace(text," +
+               " '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g')," +
+               " '[0-9]{3}[- ][0-9]{3}[- ][0-9]{2,4}', '<PHONE>', 'g')," +
+               " '[0-9]{6,}', '<ID>', 'g')")} AS redacted_fp,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{3}[- ][0-9]{3}[- ][0-9]{2,4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_long_ids
+        |FROM documents""") { (s, dir) =>
+      val redacted =
+        "regexp_replace(regexp_replace(regexp_replace(text," +
+          " '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>')," +
+          " '[0-9]{3}[- ][0-9]{3}[- ][0-9]{2,4}', '<PHONE>')," +
+          " '[0-9]{6,}', '<ID>')"
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        expr(h(redacted)).as("redacted_fp"),
+        expr("size(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', 0))")
+          .cast("long").as("n_emails"),
+        expr("size(regexp_extract_all(text, '[0-9]{3}[- ][0-9]{3}[- ][0-9]{2,4}', 0))")
+          .cast("long").as("n_phones"),
+        expr("size(regexp_extract_all(text, '[0-9]{6,}', 0))").cast("long").as("n_long_ids"))
     })
 }
