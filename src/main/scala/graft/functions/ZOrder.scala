@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Morton (Z-order) bit-interleave of two keys — the sort key for
+  * multi-dimensional data skipping.
+  *
+  * Sorting (or range-partitioning) a table by `zorder2(a, b)` before a
+  * parquet write makes the per-row-group min/max statistics selective on
+  * BOTH columns at once: a point/range predicate on either column prunes
+  * row groups at scan time, where a lexicographic `ORDER BY a, b` only
+  * prunes on `a`. This is the layout trick behind Delta/Iceberg Z-order
+  * compaction, exposed here as a plain codegen'd expression so any write
+  * path can use `df.repartitionByRange(n, zorder).sortWithinPartitions
+  * (zorder).write...`.
+  *
+  * Semantics: the low 32 bits of each input are interleaved (`a` takes
+  * the odd/high positions) into one non-negative 64-bit value. Inputs
+  * are expected non-negative (keys, days-since-epoch, bucketed values);
+  * offset or hash signed inputs first. No reference-engine counterpart —
+  * the reference has no layout control beyond `part_count`
+  * (`/root/reference/.../S3DirectColumnarInput.java:96-98`).
+  */
+object ZOrderUtil {
+
+  /** Spread the low 32 bits of x one position apart (even positions). */
+  def spread(x: Long): Long = {
+    var v = x & 0xFFFFFFFFL
+    v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
+    v = (v | (v << 8)) & 0x00FF00FF00FF00FFL
+    v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL
+    v = (v | (v << 2)) & 0x3333333333333333L
+    v = (v | (v << 1)) & 0x5555555555555555L
+    v
+  }
+
+  def interleave(a: Long, b: Long): Long = (spread(a) << 1) | spread(b)
+}
+
+case class ZOrder2(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"zorder2 requires (BIGINT, BIGINT), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zorder2"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ZOrderUtil.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ZOrderUtil.interleave($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZOrder2 =
+    copy(left = newLeft, right = newRight)
+}

@@ -124,9 +124,10 @@ object Breadth {
     Q(
       "q_stats_moments",
       """SELECT l_returnflag, n,
-        |  (n*sx2 - sx*sx) / (n*(n-1)) AS var_qty,
-        |  sqrt((n*sx2 - sx*sx) / (n*(n-1))) AS stddev_qty,
-        |  (n*sxy - sx*sy) / (sqrt(n*sx2 - sx*sx) * sqrt(n*sy2 - sy*sy)) AS corr_qty_price
+        |  CAST(CAST((n*sx2 - sx*sx) / (n*(n-1)) AS DECIMAL(18,9)) AS DOUBLE) AS var_qty,
+        |  CAST(CAST(sqrt((n*sx2 - sx*sx) / (n*(n-1))) AS DECIMAL(18,9)) AS DOUBLE) AS stddev_qty,
+        |  CAST(CAST((n*sxy - sx*sy) / (sqrt(n*sx2 - sx*sx) * sqrt(n*sy2 - sy*sy))
+        |    AS DECIMAL(18,12)) AS DOUBLE) AS corr_qty_price
         |FROM (
         |  SELECT l_returnflag,
         |    CAST(count(*) AS DOUBLE) AS n,
@@ -150,11 +151,17 @@ object Breadth {
           psum(col("l_quantity") * col("l_extendedprice"), dec244).as("sxy"))
       val n = col("n"); val sx = col("sx"); val sx2 = col("sx2")
       val sy = col("sy"); val sy2 = col("sy2"); val sxy = col("sxy")
+      // surface through a decimal rounding (the proven cross-engine
+      // double->decimal path): DuckDB's compiler may contract a*b - c*d
+      // into an FMA, so the raw double can differ from the JVM's by one
+      // ulp — far below the rounded scale
+      def snap(c: Column, scale: Int): Column =
+        call_function("dec_cast", c, lit(18), lit(scale)).cast("double")
       sums.select(
         col("l_returnflag"), n,
-        ((n * sx2 - sx * sx) / (n * (n - lit(1)))).as("var_qty"),
-        sqrt((n * sx2 - sx * sx) / (n * (n - lit(1)))).as("stddev_qty"),
-        ((n * sxy - sx * sy) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)))
+        snap((n * sx2 - sx * sx) / (n * (n - lit(1))), 9).as("var_qty"),
+        snap(sqrt((n * sx2 - sx * sx) / (n * (n - lit(1)))), 9).as("stddev_qty"),
+        snap((n * sxy - sx * sy) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 12)
           .as("corr_qty_price"))
     },
 

@@ -94,6 +94,25 @@ object Streams {
       }
   }
 
+  /** Gap-based sessionization via the `session_window` builtin — the
+    * declarative twin of [[sessionize]]: Catalyst plans the session merge
+    * natively (UpdatingSessionsExec + merging state), no user state
+    * machine. Window end is exclusive (`last event + gap`), where
+    * [[sessionize]] reports the last event itself — both shapes shuffle
+    * once on the grouping key and scale identically; prefer this one
+    * unless the session logic needs custom state. */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
   /** Stream-stream join: clicks enriched with the purchase that follows
     * within one hour, both sides watermarked so the state store evicts
     * rows once the join window can no longer match (the condition that

@@ -70,6 +70,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("session_window builtin: native gap sessions agree with sessionize") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val query = Streams.sessionWindowAgg(mem.toDF())
+      .writeStream.format("memory").queryName("sw_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "c", 1.0),
+        Event(2, ts(10), 1, "c", 2.0),
+        Event(3, ts(20), 1, "c", 3.0),
+        Event(4, ts(60), 1, "c", 4.0))
+      query.processAllAvailable()
+      mem.addData(Event(99, ts(10000), 2, "c", 0.0)) // flush watermark
+      query.processAllAvailable()
+      val rows = spark.table("sw_out")
+        .filter($"user_id" === 1).orderBy($"session_start")
+        .selectExpr("session_start", "session_end", "n_events", "cast(sum_value as string)")
+        .collect()
+      assert(rows.length == 2)
+      // window end is exclusive: last event + 30-min gap
+      assert(rows(0).getTimestamp(0) == ts(0) && rows(0).getTimestamp(1) == ts(50))
+      assert(rows(0).getLong(2) == 3 && rows(0).getString(3) == "6.00")
+      assert(rows(1).getTimestamp(0) == ts(60) && rows(1).getLong(2) == 1)
+    } finally query.stop()
+  }
+
   test("dedup drops duplicate event_ids within the watermark") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
