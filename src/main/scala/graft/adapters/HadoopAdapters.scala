@@ -79,14 +79,37 @@ private[adapters] object HadoopFiles {
   val writeParams: Seq[ParamDef] = Seq(
     ParamDef("partition_by", "Hive-style partition columns (dir per value)"),
     ParamDef("sort_by", "Sort rows within each write task (encoding + min/max pruning)"),
+    ParamDef("zorder_by",
+      "Two BIGINT columns; cluster the layout on their Morton interleave " +
+        "so parquet min/max stats prune on both (overrides sort_by)"),
+    ParamDef("zorder_partitions",
+      "Explicit z-range task count for zorder_by (0 = let AQE size the ranges)",
+      Some(0)),
     ParamDef("max_records_per_file", "Cap records per output file (0 = no cap)", Some(0)))
 
   /** Column-selected, optionally sorted writer with the shared params applied. */
   def writer(df: DataFrame, conf: AdapterConf): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
     val base = selectColumns(df, conf)
-    val sorted = conf.strSeq("sort_by") match {
-      case Some(cs) => base.sortWithinPartitions(cs.map(col): _*)
-      case None => base
+    val sorted = conf.strSeq("zorder_by") match {
+      case Some(Seq(a, b)) =>
+        // range-partition + sort on the z-value: every output task owns a
+        // compact z-range, i.e. a tile that is narrow in BOTH columns —
+        // the layout Delta/Iceberg "OPTIMIZE ZORDER BY" produces
+        graft.functions.GraftRuntime.ensure(df.sparkSession)
+        val z = call_function("zorder2", col(a).cast("long"), col(b).cast("long"))
+        val withZ = base.withColumn("__z", z)
+        val n = conf.int("zorder_partitions", 0)
+        val ranged =
+          if (n > 0) withZ.repartitionByRange(n, col("__z"))
+          else withZ.repartitionByRange(col("__z"))
+        ranged.sortWithinPartitions(col("__z")).drop("__z")
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"zorder_by needs exactly two columns, got $other")
+      case None => conf.strSeq("sort_by") match {
+        case Some(cs) => base.sortWithinPartitions(cs.map(col): _*)
+        case None => base
+      }
     }
     var w = sorted.write.mode("overwrite")
     conf.strSeq("partition_by").foreach(cs => w = w.partitionBy(cs: _*))

@@ -216,6 +216,39 @@ class DistPipelineSpec extends SparkSpec {
     }
   }
 
+  test("zorder_by clusters the file layout on the two-column z-value") {
+    val base = tmpDir("dist")
+    val cfg = s"""{
+      "d": [{
+        "source": {"adapter": "hadoopParquet", "path": "file:${sf()}/orders.parquet"},
+        "dest":   {"adapter": "hadoopParquet", "path": "file:$base/z",
+                   "params": {"zorder_by": ["o_orderkey", "o_custkey"],
+                              "zorder_partitions": 4}}}]
+    }"""
+    write(s"$base/config.json", cfg)
+    val conf = DistConfig.parse(DistMain.readFile(spark, s"file:$base/config.json"))
+    DistMain.runDirection(spark, conf.direction("d"), "d")
+
+    val back = spark.read.parquet(s"file:$base/z")
+    val orig = spark.read.parquet(s"${sf()}/orders.parquet")
+    assert(back.count() == orig.count())
+    // every file owns a compact, non-overlapping z-range (the property
+    // that makes min/max stats prune on both columns)
+    val files = new java.io.File(s"$base/z").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    assert(files.length >= 2, s"expected multiple files, got ${files.length}")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(s"file:$f")
+        .selectExpr("min(zorder2(o_orderkey, o_custkey))", "max(zorder2(o_orderkey, o_custkey))")
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    ranges.sorted.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlapping z-ranges")
+      case _ =>
+    }
+  }
+
   test("in-pipeline SQL transform over the _input view, engine functions available") {
     val base = tmpDir("dist")
     val cfg = s"""{
