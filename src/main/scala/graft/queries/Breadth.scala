@@ -261,6 +261,78 @@ object Breadth {
           col("n_name"))
     },
 
+    // ---- higher-order functions over arrays ---------------------------------
+    // filter/exists/transform+aggregate lambdas (HOFs run interpreted in
+    // Spark — fine for breadth; the hot-path dedup pipelines use native
+    // expressions instead, see CLAUDE.md perf rules)
+    Q(
+      "q_hof_funcs",
+      raw"""SELECT doc_id,
+        |  CAST(len(list_filter(w, t -> length(t) > 6)) AS BIGINT) AS n_long_words,
+        |  len(list_filter(w, t -> regexp_matches(t, '[0-9]'))) > 0 AS has_digit_word,
+        |  CAST(list_reduce(list_transform(w, t -> length(t)), (a, b) -> a + b) AS BIGINT) AS total_chars,
+        |  CAST(list_reduce(list_transform(w, t -> length(t)), (a, b) -> a + b) AS DOUBLE)
+        |    / len(w) AS avg_word_len
+        |FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)""") {
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), expr(raw"split(trim(text), '\\s+')").as("w"))
+          .select(
+            col("doc_id"),
+            expr("size(filter(w, t -> length(t) > 6))").cast("long").as("n_long_words"),
+            expr("exists(w, t -> t rlike '[0-9]')").as("has_digit_word"),
+            expr("aggregate(w, 0, (a, t) -> a + length(t))").cast("long").as("total_chars"),
+            expr("cast(aggregate(w, 0, (a, t) -> a + length(t)) as double) / size(w)")
+              .as("avg_word_len"))
+    },
+
+    // ---- map type: construct, extract, introspect ---------------------------
+    Q(
+      "q_map_funcs",
+      """SELECT p_partkey,
+        |  m['brand'][1] AS brand_v,
+        |  m['type'][1] AS type_v,
+        |  CAST(cardinality(m) AS INT) AS n_keys,
+        |  array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted
+        |FROM (SELECT p_partkey, map(['brand','type'], [p_brand, p_type]) AS m FROM part)""") {
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            map(lit("brand"), col("p_brand"), lit("type"), col("p_type")).as("m"))
+          .select(
+            col("p_partkey"),
+            element_at(col("m"), "brand").as("brand_v"),
+            element_at(col("m"), "type").as("type_v"),
+            size(col("m")).as("n_keys"),
+            array_join(sort_array(map_keys(col("m"))), ",").as("keys_sorted"))
+    },
+
+    // ---- deterministic mode (most frequent value, min-value tie-break) ------
+    // the builtin `mode()` picks an arbitrary value on ties in both
+    // engines; the count+rank formulation pins the tie-break and is the
+    // scalable shape anyway (two map-side-combinable aggregations, no
+    // per-group value buffers)
+    Q(
+      "q_mode",
+      """SELECT l_returnflag, CAST(mode_qty AS DOUBLE) AS mode_qty, mode_cnt FROM (
+        |  SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_cnt,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY cnt DESC, l_quantity) AS rn
+        |  FROM (SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |        FROM lineitem GROUP BY 1, 2)
+        |) WHERE rn = 1""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("l_returnflag")).orderBy(col("cnt").desc, col("l_quantity"))))
+        .filter(col("rn") === 1)
+        .select(
+          col("l_returnflag"),
+          col("l_quantity").cast("double").as("mode_qty"),
+          col("cnt").as("mode_cnt"))
+    },
+
     // ---- TPC-H Q14 shape: promo revenue share (two-sum division) ------------
     Q(
       "q_tpch_q14",

@@ -269,5 +269,56 @@ object TextAnalysis {
         expr("size(regexp_extract_all(text, '[0-9]{3}[- ][0-9]{3}[- ][0-9]{2,4}', 0))")
           .cast("long").as("n_phones"),
         expr("size(regexp_extract_all(text, '[0-9]{6,}', 0))").cast("long").as("n_long_ids"))
+    },
+
+    // ---- composed corpus pipeline (quality -> dedup -> stats) --------------
+    // The end-to-end pre-training pass, as ONE declarative plan: quality
+    // gate, exact-dedup keeper (min doc_id per content fingerprint), PII
+    // counting, rolled up per language. Catalyst fuses the gate + keeper
+    // + counters into a single scan-project-window-aggregate plan — the
+    // whole corpus pass costs one fingerprint shuffle and one per-lang
+    // aggregation at any scale.
+    Q(
+      "q_corpus_pipeline",
+      raw"""WITH scored AS (
+        |  SELECT doc_id, lang, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS w,
+        |    ${duck("lower(text)")} AS fp
+        |  FROM documents
+        |), gated AS (
+        |  SELECT * FROM scored
+        |  WHERE len(w) >= 10
+        |    AND CAST(len(list_filter(w, t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+        |        / len(w) >= 0.01
+        |), kept AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, lang, text, w,
+        |      min(doc_id) OVER (PARTITION BY fp) AS keep_id
+        |    FROM gated)
+        |  WHERE doc_id = keep_id
+        |)
+        |SELECT lang,
+        |  count(*) AS kept_docs,
+        |  CAST(sum(len(w)) AS BIGINT) AS total_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[0-9]{6,}'))) AS BIGINT) AS total_pii_ids,
+        |  min(doc_id) AS first_doc
+        |FROM kept GROUP BY lang""") { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"), col("lang"), col("text"),
+          expr(tokens).as("w"), expr(h("lower(text)")).as("fp"))
+        .filter(expr(
+          "size(w) >= 10 and " +
+            "cast(size(filter(w, t -> t in ('the','a','of','and','is'))) as double) / size(w) >= 0.01"))
+        .withColumn("keep_id", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("keep_id"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("kept_docs"),
+          sum(expr("size(w)")).cast("long").as("total_tokens"),
+          sum(expr("size(regexp_extract_all(text, '[0-9]{6,}', 0))"))
+            .cast("long").as("total_pii_ids"),
+          min(col("doc_id")).as("first_doc"))
     })
 }
