@@ -85,7 +85,10 @@ private[adapters] object HadoopFiles {
     ParamDef("zorder_partitions",
       "Explicit z-range task count for zorder_by (0 = let AQE size the ranges)",
       Some(0)),
-    ParamDef("max_records_per_file", "Cap records per output file (0 = no cap)", Some(0)))
+    ParamDef("max_records_per_file", "Cap records per output file (0 = no cap)", Some(0)),
+    ParamDef("save_mode",
+      "What to do when the destination exists: overwrite, append, ignore, error",
+      Some("overwrite")))
 
   /** Column-selected, optionally sorted writer with the shared params applied. */
   def writer(df: DataFrame, conf: AdapterConf): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
@@ -111,7 +114,7 @@ private[adapters] object HadoopFiles {
         case None => base
       }
     }
-    var w = sorted.write.mode("overwrite")
+    var w = sorted.write.mode(conf.str("save_mode", "overwrite"))
     conf.strSeq("partition_by").foreach(cs => w = w.partitionBy(cs: _*))
     val cap = conf.int("max_records_per_file", 0)
     if (cap > 0) w = w.option("maxRecordsPerFile", cap.toLong)

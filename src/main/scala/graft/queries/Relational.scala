@@ -489,6 +489,22 @@ object Relational {
           approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
     },
 
+    // ---- sketch aggregation: approximate percentiles (KLL-style) ------------
+    // engine-specific sketch internals → rows-only driver check; the
+    // error bound vs the exact rank formulation is asserted in SketchSpec
+    Q.noOracle("q_approx_percentile") { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.95), 1000)")
+            .as("pcts"))
+        .select(
+          col("o_orderpriority"),
+          element_at(col("pcts"), 1).as("p25"),
+          element_at(col("pcts"), 2).as("p50"),
+          element_at(col("pcts"), 3).as("p95"))
+    },
+
     // ---- SQL-text interface: one dialect-shared string, both engines --------
     Q.sqlShared(
       "q_sql_interface",

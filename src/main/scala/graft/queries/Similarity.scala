@@ -312,6 +312,78 @@ object Similarity {
           min(col("vec_id")).as("min_member"))
     },
 
+    // ---- multi-probe IVF: queries probe their 2 nearest cells --------------
+    // The recall knob production IVF turns first: candidates stay in
+    // their single nearest cell, queries fan out to nprobe=2 cells. Same
+    // scale shape as q_ann_ivf (broadcast centroids, cell-equi-join) with
+    // 2x the probe work and none on the indexing side. Top-2 cell choice
+    // uses the same double-prefilter + exact-DECIMAL rank as the
+    // single-probe assignment, so the oracle mirrors it exactly.
+    Q(
+      "q_ann_ivf_multiprobe",
+      s"""WITH cents AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 50 = 7
+        |), ranked AS (
+        |  SELECT vec_id, embedding, c_id, crn FROM (
+        |    SELECT v.vec_id, v.embedding, c.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY ${duckDot("v.embedding", "c.c_emb")} DESC, c.c_id) AS crn
+        |    FROM embeddings v CROSS JOIN cents c
+        |  ) WHERE crn <= 2
+        |), assign AS (
+        |  SELECT vec_id, embedding, c_id AS cell FROM ranked WHERE crn = 1
+        |), probes AS (
+        |  SELECT vec_id, embedding, c_id AS cell FROM ranked WHERE vec_id % 100 = 0
+        |)
+        |SELECT query_id, cand_id, rn, CAST(dot AS DOUBLE) AS dot FROM (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS cand_id,
+        |    ${duckDot("q.embedding", "x.embedding")} AS dot,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY ${duckDot("q.embedding", "x.embedding")} DESC, x.vec_id) AS rn
+        |  FROM probes q JOIN assign x
+        |    ON q.cell = x.cell AND q.vec_id <> x.vec_id
+        |) WHERE rn <= 5""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") % 50 === 7)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      // double scores once; top-2-per-vector via the bounded-heap TopK
+      // (map-side partials — the |V| x |C| stream is never shuffled),
+      // margin-filter against the 2nd-best, exact-DECIMAL rank survivors
+      val ddots = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("c_id"), expr("dot_f(embedding, c_emb)").as("cdd"))
+      val topk2 = udaf(
+        new graft.functions.Aggregators.TopK(2),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      val th2 = ddots.groupBy(col("vec_id").as("t_vec"))
+        .agg(topk2(col("cdd"), col("c_id")).as("tk"))
+        .select(col("t_vec"), expr("element_at(tk, 2)._1").as("th"))
+      val surv = ddots.join(broadcast(th2), col("vec_id") === col("t_vec"))
+        .filter(col("th").isNull || col("cdd") >= col("th") - 1e-9)
+        .select(col("vec_id").as("s_vec"), col("c_id"))
+      val ranked = e.join(broadcast(surv), col("vec_id") === col("s_vec"))
+        .join(broadcast(cents), "c_id")
+        .select(col("vec_id"), col("embedding"), col("c_id"),
+          expr(dot("embedding", "c_emb")).as("cdot"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("cdot").desc, col("c_id"))))
+        .filter(col("crn") <= 2)
+        .persist() // feeds the candidate index AND the probe fan-out
+      val assign = ranked.filter(col("crn") === 1)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb2"), col("c_id").as("x_cell"))
+      val probes = ranked.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("c_id").as("cell"))
+      assign
+        .join(broadcast(probes), col("cell") === col("x_cell") && col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"), expr(dot("q_emb", "c_emb2")).as("dot"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("cand_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("cand_id"), col("rn"), col("dot").cast("double").as("dot"))
+    },
+
     // ---- per-label embedding centroids (element-wise DECIMAL sums) ---------
     // vector aggregation without float-sum nondeterminism: posexplode
     // the vectors, sum each (label, dim) in DECIMAL — one shuffle on

@@ -249,6 +249,29 @@ class DistPipelineSpec extends SparkSpec {
     }
   }
 
+  test("save_mode append accumulates; ignore leaves the first write intact") {
+    val base = tmpDir("dist")
+    def cfg(mode: String) = s"""{
+      "d": [{
+        "source": {"adapter": "hadoopParquet", "path": "file:${sf()}/region.parquet"},
+        "dest":   {"adapter": "hadoopParquet", "path": "file:$base/out",
+                   "params": {"save_mode": "$mode"}}}]
+    }"""
+    def run(mode: String): Unit = {
+      write(s"$base/config.json", cfg(mode))
+      val conf = DistConfig.parse(DistMain.readFile(spark, s"file:$base/config.json"))
+      DistMain.runDirection(spark, conf.direction("d"), "d")
+    }
+    run("overwrite")
+    assert(spark.read.parquet(s"file:$base/out").count() == 5)
+    run("append")
+    assert(spark.read.parquet(s"file:$base/out").count() == 10)
+    run("ignore") // destination exists -> no-op
+    assert(spark.read.parquet(s"file:$base/out").count() == 10)
+    run("overwrite")
+    assert(spark.read.parquet(s"file:$base/out").count() == 5)
+  }
+
   test("in-pipeline SQL transform over the _input view, engine functions available") {
     val base = tmpDir("dist")
     val cfg = s"""{

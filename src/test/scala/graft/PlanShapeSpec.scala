@@ -88,4 +88,29 @@ class PlanShapeSpec extends SparkSpec {
     // never an exchange of the |V| x |C| score stream itself
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 5, p)
   }
+
+  test("q_tpch_q14: part joins broadcast; single-group aggregate, no sort") {
+    val p = planOf("q_tpch_q14")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "dim join must not shuffle-sort the fact")
+  }
+
+  test("q_corpus_pipeline: one fingerprint shuffle + one rollup, nothing more") {
+    val p = planOf("q_corpus_pipeline")
+    // window on fp + per-lang aggregation; the gate/keeper/counters all
+    // fuse into those two stages
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q_mode: two map-side-combinable aggregations, one value-pair exchange") {
+    val p = planOf("q_mode")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final agg expected")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q_stats_moments: all six power sums in ONE aggregation pass") {
+    val p = planOf("q_stats_moments")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"moments must be a single groupBy pass:\n$p")
+  }
 }

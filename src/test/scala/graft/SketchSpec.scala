@@ -34,6 +34,24 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile lands within rank tolerance of the exact percentile") {
+    val orders = graft.io.Tables(spark, sf("sf0.01"), "orders")
+    val rows = orders.groupBy(col("o_orderpriority"))
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx"),
+        expr("percentile(o_totalprice, 0.5)").as("exact"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (approx, exact) = (r.getDouble(1), r.getDouble(2))
+      // accuracy 1000 => rank error <= n/1000; prices spread ~[850, 600k],
+      // so a generous relative value-tolerance is a safe proxy
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"prio ${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
   test("bloom filter: no false negatives, false-positive rate near fpp") {
     val orders = graft.io.Tables(spark, sf("sf0.01"), "orders")
     val keys = orders.select(col("o_orderkey")).collect().map(_.getLong(0))
