@@ -308,10 +308,12 @@ object Dedup {
         |SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS n_members
         |FROM (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)""") { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
+      // persist: the shingle frame feeds both sides of the candidate join
       val sh = Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"), expr(tokens).as("w"))
         .filter(expr("size(w) >= 3"))
         .select(col("doc_id"), col("lang"), expr(shingles).as("shingles"))
+        .persist()
       val ex = sh
         .select(
           col("doc_id"), col("lang"), expr("size(shingles)").as("n_sh"),
@@ -350,6 +352,7 @@ object Dedup {
         labels = next
       }
       edges.unpersist()
+      sh.unpersist()
       labels
         .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("label"))))
         .select(col("doc_id"), col("label").as("cluster_id"), col("n_members"))

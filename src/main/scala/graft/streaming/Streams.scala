@@ -201,4 +201,22 @@ object Streams {
       .start()
       .awaitTermination()
   }
+
+  /** Catch-up run: process everything currently in `inDir` with
+    * `Trigger.AvailableNow` (rate-limited micro-batches, then stop).
+    * The incremental-backfill mode for a 100 TB directory: repeated
+    * invocations resume from the checkpoint and only read new files,
+    * giving exactly-once batch-style runs on streaming semantics. */
+  def runOnce(spark: SparkSession, inDir: String, outDir: String, checkpoint: String): Unit = {
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    windowedAgg(stream).writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+      .awaitTermination()
+  }
 }

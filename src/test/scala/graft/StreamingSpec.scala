@@ -171,6 +171,20 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("runOnce: AvailableNow catch-up is incremental across invocations") {
+    import spark.implicits._
+    val base = tmpDir("stream_once")
+    val batch = graft.io.Tables(spark, sf(), "events")
+      .select(col("ts").cast("timestamp").as("ts"), $"event_type", $"value")
+    batch.write.parquet(s"$base/in")
+    Streams.runOnce(spark, s"$base/in", s"$base/out", s"$base/ckpt")
+    val first = spark.read.parquet(s"$base/out").count()
+    assert(first > 0)
+    // no new files -> a second catch-up run emits nothing new
+    Streams.runOnce(spark, s"$base/in", s"$base/out", s"$base/ckpt")
+    assert(spark.read.parquet(s"$base/out").count() == first)
+  }
+
   test("file-source streaming matches batch windowedAgg on the events table") {
     import spark.implicits._
     val base = tmpDir("stream")
