@@ -29,7 +29,8 @@ final case class AsOfJoinPlan(
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    tolerance: Option[Long] = None)
     extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -46,7 +47,8 @@ final case class AsOfJoinExec(
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    tolerance: Option[Long] = None)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -69,6 +71,7 @@ final case class AsOfJoinExec(
     val rt = BindReferences.bindReference(rightTime, rightOut)
     val outAttrs = output
 
+    val tol = tolerance
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
@@ -77,6 +80,7 @@ final case class AsOfJoinExec(
       // buffered right cursor: the latest right row whose (key, time) is
       // <= the current left position, plus one lookahead row
       var curKey = 0L
+      var curTime = 0L
       var cur: InternalRow = null
       var nextKey = 0L
       var nextTime = 0L
@@ -108,9 +112,13 @@ final case class AsOfJoinExec(
             (nextKey < k || (nextKey == k && nextTime <= t))) {
             cur = next
             curKey = nextKey
+            curTime = nextTime
             advanceRight()
           }
-          if (cur != null && curKey == k) proj(joined(l, cur))
+          // the buffered row is the GREATEST right time <= t; anything
+          // earlier is farther, so one tolerance check suffices
+          if (cur != null && curKey == k && tol.forall(t - curTime <= _))
+            proj(joined(l, cur))
           else proj(joined(l, nullRight))
         }
       }
@@ -126,8 +134,8 @@ final case class AsOfJoinExec(
   * [[graft.functions.GraftExtensions]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
     case _ => Nil
   }
 }

@@ -104,5 +104,37 @@ object Events {
         org.apache.spark.sql.graft.AsOfApi
           .join(ev, purchases, "user_id", "p_user", "tus", "p_tus")
           .select(col("event_id"), col("user_id"), col("tus"), col("purchase_id"), col("p_tus"))
+    },
+
+    // ---- as-of join with tolerance (bounded lookback) ----------------------
+    // same merge, but a match older than 1h is discarded — the form
+    // sensor/trade enrichment needs (a stale quote is not a quote). The
+    // oracle nulls out-of-tolerance matches from the unbounded ASOF:
+    // equivalent, since any earlier right row is farther away.
+    Q(
+      "q_asof_tolerance",
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+        |), p AS (
+        |  SELECT user_id AS p_user, epoch_us(ts) AS p_tus, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |)
+        |SELECT event_id, user_id, tus,
+        |  CASE WHEN tus - p_tus <= 3600000000 THEN purchase_id END AS purchase_id,
+        |  CASE WHEN tus - p_tus <= 3600000000 THEN p_tus END AS p_tus
+        |FROM (SELECT e.event_id, e.user_id, e.tus, p.purchase_id, p.p_tus
+        |      FROM e ASOF LEFT JOIN p
+        |      ON e.user_id = p.p_user AND e.tus >= p.p_tus)""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), expr("ts_ns div 1000").as("tus"))
+      val purchases = Tables(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"), expr("ts_ns div 1000").as("p_tus"))
+        .agg(max(col("event_id")).as("purchase_id"))
+        .select(col("p_user"), col("p_tus"), col("purchase_id"))
+      org.apache.spark.sql.graft.AsOfApi
+        .join(ev, purchases, "user_id", "p_user", "tus", "p_tus",
+          tolerance = Some(3600000000L)) // 1 hour in microseconds
+        .select(col("event_id"), col("user_id"), col("tus"), col("purchase_id"), col("p_tus"))
     })
 }

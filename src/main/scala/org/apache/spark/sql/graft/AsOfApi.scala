@@ -16,13 +16,17 @@ import graft.plans.AsOfJoinPlan
   */
 object AsOfApi {
 
+  /** `tolerance`: optional max lookback — a right row only matches when
+    * `leftTime - rightTime <= tolerance` (same unit as the time
+    * columns). None = unbounded (classic as-of). */
   def join(
       left: DataFrame,
       right: DataFrame,
       leftKey: String,
       rightKey: String,
       leftTime: String,
-      rightTime: String): DataFrame = {
+      rightTime: String,
+      tolerance: Option[Long] = None): DataFrame = {
     graft.functions.GraftRuntime.ensure(left.sparkSession)
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
@@ -37,6 +41,6 @@ object AsOfApi {
         s"as-of join v1 requires BIGINT key/time columns; '${a.name}' is ${a.dataType.simpleString}")
     Dataset.ofRows(
       left.sparkSession.asInstanceOf[ClassicSession],
-      AsOfJoinPlan(lp, rp, lk, rk, lt, rt))
+      AsOfJoinPlan(lp, rp, lk, rk, lt, rt, tolerance))
   }
 }

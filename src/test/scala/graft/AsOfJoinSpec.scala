@@ -26,6 +26,21 @@ class AsOfJoinSpec extends SparkSpec {
       (2L, 7L, null), (3L, 9L, null)))
   }
 
+  test("tolerance drops matches older than the lookback") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (1L, 20L), (1L, 100L), (2L, 7L))
+      .toDF("k", "t")
+    val right = Seq((1L, 8L, "a"), (1L, 15L, "b"), (2L, 1L, "d"))
+      .toDF("rk", "rt", "v")
+    val got = AsOfApi.join(left, right, "k", "rk", "t", "rt", tolerance = Some(10L))
+      .select($"k", $"t", $"v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) null else r.getString(2)))
+      .toSet
+    // (1,100): nearest is rt=15, 85 > 10 -> null; (2,7): rt=1, 6 <= 10 -> d
+    assert(got == Set(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 100L, null), (2L, 7L, "d")))
+  }
+
   test("as-of on harness events matches composed implementation") {
     val ev = graft.io.Tables(spark, sf(), "events")
       .select(col("event_id"), col("user_id"), expr("ts_ns div 1000").as("tus"))
