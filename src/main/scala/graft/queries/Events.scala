@@ -77,6 +77,73 @@ object Events {
           col("event_type"), col("cnt"), col("sum_value"))
     },
 
+    // ---- sliding (hopping) time windows ------------------------------------
+    // 1-hour windows every 30 minutes: each event lands in exactly two
+    // windows. The window() builtin plans this as a 2-row explode + the
+    // same single aggregation as tumbling — the oracle materializes the
+    // two candidate starts explicitly.
+    Q(
+      "q_sliding_window",
+      """SELECT w_start, w_start + 3600000000 AS w_end, event_type,
+        |  count(*) AS cnt,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT event_type, value, unnest([fl, fl - 1800000000]) AS w_start
+        |  FROM (SELECT event_type, value,
+        |          (epoch_us(ts) // 1800000000) * 1800000000 AS fl FROM events))
+        |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(expr("dec_cast(value, 18, 2)")).cast("decimal(18,2)").cast("double").as("sum_value"))
+        .select(
+          expr("unix_micros(cast(window.start as timestamp))").as("w_start"),
+          expr("unix_micros(cast(window.end as timestamp))").as("w_end"),
+          col("event_type"), col("cnt"), col("sum_value"))
+    },
+
+    // ---- conversion funnel (sequential pattern) ----------------------------
+    // click -> first purchase AFTER that click, with a 1h-conversion
+    // tier: the sequential-event query behind attribution/retention
+    // reports. Two aggregations + one equi-join on user_id; the time
+    // predicate rides the join, so no per-user event blowup.
+    Q(
+      "q_events_funnel",
+      """WITH c AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS first_click
+        |  FROM events WHERE event_type = 'click' GROUP BY 1
+        |), fp AS (
+        |  SELECT c.user_id, c.first_click, min(epoch_us(p.ts)) AS first_purchase
+        |  FROM c LEFT JOIN events p
+        |    ON p.user_id = c.user_id AND p.event_type = 'purchase'
+        |       AND epoch_us(p.ts) >= c.first_click
+        |  GROUP BY 1, 2
+        |)
+        |SELECT count(*) AS n_click_users,
+        |  count(first_purchase) AS n_converted,
+        |  count(CASE WHEN first_purchase - first_click <= 3600000000 THEN 1 END) AS n_converted_1h,
+        |  min(first_click) AS earliest_click
+        |FROM fp""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"))
+        .agg(min(expr("ts_ns div 1000")).as("first_click"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), expr("ts_ns div 1000").as("p_tus"))
+      clicks
+        .join(purchases,
+          col("user_id") === col("p_user") && col("p_tus") >= col("first_click"), "left")
+        .groupBy(col("user_id"), col("first_click"))
+        .agg(min(col("p_tus")).as("first_purchase"))
+        .agg(
+          count(lit(1)).as("n_click_users"),
+          count(col("first_purchase")).as("n_converted"),
+          count(when(col("first_purchase") - col("first_click") <= 3600000000L, 1))
+            .as("n_converted_1h"),
+          min(col("first_click")).as("earliest_click"))
+    },
+
     // ---- AS-OF join (custom operator, DuckDB native ASOF as oracle) --------
     // for every event: the user's latest purchase at-or-before that
     // event. Runs through graft.plans.AsOfJoinExec — co-partitioned
