@@ -36,7 +36,8 @@ final case class DistLocation(
 final case class DistTask(
     source: DistLocation,
     dest: DistLocation,
-    transform: Option[String] = None)
+    transform: Option[String] = None,
+    streaming: Boolean = false)
 
 final case class DistConfig(directions: Map[String, Seq[DistTask]]) {
   def direction(name: String): Seq[DistTask] =
@@ -57,7 +58,8 @@ object DistConfig {
         DistTask(
           location(t, "source"),
           location(t, "dest"),
-          Option(t.get("transform")).map(_.asText()))
+          Option(t.get("transform")).map(_.asText()),
+          Option(t.get("streaming")).exists(_.asBoolean()))
       }.toSeq
       e.getKey -> tasks
     }.toMap

@@ -357,6 +357,43 @@ object Breadth {
             dsum(rev, dec4)).as("promo_revenue"))
     },
 
+    // ---- unpivot (wide -> long) ---------------------------------------------
+    // stack() in Spark; the oracle states the same reshape as the
+    // engine-neutral UNION ALL (what UNPIVOT desugars to)
+    Q(
+      "q_unpivot",
+      """SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'price' AS metric, p_retailprice AS value FROM part""") { (s, dir) =>
+      t(s, dir, "part").selectExpr(
+        "p_partkey",
+        "stack(2, 'size', cast(p_size as double), 'price', p_retailprice) as (metric, value)")
+    },
+
+    // ---- try_cast (error-tolerant parsing) ----------------------------------
+    // numeric-token extraction from free text: failures become NULL, not
+    // task aborts — the semantics a dirty-corpus parse needs. The oracle
+    // regex-gates its TRY_CAST because DuckDB's accepts more shapes than
+    // Spark's ANSI one ('12.5'→13, '1e3'→1000 vs NULL); the gate equals
+    // Spark's exact accept set (optional sign + digits, overflow→NULL).
+    Q(
+      "q_try_cast",
+      raw"""SELECT doc_id,
+        |  count(CASE WHEN regexp_matches(t, '^[+-]?[0-9]+$$') THEN TRY_CAST(t AS BIGINT) END) AS n_numeric,
+        |  CAST(sum(CASE WHEN regexp_matches(t, '^[+-]?[0-9]+$$') THEN TRY_CAST(t AS BIGINT) END) AS BIGINT) AS sum_numeric,
+        |  count(*) AS n_tokens
+        |FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |      FROM documents)
+        |GROUP BY doc_id""") { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(raw"split(trim(text), '\\s+')")).as("t"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(expr("try_cast(t as bigint)")).as("n_numeric"),
+          sum(expr("try_cast(t as bigint)")).cast("bigint").as("sum_numeric"),
+          count(lit(1)).as("n_tokens"))
+    },
+
     // ---- TPC-H Q18 shape: large-quantity orders -----------------------------
     // groupBy-then-semi-join: the aggregate runs once over lineitem, the
     // qualifying keys join back to orders (AQE broadcasts the tiny

@@ -52,32 +52,73 @@ object DistMain {
     * destination subdirectory, optionally prefixed by dest.name. */
   def runDirection(spark: SparkSession, tasks: Seq[DistTask], direction: String): Unit =
     tasks.zipWithIndex.foreach { case (task, i) =>
-      val ia = Adapters.input(task.source.adapter)
-      val inConf = AdapterConf(ia.meta, task.source.params)
-      val sourceName = task.source.subName.getOrElse(s"$direction#$i")
-      val streams: ListMap[String, _] =
-        ia.load(spark, task.source.path, sourceName, task.source.partCount, inConf)
-
-      val oa = Adapters.output(task.dest.adapter)
-      val outConf = AdapterConf(oa.meta, task.dest.params)
-      streams.foreach { case (streamName, df0) =>
-        var sub = streamName.stripPrefix(sourceName).stripPrefix("/")
-        task.dest.subName.foreach { dn =>
-          sub = if (sub.isEmpty) dn else s"$dn/$sub"
-        }
-        // optional in-pipeline SQL transform: the stream is bound as the
-        // `_input` view; the engine's native functions (dot_f, shingles,
-        // dec_cast, simhash_agg, ...) are available in the statement
-        val df = task.transform match {
-          case Some(sql) =>
-            graft.functions.GraftRuntime.ensure(spark)
-            df0.asInstanceOf[org.apache.spark.sql.DataFrame].createOrReplaceTempView("_input")
-            spark.sql(sql)
-          case None => df0.asInstanceOf[org.apache.spark.sql.DataFrame]
-        }
-        oa.save(sub, df, task.dest.path, outConf)
-      }
+      if (task.streaming) runStreamingTask(spark, task)
+      else runBatchTask(spark, task, direction, i)
     }
+
+  private def runBatchTask(
+      spark: SparkSession, task: DistTask, direction: String, i: Int): Unit = {
+    val ia = Adapters.input(task.source.adapter)
+    val inConf = AdapterConf(ia.meta, task.source.params)
+    val sourceName = task.source.subName.getOrElse(s"$direction#$i")
+    val streams: ListMap[String, _] =
+      ia.load(spark, task.source.path, sourceName, task.source.partCount, inConf)
+
+    val oa = Adapters.output(task.dest.adapter)
+    val outConf = AdapterConf(oa.meta, task.dest.params)
+    streams.foreach { case (streamName, df0) =>
+      var sub = streamName.stripPrefix(sourceName).stripPrefix("/")
+      task.dest.subName.foreach { dn =>
+        sub = if (sub.isEmpty) dn else s"$dn/$sub"
+      }
+      // optional in-pipeline SQL transform: the stream is bound as the
+      // `_input` view; the engine's native functions (dot_f, shingles,
+      // dec_cast, simhash_agg, ...) are available in the statement
+      val df = task.transform match {
+        case Some(sql) =>
+          graft.functions.GraftRuntime.ensure(spark)
+          df0.asInstanceOf[org.apache.spark.sql.DataFrame].createOrReplaceTempView("_input")
+          spark.sql(sql)
+        case None => df0.asInstanceOf[org.apache.spark.sql.DataFrame]
+      }
+      oa.save(sub, df, task.dest.path, outConf)
+    }
+  }
+
+  /** `"streaming": true` task: incremental catch-up copy. The source
+    * directory is read as a file stream (schema from a batch peek), the
+    * optional `transform` is applied per micro-batch through the same
+    * `_input` view, and the sink runs `Trigger.AvailableNow` with a
+    * checkpoint under `<dest>/_checkpoint` — re-running the direction
+    * processes ONLY files added since the last run (exactly-once
+    * incremental backfill; stateless or windowed-append transforms).
+    * Self-describing file formats only. */
+  private val streamFormats = Map(
+    "hadoopParquet" -> "parquet", "hadoopJson" -> "json", "hadoopOrc" -> "orc")
+
+  private def runStreamingTask(spark: SparkSession, task: DistTask): Unit = {
+    def fmt(adapter: String): String = streamFormats.getOrElse(adapter,
+      throw new IllegalArgumentException(
+        s"streaming tasks support ${streamFormats.keys.mkString("/")}, got '$adapter'"))
+    val (inFmt, outFmt) = (fmt(task.source.adapter), fmt(task.dest.adapter))
+    val schema = spark.read.format(inFmt).load(task.source.path).schema
+    val stream = spark.readStream.format(inFmt).schema(schema).load(task.source.path)
+    val df = task.transform match {
+      case Some(sql) =>
+        graft.functions.GraftRuntime.ensure(spark)
+        stream.createOrReplaceTempView("_input")
+        spark.sql(sql)
+      case None => stream
+    }
+    df.writeStream
+      .format(outFmt)
+      .option("path", task.dest.path)
+      .option("checkpointLocation", s"${task.dest.path}/_checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+      .awaitTermination()
+  }
 
   /** Read a (possibly remote) config file through the Hadoop FS API. */
   def readFile(spark: SparkSession, path: String): String = {

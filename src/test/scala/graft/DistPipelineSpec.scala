@@ -249,6 +249,31 @@ class DistPipelineSpec extends SparkSpec {
     }
   }
 
+  test("streaming task: incremental AvailableNow copy with transform") {
+    val base = tmpDir("dist")
+    // seed the input dir with a first batch of files
+    spark.read.parquet(s"${sf()}/region.parquet").write.parquet(s"$base/in")
+    val cfg = s"""{
+      "d": [{
+        "streaming": true,
+        "source": {"adapter": "hadoopParquet", "path": "$base/in"},
+        "transform": "SELECT r_regionkey, upper(r_name) AS r_name_u FROM _input",
+        "dest":   {"adapter": "hadoopParquet", "path": "$base/out"}}]
+    }"""
+    write(s"$base/config.json", cfg)
+    val conf = DistConfig.parse(DistMain.readFile(spark, s"file:$base/config.json"))
+    DistMain.runDirection(spark, conf.direction("d"), "d")
+    val first = spark.read.parquet(s"$base/out")
+    assert(first.count() == 5)
+    assert(first.columns.toSeq == Seq("r_regionkey", "r_name_u"))
+    // add files, re-run: only the new ones are processed (checkpoint)
+    spark.read.parquet(s"${sf()}/nation.parquet")
+      .selectExpr("n_nationkey AS r_regionkey", "n_name AS r_name")
+      .write.mode("append").parquet(s"$base/in")
+    DistMain.runDirection(spark, conf.direction("d"), "d")
+    assert(spark.read.parquet(s"$base/out").count() == 30)
+  }
+
   test("save_mode append accumulates; ignore leaves the first write intact") {
     val base = tmpDir("dist")
     def cfg(mode: String) = s"""{
