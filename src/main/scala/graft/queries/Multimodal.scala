@@ -43,5 +43,16 @@ object Multimodal {
           sum(col("byte_len")).as("sum_bytes"),
           sum(expr("histogram[6]")).as("hist_bin6"),
           sum(expr("size(embedding)")).as("emb_dims"))
+    },
+
+    // frame-sampling plumbing: n evenly-spaced per-video frames (stub
+    // 16-byte windows; real batch shape/schema), summarized per media id
+    Q.noOracle("q_media_frames") { (s, dir) =>
+      Media.frameSample(Media.synthesize(s, dir), 4)
+        .groupBy(col("media_id"))
+        .agg(
+          count(lit(1)).as("n_frames"),
+          sum(expr("octet_length(frame_bytes)")).as("sum_frame_bytes"),
+          countDistinct(expr("xxhash64(frame_bytes)")).as("distinct_frames"))
     })
 }

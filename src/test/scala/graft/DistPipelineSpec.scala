@@ -249,6 +249,34 @@ class DistPipelineSpec extends SparkSpec {
     }
   }
 
+  test("compression codecs round-trip: gzip text, zstd parquet") {
+    val base = tmpDir("dist")
+    val cfg = s"""{
+      "d": [{
+        "source": {"adapter": "hadoopParquet", "path": "file:${sf()}/region.parquet"},
+        "dest":   {"adapter": "hadoopColumnar", "path": "file:$base/gz",
+                   "params": {"codec": "gzip", "delimiter": "|", "header": true}}},
+       {
+        "source": {"adapter": "hadoopParquet", "path": "file:${sf()}/region.parquet"},
+        "dest":   {"adapter": "hadoopParquet", "path": "file:$base/zstd",
+                   "params": {"codec": "zstd"}}}],
+      "back": [{
+        "source": {"adapter": "hadoopColumnar", "path": "file:$base/gz",
+                   "params": {"delimiter": "|"}},
+        "dest":   {"adapter": "hadoopParquet", "path": "file:$base/pq"}}]
+    }"""
+    write(s"$base/config.json", cfg)
+    val conf = DistConfig.parse(DistMain.readFile(spark, s"file:$base/config.json"))
+    DistMain.runDirection(spark, conf.direction("d"), "d")
+    // suffix-coded compression actually applied
+    assert(new java.io.File(s"$base/gz").listFiles().exists(_.getName.endsWith(".gz")))
+    assert(new java.io.File(s"$base/zstd").listFiles()
+      .exists(_.getName.contains(".zstd.parquet")))
+    DistMain.runDirection(spark, conf.direction("back"), "back")
+    assert(spark.read.parquet(s"file:$base/pq").count() == 5)
+    assert(spark.read.parquet(s"file:$base/zstd").count() == 5)
+  }
+
   test("streaming task: incremental AvailableNow copy with transform") {
     val base = tmpDir("dist")
     // seed the input dir with a first batch of files

@@ -108,6 +108,18 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
   }
 
+  test("q_asof_tolerance: same AsOfJoinExec plan as the unbounded as-of") {
+    val p = planOf("q_asof_tolerance")
+    assert(p.contains("AsOfJoin"), "tolerance variant must use the native operator")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("q_sliding_window: explode-to-windows stays one aggregation") {
+    val p = planOf("q_sliding_window")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"hopping windows must aggregate in one pass:\n$p")
+  }
+
   test("q_stats_moments: all six power sums in ONE aggregation pass") {
     val p = planOf("q_stats_moments")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
