@@ -333,6 +333,60 @@ object Breadth {
           col("cnt").as("mode_cnt"))
     },
 
+    // ---- TPC-H Q6 shape: forecasting revenue change (pure predicate agg) ----
+    Q(
+      "q_tpch_q6",
+      """SELECT
+        |  CAST(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+        |    AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24)
+        .agg(
+          dsum(col("l_extendedprice") * col("l_discount"), dec4).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // ---- TPC-H Q19 shape: disjunctive join predicates -----------------------
+    // OR-of-conjunctions across both join sides: the equi-join key is
+    // still extracted (hash join on partkey), only the residual
+    // disjunction is evaluated post-join — the plan property that keeps
+    // this from degenerating into a cartesian filter
+    Q(
+      "q_tpch_q19",
+      """SELECT
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |    AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 21)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30 AND l_quantity >= 10 AND l_quantity <= 30)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 45 AND l_quantity >= 20 AND l_quantity <= 40)""") {
+      (s, dir) =>
+        val disj =
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity") >= 1 && col("l_quantity") <= 21) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 30) &&
+            col("l_quantity") >= 10 && col("l_quantity") <= 30) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 45) &&
+            col("l_quantity") >= 20 && col("l_quantity") <= 40)
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")), col("p_partkey") === col("l_partkey"))
+          .filter(disj)
+          .agg(
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), dec4).as("revenue"),
+            count(lit(1)).as("n_lines"))
+    },
+
     // ---- TPC-H Q14 shape: promo revenue share (two-sum division) ------------
     Q(
       "q_tpch_q14",
@@ -387,10 +441,11 @@ object Breadth {
         |GROUP BY doc_id""") { (s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), explode(expr(raw"split(trim(text), '\\s+')")).as("t"))
+        .select(col("doc_id"), expr("try_cast(t as bigint)").as("v"))
         .groupBy(col("doc_id"))
         .agg(
-          count(expr("try_cast(t as bigint)")).as("n_numeric"),
-          sum(expr("try_cast(t as bigint)")).cast("bigint").as("sum_numeric"),
+          count(col("v")).as("n_numeric"),
+          sum(col("v")).cast("bigint").as("sum_numeric"),
           count(lit(1)).as("n_tokens"))
     },
 
