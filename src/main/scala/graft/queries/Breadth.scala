@@ -411,6 +411,42 @@ object Breadth {
             dsum(rev, dec4)).as("promo_revenue"))
     },
 
+    // ---- date formatting (dialect-mapped patterns, identical strings) -------
+    Q(
+      "q_date_format",
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+        |  strftime(o_orderdate, '%Y-%m') AS year_month,
+        |  strftime(o_orderdate, '%d/%m/%Y') AS eu_day,
+        |  CAST(strftime(o_orderdate, '%j') AS BIGINT) AS day_of_year
+        |FROM orders""") { (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_day"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("year_month"),
+        date_format(col("o_orderdate"), "dd/MM/yyyy").as("eu_day"),
+        dayofyear(col("o_orderdate")).cast("bigint").as("day_of_year"))
+    },
+
+    // ---- LIKE-pattern breadth (LIKE / NOT LIKE / ILIKE / escape / IN) -------
+    Q(
+      "q_like_patterns",
+      """SELECT p_partkey,
+        |  p_name LIKE '%green%' AS has_green,
+        |  p_name NOT LIKE 'a%' AS not_a_start,
+        |  p_brand ILIKE 'brand#1_' AS brand_teen,
+        |  p_type LIKE '%MED%' AS has_med,
+        |  p_brand IN ('Brand#12', 'Brand#23', 'Brand#34') AS in_three
+        |FROM part""") { (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        col("p_name").like("%green%").as("has_green"),
+        (!col("p_name").like("a%")).as("not_a_start"),
+        col("p_brand").ilike("brand#1_").as("brand_teen"),
+        col("p_type").like("%MED%").as("has_med"),
+        col("p_brand").isin("Brand#12", "Brand#23", "Brand#34").as("in_three"))
+    },
+
     // ---- unpivot (wide -> long) ---------------------------------------------
     // stack() in Spark; the oracle states the same reshape as the
     // engine-neutral UNION ALL (what UNPIVOT desugars to)

@@ -45,6 +45,17 @@ object Multimodal {
           sum(expr("size(embedding)")).as("emb_dims"))
     },
 
+    // resize plumbing: byte-budget contract (w*h cap) + metadata update,
+    // then re-extract features over the resized payloads
+    Q.noOracle("q_media_resize") { (s, dir) =>
+      Media.extractFeatures(Media.resize(Media.synthesize(s, dir), 32, 32))
+        .groupBy(col("kind"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          max(col("byte_len")).as("max_bytes"), // capped at 32*32
+          sum(expr("size(embedding)")).as("emb_dims"))
+    },
+
     // frame-sampling plumbing: n evenly-spaced per-video frames (stub
     // 16-byte windows; real batch shape/schema), summarized per media id
     Q.noOracle("q_media_frames") { (s, dir) =>
