@@ -534,6 +534,16 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin),
 
+    // ---- LATERAL correlated subquery (dialect-shared text) ------------------
+    Q.sqlShared(
+      "q_lateral_subquery",
+      """SELECT c_custkey, t.cnt, t.top_price
+        |FROM customer,
+        |LATERAL (SELECT count(*) AS cnt,
+        |                CAST(max(o_totalprice) AS DOUBLE) AS top_price
+        |         FROM orders WHERE o_custkey = c_custkey) t
+        |WHERE t.cnt > 0""".stripMargin),
+
     // ---- null-handling functions --------------------------------------------
     Q.sqlShared(
       "q_null_funcs",

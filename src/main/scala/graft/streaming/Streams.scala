@@ -140,6 +140,63 @@ object Streams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  final case class BandClaim(bucket: Long, doc_id: Long, keeper_id: Long)
+
+  /** Streaming NEAR-dup detection — the incremental twin of the batch
+    * MinHash+LSH pipeline (`q_dedup_minhash_lsh`): each document's
+    * shingle set is hashed to 4 LSH band buckets (same CrossHash-seeded
+    * XOR permutations as the batch path), and per bucket the FIRST
+    * document to arrive claims it; every arrival emits a claim record
+    * `(bucket, doc_id, keeper_id)`. A document is a near-dup candidate
+    * iff any of its claims has `keeper_id != doc_id` — exactly the batch
+    * candidate-pair semantics, computed incrementally.
+    *
+    * Input schema: (doc_id LONG, text STRING). State: one long per
+    * band bucket, updated in event order within a micro-batch (doc_id
+    * tie-break) — so the keeper choice is deterministic for any batch
+    * arrangement of the same arrival order. At corpus scale the state
+    * store shards by bucket hash; add a TTL/watermark when buckets may
+    * be evicted (dedup horizon).
+    */
+  def nearDedup(docs: DataFrame): Dataset[BandClaim] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.GraftRuntime.ensure(spark)
+    val seeds = (0 until 16).map(i => graft.functions.CrossHash.local(s"seed#$i"))
+    val seedArr = seeds.map(sd => s"${sd}L").mkString(",")
+    val bandStructs = (0 until 4).map { b =>
+      val key = (0 until 4)
+        .map(j => s"cast(element_at(sig, ${b * 4 + j + 1}) as string)").mkString(", ")
+      s"xxhash64(concat_ws(',', '$b', $key))"
+    }.mkString(", ")
+    // signature via the same XOR-min construction, per-row (HOF form —
+    // streaming rows are per-doc already, no aggregation needed)
+    val sigs = docs
+      .selectExpr("doc_id", "shingles(split(trim(text), '\\\\s+'), 3) AS sh")
+      .where("size(sh) > 0")
+      .selectExpr("doc_id",
+        "transform(sh, s -> " + graft.functions.CrossHash.h("s") + ") AS hs")
+      .selectExpr("doc_id",
+        s"transform(array($seedArr), sd -> array_min(transform(hs, v -> v ^ sd))) AS sig")
+      .selectExpr("doc_id", s"array($bandStructs) AS bks")
+      .selectExpr("doc_id", "explode(bks) AS bucket")
+    sigs.as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, BandClaim](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (bucket, rows, state: GroupState[Long]) =>
+          // deterministic within-batch order: smallest doc_id first
+          val ids = rows.map(_._1).toSeq.sorted
+          var keeper = state.getOption.getOrElse(Long.MaxValue)
+          val out = ids.map { id =>
+            if (id < keeper) keeper = id
+            BandClaim(bucket, id, keeper)
+          }
+          if (keeper != Long.MaxValue) state.update(keeper)
+          out.iterator
+      }
+  }
+
   final case class UserStats(user_id: Long, n_events: Long, sum_value: Double)
 
   /** Per-user running counters on the Spark 4 `transformWithState`

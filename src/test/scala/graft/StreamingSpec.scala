@@ -171,6 +171,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("nearDedup: LSH band claims flag near-dups across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.nearDedup(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and again today"
+      mem.addData(
+        (1L, base),
+        (3L, "completely different words about parquet shuffles and broadcast joins here"))
+      q.processAllAvailable()
+      // batch 2: doc 7 is a light edit of doc 1 (shares most shingles)
+      mem.addData((7L, base + " ok"))
+      q.processAllAvailable()
+      val claims = spark.table("neardup_out").as[Streams.BandClaim].collect()
+      def dupOfOther(id: Long) =
+        claims.filter(_.doc_id == id).exists(c => c.keeper_id != id)
+      assert(!dupOfOther(1L), "first doc must keep all its buckets")
+      assert(!dupOfOther(3L), "unrelated doc must not be flagged")
+      assert(dupOfOther(7L), "near-identical doc must hit an earlier keeper's bucket")
+      assert(claims.filter(_.doc_id == 7L).exists(_.keeper_id == 1L))
+    } finally q.stop()
+  }
+
   test("runOnce: AvailableNow catch-up is incremental across invocations") {
     import spark.implicits._
     val base = tmpDir("stream_once")
