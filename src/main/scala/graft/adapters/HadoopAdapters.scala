@@ -381,10 +381,35 @@ final class HadoopParquetOutput extends OutputAdapter {
     Seq("file:/data/out", "s3a://bucket/prefix"),
     Seq(
       ParamDef("codec", "Compression codec", Some("snappy")),
-      ParamDef("columns", "Columns to write; '_' skips a column")) ++ HadoopFiles.writeParams)
+      ParamDef("columns", "Columns to write; '_' skips a column"),
+      ParamDef("bucket_by",
+        "Bucket columns: registers a bucketed+sorted table so equi-joins " +
+          "and aggregations on these columns run exchange-free"),
+      ParamDef("bucket_count", "Bucket count for bucket_by", Some(8)),
+      ParamDef("bucket_table",
+        "Catalog table name for bucket_by (required with bucket_by)")) ++
+      HadoopFiles.writeParams)
 
   def save(subName: String, df: DataFrame, path: String, conf: AdapterConf): Unit =
-    HadoopFiles.writer(df, conf)
-      .option("compression", conf.str("codec", "snappy"))
-      .parquet(OutPath(path, subName))
+    conf.strSeq("bucket_by") match {
+      case Some(cols) =>
+        // bucketed layout is a catalog concept in Spark: the writer
+        // records bucket spec + sort order in the metastore, and every
+        // later join/agg on the bucket columns skips its exchange
+        // (BucketingSpec proves the plan). Data still lands under the
+        // configured path.
+        val table = conf.str("bucket_table").getOrElse(
+          throw new IllegalArgumentException("bucket_by requires bucket_table"))
+        HadoopFiles.writer(df, conf)
+          .option("compression", conf.str("codec", "snappy"))
+          .option("path", OutPath(path, subName))
+          .bucketBy(conf.int("bucket_count", 8), cols.head, cols.tail: _*)
+          .sortBy(cols.head, cols.tail: _*)
+          .format("parquet")
+          .saveAsTable(table)
+      case None =>
+        HadoopFiles.writer(df, conf)
+          .option("compression", conf.str("codec", "snappy"))
+          .parquet(OutPath(path, subName))
+    }
 }

@@ -144,6 +144,33 @@ object Events {
           min(col("first_click")).as("earliest_click"))
     },
 
+    // ---- retention cohorts (weekly matrix) ---------------------------------
+    // users grouped by first-seen epoch-week, counted per week offset —
+    // the cohort retention report. Integer day/week arithmetic only
+    // (floor division on positive epochs), so the matrix is bit-identical
+    // across engines. Two aggregations + one equi-join on user_id.
+    Q(
+      "q_retention_cohorts",
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+        |), f AS (
+        |  SELECT user_id, min(day) AS d0 FROM d GROUP BY 1
+        |)
+        |SELECT f.d0 // 7 AS cohort_week,
+        |  (d.day - f.d0) // 7 AS week_offset,
+        |  count(DISTINCT d.user_id) AS active_users
+        |FROM d JOIN f ON d.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir, "events")
+        .select(col("user_id"), expr("(ts_ns div 1000) div 86400000000").as("day"))
+      val f = d.groupBy(col("user_id").as("f_user")).agg(min(col("day")).as("d0"))
+      d.join(f, col("user_id") === col("f_user"))
+        .groupBy(
+          expr("d0 div 7").as("cohort_week"),
+          expr("(day - d0) div 7").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+    },
+
     // ---- AS-OF join (custom operator, DuckDB native ASOF as oracle) --------
     // for every event: the user's latest purchase at-or-before that
     // event. Runs through graft.plans.AsOfJoinExec — co-partitioned

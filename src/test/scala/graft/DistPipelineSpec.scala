@@ -249,6 +249,33 @@ class DistPipelineSpec extends SparkSpec {
     }
   }
 
+  test("bucket_by sink registers a bucketed table; joins on the key skip exchange") {
+    val base = tmpDir("dist")
+    val cfg = s"""{
+      "d": [{
+        "source": {"adapter": "hadoopParquet", "path": "file:${sf()}/orders.parquet"},
+        "dest":   {"adapter": "hadoopParquet", "path": "file:$base/bkt",
+                   "params": {"bucket_by": ["o_custkey"], "bucket_count": 4,
+                              "bucket_table": "dist_orders_bkt"}}}]
+    }"""
+    write(s"$base/config.json", cfg)
+    val conf = DistConfig.parse(DistMain.readFile(spark, s"file:$base/config.json"))
+    try {
+      DistMain.runDirection(spark, conf.direction("d"), "d")
+      val t = spark.table("dist_orders_bkt")
+      assert(t.count() == spark.read.parquet(s"${sf()}/orders.parquet").count())
+      val desc = spark.sql("DESCRIBE EXTENDED dist_orders_bkt")
+        .collect().map(r => s"${r.getString(0)}=${r.getString(1)}").mkString("\n")
+      assert(desc.contains("Num Buckets=4"), desc)
+      // self-join on the bucket key: both sides pre-bucketed -> no exchange
+      val plan = t.as("a").join(t.as("b"), "o_custkey")
+        .groupBy(org.apache.spark.sql.functions.col("o_custkey")).count()
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS dist_orders_bkt")
+  }
+
   test("compression codecs round-trip: gzip text, zstd parquet") {
     val base = tmpDir("dist")
     val cfg = s"""{
