@@ -272,6 +272,92 @@ object Dedup {
         .select(col("id_a"), col("id_b"), col("ddot").cast("double").as("dot"))
     },
 
+    // ---- surviving corpus after exact + near-dup removal -------------------
+    // The query a pipeline actually ships: which documents make it into
+    // the training set. Exact stage keeps the min doc_id per content
+    // fingerprint; near-dup stage drops the HIGHER doc_id of every
+    // jaccard>=0.5 candidate pair (LSH candidates, verified) — both as
+    // anti-joins, composing the building blocks above into one plan.
+    Q(
+      "q_dedup_survivors",
+      raw"""WITH tok AS (
+        |  SELECT doc_id, $duckTokens AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_transform($duckShingles, s -> ${duck("s")}) AS hsh
+        |  FROM tok WHERE len(w) >= 3
+        |), mh AS (
+        |  SELECT doc_id, hsh,
+        |    list_transform(
+        |      list_transform(generate_series(0, 15), i -> ${duck("'seed#' || i::VARCHAR")}),
+        |      sd -> list_min(list_transform(hsh, v -> xor(v, sd)))) AS sig
+        |  FROM sh
+        |), bands AS (
+        |  SELECT doc_id, b,
+        |    md5(sig[b*4+1]::VARCHAR || ',' || sig[b*4+2]::VARCHAR || ',' ||
+        |        sig[b*4+3]::VARCHAR || ',' || sig[b*4+4]::VARCHAR) AS bk
+        |  FROM mh, unnest(generate_series(0, 3)) AS t(b)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id
+        |), neardups AS (
+        |  SELECT DISTINCT id_b FROM cand
+        |  JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+        |  WHERE CAST(len(list_intersect(x.hsh, y.hsh)) AS DOUBLE) /
+        |        len(list_distinct(x.hsh || y.hsh)) >= 0.5
+        |), exact_losers AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS keep_id
+        |    FROM (SELECT doc_id, ${duck("lower(text)")} AS fp FROM documents))
+        |  WHERE doc_id <> keep_id
+        |)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT id_b FROM neardups)
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM exact_losers)""") { (s, dir) =>
+      val seeds = (0 until 16).map(i => graft.functions.CrossHash.local(s"seed#$i"))
+      val docs = Tables(s, dir, "documents")
+      val sh = docs
+        .select(col("doc_id"), expr(tokens).as("w"))
+        .filter(expr("size(w) >= 3"))
+        .select(col("doc_id"), expr(shingles).as("shingles"))
+        .persist() // feeds signatures + both verify sides
+      val seedArr = seeds.map(sd => s"${sd}L").mkString(",")
+      val sigs = sh
+        .select(col("doc_id"), explode(col("shingles")).as("s"))
+        .select(col("doc_id"), expr(h("s")).as("v"))
+        .groupBy(col("doc_id"))
+        .agg(expr(s"minhash_agg(v, array($seedArr))").as("sig"))
+      val bandStructs = (0 until 4).map { b =>
+        val key = (0 until 4)
+          .map(j => s"cast(element_at(sig, ${b * 4 + j + 1}) as string)").mkString(", ',', ")
+        s"struct($b as b, md5(cast(concat_ws('', $key) as binary)) as bk)"
+      }.mkString(", ")
+      val bands = sigs
+        .select(col("doc_id"), explode(expr(s"array($bandStructs)")).as("band"))
+        .select(col("doc_id"), col("band.b").as("b"), col("band.bk").as("bk"))
+      val cand = bands.as("a")
+        .join(bands.as("c"), expr("a.b = c.b and a.bk = c.bk and a.doc_id < c.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("c.doc_id").as("id_b"))
+        .distinct()
+      val neardups = cand
+        .join(sh.select(col("doc_id"), col("shingles").as("sh_a")), col("doc_id") === col("id_a"))
+        .drop("doc_id")
+        .join(sh.select(col("doc_id"), col("shingles").as("sh_b")), col("doc_id") === col("id_b"))
+        .drop("doc_id")
+        .filter(
+          expr("cast(size(array_intersect(sh_a, sh_b)) as double) / size(array_union(sh_a, sh_b))")
+            >= 0.5)
+        .select(col("id_b")).distinct()
+      val exactLosers = docs
+        .select(col("doc_id"), expr(h("lower(text)")).as("fp"))
+        .withColumn("keep_id",
+          min(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+        .filter(col("doc_id") =!= col("keep_id"))
+        .select(col("doc_id").as("loser_id"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(neardups, col("doc_id") === col("id_b"), "left_anti")
+        .join(exactLosers, col("doc_id") === col("loser_id"), "left_anti")
+    },
+
     // ---- near-dup cluster assignment (connected components) ----------------
     // Pair lists tell you WHAT is similar; pipelines need WHICH GROUP each
     // doc belongs to (keep one per cluster). Cluster id = min doc_id in
