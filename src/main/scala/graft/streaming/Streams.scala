@@ -140,6 +140,22 @@ object Streams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Chained stateful pipeline: exact dedup THEN windowed aggregation in
+    * one streaming query (multiple stateful operators — supported since
+    * the watermark-propagation work in Spark 3.4+). The dedup state and
+    * the window state live in separate store instances; ONE watermark
+    * declaration upstream drives eviction in both (redefining it between
+    * stateful operators is disallowed). */
+  def dedupThenWindow(events: DataFrame): DataFrame =
+    dedup(events) // declares the watermark
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .select(
+        col("window.start").as("hour"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
   final case class BandClaim(bucket: Long, doc_id: Long, keeper_id: Long)
 
   /** Streaming NEAR-dup detection — the incremental twin of the batch

@@ -171,6 +171,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dedupThenWindow: two stateful operators chained in one query") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = Streams.dedupThenWindow(mem.toDF())
+      .writeStream.format("memory").queryName("chain_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(1, ts(5), 1, "click", 1.0), // dup dropped before the window agg
+        Event(2, ts(20), 2, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(9, ts(10000), 9, "view", 0.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("chain_out")
+        .filter($"event_type" === "click")
+        .select($"cnt", $"sum_value".cast("string"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.sameElements(Array((2L, "3.00"))), rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("nearDedup: LSH band claims flag near-dups across micro-batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
