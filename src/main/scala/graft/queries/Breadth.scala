@@ -61,6 +61,17 @@ object Breadth {
           coalesce(col("scnt"), lit(0L)).as("suppliers"))
     },
 
+    // ---- explicit cross join (dim x dim, the only safe cardinality) ---------
+    Q(
+      "q_cross_join",
+      """SELECT n_name, r_name, n_nationkey + r_regionkey AS key_sum
+        |FROM nation CROSS JOIN region""") { (s, dir) =>
+      t(s, dir, "nation")
+        .crossJoin(broadcast(t(s, dir, "region")))
+        .select(col("n_name"), col("r_name"),
+          (col("n_nationkey") + col("r_regionkey")).as("key_sum"))
+    },
+
     // ---- conditional aggregation (FILTER clause semantics) ------------------
     Q(
       "q_conditional_agg",
