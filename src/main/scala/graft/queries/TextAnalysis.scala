@@ -271,6 +271,50 @@ object TextAnalysis {
         expr("size(regexp_extract_all(text, '[0-9]{6,}', 0))").cast("long").as("n_long_ids"))
     },
 
+    // ---- TF-IDF top terms per document -------------------------------------
+    // explode → (doc, term) counts → document frequency → idf weighting →
+    // per-doc top-3. Shuffles on term hash and doc_id only (both
+    // high-cardinality); the vocabulary-sized df table broadcasts back.
+    // ln() is libm-dependent (JVM vs C++ may differ in the last ulp), so
+    // scores snap through the decimal path before ranking — rank order
+    // is then engine-identical, with the term as tie-break.
+    Q(
+      "q_tfidf",
+      raw"""WITH ex AS (
+        |  SELECT doc_id, unnest($duckTokens) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM ex GROUP BY 1
+        |), n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tf.term AS term,
+        |    CAST(CAST(tf * ln(CAST(n AS DOUBLE) / df) AS DECIMAL(18,9)) AS DOUBLE) AS score
+        |  FROM tf, df, n WHERE tf.term = df.term
+        |)
+        |SELECT doc_id, term, score, rn FROM (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val n = docs.count().toDouble // vocabulary-independent scalar
+      val ex = docs.select(col("doc_id"), explode(expr(tokens)).as("term"))
+      val tf = ex.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = ex.groupBy(col("term").as("df_term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      tf.join(broadcast(df), col("term") === col("df_term"))
+        .select(col("doc_id"), col("term"),
+          call_function("dec_cast",
+            col("tf") * log(lit(n) / col("df")), lit(18), lit(9))
+            .cast("double").as("score"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("score"), col("rn"))
+    },
+
     // ---- composed corpus pipeline (quality -> dedup -> stats) --------------
     // The end-to-end pre-training pass, as ONE declarative plan: quality
     // gate, exact-dedup keeper (min doc_id per content fingerprint), PII
