@@ -315,6 +315,59 @@ object TextAnalysis {
         .select(col("doc_id"), col("term"), col("score"), col("rn"))
     },
 
+    // ---- bigram LM quality score -------------------------------------------
+    // Corpus-trained bigram model scoring its own documents: per doc the
+    // mean ln P(b|a) over its DISTINCT bigrams (type-level; shingles()
+    // and the oracle's list dedup agree), with P from corpus bigram /
+    // unigram-prefix counts. The statistical quality filter a training
+    // pipeline runs after the heuristic one. Each per-bigram log is
+    // snapped to DECIMAL(18,9) BEFORE summing — decimal sums are exact
+    // and order-independent, so the aggregate never touches float-sum
+    // nondeterminism (ln itself is libm-dependent in the last ulp).
+    Q(
+      "q_lm_score",
+      raw"""WITH tok AS (
+        |  SELECT doc_id, $duckTokens AS w FROM documents
+        |), bg AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1]))) AS b
+        |  FROM tok WHERE len(w) >= 2
+        |), bgc AS (
+        |  SELECT b, count(*) AS bn FROM bg GROUP BY 1
+        |), unc AS (
+        |  SELECT split_part(b, ' ', 1) AS a, count(*) AS an FROM bg GROUP BY 1
+        |)
+        |SELECT doc_id,
+        |  count(*) AS n_bigrams,
+        |  CAST(CAST(sum(CAST(ln(CAST(bn AS DOUBLE) / an) AS DECIMAL(18,9)))
+        |    AS DECIMAL(28,9)) AS DOUBLE) / count(*) AS avg_logprob
+        |FROM bg JOIN bgc USING (b) JOIN unc ON split_part(b, ' ', 1) = unc.a
+        |GROUP BY doc_id""") { (s, dir) =>
+      // two corpus count tables (bigram, unigram-prefix) joined back to
+      // the per-doc bigram stream; at scale both joins shuffle on the
+      // n-gram hash (high-cardinality) and the counts broadcast when
+      // the vocabulary allows
+      val bg = Tables(s, dir, "documents")
+        .select(col("doc_id"), expr(tokens).as("w"))
+        .filter(expr("size(w) >= 2"))
+        .select(col("doc_id"), explode(expr("shingles(w, 2)")).as("b"))
+        .persist() // feeds the two count tables AND the scoring join
+      val bgc = bg.groupBy(col("b").as("c_b")).agg(count(lit(1)).as("bn"))
+      val unc = bg.select(expr("split_part(b, ' ', 1)").as("a"))
+        .groupBy(col("a")).agg(count(lit(1)).as("an"))
+      bg
+        .join(bgc, col("b") === col("c_b"))
+        .join(unc, expr("split_part(b, ' ', 1) = a"))
+        .select(col("doc_id"),
+          call_function("dec_cast",
+            log(col("bn").cast("double") / col("an")), lit(18), lit(9)).as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          (sum(col("lp")).cast("decimal(28,9)").cast("double") / count(lit(1)))
+            .as("avg_logprob"))
+    },
+
     // ---- composed corpus pipeline (quality -> dedup -> stats) --------------
     // The end-to-end pre-training pass, as ONE declarative plan: quality
     // gate, exact-dedup keeper (min doc_id per content fingerprint), PII
