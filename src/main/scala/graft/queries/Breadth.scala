@@ -272,6 +272,74 @@ object Breadth {
           col("n_name"))
     },
 
+    // ---- column profiling (ANALYZE-style stats in one pass) -----------------
+    Q(
+      "q_profile",
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT o_orderstatus) AS status_card,
+        |  count(DISTINCT o_orderpriority) AS prio_card,
+        |  count(o_custkey) AS custkey_nonnull,
+        |  CAST(min(o_totalprice) AS DOUBLE) AS price_min,
+        |  CAST(max(o_totalprice) AS DOUBLE) AS price_max,
+        |  min(o_orderdate) AS date_min,
+        |  max(o_orderdate) AS date_max
+        |FROM orders""") { (s, dir) =>
+      t(s, dir, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderstatus")).as("status_card"),
+        countDistinct(col("o_orderpriority")).as("prio_card"),
+        count(col("o_custkey")).as("custkey_nonnull"),
+        min(col("o_totalprice")).cast("double").as("price_min"),
+        max(col("o_totalprice")).cast("double").as("price_max"),
+        min(col("o_orderdate")).as("date_min"),
+        max(col("o_orderdate")).as("date_max"))
+    },
+
+    // ---- z-score outlier filter (statistical anomaly pass) ------------------
+    // group stats from exact DECIMAL power sums (the q_stats_moments
+    // shape) broadcast back over the scan; the per-row |x - mean| >
+    // 1.5*stddev comparison (totalprice is near-uniform, max |z| ~1.78) uses the SAME snapped stats in both engines,
+    // so boundary rows can't flip. Two passes over the fact, one tiny
+    // broadcast — the scalable anomaly-filter shape.
+    Q(
+      "q_outliers",
+      """WITH stats AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(CAST(sx / n AS DECIMAL(18,9)) AS DOUBLE) AS mean,
+        |    CAST(CAST(sqrt((n*sx2 - sx*sx) / (n*(n-1))) AS DECIMAL(18,9)) AS DOUBLE) AS sd
+        |  FROM (
+        |    SELECT o_orderpriority, CAST(count(*) AS DOUBLE) AS n,
+        |      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |      CAST(sum(CAST(o_totalprice * o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS sx2
+        |    FROM orders GROUP BY 1)
+        |)
+        |SELECT o_orderkey, o_orderpriority,
+        |  CAST(o_totalprice AS DOUBLE) AS price,
+        |  CAST((o_totalprice - mean) / sd AS DOUBLE) AS zscore
+        |FROM orders JOIN stats ON o_orderpriority = stats.prio
+        |WHERE abs(o_totalprice - mean) > 1.5 * sd""") { (s, dir) =>
+      val dec244 = DecimalType(24, 4)
+      def psum(c: Column, dt: DecimalType) =
+        sum(call_function("dec_cast", c, lit(dt.precision), lit(dt.scale))).cast("double")
+      def snap(c: Column) =
+        call_function("dec_cast", c, lit(18), lit(9)).cast("double")
+      val o = t(s, dir, "orders")
+      val stats = o.groupBy(col("o_orderpriority").as("prio"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          psum(col("o_totalprice"), dec2).as("sx"),
+          psum(col("o_totalprice") * col("o_totalprice"), dec244).as("sx2"))
+        .select(col("prio"),
+          snap(col("sx") / col("n")).as("mean"),
+          snap(sqrt((col("n") * col("sx2") - col("sx") * col("sx")) /
+            (col("n") * (col("n") - lit(1))))).as("sd"))
+      o.join(broadcast(stats), col("o_orderpriority") === col("prio"))
+        .filter(abs(col("o_totalprice") - col("mean")) > lit(1.5) * col("sd"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast("double").as("price"),
+          ((col("o_totalprice") - col("mean")) / col("sd")).cast("double").as("zscore"))
+    },
+
     // ---- higher-order functions over arrays ---------------------------------
     // filter/exists/transform+aggregate lambdas (HOFs run interpreted in
     // Spark — fine for breadth; the hot-path dedup pipelines use native
