@@ -417,7 +417,10 @@ object Dedup {
         .union(pairs.select(col("id_b"), col("id_a")))
         .toDF("src", "dst")
         .persist() // reused every propagation round
-      var labels = Tables(s, dir, "documents")
+      // propagate over PAIRED nodes only — isolated docs keep their own
+      // label by construction, so the per-round frames are |paired docs|
+      // (the near-dup fraction), not the whole corpus
+      var labels = edges.select(col("src").as("doc_id")).distinct()
         .select(col("doc_id"), col("doc_id").as("label"))
         .persist()
       var changed = 1L
@@ -439,7 +442,10 @@ object Dedup {
       }
       edges.unpersist()
       sh.unpersist()
-      labels
+      Tables(s, dir, "documents")
+        .join(labels.withColumnRenamed("doc_id", "l_doc"),
+          col("doc_id") === col("l_doc"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
         .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("label"))))
         .select(col("doc_id"), col("label").as("cluster_id"), col("n_members"))
     })
