@@ -20,8 +20,20 @@ import graft.io.Sessions
   */
 object DistMain {
 
+  private val usage =
+    """Usage: DistMain -c <config.json> [-d <direction>] [-l] [-L <cores>]
+      |                [-m <driverMem>] [-t <tmpDir>] [-u]
+      |  -c  config file path (any Hadoop FS scheme)
+      |  -d  direction to run (optional when the config has exactly one)
+      |  -l  local mode; -L sets local core count; -m driver memory; -u Spark UI
+      |  -t  scratch directory (spark.local.dir; reference 'tmp' param —
+      |      our adapters stream through the FS and need no scratch copies)
+      |  -h  this help""".stripMargin
+
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)
+    if (opts.contains("h")) { println(usage); return }
+    opts.get("t").foreach(t => System.setProperty("spark.local.dir", t))
     val local = opts.contains("l")
     val spark =
       if (local) {
