@@ -315,6 +315,64 @@ object TextAnalysis {
         .select(col("doc_id"), col("term"), col("score"), col("rn"))
     },
 
+    // ---- BM25 top terms per document ---------------------------------------
+    // The retrieval-grade term weighting next to q_tfidf: idf with the
+    // BM25 smoothing and tf saturated by document length against the
+    // corpus average (k1=1.2, b=0.75). avgdl and N are exact-count
+    // scalars; every per-row formula is shared double arithmetic snapped
+    // before ranking.
+    Q(
+      "q_bm25",
+      raw"""WITH ex AS (
+        |  SELECT doc_id, unnest($duckTokens) AS term FROM documents
+        |), dl AS (
+        |  SELECT doc_id, count(*) AS dlen FROM ex GROUP BY 1
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM ex GROUP BY 1
+        |), consts AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(CAST(sum(dlen) AS DOUBLE) / count(*) AS DOUBLE) AS avgdl
+        |  FROM dl
+        |), scored AS (
+        |  SELECT tf.doc_id AS doc_id, tf.term AS term,
+        |    CAST(CAST(
+        |      ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+        |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dlen / avgdl))
+        |      AS DECIMAL(18,9)) AS DOUBLE) AS score
+        |  FROM tf, df, dl, consts
+        |  WHERE tf.term = df.term AND tf.doc_id = dl.doc_id
+        |)
+        |SELECT doc_id, term, score, rn FROM (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val ex = docs.select(col("doc_id"), explode(expr(tokens)).as("term"))
+      val dl = ex.groupBy(col("doc_id").as("dl_doc")).agg(count(lit(1)).as("dlen"))
+      val Seq(nDocs, totLen) = dl.agg(count(lit(1)), sum(col("dlen")))
+        .collect().head.toSeq.map(v => v.toString.toDouble).toSeq
+      val avgdl = totLen / nDocs
+      val tf = ex.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = ex.groupBy(col("term").as("df_term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      tf.join(broadcast(df), col("term") === col("df_term"))
+        .join(broadcast(dl), col("doc_id") === col("dl_doc"))
+        .select(col("doc_id"), col("term"),
+          call_function("dec_cast",
+            log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+              (col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dlen") / lit(avgdl))),
+            lit(18), lit(9)).cast("double").as("score"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("score"), col("rn"))
+    },
+
     // ---- bigram LM quality score -------------------------------------------
     // Corpus-trained bigram model scoring its own documents: per doc the
     // mean ln P(b|a) over its DISTINCT bigrams (type-level; shingles()
