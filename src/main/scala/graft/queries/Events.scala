@@ -144,6 +144,45 @@ object Events {
           min(col("first_click")).as("earliest_click"))
     },
 
+    // ---- time-weighted average value per user ------------------------------
+    // each event's value weighted by how long it was "current" (gap to
+    // the user's next event): the time-series aggregation behind
+    // duration-weighted metrics. value*gap products route through
+    // DECIMAL so the weighted sum is exact and order-free; the final
+    // ratio is one double division of two exact aggregates.
+    Q(
+      "q_time_weighted",
+      """WITH g AS (
+        |  SELECT user_id, value,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      - epoch_us(ts) AS gap_us
+        |  FROM events
+        |)
+        |SELECT user_id,
+        |  count(*) AS n_gaps,
+        |  CAST(sum(gap_us) AS BIGINT) AS total_us,
+        |  CAST(CAST(
+        |    CAST(CAST(sum(CAST(value * gap_us AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS DOUBLE)
+        |      / CAST(sum(gap_us) AS DOUBLE)
+        |    AS DECIMAL(18,9)) AS DOUBLE) AS tw_avg_value
+        |FROM g WHERE gap_us IS NOT NULL AND gap_us > 0
+        |GROUP BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"), expr("ts_ns div 1000").as("tus"))
+        .withColumn("gap_us", lead(col("tus"), 1).over(w) - col("tus"))
+        .filter(col("gap_us").isNotNull && col("gap_us") > 0)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_gaps"),
+          sum(col("gap_us")).cast("bigint").as("total_us"),
+          call_function("dec_cast",
+            sum(call_function("dec_cast", col("value") * col("gap_us"), lit(28), lit(6)))
+              .cast("decimal(38,6)").cast("double")
+              / sum(col("gap_us")).cast("double"),
+            lit(18), lit(9)).cast("double").as("tw_avg_value"))
+    },
+
     // ---- retention cohorts (weekly matrix) ---------------------------------
     // users grouped by first-seen epoch-week, counted per week offset —
     // the cohort retention report. Integer day/week arithmetic only

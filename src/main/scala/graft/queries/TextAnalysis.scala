@@ -237,6 +237,28 @@ object TextAnalysis {
         length(regexp_replace(col("text"), "[aeiou]", "")).cast("long").as("n_consonant_chars"))
     },
 
+    // ---- edit distance (integer DP, engine-unambiguous) --------------------
+    // Levenshtein against a reference phrase over the doc head — the
+    // fuzzy-matching primitive (dedup against a blocklist, template
+    // detection). Integer dynamic programming: no float anywhere.
+    Q(
+      "q_levenshtein",
+      raw"""SELECT doc_id,
+        |  CAST(levenshtein(lower(array_to_string(($duckTokens)[1:4], ' ')),
+        |                   'the quick brown fox') AS BIGINT) AS dist_ref,
+        |  CAST(levenshtein(split_part(trim(text), ' ', 1),
+        |                   split_part(reverse(trim(text)), ' ', 1)) AS BIGINT) AS dist_ends
+        |FROM documents""") { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        levenshtein(
+          lower(expr(s"array_join(slice($tokens, 1, 4), ' ')")),
+          lit("the quick brown fox")).cast("long").as("dist_ref"),
+        levenshtein(
+          expr("split_part(trim(text), ' ', 1)"),
+          expr("split_part(reverse(trim(text)), ' ', 1)")).cast("long").as("dist_ends"))
+    },
+
     // ---- PII scrubbing (pre-training redaction pass) -----------------------
     // Chained regexp_replace: emails, phone-shaped digit groups, then any
     // remaining long digit runs, each to a typed placeholder. Pure
