@@ -65,5 +65,40 @@ object Sampling {
         .filter(expr(s"${h("concat(lang, '/', cast(doc_id as string))")} % 100 < 10"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("sampled"), min(col("doc_id")).as("min_id"))
+    },
+
+    // ---- data mixing: exact per-source quotas ------------------------------
+    // The mixture-recipe operator: take EXACTLY n docs from each source,
+    // chosen by content-hash rank so the pick is reproducible across
+    // runs, partitionings, and engines (rate-based sampling above gives
+    // binomial counts; recipes need exact ones). Per-source quota here
+    // via a hash-ordered rank; at 100 TB compute the quota-th smallest
+    // hash per source first (percentile/exact-rank pass) and filter —
+    // two map stages, no giant per-source window.
+    Q(
+      "q_data_mix",
+      s"""WITH ranked AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ${duck("source || '#' || doc_id::VARCHAR")}, doc_id) AS rn
+        |  FROM documents
+        |), quota AS (
+        |  SELECT * FROM (VALUES ('src0', 10), ('src1', 5), ('src2', 20)) q(src, n)
+        |)
+        |SELECT source, count(*) AS picked, min(doc_id) AS first_pick, max(doc_id) AS last_pick
+        |FROM ranked JOIN quota ON source = quota.src AND rn <= quota.n
+        |GROUP BY source""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val quotas = Seq(("src0", 10), ("src1", 5), ("src2", 20)).toDF("src", "n")
+      Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          expr(h("concat(source, '#', cast(doc_id as string))")).as("hv"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("hv"), col("doc_id"))))
+        .join(broadcast(quotas), col("source") === col("src") && col("rn") <= col("n"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("picked"),
+          min(col("doc_id")).as("first_pick"), max(col("doc_id")).as("last_pick"))
     })
 }
