@@ -295,6 +295,33 @@ object Breadth {
         max(col("o_orderdate")).as("date_max"))
     },
 
+    // ---- equi-width histogram (profiling companion) -------------------------
+    // 10 buckets over the observed [min, max]: bounds come from one exact
+    // min/max pass (doubles, order-free) broadcast back over the scan;
+    // the bucket index is shared double arithmetic + floor, identical in
+    // both engines given identical bounds.
+    Q(
+      "q_histogram",
+      """WITH b AS (
+        |  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+        |)
+        |SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 10.0)), 9) AS BIGINT) AS bucket,
+        |  count(*) AS cnt,
+        |  CAST(min(o_totalprice) AS DOUBLE) AS bucket_min,
+        |  CAST(max(o_totalprice) AS DOUBLE) AS bucket_max
+        |FROM orders, b
+        |GROUP BY 1""") { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val b = o.agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      o.crossJoin(broadcast(b))
+        .groupBy(least(floor((col("o_totalprice") - col("lo")) / ((col("hi") - col("lo")) / 10.0)),
+          lit(9)).cast("bigint").as("bucket"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          min(col("o_totalprice")).cast("double").as("bucket_min"),
+          max(col("o_totalprice")).cast("double").as("bucket_max"))
+    },
+
     // ---- z-score outlier filter (statistical anomaly pass) ------------------
     // group stats from exact DECIMAL power sums (the q_stats_moments
     // shape) broadcast back over the scan; the per-row |x - mean| >
