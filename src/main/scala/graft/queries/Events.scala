@@ -55,6 +55,41 @@ object Events {
           max(col("tus")).as("t_end"))
     },
 
+    // ---- gap sessions via the session_window() builtin (batch) -------------
+    // the declarative twin of q_sessionize, oracle-checked against the
+    // hand-rolled lag/cumsum formulation — proving the builtin merges
+    // sessions with exactly the 30-min-gap semantics (window end is
+    // exclusive: last event + gap)
+    Q(
+      "q_session_window",
+      s"""WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS tus,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $gapUs
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |), s AS (
+        |  SELECT user_id, tus, value,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM e
+        |)
+        |SELECT user_id, min(tus) AS s_start, max(tus) + $gapUs AS s_end,
+        |  count(*) AS n_events,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(expr("dec_cast(value, 18, 2)")).cast("decimal(18,2)").cast("double")
+            .as("sum_value"))
+        .select(
+          expr("unix_micros(cast(session_window.start as timestamp))").as("s_start"),
+          expr("unix_micros(cast(session_window.end as timestamp))").as("s_end"),
+          col("user_id"), col("n_events"), col("sum_value"))
+    },
+
     // ---- tumbling time-window aggregation (the window() builtin) -----------
     // the batch form of the streaming windowedAgg: 1-hour tumbling
     // windows via window(), start/end surfaced as epoch-µs longs so the
