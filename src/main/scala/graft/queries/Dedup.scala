@@ -413,32 +413,33 @@ object Dedup {
           count(lit(1)).as("i"))
         .filter(expr("cast(i as double) / (n_a + n_b - i) >= 0.3"))
         .select(col("id_a"), col("id_b"))
-      val edges = pairs
-        .union(pairs.select(col("id_b"), col("id_a")))
-        .toDF("src", "dst")
-        .persist() // reused every propagation round
       // propagate over PAIRED nodes only — isolated docs keep their own
       // label by construction, so the per-round frames are |paired docs|
-      // (the near-dup fraction), not the whole corpus
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .select(col("doc_id"), col("doc_id").as("label"))
+      // (the near-dup fraction), not the whole corpus. Self-loops fold the
+      // node's own label into the same neighbourhood-min aggregation, so a
+      // round is ONE join + ONE groupBy that yields both the new label and
+      // (via the self edge) the previous one — convergence detection costs
+      // no extra join or shuffle.
+      val sym = pairs.union(pairs.select(col("id_b"), col("id_a")))
+        .toDF("src", "dst")
+      val edges = sym
+        .union(sym.select(col("src")).distinct().select(col("src"), col("src").as("dst")))
+        .persist() // reused every propagation round
+      var labels = edges.select(col("src").as("doc_id"), col("src").as("label"))
+        .distinct()
         .persist()
       var changed = 1L
       while (changed > 0) {
-        val nbrMin = edges
+        val next = edges
           .join(labels.select(col("doc_id").as("src"), col("label").as("srcl")), "src")
           .groupBy(col("dst").as("doc_id"))
-          .agg(min(col("srcl")).as("nl"))
-        val next = labels.join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          .agg(
+            min(col("srcl")).as("label"),
+            min(when(col("src") === col("dst"), col("srcl"))).as("old"))
           .persist()
-        changed = next
-          .join(labels.withColumnRenamed("label", "old"), "doc_id")
-          .filter(col("label") =!= col("old"))
-          .count()
+        changed = next.filter(col("label") =!= col("old")).count()
         labels.unpersist()
-        labels = next
+        labels = next // keeps the spent `old` column; join/final sites project it away
       }
       edges.unpersist()
       sh.unpersist()
