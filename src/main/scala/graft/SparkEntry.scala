@@ -14,9 +14,9 @@ object SparkEntry {
 
   /** All registered capability queries, in declaration order. */
   def allQueries: Seq[Q] =
-    Relational.queries ++ Breadth.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries ++ Events.queries ++
-      Multimodal.queries ++ Sampling.queries
+    Relational.queries ++ Breadth.queries ++ TpchShapes.queries ++
+      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
+      Events.queries ++ Multimodal.queries ++ Sampling.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -581,9 +581,15 @@ object Breadth {
         |FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
         |      FROM documents)
         |GROUP BY doc_id""") { (s, dir) =>
+      // rlike-gate before try_cast: ANSI cast rejects by throwing, and
+      // try_cast catching one exception per non-numeric token (the vast
+      // majority of a text corpus) costs ~10x the whole aggregation. The
+      // gate equals the cast's accept set minus whitespace trim (split
+      // output never has whitespace), so only overflow still throws.
       t(s, dir, "documents")
         .select(col("doc_id"), explode(expr(raw"split(trim(text), '\\s+')")).as("t"))
-        .select(col("doc_id"), expr("try_cast(t as bigint)").as("v"))
+        .select(col("doc_id"),
+          when(col("t").rlike("^[+-]?[0-9]+$"), expr("try_cast(t as bigint)")).as("v"))
         .groupBy(col("doc_id"))
         .agg(
           count(col("v")).as("n_numeric"),
