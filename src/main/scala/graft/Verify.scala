@@ -10,8 +10,15 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     // SPARK_GRAFT_ONLY=q_a,q_b limits the dump (dev iteration; driver unsets it)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def keep(name: String) = only.forall(_.contains(name))
+    only.foreach { sel =>
+      val kept = SparkEntry.queries.keys.count(sel.contains)
+      System.err.println(
+        s"[verify] *** SPARK_GRAFT_ONLY ACTIVE: dumping $kept of " +
+          s"${SparkEntry.queries.size} queries — NOT a full gate run ***")
+    }
     val spark = Sessions.local("graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
@@ -20,6 +27,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries persist() internal frames; drop them so cached partitions
+      // don't accumulate in executor storage across the full 121-query dump
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -585,7 +585,8 @@ object Breadth {
       // try_cast catching one exception per non-numeric token (the vast
       // majority of a text corpus) costs ~10x the whole aggregation. The
       // gate equals the cast's accept set minus whitespace trim (split
-      // output never has whitespace), so only overflow still throws.
+      // output never has whitespace), so only overflow rows still pay the
+      // internal catch, yielding NULL (try_cast never propagates a throw).
       t(s, dir, "documents")
         .select(col("doc_id"), explode(expr(raw"split(trim(text), '\\s+')")).as("t"))
         .select(col("doc_id"),

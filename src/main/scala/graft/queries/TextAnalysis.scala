@@ -321,15 +321,19 @@ object TextAnalysis {
         |WHERE rn <= 3""") { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val docs = Tables(s, dir, "documents")
-      val n = docs.count().toDouble // vocabulary-independent scalar
       val ex = docs.select(col("doc_id"), explode(expr(tokens)).as("term"))
+      // tf feeds both the scoring join and df (df = tf's per-term row count,
+      // since tf already has one row per (doc, term)) — one explode, cached
       val tf = ex.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val df = ex.groupBy(col("term").as("df_term"))
-        .agg(countDistinct(col("doc_id")).as("df"))
+        .persist()
+      val df = tf.groupBy(col("term").as("df_term")).agg(count(lit(1)).as("df"))
+      // corpus size as an in-plan broadcast scalar, not a driver count() job
+      val n = docs.agg(count(lit(1)).cast("double").as("n"))
       tf.join(broadcast(df), col("term") === col("df_term"))
+        .crossJoin(broadcast(n))
         .select(col("doc_id"), col("term"),
           call_function("dec_cast",
-            col("tf") * log(lit(n) / col("df")), lit(18), lit(9))
+            col("tf") * log(col("n") / col("df")), lit(18), lit(9))
             .cast("double").as("score"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))))
@@ -374,23 +378,29 @@ object TextAnalysis {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables(s, dir, "documents")
       val ex = docs.select(col("doc_id"), explode(expr(tokens)).as("term"))
-      val dl = ex.groupBy(col("doc_id").as("dl_doc")).agg(count(lit(1)).as("dlen"))
-      val Seq(nDocs, totLen) = dl.agg(count(lit(1)), sum(col("dlen")))
-        .collect().head.toSeq.map(v => v.toString.toDouble).toSeq
-      val avgdl = totLen / nDocs
+      // one explode → one cached tf; everything else derives from it: df is
+      // tf's per-term row count, N/avgdl fold in as a broadcast agg
+      // crossJoin (no driver collect), and dlen (per-doc token total) rides
+      // the SAME doc_id window partitioning the final ranking needs — so
+      // the whole scoring stage is one shuffle on doc_id, no dl join
       val tf = ex.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val df = ex.groupBy(col("term").as("df_term"))
-        .agg(countDistinct(col("doc_id")).as("df"))
+        .persist()
+      val df = tf.groupBy(col("term").as("df_term")).agg(count(lit(1)).as("df"))
+      val consts = tf.agg(
+        countDistinct(col("doc_id")).cast("double").as("n"),
+        (sum(col("tf")).cast("double") / countDistinct(col("doc_id"))).as("avgdl"))
+      val byDoc = Window.partitionBy(col("doc_id"))
       tf.join(broadcast(df), col("term") === col("df_term"))
-        .join(broadcast(dl), col("doc_id") === col("dl_doc"))
+        .crossJoin(broadcast(consts))
+        .withColumn("dlen", sum(col("tf")).over(byDoc))
         .select(col("doc_id"), col("term"),
           call_function("dec_cast",
-            log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
               (col("tf") * lit(2.2)) /
-              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dlen") / lit(avgdl))),
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dlen") / col("avgdl"))),
             lit(18), lit(9)).cast("double").as("score"))
         .withColumn("rn", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))))
+          byDoc.orderBy(col("score").desc, col("term"))))
         .filter(col("rn") <= 3)
         .select(col("doc_id"), col("term"), col("score"), col("rn"))
     },
@@ -423,21 +433,24 @@ object TextAnalysis {
         |    AS DECIMAL(28,9)) AS DOUBLE) / count(*) AS avg_logprob
         |FROM bg JOIN bgc USING (b) JOIN unc ON split_part(b, ' ', 1) = unc.a
         |GROUP BY doc_id""") { (s, dir) =>
-      // two corpus count tables (bigram, unigram-prefix) joined back to
-      // the per-doc bigram stream; at scale both joins shuffle on the
-      // n-gram hash (high-cardinality) and the counts broadcast when
-      // the vocabulary allows
+      // corpus count tables both derive from one cached bigram-count frame:
+      // the prefix counts are the per-prefix SUM of bigram counts, so unc
+      // reads vocabulary-sized bgc, not the exploded stream; the two
+      // vocabulary-sized tables pre-join on the prefix, leaving a single
+      // high-cardinality shuffle join against the big exploded stream
       val bg = Tables(s, dir, "documents")
         .select(col("doc_id"), expr(tokens).as("w"))
         .filter(expr("size(w) >= 2"))
         .select(col("doc_id"), explode(expr("shingles(w, 2)")).as("b"))
-        .persist() // feeds the two count tables AND the scoring join
+        .persist() // feeds the bigram counts AND the scoring join
       val bgc = bg.groupBy(col("b").as("c_b")).agg(count(lit(1)).as("bn"))
-      val unc = bg.select(expr("split_part(b, ' ', 1)").as("a"))
-        .groupBy(col("a")).agg(count(lit(1)).as("an"))
+        .persist() // feeds the prefix counts AND the combined count table
+      val unc = bgc.groupBy(expr("split_part(c_b, ' ', 1)").as("a"))
+        .agg(sum(col("bn")).as("an"))
+      val counts = bgc.join(unc, expr("split_part(c_b, ' ', 1) = a"))
+        .select(col("c_b"), col("bn"), col("an"))
       bg
-        .join(bgc, col("b") === col("c_b"))
-        .join(unc, expr("split_part(b, ' ', 1) = a"))
+        .join(counts, col("b") === col("c_b"))
         .select(col("doc_id"),
           call_function("dec_cast",
             log(col("bn").cast("double") / col("an")), lit(18), lit(9)).as("lp"))
