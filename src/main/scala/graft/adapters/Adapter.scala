@@ -90,10 +90,11 @@ object Adapters {
     "hadoopJson" -> new HadoopJsonInput,
     "hadoopOrc" -> new HadoopOrcInput,
     "jdbcColumnar" -> new JdbcColumnarInput,
-    // s3direct* verbs of the reference are the same Hadoop sources on
-    // s3a:// paths (endpoint/keys via fs.s3a.* Hadoop conf):
-    "s3directColumnar" -> new HadoopColumnarInput,
-    "s3directText" -> new HadoopTextInput)
+    // s3direct* verbs: the same Hadoop sources on s3a:// paths, wrapped
+    // with the reference's per-task credentials/endpoint/region params
+    // (mapped to per-bucket fs.s3a.bucket.<name>.* conf):
+    "s3directColumnar" -> new S3DirectInputAdapter("s3directColumnar", new HadoopColumnarInput),
+    "s3directText" -> new S3DirectInputAdapter("s3directText", new HadoopTextInput))
 
   val outputs: Map[String, OutputAdapter] = ListMap(
     "hadoopColumnar" -> new HadoopColumnarOutput,
@@ -102,9 +103,9 @@ object Adapters {
     "hadoopJson" -> new HadoopJsonOutput,
     "hadoopOrc" -> new HadoopOrcOutput,
     "jdbcColumnar" -> new JdbcColumnarOutput,
-    "s3directColumnar" -> new HadoopColumnarOutput,
-    "s3directText" -> new HadoopTextOutput,
-    "s3directParquet" -> new HadoopParquetOutput)
+    "s3directColumnar" -> new S3DirectOutputAdapter("s3directColumnar", new HadoopColumnarOutput),
+    "s3directText" -> new S3DirectOutputAdapter("s3directText", new HadoopTextOutput),
+    "s3directParquet" -> new S3DirectOutputAdapter("s3directParquet", new HadoopParquetOutput))
 
   def input(verb: String): InputAdapter = inputs.getOrElse(
     verb, throw new IllegalArgumentException(s"Input adapter '$verb' not found"))

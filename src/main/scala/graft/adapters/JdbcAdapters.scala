@@ -10,12 +10,19 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * `df.write.jdbc` so Spark generates per-partition range predicates,
   * pushes projection into the remote query, and batches inserts.
   *
-  * Parallel-read semantics: the reference binds two `?` placeholders per
-  * partition to `[i, partCount)` ranges of a user query. Spark's native
-  * equivalent is `partitionColumn/lowerBound/upperBound/numPartitions`
-  * (range split on a numeric column) — declared here as
-  * `partition_column`/`lower_bound`/`upper_bound`. Without them the read
-  * is single-partition (same as the reference with part_count=1).
+  * Parallel-read semantics, both of them:
+  *  - the reference's own mode (JdbcColumnarInput.java:62-77): the user
+  *    query carries two `?` placeholders and each of `part_count`
+  *    partitions binds them to its part index — supported here when the
+  *    `query` contains `?`s, as one single-partition derived-table scan
+  *    per part index, unioned (the union keeps one Spark partition per
+  *    part, so the N remote SELECTs run concurrently in one stage);
+  *  - Spark's native `partitionColumn/lowerBound/upperBound/numPartitions`
+  *    range split on a numeric column — declared as
+  *    `partition_column`/`lower_bound`/`upper_bound` (no placeholders
+  *    needed, and the remote DB sees sargable range predicates).
+  * Without either the read is single-partition (same as the reference
+  * with part_count=1).
   */
 final class JdbcColumnarInput extends InputAdapter {
   val meta: AdapterMeta = AdapterMeta(
@@ -26,7 +33,9 @@ final class JdbcColumnarInput extends InputAdapter {
       ParamDef("driver", "JDBC driver class FQN", required = true),
       ParamDef("user", "Connection user"),
       ParamDef("password", "Connection password"),
-      ParamDef("query", "SELECT to execute (wrapped as a derived table)"),
+      ParamDef("query",
+        "SELECT to execute (wrapped as a derived table); two ? placeholders " +
+          "bind each partition's part index, 0 to part_count-1"),
       ParamDef("table", "Table to read (alternative to query)"),
       ParamDef("partition_column", "Numeric column to range-split on"),
       ParamDef("lower_bound", "Partitioning lower bound"),
@@ -38,27 +47,42 @@ final class JdbcColumnarInput extends InputAdapter {
       name: String,
       partCount: Int,
       conf: AdapterConf): ListMap[String, DataFrame] = {
-    val table = (conf.str("query"), conf.str("table")) match {
-      case (Some(q), _) => s"($q) graft_src"
-      case (_, Some(t)) => t
+    def reader(table: String) = {
+      var r = spark.read.format("jdbc")
+        .option("url", path)
+        .option("driver", conf.str("driver").get)
+        .option("dbtable", table)
+      conf.str("user").foreach(u => r = r.option("user", u))
+      conf.str("password").foreach(p => r = r.option("password", p))
+      r
+    }
+    val df = (conf.str("query"), conf.str("table")) match {
+      case (Some(q), _) if q.contains("?") =>
+        // reference placeholder mode (JdbcColumnarInput.java:62-77): two ?
+        // per partition, bound to the part index. Textual substitution of
+        // an integer literal is value-equivalent to the reference's
+        // PreparedStatement.setLong on the same spot.
+        val pieces = q.split("\\?", -1)
+        require(pieces.length == 3,
+          s"jdbcColumnar: a placeholder query needs exactly two ?, got ${pieces.length - 1}")
+        val parts = math.max(partCount, 1)
+        (0 until parts)
+          .map(i => reader(s"(${pieces(0)}$i${pieces(1)}$i${pieces(2)}) graft_part_$i").load())
+          .reduce(_.union(_))
+      case (q, t) if q.orElse(t).isDefined =>
+        var r = reader(q.map(s => s"($s) graft_src").getOrElse(t.get))
+        (conf.str("partition_column"), conf.str("lower_bound"), conf.str("upper_bound")) match {
+          case (Some(c), Some(lo), Some(hi)) if partCount > 0 =>
+            r = r.option("partitionColumn", c)
+              .option("lowerBound", lo)
+              .option("upperBound", hi)
+              .option("numPartitions", partCount)
+          case _ => ()
+        }
+        r.load()
       case _ => throw new IllegalArgumentException("jdbcColumnar needs 'query' or 'table'")
     }
-    var reader = spark.read.format("jdbc")
-      .option("url", path)
-      .option("driver", conf.str("driver").get)
-      .option("dbtable", table)
-    conf.str("user").foreach(u => reader = reader.option("user", u))
-    conf.str("password").foreach(p => reader = reader.option("password", p))
-    (conf.str("partition_column"), conf.str("lower_bound"), conf.str("upper_bound")) match {
-      case (Some(c), Some(lo), Some(hi)) if partCount > 0 =>
-        reader = reader
-          .option("partitionColumn", c)
-          .option("lowerBound", lo)
-          .option("upperBound", hi)
-          .option("numPartitions", partCount)
-      case _ => ()
-    }
-    ListMap(name -> reader.load())
+    ListMap(name -> df)
   }
 }
 

@@ -34,6 +34,39 @@ object DocGen {
     section("Input adapters", distinctMetas(Adapters.inputs.values.map(_.meta)))
     section("Output adapters", distinctMetas(Adapters.outputs.values.map(_.meta)))
     sb ++= s"""
+      |## Accepted parity gaps
+      |
+      |Knobs of the reference consciously dropped or reinterpreted, so the
+      |parity claim stays auditable:
+      |
+      |- **`content_type` on S3 output** (S3DirectStorage.java:18,
+      |  S3DirectTextOutputFunction.java:60-66): the reference sets a
+      |  per-object Content-Type header on its hand-rolled multipart
+      |  uploads. The S3A committer owns object creation here and exposes
+      |  no per-object header hook; the param is accepted and validated on
+      |  the s3direct verbs but has no effect. Affects only how browsers
+      |  render objects fetched over HTTP, not any data semantics.
+      |- **Exact `HASHCODE` record placement** (Partitioning.HASHCODE,
+      |  reference DataStream partitioning): the reference keys every
+      |  record by its Java `hashCode()` and partitions on that value;
+      |  `partitioning=hashcode` here hash-partitions on all columns via
+      |  Spark's Murmur3 `hash(...)`. Equal rows co-locate in both engines
+      |  (the guarantee downstream operators rely on) but the
+      |  partition-to-row assignment differs, so byte-identical file
+      |  layouts across engines are not a goal.
+      |- **Same-bucket credential scoping** (S3DirectInput.java:41-44): the
+      |  reference builds one S3 client per task, so two tasks can name the
+      |  SAME bucket with different credentials. Per-bucket `fs.s3a.bucket
+      |  .<name>.*` conf is per bucket per run — two tasks on one bucket
+      |  with different keys conflict (last writer wins). Cross-endpoint
+      |  copies (the adapter's purpose) use distinct buckets and are fully
+      |  supported.
+      |- **JDBC table DDL** (JdbcColumnarOutput.java:84-110): the reference
+      |  INSERTs into a pre-existing table and never creates one; Spark's
+      |  JDBC writer creates the table when absent (its own type mapping).
+      |  Strictly more capable, but created column types are Spark's
+      |  choice, not the reference operator's concern.
+      |
       |## Example task
       |
       |```json

@@ -162,6 +162,59 @@ class DistPipelineSpec extends SparkSpec {
     assert(rows == Set(("1", "alice", "-"), ("2", "bob", "x")))
   }
 
+  test("s3direct: per-task credentials scope to each task's bucket") {
+    import graft.adapters._
+    // two tasks, two buckets, two credential sets — the reference's core
+    // s3direct use case (copy between heterogeneous endpoints in one run)
+    val in = Adapters.input("s3directColumnar")
+    val (srcPath, srcBucket) = S3Direct.rewrite("s3d://bkt-src/data/in")
+    assert(srcPath == "s3a://bkt-src/data/in" && srcBucket.contains("bkt-src"))
+    S3Direct.applyConf(spark, "bkt-src", AdapterConf(in.meta, Map(
+      "access_key" -> "AK1", "secret_key" -> "SK1",
+      "endpoint" -> "https://s3.eu-src.example", "region" -> "eu-src")))
+    S3Direct.applyConf(spark, "bkt-dst", AdapterConf(in.meta, Map(
+      "access_key" -> "AK2", "secret_key" -> "SK2",
+      "endpoint" -> "https://minio.dst.example:9000")))
+    val hc = spark.sparkContext.hadoopConfiguration
+    // both scopes coexist — neither task clobbered the other's settings
+    assert(hc.get("fs.s3a.bucket.bkt-src.access.key") == "AK1")
+    assert(hc.get("fs.s3a.bucket.bkt-src.endpoint") == "https://s3.eu-src.example")
+    assert(hc.get("fs.s3a.bucket.bkt-src.endpoint.region") == "eu-src")
+    assert(hc.get("fs.s3a.bucket.bkt-dst.access.key") == "AK2")
+    assert(hc.get("fs.s3a.bucket.bkt-dst.secret.key") == "SK2")
+    assert(hc.get("fs.s3a.bucket.bkt-dst.endpoint") == "https://minio.dst.example:9000")
+    // region left unset for bkt-dst stays unset (no default bleed-through)
+    assert(hc.get("fs.s3a.bucket.bkt-dst.endpoint.region") == null)
+  }
+
+  test("s3direct verbs: round trip with credential params present") {
+    // non-s3d paths pass through, so the same verbs + credential params
+    // must still run end-to-end (validated, stripped before the inner
+    // adapter sees the conf)
+    val base = tmpDir("dist")
+    val conf = DistConfig.parse(s"""{
+      "out": [{
+        "source": {"adapter": "hadoopParquet", "path": "file:${sf()}/region.parquet",
+                   "params": {"columns": ["r_regionkey", "r_name"]}},
+        "dest":   {"adapter": "s3directColumnar", "path": "file:$base/csv",
+                   "params": {"delimiter": ",", "header": true,
+                              "access_key": "AK", "secret_key": "SK",
+                              "endpoint": "https://s3.example", "region": "r1",
+                              "content_type": "text/csv"}}}],
+      "back": [{
+        "source": {"adapter": "s3directColumnar", "path": "file:$base/csv",
+                   "params": {"delimiter": ",",
+                              "access_key": "AK", "secret_key": "SK"}},
+        "dest":   {"adapter": "s3directParquet", "path": "file:$base/pq",
+                   "params": {"access_key": "AK", "secret_key": "SK"}}}]
+    }""")
+    DistMain.runDirection(spark, conf.direction("out"), "out")
+    DistMain.runDirection(spark, conf.direction("back"), "back")
+    val back = spark.read.parquet(s"file:$base/pq")
+    assert(back.count() == 5)
+    assert(back.columns.toSet == Set("r_regionkey", "r_name"))
+  }
+
   test("orc adapter round trip") {
     val base = tmpDir("dist")
     val conf = DistConfig.parse(s"""{

@@ -36,6 +36,24 @@ class JdbcAdapterSpec extends SparkSpec {
       orig.select("r_name").collect().map(_.getString(0)).sorted))
   }
 
+  test("jdbc placeholder query: one partition per part index, same rows") {
+    // reference semantics (JdbcColumnarInput.java:62-77): the query's two
+    // ? bind each partition's part index. Split region's 5 rows across 3
+    // parts by r_regionkey % 3.
+    def in(q: String, parts: Int) = new graft.adapters.JdbcColumnarInput().load(
+      spark, url, "q", parts,
+      graft.adapters.AdapterConf(
+        new graft.adapters.JdbcColumnarInput().meta,
+        Map("driver" -> driver, "query" -> q)))("q")
+    val part = in(
+      "SELECT \"r_regionkey\", \"r_name\" FROM region WHERE MOD(\"r_regionkey\", 3) BETWEEN ? AND ?", 3)
+    assert(part.rdd.getNumPartitions == 3, "one Spark partition per part index")
+    val whole = in("SELECT \"r_regionkey\", \"r_name\" FROM region", 0)
+    assert(part.collect().map(_.toSeq).toSet == whole.collect().map(_.toSeq).toSet)
+    // a query with the wrong placeholder count is rejected up front
+    assertThrows[IllegalArgumentException](in("SELECT * FROM region WHERE ? = 1", 2))
+  }
+
   test("jdbc input via query param wraps as derived table") {
     val streams = new graft.adapters.JdbcColumnarInput().load(
       spark, url, "q", 0,
