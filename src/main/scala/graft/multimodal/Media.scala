@@ -11,17 +11,57 @@ import graft.io.Tables
   * The Spark side is real and tested — schema, typed Datasets, batch
   * shape (fixed-size batches inside mapPartitions, the same shape an
   * Arrow/Pandas-UDF pipeline hands a Python decoder), partition
-  * preservation, deterministic feature output. The *decoders* are STUBS:
-  * this container has no image/audio libraries, so `decodeStub` computes
-  * a deterministic fake (byte histogram + hash-derived pseudo-features)
-  * clearly marked below. Swapping in a real decoder changes only the
-  * body of `decodeStub` — every schema and plan stays identical.
+  * preservation, deterministic feature output.
+  *
+  * The IMAGE path is fully real: `synthesize` emits genuine PNG payloads
+  * (encoded with the JDK's `javax.imageio`, no external libraries) whose
+  * pixel values are a known function of the id, and `extractFeatures`
+  * decodes them back through `ImageIO.read` into real pixel histograms —
+  * so the encode→decode round-trip is verified against a DuckDB oracle
+  * that computes the same histogram analytically. Corrupt/truncated
+  * images (e.g. after the byte-budget `resize`) fall back to the byte
+  * histogram, the usual skip-don't-crash posture of a decode stage.
+  *
+  * The AUDIO/VIDEO decoders remain STUBS (no codec libraries in this
+  * container): `decodeStub` computes a deterministic fake (byte
+  * histogram + hash-derived pseudo-features) clearly marked below.
+  * Swapping in a real codec changes only the body of `decodeStub` —
+  * every schema and plan stays identical.
   *
   * Scale shape: feature extraction is a pure map stage (no shuffle); a
   * 100 TB media corpus partitions by file and streams batch-by-batch
   * through the decoder with bounded memory (`batchSize` × payload).
   */
 object Media {
+
+  /** Synthetic images are IMG_DIM×IMG_DIM 8-bit grayscale PNGs with
+    * pixel(x, y) = (id * 7 + y * IMG_DIM + x) mod 256 — analytically
+    * reproducible in SQL, so a real decode can be oracle-checked. */
+  val IMG_DIM = 8
+
+  /** Real PNG encode via the JDK — deterministic pixels from the id. */
+  def encodePng(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      IMG_DIM, IMG_DIM, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < IMG_DIM) {
+      var x = 0
+      while (x < IMG_DIM) {
+        raster.setSample(x, y, 0, (((id * 7 + y * IMG_DIM + x) % 256).toInt))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Real PNG decode via the JDK; None on corrupt/undecodable bytes. */
+  private def decodePng(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
 
   final case class MediaMeta(width: Int, height: Int, sampleRate: Int, durationMs: Long)
 
@@ -38,54 +78,83 @@ object Media {
   val kinds: Seq[String] = Seq("image", "audio", "video")
 
   /** Deterministic synthetic media corpus derived from `documents`:
-    * payload = UTF-8 bytes of the text, kind round-robins, metadata is
-    * derived from the id. Stands in for a real binary source (S3 blobs,
-    * tar shards) with an identical schema. */
+    * image rows carry a REAL PNG payload (JDK-encoded, known pixels),
+    * audio/video carry the UTF-8 bytes of the text as an opaque stand-in;
+    * kind round-robins, metadata derives from the id. Stands in for a
+    * real binary source (S3 blobs, tar shards) with an identical schema. */
   def synthesize(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
+        val kind = kinds((id % 3).toInt)
         MediaRecord(
           id,
-          kinds((id % 3).toInt),
-          text.getBytes("UTF-8"),
+          kind,
+          if (kind == "image") encodePng(id) else text.getBytes("UTF-8"),
           MediaMeta(
-            width = 64 + (id % 16).toInt * 16,
-            height = 64 + (id % 9).toInt * 16,
+            width = if (kind == "image") IMG_DIM else 64 + (id % 16).toInt * 16,
+            height = if (kind == "image") IMG_DIM else 64 + (id % 9).toInt * 16,
             sampleRate = if (id % 3 == 1) 16000 else 0,
             durationMs = if (id % 3 != 0) 1000 + id % 9000 else 0))
       }
   }
 
-  /** STUB decoder — deterministic fake standing in for a real
-    * image/audio decode (libraries unavailable in this environment).
-    * Consumes one bounded batch, exactly like an Arrow batch handed to a
-    * Pandas UDF; replace the body with the real decoder at deployment. */
-  private def decodeStub(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
-    batch.map { r =>
-      val hist = new Array[Long](16)
-      var i = 0
-      while (i < r.payload.length) {
-        hist((r.payload(i) & 0xff) >> 4) += 1
-        i += 1
-      }
-      val emb = Array.tabulate(8) { d =>
-        // hash-derived pseudo-feature in [-1, 1); a real decoder would
-        // produce model activations here
-        val h = java.util.Arrays.hashCode(r.payload) * 31 + d
-        (h % 1000) / 1000.0f
-      }
-      MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, hist, emb)
+  /** STUB decoder for audio/video — deterministic fake standing in for a
+    * real codec (libraries unavailable in this environment), and the
+    * fallback for undecodable images. Consumes one bounded batch, exactly
+    * like an Arrow batch handed to a Pandas UDF; replace the body with
+    * the real decoder at deployment. */
+  private def decodeStub(r: MediaRecord): MediaFeatures = {
+    val hist = new Array[Long](16)
+    var i = 0
+    while (i < r.payload.length) {
+      hist((r.payload(i) & 0xff) >> 4) += 1
+      i += 1
+    }
+    val emb = Array.tabulate(8) { d =>
+      // hash-derived pseudo-feature in [-1, 1); a real decoder would
+      // produce model activations here
+      val h = java.util.Arrays.hashCode(r.payload) * 31 + d
+      (h % 1000) / 1000.0f
+    }
+    MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, hist, emb)
+  }
+
+  /** Real image decode: 16-bin histogram over the decoded 8-bit gray
+    * raster. Undecodable bytes (corrupt, or truncated by the byte-budget
+    * resize) fall back to the byte-histogram stub — skip-don't-crash. */
+  private def decodeOne(r: MediaRecord): MediaFeatures =
+    if (r.kind != "image") decodeStub(r)
+    else decodePng(r.payload) match {
+      case None => decodeStub(r)
+      case Some(img) =>
+        val raster = img.getRaster
+        val hist = new Array[Long](16)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            hist(raster.getSample(x, y, 0) >> 4) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val emb = Array.tabulate(8) { d =>
+          val h = java.util.Arrays.hashCode(hist) * 31 + d
+          (h % 1000) / 1000.0f
+        }
+        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, hist, emb)
     }
 
   /** Batch-wise feature extraction: partition-preserving map stage with
-    * bounded per-batch memory. */
+    * bounded per-batch memory. Images decode for real (ImageIO);
+    * audio/video go through the stub. */
   def extractFeatures(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.mapPartitions(_.grouped(batchSize).flatMap(decodeStub))
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.map(decodeOne)))
   }
 
   /** STUB resize: keeps the byte-budget contract (w*h) of a real resize

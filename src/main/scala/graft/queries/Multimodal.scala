@@ -7,10 +7,12 @@ import graft.multimodal.Media
 
 /** Query-surface entries for the multimodal plumbing. `q_media_meta`
   * exercises the binary-column schema end-to-end in pure SQL (oracle-
-  * checked); `q_media_features` runs the real batch-decode path
-  * (mapPartitions over typed records — stub decoder, real plumbing), and
-  * gets the driver's rows-only check since the stub is not
-  * SQL-expressible. */
+  * checked). `q_media_features` is a REAL decode: payloads are genuine
+  * JDK-encoded PNGs whose pixels are a known function of the id, the
+  * query decodes them back via ImageIO and histograms the raster, and
+  * the DuckDB oracle reproduces the histogram analytically — an
+  * encode→decode→aggregate round-trip under the hash gate. The resize/
+  * frame queries still run stub decoders (rows-only checks). */
 object Multimodal {
 
   val queries: Seq[Q] = Seq(
@@ -35,14 +37,23 @@ object Multimodal {
           max(col("byte_len")).as("max_bytes"))
     },
 
-    Q.noOracle("q_media_features") { (s, dir) =>
-      Media.extractFeatures(Media.synthesize(s, dir))
-        .groupBy(col("kind"))
-        .agg(
-          count(lit(1)).as("cnt"),
-          sum(col("byte_len")).as("sum_bytes"),
-          sum(expr("histogram[6]")).as("hist_bin6"),
-          sum(expr("size(embedding)")).as("emb_dims"))
+    // Real image decode under the hash gate: synthesize PNGs with
+    // pixel(x,y) = (id*7 + y*8 + x) % 256, decode via ImageIO, histogram
+    // the raster into 16 bins; the oracle computes the identical
+    // distribution analytically from the pixel formula. Bins that decode
+    // to zero pixels are filtered so both sides emit the same row set.
+    Q(
+      "q_media_features",
+      """SELECT CAST(((d.doc_id * 7 + p.i) % 256) // 16 AS INT) AS bin,
+        |       count(*) AS total
+        |FROM documents d CROSS JOIN generate_series(0, 63) p(i)
+        |WHERE d.doc_id % 3 = 0
+        |GROUP BY 1""") { (s, dir) =>
+      Media.extractFeatures(Media.synthesize(s, dir).filter(col("kind") === "image"))
+        .select(posexplode(col("histogram")).as(Seq("bin", "cnt")))
+        .groupBy(col("bin"))
+        .agg(sum(col("cnt")).as("total"))
+        .filter(col("total") > 0)
     },
 
     // resize plumbing: byte-budget contract (w*h cap) + metadata update,

@@ -15,9 +15,13 @@ class MediaSpec extends SparkSpec {
     assert(r.kind == "audio") // 7 % 3 == 1
     assert(new String(r.payload, "UTF-8").nonEmpty)
     assert(r.meta.sampleRate == 16000)
+    // image rows carry a real PNG (magic bytes) that the JDK can decode
+    val img = ds.filter(_.media_id == 6).head()
+    assert(img.kind == "image")
+    assert((img.payload(0) & 0xff) == 0x89 && img.payload(1) == 'P'.toByte)
   }
 
-  test("extractFeatures: deterministic, histogram sums to byte_len") {
+  test("extractFeatures: deterministic; stub hist sums to byte_len, image hist to pixels") {
     val ds = Media.synthesize(spark, sf())
     val a = Media.extractFeatures(ds, batchSize = 7).collect().sortBy(_.media_id)
     val b = Media.extractFeatures(ds, batchSize = 64).collect().sortBy(_.media_id)
@@ -27,8 +31,31 @@ class MediaSpec extends SparkSpec {
       x.media_id == y.media_id && x.byte_len == y.byte_len &&
         x.histogram.sameElements(y.histogram) && x.embedding.sameElements(y.embedding)
     })
-    assert(a.forall(f => f.histogram.sum == f.byte_len))
+    assert(a.filter(_.kind != "image").forall(f => f.histogram.sum == f.byte_len))
+    assert(a.filter(_.kind == "image")
+      .forall(f => f.histogram.sum == Media.IMG_DIM.toLong * Media.IMG_DIM))
     assert(a.forall(_.embedding.length == 8))
+  }
+
+  test("image decode round-trips the analytic pixel formula") {
+    val ds = Media.synthesize(spark, sf()).filter(_.kind == "image")
+    val feats = Media.extractFeatures(ds).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val expected = new Array[Long](16)
+      (0 until Media.IMG_DIM * Media.IMG_DIM).foreach { i =>
+        expected((((f.media_id * 7 + i) % 256) >> 4).toInt) += 1
+      }
+      assert(f.histogram.sameElements(expected), s"media ${f.media_id}")
+    }
+  }
+
+  test("truncated image payloads fall back to the byte-histogram stub") {
+    val resized = Media.resize(Media.synthesize(spark, sf()).filter(_.kind == "image"), 4, 4)
+    val feats = Media.extractFeatures(resized).collect()
+    // 16-byte payloads can't decode as PNG; stub hist sums to byte_len
+    assert(feats.nonEmpty)
+    assert(feats.forall(f => f.histogram.sum == f.byte_len && f.byte_len <= 16))
   }
 
   test("extractFeatures preserves partitioning (map-only stage)") {
