@@ -114,6 +114,34 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
   }
 
+  test("q_tpch_q2: nation/region/min-cost broadcast; winner join is not a cartesian") {
+    val p = planOf("q_tpch_q2")
+    // nation, region, and the min-cost-per-part rejoin all broadcast —
+    // only the partsupp aggregation and the supplier/part joins shuffle
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(p.contains("TakeOrderedAndProject"), "LIMIT 20 must not global-sort")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 6, p)
+  }
+
+  test("q_tpch_q9: filtered part and nation broadcast; fact joins bounded") {
+    val p = planOf("q_tpch_q9")
+    // part (filtered to PROMO) and nation are the dims: both broadcast;
+    // lineitem never shuffles for them
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    // suppkey join + orderkey join + final group-by — never one per join
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 6, p)
+  }
+
+  test("q_tpch_q21: semi + anti correlations as hash joins, not nested loops") {
+    val p = planOf("q_tpch_q21")
+    assert(p.contains("LeftSemi"), "EXISTS must compile to a semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must compile to an anti join")
+    // the <> predicate rides the equi-join on l_orderkey as a residual
+    // condition; a nested-loop join here would be quadratic per order
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), "LIMIT 20 must not global-sort")
+  }
+
   test("q_sliding_window: explode-to-windows stays one aggregation") {
     val p = planOf("q_sliding_window")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
