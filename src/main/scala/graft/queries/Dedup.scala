@@ -38,6 +38,85 @@ object Dedup {
   private val duckShingles =
     "list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
 
+  /** n-gram Jaccard similarity pairs via an inverted index on shingle
+    * hashes, with an optional hot-shingle cap (SURVEY §8.4).
+    *
+    * `maxDf <= 0`: single-pass formulation — explode, equi-join postings
+    * on the shingle hash, count the intersection per pair. The shuffle
+    * key is high-cardinality, but one pathological shingle shared by M
+    * documents still fans out M² candidate rows on a single key.
+    *
+    * `maxDf > 0`: shingles whose per-language document frequency exceeds
+    * `maxDf` are dropped from CANDIDATE generation only — the worst
+    * postings list is bounded at `maxDf` rows (≤ maxDf² fan-out per key)
+    * — and the Jaccard is then verified on the FULL shingle sets of each
+    * candidate pair. Recall-neutral for near-dups in practice: a pair at
+    * jaccard ≥ 0.3 shares many shingles, and only pairs whose *every*
+    * shared shingle is corpus-hot can be missed (DedupCapSpec shows the
+    * pair set is identical on the test corpus). This is the knob that
+    * keeps the shuffle alive when 100 TB of web text all contains
+    * "terms of service apply". */
+  def ngramJaccardPairs(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      minJaccard: Double,
+      maxDf: Int = 0): org.apache.spark.sql.DataFrame = {
+    // persist the ARRAY frame, not the exploded postings: downstream
+    // needs both size(shingles) and explode(shingles), and
+    // CollapseProject would otherwise re-inline the shingle construction
+    // into each (2x per row, then 2x again for the two join sides).
+    // Cached arrays make the explode passes pure reads — and the
+    // doc-level frame is the smallest thing to cache at corpus scale
+    // (postings are |shingles| x bigger).
+    val sh = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), expr(tokens).as("w"))
+      .filter(expr("size(w) >= 3"))
+      .select(col("doc_id"), col("lang"), expr(shingles).as("shingles"))
+      .persist()
+    // Join key is xxhash64 of the exploded shingle — a flat codegen'd
+    // expression (HOF-embedded hashes run interpreted), and the 8-byte
+    // key shuffles cheaper than the shingle strings. Distinct shingles
+    // map 1:1 to distinct hashes (64-bit, ~collision-free).
+    val ex = sh
+      .select(
+        col("doc_id"), col("lang"), expr("size(shingles)").as("n_sh"),
+        explode(col("shingles")).as("s"))
+      .select(col("doc_id"), col("lang"), col("n_sh"), xxhash64(col("s")).as("v"))
+    if (maxDf <= 0) {
+      ex.as("a")
+        .join(ex.as("b"), expr("a.v = b.v and a.lang = b.lang and a.doc_id < b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(
+          first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"),
+          count(lit(1)).as("i"))
+        .select(
+          col("id_a"), col("id_b"),
+          expr("cast(i as double) / (n_a + n_b - i)").as("jaccard"))
+        .filter(col("jaccard") >= minJaccard)
+    } else {
+      // df per (lang, v) shuffles on the same key as the candidate join;
+      // the filtered key set rejoins the postings before the self-join
+      val kept = ex.join(
+        ex.groupBy(col("lang"), col("v")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+          .select(col("lang"), col("v")),
+        Seq("lang", "v"))
+      val cand = kept.as("a")
+        .join(kept.as("b"), expr("a.v = b.v and a.lang = b.lang and a.doc_id < b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      // exact verify on the full (uncapped) shingle sets
+      cand
+        .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+        .select(
+          col("id_a"), col("id_b"),
+          expr("cast(size(array_intersect(sh_a, sh_b)) as double) / " +
+            "size(array_union(sh_a, sh_b))").as("jaccard"))
+        .filter(col("jaccard") >= minJaccard)
+    }
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- exact dedup: hash-groupBy, keep lowest doc_id ---------------------
@@ -206,39 +285,10 @@ object Dedup {
         |)
         |SELECT id_a, id_b, CAST(i AS DOUBLE) / (n_a + n_b - i) AS jaccard
         |FROM inter WHERE CAST(i AS DOUBLE) / (n_a + n_b - i) >= 0.3""") { (s, dir) =>
-      // Join key is xxhash64 of the exploded shingle — a flat codegen'd
-      // expression (HOF-embedded hashes run interpreted), and the 8-byte
-      // key shuffles cheaper than the shingle strings. The oracle joins
-      // the strings themselves: identical pair set, since distinct
-      // shingles map 1:1 to distinct hashes (64-bit, ~collision-free).
-      //
-      // persist the ARRAY frame, not the exploded postings: downstream
-      // needs both size(shingles) and explode(shingles), and
-      // CollapseProject would otherwise re-inline the shingle
-      // construction into each (2x per row, then 2x again for the two
-      // join sides). Cached arrays make the explode passes pure reads —
-      // and the doc-level frame is the smallest thing to cache at
-      // corpus scale (postings are |shingles| x bigger).
-      val sh = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), expr(tokens).as("w"))
-        .filter(expr("size(w) >= 3"))
-        .select(col("doc_id"), col("lang"), expr(shingles).as("shingles"))
-        .persist()
-      val ex = sh
-        .select(
-          col("doc_id"), col("lang"), expr("size(shingles)").as("n_sh"),
-          explode(col("shingles")).as("s"))
-        .select(col("doc_id"), col("lang"), col("n_sh"), xxhash64(col("s")).as("v"))
-      ex.as("a")
-        .join(ex.as("b"), expr("a.v = b.v and a.lang = b.lang and a.doc_id < b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .agg(
-          first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"),
-          count(lit(1)).as("i"))
-        .select(
-          col("id_a"), col("id_b"),
-          expr("cast(i as double) / (n_a + n_b - i)").as("jaccard"))
-        .filter(col("jaccard") >= 0.3)
+      // Uncapped single-pass formulation (oracle mirrors it 1:1); the
+      // hot-shingle cap variant of the same kernel is ngramJaccardPairs
+      // with maxDf > 0, proven pair-identical in DedupCapSpec.
+      ngramJaccardPairs(s, dir, minJaccard = 0.3)
     },
 
     // ---- embedding cosine near-dup (label-blocked, exact DECIMAL dot) ------
