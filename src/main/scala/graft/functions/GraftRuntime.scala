@@ -30,6 +30,12 @@ object GraftRuntime {
         children(0), children(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngrams",
+      (children: Seq[Expression]) => Shingles(
+        children(0), children(1).eval().asInstanceOf[Number].intValue(),
+        distinct = false),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_dec",
       (children: Seq[Expression]) => DecimalDot(children(0), children(1)),
       "built-in")

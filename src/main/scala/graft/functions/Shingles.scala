@@ -7,7 +7,9 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Distinct word n-gram shingle set as a native expression.
+/** Word n-grams as a native expression — distinct shingle set
+  * (`shingles(w, n)`) or the full multiset (`ngrams(w, n)`, duplicates
+  * kept, for repetition statistics where frequency IS the signal).
   *
   * The builtin formulation
   * `array_distinct(transform(sequence(1, size(w)-n+1), i -> concat_ws(' ', ...)))`
@@ -21,10 +23,12 @@ object Shingler {
   private val SPACE = UTF8String.fromString(" ")
 
   /** Static entry used by both interpreted eval and generated code. */
-  def shingle(words: ArrayData, n: Int): ArrayData = {
+  def shingle(words: ArrayData, n: Int, distinct: Boolean): ArrayData = {
     val len = words.numElements()
     if (len < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val out: java.util.Collection[UTF8String] =
+      if (distinct) new java.util.LinkedHashSet[UTF8String]()
+      else new java.util.ArrayList[UTF8String](len - n + 1)
     var i = 0
     while (i <= len - n) {
       var s = words.getUTF8String(i)
@@ -33,30 +37,31 @@ object Shingler {
         s = UTF8String.concat(s, SPACE, words.getUTF8String(i + j))
         j += 1
       }
-      seen.add(s)
+      out.add(s)
       i += 1
     }
-    new GenericArrayData(seen.toArray().asInstanceOf[Array[Any]])
+    new GenericArrayData(out.toArray().asInstanceOf[Array[Any]])
   }
 }
 
-case class Shingles(child: Expression, n: Int) extends UnaryExpression {
+case class Shingles(child: Expression, n: Int, distinct: Boolean = true)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      s"shingles requires ARRAY<STRING> and n >= 1, got ${child.dataType.simpleString}, n=$n")
+      s"$prettyName requires ARRAY<STRING> and n >= 1, got ${child.dataType.simpleString}, n=$n")
   }
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "shingles"
+  override def prettyName: String = if (distinct) "shingles" else "ngrams"
 
   override def nullSafeEval(v: Any): Any =
-    Shingler.shingle(v.asInstanceOf[ArrayData], n)
+    Shingler.shingle(v.asInstanceOf[ArrayData], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.Shingler.shingle($c, $n);")
+      s"${ev.value} = graft.functions.Shingler.shingle($c, $n, $distinct);")
 
   override protected def withNewChildInternal(newChild: Expression): Shingles =
     copy(child = newChild)

@@ -92,6 +92,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => Shingles(
         children(0), children(1).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((
+      new FunctionIdentifier("ngrams"),
+      new ExpressionInfo(classOf[Shingles].getName, "ngrams"),
+      (children: Seq[Expression]) => Shingles(
+        children(0), children(1).eval().asInstanceOf[Number].intValue(),
+        distinct = false)))
+    ext.injectFunction((
       new FunctionIdentifier("dot_dec"),
       new ExpressionInfo(classOf[DecimalDot].getName, "dot_dec"),
       (children: Seq[Expression]) => DecimalDot(children(0), children(1))))

@@ -461,6 +461,103 @@ object TextAnalysis {
             .as("avg_logprob"))
     },
 
+    // ---- repetition filters (Gopher-style signals) -------------------------
+    // The MassiveText/Gopher repetition gates: fraction of all 2-grams
+    // taken by the single most frequent 2-gram, and fraction of 3-gram
+    // occurrences that are repeats. Frequency is the signal, so the
+    // native `ngrams` (multiset) expression feeds a per-(doc, gram)
+    // count — high-cardinality keys, map-side partial agg, the shape
+    // that survives a 100 TB corpus. Ratios are per-row IEEE doubles of
+    // exact longs (hash-safe); the doc-token frame is persisted because
+    // the 2-gram and 3-gram branches both explode it.
+    Q(
+      "q_text_repetition",
+      raw"""WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), c2 AS (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+        |      i -> w[i] || ' ' || w[i+1])) AS g
+        |    FROM tok WHERE len(w) >= 3) GROUP BY doc_id, g
+        |), s2 AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2, CAST(max(c) AS BIGINT) AS top2
+        |  FROM c2 GROUP BY doc_id
+        |), c3 AS (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |    FROM tok WHERE len(w) >= 3) GROUP BY doc_id, g
+        |), s3 AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n3,
+        |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup3
+        |  FROM c3 GROUP BY doc_id
+        |)
+        |SELECT doc_id, CAST(top2 AS DOUBLE) / n2 AS top2_frac,
+        |  CAST(dup3 AS DOUBLE) / n3 AS dup3_frac,
+        |  CASE WHEN CAST(top2 AS DOUBLE) / n2 > 0.20
+        |         OR CAST(dup3 AS DOUBLE) / n3 > 0.30 THEN 'drop' ELSE 'keep' END AS rep_flag
+        |FROM s2 JOIN s3 USING (doc_id)""") { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), expr(tokens).as("w"))
+        .filter(expr("size(w) >= 3"))
+        .persist()
+      def counts(n: Int): DataFrame = docs
+        .select(col("doc_id"), explode(expr(s"ngrams(w, $n)")).as("g"))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+      val s2 = counts(2).groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n2"), max(col("c")).as("top2"))
+      val s3 = counts(3).groupBy(col("doc_id"))
+        .agg(
+          sum(col("c")).as("n3"),
+          sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup3"))
+      s2.join(s3, Seq("doc_id"))
+        .select(
+          col("doc_id"),
+          (col("top2").cast("double") / col("n2")).as("top2_frac"),
+          (col("dup3").cast("double") / col("n3")).as("dup3_frac"),
+          expr("case when cast(top2 as double) / n2 > 0.20 " +
+            "or cast(dup3 as double) / n3 > 0.30 then 'drop' else 'keep' end")
+            .as("rep_flag"))
+    },
+
+    // ---- benchmark decontamination: 5-gram overlap vs a held-out set -------
+    // The pre-training hygiene pass: flag training documents sharing any
+    // 5-gram with the benchmark/eval set (surrogate here: doc_id % 29).
+    // The eval shingle set is DISTINCT + broadcast — benchmark suites are
+    // tiny next to the corpus, so at 100 TB this stays one map-side hash
+    // join over the exploded corpus shingles, no shuffle of the corpus.
+    // Spark joins on xxhash64 of the shingle (flat codegen'd projection,
+    // 8-byte key); the oracle joins the strings — identical counts, since
+    // distinct shingles map 1:1 to distinct hashes.
+    Q(
+      "q_decontaminate",
+      raw"""WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w)-4),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS s
+        |  FROM tok WHERE len(w) >= 5
+        |), ev AS (
+        |  SELECT DISTINCT s FROM sh WHERE doc_id % 29 = 0
+        |)
+        |SELECT sh.doc_id, count(*) AS n_overlap
+        |FROM sh JOIN ev USING (s)
+        |WHERE sh.doc_id % 29 <> 0
+        |GROUP BY sh.doc_id""") { (s, dir) =>
+      val sh = Tables(s, dir, "documents")
+        .select(col("doc_id"), expr(tokens).as("w"))
+        .filter(expr("size(w) >= 5"))
+        .select(col("doc_id"), explode(expr("shingles(w, 5)")).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("v"))
+        .persist() // feeds both the eval-set build and the corpus probe
+      val ev = sh.filter(col("doc_id") % 29 === 0).select(col("v")).distinct()
+      sh.filter(col("doc_id") % 29 =!= 0)
+        .join(broadcast(ev), Seq("v"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+    },
+
     // ---- composed corpus pipeline (quality -> dedup -> stats) --------------
     // The end-to-end pre-training pass, as ONE declarative plan: quality
     // gate, exact-dedup keeper (min doc_id per content fingerprint), PII

@@ -148,6 +148,23 @@ class PlanShapeSpec extends SparkSpec {
       s"hopping windows must aggregate in one pass:\n$p")
   }
 
+  test("q_decontaminate: eval shingle set broadcast — corpus never shuffles for the probe") {
+    val p = planOf("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "eval set must broadcast")
+    // eval-distinct + final per-doc count; the corpus shingle stream
+    // itself must not hash-exchange for the join
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q_text_repetition: per-(doc,gram) counts partial-agg; bounded exchanges") {
+    val p = planOf("q_text_repetition")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, "partial+final aggs expected")
+    // (doc,gram) count + per-doc rollup per n-gram order, then the
+    // doc_id join — the rollups reuse the count's partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 5, p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_stats_moments: all six power sums in ONE aggregation pass") {
     val p = planOf("q_stats_moments")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,

@@ -36,6 +36,28 @@ class ShinglesSpec extends SparkSpec {
     assert(uni(1) == Seq("a", "b"))
   }
 
+  test("ngrams keeps duplicates in position order (multiset variant)") {
+    import spark.implicits._
+    val df = Seq(
+      Seq("a", "b"), // shorter than n -> empty
+      Seq("a", "b", "a", "b", "a"), // repeats preserved
+      Seq("x", "y", "z")
+    ).toDF("w")
+    val out = df.selectExpr("ngrams(w, 3) g").collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq())
+    assert(out(1) == Seq("a b a", "b a b", "a b a"))
+    assert(out(2) == Seq("x y z"))
+    // parity with the non-distinct HOF formulation on harness documents
+    val hofRaw =
+      "transform(sequence(1, size(w)-1), i -> concat_ws(' ', element_at(w,i), element_at(w,i+1)))"
+    graft.io.Tables(spark, sf(), "documents")
+      .select(expr("split(trim(text), '\\\\s+')").as("w"))
+      .filter(expr("size(w) >= 2"))
+      .select(expr("ngrams(w, 2)").as("native"), expr(hofRaw).as("hofv"))
+      .collect()
+      .foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("shingles runs inside WholeStageCodegen") {
     val plan = graft.io.Tables(spark, sf(), "documents")
       .select(expr("shingles(split(trim(text), '\\\\s+'), 3)").as("s"))
