@@ -56,25 +56,58 @@ object Multimodal {
         .filter(col("total") > 0)
     },
 
-    // resize plumbing: byte-budget contract (w*h cap) + metadata update,
-    // then re-extract features over the resized payloads
-    Q.noOracle("q_media_resize") { (s, dir) =>
-      Media.extractFeatures(Media.resize(Media.synthesize(s, dir), 32, 32))
+    // Resize contract under the hash gate (audio/video, whose payloads
+    // are the UTF-8 text bytes): the byte budget (w*h cap) and the stub
+    // decoder's byte histogram are both reproduced analytically by the
+    // oracle — the corpus is pure ASCII (TESTDATA), so byte offsets equal
+    // char offsets and bins 2/6 are the regex classes [ -/] and [`a-o].
+    // Image payloads are PNGs (not SQL-reproducible); their resize
+    // fallback is covered by MediaSpec.
+    Q(
+      "q_media_resize",
+      """SELECT kind, count(*) AS cnt,
+        |  CAST(max(least(len, 1024)) AS BIGINT) AS max_bytes,
+        |  CAST(sum(least(len, 1024)) AS BIGINT) AS sum_bytes,
+        |  CAST(sum(len(regexp_extract_all(p, '[ -/]'))) AS BIGINT) AS hist_bin2,
+        |  CAST(sum(len(regexp_extract_all(p, '[`a-o]'))) AS BIGINT) AS hist_bin6
+        |FROM (SELECT CASE doc_id % 3 WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |        substring(text, 1, 1024) AS p, octet_length(encode(text)) AS len
+        |      FROM documents WHERE doc_id % 3 <> 0)
+        |GROUP BY kind""") { (s, dir) =>
+      Media.extractFeatures(
+        Media.resize(Media.synthesize(s, dir).filter(col("kind") =!= "image"), 32, 32))
         .groupBy(col("kind"))
         .agg(
           count(lit(1)).as("cnt"),
           max(col("byte_len")).as("max_bytes"), // capped at 32*32
-          sum(expr("size(embedding)")).as("emb_dims"))
+          sum(col("byte_len")).as("sum_bytes"),
+          sum(expr("histogram[2]")).as("hist_bin2"),
+          sum(expr("histogram[6]")).as("hist_bin6"))
     },
 
-    // frame-sampling plumbing: n evenly-spaced per-video frames (stub
-    // 16-byte windows; real batch shape/schema), summarized per media id
-    Q.noOracle("q_media_frames") { (s, dir) =>
-      Media.frameSample(Media.synthesize(s, dir), 4)
+    // Frame sampling under the hash gate: n evenly-spaced 16-byte windows
+    // per record; for audio/video the payload is the text's UTF-8 bytes,
+    // so the oracle re-derives every window offset and its bytes with
+    // substring arithmetic (ASCII corpus: char index == byte index).
+    Q(
+      "q_media_frames",
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS len
+        |  FROM documents WHERE doc_id % 3 <> 0
+        |), fr AS (
+        |  SELECT media_id,
+        |    substring(text, CAST(f.f * greatest(0, len - 16) // 3 AS BIGINT) + 1, 16) AS frame
+        |  FROM m CROSS JOIN generate_series(0, 3) f(f)
+        |)
+        |SELECT media_id, count(*) AS n_frames,
+        |  CAST(sum(octet_length(encode(frame))) AS BIGINT) AS sum_frame_bytes,
+        |  CAST(count(DISTINCT frame) AS BIGINT) AS distinct_frames
+        |FROM fr GROUP BY media_id""") { (s, dir) =>
+      Media.frameSample(Media.synthesize(s, dir).filter(col("kind") =!= "image"), 4)
         .groupBy(col("media_id"))
         .agg(
           count(lit(1)).as("n_frames"),
-          sum(expr("octet_length(frame_bytes)")).as("sum_frame_bytes"),
-          countDistinct(expr("xxhash64(frame_bytes)")).as("distinct_frames"))
+          sum(expr("octet_length(frame_bytes)")).cast("long").as("sum_frame_bytes"),
+          countDistinct(hex(col("frame_bytes"))).as("distinct_frames"))
     })
 }
