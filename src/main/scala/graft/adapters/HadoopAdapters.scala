@@ -221,6 +221,9 @@ final class HadoopParquetInput extends InputAdapter {
       ParamDef("columns", "Columns to select (subset, any order)"),
       ParamDef("sub_dirs", "Each first-level subdirectory becomes its own stream", Some(false)),
       ParamDef("recursive", "Recurse into nested directories (the reference's S3 prefix listing is recursive)", Some(false)),
+      ParamDef("merge_schema",
+        "Union the schemas of all files (schema evolution; columns absent in a file read as null)",
+        Some(false)),
       ParamDef("partitioning", "Row partitioning with part_count: hashcode (co-locate equal rows) or random", Some("hashcode"))))
 
   def load(
@@ -231,7 +234,9 @@ final class HadoopParquetInput extends InputAdapter {
       conf: AdapterConf): ListMap[String, DataFrame] =
     HadoopFiles.loadStreams(spark, path, name, partCount, conf) { p =>
       val df = spark.read
-        .option("recursiveFileLookup", conf.bool("recursive", dflt = false)).parquet(p)
+        .option("recursiveFileLookup", conf.bool("recursive", dflt = false))
+        .option("mergeSchema", conf.bool("merge_schema", dflt = false))
+        .parquet(p)
       conf.strSeq("columns") match {
         case Some(cols) => df.select(cols.map(col): _*)
         case None => df
@@ -291,6 +296,9 @@ final class HadoopOrcInput extends InputAdapter {
       ParamDef("columns", "Columns to select (subset, any order)"),
       ParamDef("sub_dirs", "Each first-level subdirectory becomes its own stream", Some(false)),
       ParamDef("recursive", "Recurse into nested directories (the reference's S3 prefix listing is recursive)", Some(false)),
+      ParamDef("merge_schema",
+        "Union the schemas of all files (schema evolution; columns absent in a file read as null)",
+        Some(false)),
       ParamDef("partitioning", "Row partitioning with part_count: hashcode (co-locate equal rows) or random", Some("hashcode"))))
 
   def load(
@@ -301,7 +309,9 @@ final class HadoopOrcInput extends InputAdapter {
       conf: AdapterConf): ListMap[String, DataFrame] =
     HadoopFiles.loadStreams(spark, path, name, partCount, conf) { p =>
       val df = spark.read
-        .option("recursiveFileLookup", conf.bool("recursive", dflt = false)).orc(p)
+        .option("recursiveFileLookup", conf.bool("recursive", dflt = false))
+        .option("mergeSchema", conf.bool("merge_schema", dflt = false))
+        .orc(p)
       conf.strSeq("columns") match {
         case Some(cols) => df.select(cols.map(col): _*)
         case None => df

@@ -100,5 +100,45 @@ object Sampling {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("picked"),
           min(col("doc_id")).as("first_pick"), max(col("doc_id")).as("last_pick"))
+    },
+
+    // ---- sequence packing (concat-and-chunk into 512-token windows) --------
+    // The training-example assembly step: concatenate documents in a
+    // deterministic order and cut every 512 tokens; each document lands
+    // in windows [first_bin, last_bin] of its shard. Strict GLOBAL
+    // concat order is inherently sequential, so packing is per shard —
+    // (lang, doc_id div 100) here — which is exactly how a 100 TB run
+    // packs: bounded shards in parallel, a window cumsum within each,
+    // shard id baked into the example key. Everything is integer
+    // arithmetic on exact longs (hash-safe, engine-identical).
+    Q(
+      "q_pack_sequences",
+      raw"""WITH t AS (
+        |  SELECT doc_id, lang, doc_id // 100 AS shard,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, shard, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard, n_tok,
+        |  CAST((cum - n_tok) // 512 AS BIGINT) AS first_bin,
+        |  CAST((cum - 1) // 512 AS BIGINT) AS last_bin,
+        |  CAST((cum - 1) // 512 - (cum - n_tok) // 512 + 1 AS BIGINT) AS n_bins
+        |FROM c""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"), col("lang"),
+          expr("doc_id div 100").as("shard"),
+          expr(s"cast(size(split(trim(text), '\\\\s+')) as bigint)").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(
+          col("doc_id"), col("lang"), col("shard"), col("n_tok"),
+          expr("(cum - n_tok) div 512").as("first_bin"),
+          expr("(cum - 1) div 512").as("last_bin"),
+          expr("(cum - 1) div 512 - (cum - n_tok) div 512 + 1").as("n_bins"))
     })
 }

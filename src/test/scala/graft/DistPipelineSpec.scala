@@ -145,6 +145,24 @@ class DistPipelineSpec extends SparkSpec {
     assert(back.columns.sorted.toSeq == Seq("n_name", "n_nationkey"))
   }
 
+  test("merge_schema: parquet files with evolved schemas union their columns") {
+    import spark.implicits._
+    val base = tmpDir("dist")
+    Seq((1L, "alice")).toDF("id", "name")
+      .write.parquet(s"file:$base/in/part=a")
+    Seq((2L, "bob", 7L)).toDF("id", "name", "extra")
+      .write.parquet(s"file:$base/in/part=b")
+    val in = new graft.adapters.HadoopParquetInput()
+    val streams = in.load(
+      spark, s"file:$base/in", "m", 0,
+      graft.adapters.AdapterConf(in.meta, Map("merge_schema" -> true)))
+    val df = streams("m")
+    assert(df.columns.toSet == Set("id", "name", "extra", "part"))
+    val rows = df.selectExpr("id", "name", "coalesce(extra, -1) e")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, "alice", -1L), (2L, "bob", 7L)))
+  }
+
   test("per_file_schema: heterogeneous per-file headers union by name") {
     val base = tmpDir("dist")
     Files.createDirectories(Paths.get(s"$base/in"))
