@@ -21,6 +21,13 @@ object Verify {
     }
     val spark = Sessions.local("graft-verify")
     new java.io.File(outDir).mkdirs()
+    // a filtered dump is never a gate: leave a marker check.py refuses
+    // without --partial (and scrub a stale marker on full runs)
+    val marker = Paths.get(s"$outDir/_PARTIAL_RUN")
+    only match {
+      case Some(sel) => Files.writeString(marker, sel.toSeq.sorted.mkString("\n"))
+      case None => Files.deleteIfExists(marker)
+    }
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

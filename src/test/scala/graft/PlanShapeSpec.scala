@@ -165,6 +165,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_pack_sequences: one shard exchange feeds the packing window") {
+    val p = planOf("q_pack_sequences")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"packing must shuffle once on (lang, shard):\n$p")
+  }
+
   test("q_stats_moments: all six power sums in ONE aggregation pass") {
     val p = planOf("q_stats_moments")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,

@@ -4,9 +4,13 @@ shipped library is pure Scala/Spark). Runs DuckDB on oracle_sql.json and
 compares each query's parquet dump: sorted columns by name, sorted rows,
 value-level compare.
 
-Usage: check.py <verify_out_dir> <sf_dir>
+Usage: check.py <verify_out_dir> <sf_dir> [--partial]
+
+Refuses a dump produced under SPARK_GRAFT_ONLY (marked _PARTIAL_RUN)
+unless --partial is passed: a filtered dump passing vacuously must never
+be mistaken for the full gate.
 """
-import sys, json, glob, math
+import os, sys, json, glob, math
 from decimal import Decimal
 
 import duckdb
@@ -42,7 +46,14 @@ def rows_of(table):
         key=repr)
 
 
-def main(outdir, sfdir):
+def main(outdir, sfdir, partial=False):
+    if os.path.exists(f"{outdir}/_PARTIAL_RUN"):
+        if not partial:
+            print("REFUSED: dump was produced under SPARK_GRAFT_ONLY "
+                  "(see _PARTIAL_RUN); re-run Verify unfiltered or pass --partial")
+            return 1
+        kept = open(f"{outdir}/_PARTIAL_RUN").read().split()
+        print(f"*** PARTIAL run: checking only {len(kept)} filtered queries ***")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
@@ -82,4 +93,4 @@ def main(outdir, sfdir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], partial="--partial" in sys.argv[3:]))
