@@ -36,6 +36,11 @@ object GraftRuntime {
         distinct = false),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngram_stats",
+      (children: Seq[Expression]) => NGramStats(
+        children(0), children(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_dec",
       (children: Seq[Expression]) => DecimalDot(children(0), children(1)),
       "built-in")

@@ -98,6 +98,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         children(0), children(1).eval().asInstanceOf[Number].intValue(),
         distinct = false)))
     ext.injectFunction((
+      new FunctionIdentifier("ngram_stats"),
+      new ExpressionInfo(classOf[NGramStats].getName, "ngram_stats"),
+      (children: Seq[Expression]) => NGramStats(
+        children(0), children(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
       new FunctionIdentifier("dot_dec"),
       new ExpressionInfo(classOf[DecimalDot].getName, "dot_dec"),
       (children: Seq[Expression]) => DecimalDot(children(0), children(1))))

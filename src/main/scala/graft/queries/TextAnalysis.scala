@@ -464,12 +464,14 @@ object TextAnalysis {
     // ---- repetition filters (Gopher-style signals) -------------------------
     // The MassiveText/Gopher repetition gates: fraction of all 2-grams
     // taken by the single most frequent 2-gram, and fraction of 3-gram
-    // occurrences that are repeats. Frequency is the signal, so the
-    // native `ngrams` (multiset) expression feeds a per-(doc, gram)
-    // count — high-cardinality keys, map-side partial agg, the shape
-    // that survives a 100 TB corpus. Ratios are per-row IEEE doubles of
-    // exact longs (hash-safe); the doc-token frame is persisted because
-    // the 2-gram and 3-gram branches both explode it.
+    // occurrences that are repeats. The statistic depends only on the
+    // row itself, so it is computed BY ROW with the codegen'd
+    // `ngram_stats` hash-map pass — the whole query is one map-stage
+    // projection, zero exchanges (PlanShapeSpec). A groupBy-per-(doc,
+    // gram) formulation would shuffle |tokens| rows per document for a
+    // per-document answer — pure waste at corpus scale (the oracle uses
+    // that formulation, which is the natural SQL). Ratios are per-row
+    // IEEE doubles of exact longs (hash-safe).
     Q(
       "q_text_repetition",
       raw"""WITH tok AS (
@@ -497,28 +499,21 @@ object TextAnalysis {
         |  CASE WHEN CAST(top2 AS DOUBLE) / n2 > 0.20
         |         OR CAST(dup3 AS DOUBLE) / n3 > 0.30 THEN 'drop' ELSE 'keep' END AS rep_flag
         |FROM s2 JOIN s3 USING (doc_id)""") { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
+      Tables(s, dir, "documents")
         .select(col("doc_id"), expr(tokens).as("w"))
         .filter(expr("size(w) >= 3"))
-        .persist()
-      def counts(n: Int): DataFrame = docs
-        .select(col("doc_id"), explode(expr(s"ngrams(w, $n)")).as("g"))
-        .groupBy(col("doc_id"), col("g"))
-        .agg(count(lit(1)).as("c"))
-      val s2 = counts(2).groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("n2"), max(col("c")).as("top2"))
-      val s3 = counts(3).groupBy(col("doc_id"))
-        .agg(
-          sum(col("c")).as("n3"),
-          sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup3"))
-      s2.join(s3, Seq("doc_id"))
         .select(
           col("doc_id"),
-          (col("top2").cast("double") / col("n2")).as("top2_frac"),
-          (col("dup3").cast("double") / col("n3")).as("dup3_frac"),
-          expr("case when cast(top2 as double) / n2 > 0.20 " +
-            "or cast(dup3 as double) / n3 > 0.30 then 'drop' else 'keep' end")
-            .as("rep_flag"))
+          expr("ngram_stats(w, 2)").as("s2"),
+          expr("ngram_stats(w, 3)").as("s3"))
+        .select(
+          col("doc_id"),
+          (col("s2.top").cast("double") / col("s2.total")).as("top2_frac"),
+          (col("s3.dup").cast("double") / col("s3.total")).as("dup3_frac"))
+        .select(
+          col("doc_id"), col("top2_frac"), col("dup3_frac"),
+          expr("case when top2_frac > 0.20 or dup3_frac > 0.30 " +
+            "then 'drop' else 'keep' end").as("rep_flag"))
     },
 
     // ---- benchmark decontamination: 5-gram overlap vs a held-out set -------

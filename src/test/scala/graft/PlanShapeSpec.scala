@@ -156,13 +156,12 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
   }
 
-  test("q_text_repetition: per-(doc,gram) counts partial-agg; bounded exchanges") {
+  test("q_text_repetition: per-document stats are a map-only plan, zero exchanges") {
     val p = planOf("q_text_repetition")
-    assert("HashAggregate".r.findAllIn(p).size >= 4, "partial+final aggs expected")
-    // (doc,gram) count + per-doc rollup per n-gram order, then the
-    // doc_id join — the rollups reuse the count's partitioning
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 5, p)
-    assert(!p.contains("CartesianProduct"))
+    // the statistic depends only on the row — any exchange here would
+    // ship |tokens| rows per document for a per-document answer
+    assert(!p.contains("Exchange hashpartitioning"), s"repetition must not shuffle:\n$p")
+    assert(p.contains("ngram_stats"), "native per-row expression missing")
   }
 
   test("q_pack_sequences: one shard exchange feeds the packing window") {

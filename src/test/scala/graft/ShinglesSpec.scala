@@ -58,6 +58,41 @@ class ShinglesSpec extends SparkSpec {
       .foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
+  test("ngram_stats equals the explode+groupBy formulation on harness documents") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.io.Tables(spark, sf(), "documents")
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("w"))
+      .filter(expr("size(w) >= 3"))
+      .persist()
+    for (n <- Seq(2, 3)) {
+      val native = docs
+        .select(col("doc_id"), expr(s"ngram_stats(w, $n)").as("s"))
+        .select(col("doc_id"), col("s.total"), col("s.top"), col("s.dup"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val viaGroupBy = docs
+        .select(col("doc_id"), explode(expr(s"ngrams(w, $n)")).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("total"), max(col("c")).as("top"),
+          sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(native == viaGroupBy, s"n=$n")
+    }
+    docs.unpersist()
+  }
+
+  test("ngram_stats short-array edge: fewer tokens than n") {
+    import spark.implicits._
+    val out = Seq(Seq("a"), Seq("a", "a"), Seq("a", "a", "a"))
+      .toDF("w")
+      .selectExpr("ngram_stats(w, 3) s")
+      .collect().map(r => r.getStruct(0))
+      .map(s => (s.getLong(0), s.getLong(1), s.getLong(2)))
+    assert(out(0) == ((0L, 0L, 0L)))
+    assert(out(1) == ((0L, 0L, 0L)))
+    assert(out(2) == ((1L, 1L, 0L))) // one trigram, unique
+  }
+
   test("shingles runs inside WholeStageCodegen") {
     val plan = graft.io.Tables(spark, sf(), "documents")
       .select(expr("shingles(split(trim(text), '\\\\s+'), 3)").as("s"))
