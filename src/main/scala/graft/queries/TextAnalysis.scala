@@ -516,6 +516,38 @@ object TextAnalysis {
             "then 'drop' else 'keep' end").as("rep_flag"))
     },
 
+    // ---- hashed linear text classifier (fasttext-style quality filter) -----
+    // The hashing-trick featurization + linear scoring shape: each token
+    // hashes into one of 4096 buckets, the bucket's weight is summed per
+    // document, sign decides keep/drop. Weights here are a deterministic
+    // integer function of the bucket id (stand-in for trained weights —
+    // production swaps in a broadcast weight table, same plan); integer
+    // milli-weights keep the score EXACT cross-engine (no float sums).
+    // One explode + flat codegen'd projection + map-side partial agg on
+    // doc_id — the linear-scorer plan at any corpus size.
+    Q(
+      "q_text_classifier",
+      raw"""WITH sc AS (
+        |  SELECT doc_id, count(*) AS n_tok,
+        |    CAST(sum(((${duck("t")} % 4096) * 2654435761) % 2001 - 1000) AS BIGINT)
+        |      AS score_milli
+        |  FROM (SELECT doc_id, unnest($duckTokens) AS t FROM documents)
+        |  GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tok, score_milli,
+        |  CASE WHEN score_milli > 0 THEN 'keep' ELSE 'drop' END AS cls_flag
+        |FROM sc""") { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(tokens)).as("t"))
+        .select(col("doc_id"),
+          expr(s"((${h("t")} % 4096) * 2654435761) % 2001 - 1000").as("wt"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("wt")).as("score_milli"))
+        .select(
+          col("doc_id"), col("n_tok"), col("score_milli"),
+          expr("case when score_milli > 0 then 'keep' else 'drop' end").as("cls_flag"))
+    },
+
     // ---- benchmark decontamination: 5-gram overlap vs a held-out set -------
     // The pre-training hygiene pass: flag training documents sharing any
     // 5-gram with the benchmark/eval set (surrogate here: doc_id % 29).
