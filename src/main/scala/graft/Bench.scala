@@ -36,7 +36,8 @@ object Bench {
       } catch { case _: Throwable => -1.0 }
     }
     // SPARK_GRAFT_ONLY=q_a,q_b limits the run (dev iteration; driver unsets it)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val picked = SparkEntry.allQueries.filter(q => only.forall(_.contains(q.name)))
     val results = picked.map { q =>
       val (a, b) = (once(q), once(q))
