@@ -261,6 +261,7 @@ object Similarity {
       val dd1 = e.select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(cents))
         .select(col("vec_id"), col("c_id"), expr("dot_f(embedding, c_emb)").as("cdd"))
+        .persist() // |V|x|C| score stream feeds the max AND the join-back
       val mx1 = dd1.groupBy(col("vec_id")).agg(max(col("cdd")).as("mx"))
         .withColumnRenamed("vec_id", "mx_vec")
       val best1 = dd1.join(broadcast(mx1), col("vec_id") === col("mx_vec"))
@@ -292,6 +293,7 @@ object Similarity {
       val dd2 = assign1.select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(trained))
         .select(col("vec_id"), col("t_cell"), expr("dot_f(embedding, t_emb)").as("tdd"))
+        .persist() // same two-branch diamond as phase 1
       val mx2 = dd2.groupBy(col("vec_id")).agg(max(col("tdd")).as("mx2"))
         .withColumnRenamed("vec_id", "mx2_vec")
       val surv2 = dd2.join(broadcast(mx2), col("vec_id") === col("mx2_vec"))
