@@ -11,12 +11,16 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * pushes projection into the remote query, and batches inserts.
   *
   * Parallel-read semantics, both of them:
-  *  - the reference's own mode (JdbcColumnarInput.java:62-77): the user
-  *    query carries two `?` placeholders and each of `part_count`
-  *    partitions binds them to its part index — supported here when the
-  *    `query` contains `?`s, as one single-partition derived-table scan
-  *    per part index, unioned (the union keeps one Spark partition per
-  *    part, so the N remote SELECTs run concurrently in one stage);
+  *  - the reference's own mode (JdbcColumnarInput.java:62-77, built on
+  *    Spark's classic `JdbcRDD(sc, conn, sql, 0, max(partCount,0),
+  *    max(partCount,1))`): the user query carries two `?` placeholders
+  *    and each partition binds them to its inclusive (start, end)
+  *    sub-range of [0, partCount], split exactly as JdbcRDD splits it —
+  *    supported here when the `query` contains placeholders, as one
+  *    single-partition derived-table scan per part, unioned (the union
+  *    keeps one Spark partition per part, so the N remote SELECTs run
+  *    concurrently in one stage). `?` inside single-quoted SQL string
+  *    literals is text, not a placeholder — same as PreparedStatement;
   *  - Spark's native `partitionColumn/lowerBound/upperBound/numPartitions`
   *    range split on a numeric column — declared as
   *    `partition_column`/`lower_bound`/`upper_bound` (no placeholders
@@ -24,6 +28,31 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * Without either the read is single-partition (same as the reference
   * with part_count=1).
   */
+object JdbcPlaceholders {
+  /** Split `q` on `?` placeholders, ignoring `?` inside single-quoted
+    * SQL string literals (doubled `''` quoting toggles through
+    * correctly). Returns n+1 pieces for n placeholders. */
+  def split(q: String): Seq[String] = {
+    val pieces = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var inStr = false
+    for (c <- q) c match {
+      case '\'' => inStr = !inStr; sb.append(c)
+      case '?' if !inStr => pieces += sb.toString; sb.clear()
+      case _ => sb.append(c)
+    }
+    pieces += sb.toString
+    pieces.result()
+  }
+
+  /** JdbcRDD's inclusive (start, end) bound pair for partition `i` of
+    * `parts` over [0, upper] — the exact split the reference inherits. */
+  def bounds(i: Int, parts: Int, upper: Int): (Long, Long) = {
+    val length = BigInt(1) + upper
+    ((i * length / parts).toLong, ((i + 1) * length / parts - 1).toLong)
+  }
+}
+
 final class JdbcColumnarInput extends InputAdapter {
   val meta: AdapterMeta = AdapterMeta(
     "jdbcColumnar",
@@ -35,7 +64,8 @@ final class JdbcColumnarInput extends InputAdapter {
       ParamDef("password", "Connection password"),
       ParamDef("query",
         "SELECT to execute (wrapped as a derived table); two ? placeholders " +
-          "bind each partition's part index, 0 to part_count-1"),
+          "bind each partition's inclusive (start, end) sub-range of " +
+          "[0, part_count], split as JdbcRDD splits it"),
       ParamDef("table", "Table to read (alternative to query)"),
       ParamDef("partition_column", "Numeric column to range-split on"),
       ParamDef("lower_bound", "Partitioning lower bound"),
@@ -56,18 +86,24 @@ final class JdbcColumnarInput extends InputAdapter {
       conf.str("password").foreach(p => r = r.option("password", p))
       r
     }
+    val pieces = conf.str("query").map(JdbcPlaceholders.split)
     val df = (conf.str("query"), conf.str("table")) match {
-      case (Some(q), _) if q.contains("?") =>
-        // reference placeholder mode (JdbcColumnarInput.java:62-77): two ?
-        // per partition, bound to the part index. Textual substitution of
-        // an integer literal is value-equivalent to the reference's
-        // PreparedStatement.setLong on the same spot.
-        val pieces = q.split("\\?", -1)
-        require(pieces.length == 3,
-          s"jdbcColumnar: a placeholder query needs exactly two ?, got ${pieces.length - 1}")
+      case (Some(_), _) if pieces.exists(_.length > 1) =>
+        // reference placeholder mode (JdbcColumnarInput.java:62-77):
+        // JdbcRDD binds setLong(1, start) / setLong(2, end) per
+        // partition over [0, part_count]. Textual substitution of the
+        // integer literals is value-equivalent to PreparedStatement
+        // binding on the same spots ('?' inside string literals already
+        // filtered by the split).
+        val ps = pieces.get
+        require(ps.length == 3,
+          s"jdbcColumnar: a placeholder query needs exactly two ?, got ${ps.length - 1}")
         val parts = math.max(partCount, 1)
         (0 until parts)
-          .map(i => reader(s"(${pieces(0)}$i${pieces(1)}$i${pieces(2)}) graft_part_$i").load())
+          .map { i =>
+            val (start, end) = JdbcPlaceholders.bounds(i, parts, math.max(partCount, 0))
+            reader(s"(${ps(0)}$start${ps(1)}$end${ps(2)}) graft_part_$i").load()
+          }
           .reduce(_.union(_))
       case (q, t) if q.orElse(t).isDefined =>
         var r = reader(q.map(s => s"($s) graft_src").getOrElse(t.get))

@@ -43,12 +43,19 @@ object S3Direct {
 
   private[adapters] val paramNames: Set[String] = params.map(_.name).toSet
 
-  private val S3dPath = "^s3d://([^/]+)/(.+)$".r
+  private val S3dPath = "^s3d://([^/]+)(?:/(.*))?$".r
+  private val S3aPath = "^s3a://([^/]+).*$".r
 
-  /** `s3d://bucket/key` → (`s3a://bucket/key`, Some(bucket)); anything
-    * else passes through with no bucket scope. */
+  /** `s3d://bucket[/key]` → (`s3a://bucket[/key]`, Some(bucket)); a plain
+    * `s3a://bucket/...` keeps its path but still yields the bucket scope,
+    * so per-task credentials apply to it too (they would otherwise be
+    * validated and then silently unused). Non-S3 schemes (file:, hdfs: —
+    * e.g. under test) pass through with no scope. */
   def rewrite(path: String): (String, Option[String]) = path match {
-    case S3dPath(bucket, key) => (s"s3a://$bucket/$key", Some(bucket))
+    case S3dPath(bucket, key) =>
+      val suffix = Option(key).filter(_.nonEmpty).map("/" + _).getOrElse("")
+      (s"s3a://$bucket$suffix", Some(bucket))
+    case S3aPath(bucket) => (path, Some(bucket))
     case other => (other, None)
   }
 

@@ -23,22 +23,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * exchanges before its final projection).
   */
 object NGramStatsHelper {
-  private val SPACE = UTF8String.fromString(" ")
 
-  /** Static entry used by both interpreted eval and generated code. */
+  /** Static entry used by both interpreted eval and generated code.
+    * Gram assembly is [[Shingler.gramAt]] — the same joining the
+    * `shingles`/`ngrams` expressions use. */
   def stats(words: ArrayData, n: Int): InternalRow = {
     val len = words.numElements()
     if (len < n) return new GenericInternalRow(Array[Any](0L, 0L, 0L))
     val counts = new java.util.HashMap[UTF8String, Int]()
     var i = 0
     while (i <= len - n) {
-      var s = words.getUTF8String(i)
-      var j = 1
-      while (j < n) {
-        s = UTF8String.concat(s, SPACE, words.getUTF8String(i + j))
-        j += 1
-      }
-      counts.merge(s, 1, (a, b) => a + b)
+      counts.merge(Shingler.gramAt(words, i, n), 1, (a, b) => a + b)
       i += 1
     }
     var top = 0L

@@ -22,6 +22,20 @@ import org.apache.spark.unsafe.types.UTF8String
 object Shingler {
   private val SPACE = UTF8String.fromString(" ")
 
+  /** The space-joined n-gram starting at position `i` — the single
+    * definition of gram assembly, shared with [[NGramStatsHelper]] so
+    * `shingles`/`ngrams` values and `ngram_stats` counts can never
+    * disagree on joining semantics. */
+  def gramAt(words: ArrayData, i: Int, n: Int): UTF8String = {
+    var s = words.getUTF8String(i)
+    var j = 1
+    while (j < n) {
+      s = UTF8String.concat(s, SPACE, words.getUTF8String(i + j))
+      j += 1
+    }
+    s
+  }
+
   /** Static entry used by both interpreted eval and generated code. */
   def shingle(words: ArrayData, n: Int, distinct: Boolean): ArrayData = {
     val len = words.numElements()
@@ -31,13 +45,7 @@ object Shingler {
       else new java.util.ArrayList[UTF8String](len - n + 1)
     var i = 0
     while (i <= len - n) {
-      var s = words.getUTF8String(i)
-      var j = 1
-      while (j < n) {
-        s = UTF8String.concat(s, SPACE, words.getUTF8String(i + j))
-        j += 1
-      }
-      out.add(s)
+      out.add(gramAt(words, i, n))
       i += 1
     }
     new GenericArrayData(out.toArray().asInstanceOf[Array[Any]])

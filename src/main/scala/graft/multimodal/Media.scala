@@ -58,10 +58,13 @@ object Media {
     out.toByteArray
   }
 
-  /** Real PNG decode via the JDK; None on corrupt/undecodable bytes. */
+  /** Real PNG decode via the JDK; None on corrupt/undecodable bytes.
+    * ImageIO's PNG reader throws RuntimeExceptions (not just
+    * IOException) on malformed chunk lengths/headers, so catch
+    * NonFatal — a corrupt blob must never fail the task. */
   private def decodePng(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   final case class MediaMeta(width: Int, height: Int, sampleRate: Int, durationMs: Long)
 
@@ -148,13 +151,20 @@ object Media {
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, hist, emb)
     }
 
+  /** One bounded batch through the decoders — the seam where a
+    * vectorized decoder (an Arrow batch handed to a Pandas UDF, a GPU
+    * decode) consumes the whole Seq at once; the JDK decoders here are
+    * scalar, so the batch maps element-wise. */
+  private def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+    batch.map(decodeOne)
+
   /** Batch-wise feature extraction: partition-preserving map stage with
-    * bounded per-batch memory. Images decode for real (ImageIO);
-    * audio/video go through the stub. */
+    * bounded per-batch memory (`batchSize` × payload). Images decode for
+    * real (ImageIO); audio/video go through the stub. */
   def extractFeatures(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.mapPartitions(_.grouped(batchSize).flatMap(_.map(decodeOne)))
+    ds.mapPartitions(_.grouped(batchSize).flatMap(decodeBatch))
   }
 
   /** STUB resize: keeps the byte-budget contract (w*h) of a real resize

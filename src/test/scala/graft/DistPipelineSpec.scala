@@ -203,6 +203,14 @@ class DistPipelineSpec extends SparkSpec {
     assert(hc.get("fs.s3a.bucket.bkt-dst.endpoint") == "https://minio.dst.example:9000")
     // region left unset for bkt-dst stays unset (no default bleed-through)
     assert(hc.get("fs.s3a.bucket.bkt-dst.endpoint.region") == null)
+    // plain s3a:// paths still yield the bucket scope (credentials must
+    // not be validated-then-ignored), and a bare s3d://bucket resolves
+    val (aPath, aBucket) = S3Direct.rewrite("s3a://bkt-plain/some/key")
+    assert(aPath == "s3a://bkt-plain/some/key" && aBucket.contains("bkt-plain"))
+    val (bare, bareBucket) = S3Direct.rewrite("s3d://bkt-root")
+    assert(bare == "s3a://bkt-root" && bareBucket.contains("bkt-root"))
+    // non-S3 schemes pass through unscoped
+    assert(S3Direct.rewrite("file:/tmp/x")._2.isEmpty)
   }
 
   test("s3direct verbs: round trip with credential params present") {

@@ -37,9 +37,10 @@ class JdbcAdapterSpec extends SparkSpec {
   }
 
   test("jdbc placeholder query: one partition per part index, same rows") {
-    // reference semantics (JdbcColumnarInput.java:62-77): the query's two
-    // ? bind each partition's part index. Split region's 5 rows across 3
-    // parts by r_regionkey % 3.
+    // reference semantics (JdbcColumnarInput.java:62-77 via JdbcRDD): the
+    // query's two ? bind each partition's (start, end) sub-range of
+    // [0, part_count]. Split region's 5 rows across 3 parts by
+    // r_regionkey % 3.
     def in(q: String, parts: Int) = new graft.adapters.JdbcColumnarInput().load(
       spark, url, "q", parts,
       graft.adapters.AdapterConf(
@@ -52,6 +53,26 @@ class JdbcAdapterSpec extends SparkSpec {
     assert(part.collect().map(_.toSeq).toSet == whole.collect().map(_.toSeq).toSet)
     // a query with the wrong placeholder count is rejected up front
     assertThrows[IllegalArgumentException](in("SELECT * FROM region WHERE ? = 1", 2))
+    // '?' inside a SQL string literal is text, not a placeholder (the
+    // CAST is a Derby-ism: it stores StringType as CLOB, which can't
+    // compare to a CHAR literal directly)
+    val lit = in(
+      "SELECT \"r_regionkey\" FROM region " +
+        "WHERE CAST(\"r_name\" AS VARCHAR(64)) <> 'why?'", 2)
+    assert(lit.count() == 5)
+  }
+
+  test("placeholder split and JdbcRDD bound arithmetic") {
+    import graft.adapters.JdbcPlaceholders._
+    assert(split("a ? b ? c") == Seq("a ", " b ", " c"))
+    assert(split("x = 'q?' AND y BETWEEN ? AND ?") ==
+      Seq("x = 'q?' AND y BETWEEN ", " AND ", ""))
+    assert(split("tag = 'it''s ?'") == Seq("tag = 'it''s ?'"))
+    // parts=3 over [0,3]: JdbcRDD yields (0,0) (1,1) (2,3)
+    assert((0 until 3).map(bounds(_, 3, 3)) == Seq((0L, 0L), (1L, 1L), (2L, 3L)))
+    // parts=4 over [0,4]: (0,0) (1,1) (2,2) (3,4)
+    assert((0 until 4).map(bounds(_, 4, 4)) ==
+      Seq((0L, 0L), (1L, 1L), (2L, 2L), (3L, 4L)))
   }
 
   test("jdbc input via query param wraps as derived table") {
