@@ -131,6 +131,35 @@ object Streams {
       .select(col("click_id"), col("user_id"), col("click_ts"), col("purchase_id"), col("purchase_ts"))
   }
 
+  /** Stream-static enrichment join: each micro-batch joins the static
+    * dimension (re-read per batch from its source, broadcast when small)
+    * with NO streaming state — stream-static equi-joins are stateless by
+    * construction, so no watermark is needed. The standard shape for
+    * attaching slowly-changing reference data to a 100 TB/day stream. */
+  def enrichStatic(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Streaming decontamination — the streaming twin of
+    * `q_decontaminate`: a stateless per-row gate dropping documents that
+    * share any 5-gram with the eval set. The eval hashes ride the plan
+    * as a literal array here (benchmark sets are tiny); at larger eval
+    * sizes the same plan swaps in a broadcast Bloom filter or the
+    * stream-static semi-join of [[enrichStatic]]'s shape. No state, no
+    * watermark: works in every output mode. */
+  def decontaminate(docs: DataFrame, evalHashes: Seq[Long]): DataFrame = {
+    graft.functions.GraftRuntime.ensure(docs.sparkSession)
+    docs
+      .withColumn("w", expr("split(trim(text), '\\\\s+')"))
+      .withColumn(
+        "contaminated",
+        expr("size(w) >= 5") &&
+          arrays_overlap(
+            expr("transform(shingles(w, 5), s -> xxhash64(s))"),
+            typedLit(evalHashes)))
+      .filter(!col("contaminated"))
+      .drop("w", "contaminated")
+  }
+
   /** Streaming exact-dedup on event_id: duplicates arriving within the
     * watermark horizon are dropped with bounded state (the streaming twin
     * of `q_dedup_exact`; at 100 TB/day the watermark bounds the key

@@ -139,6 +139,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichStatic: stream-static broadcast join, stateless, batch-equivalent") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[Event]
+    val query = Streams.enrichStatic(mem.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "c", 1.0),
+        Event(2, ts(1), 2, "c", 2.0),
+        Event(3, ts(2), 9, "c", 3.0)) // no dim row -> tier null
+      query.processAllAvailable()
+      val rows = spark.table("enrich_out")
+        .selectExpr("event_id", "coalesce(tier, '-')").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows == Set((1L, "gold"), (2L, "silver"), (3L, "-")))
+    } finally query.stop()
+  }
+
+  test("decontaminate: stateless 5-gram gate drops eval-overlapping docs") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val evalText = "alpha beta gamma delta epsilon zeta"
+    // eval 5-gram hashes, computed with the same expressions batch-side
+    val evalHashes = Seq(evalText).toDF("text")
+      .selectExpr("explode(transform(shingles(split(trim(text), '\\\\s+'), 5), s -> xxhash64(s))) v")
+      .collect().map(_.getLong(0)).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val query = Streams.decontaminate(
+      mem.toDF().toDF("doc_id", "text"), evalHashes)
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (1L, "alpha beta gamma delta epsilon tail words"), // shares a 5-gram
+        (2L, "completely different words in this one here"),
+        (3L, "short doc")) // under 5 tokens -> kept
+      query.processAllAvailable()
+      val kept = spark.table("decon_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(2L, 3L))
+    } finally query.stop()
+  }
+
   test("transformWithState runningStats: per-user ValueState across micro-batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
