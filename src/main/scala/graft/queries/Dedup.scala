@@ -291,6 +291,39 @@ object Dedup {
       ngramJaccardPairs(s, dir, minJaccard = 0.3)
     },
 
+    // ---- n-gram Jaccard with the hot-shingle cap active --------------------
+    // The same kernel with maxDf=4: candidates come only from shingles
+    // whose per-language df <= 4 (worst postings list bounded), Jaccard
+    // verified on the FULL shingle sets. The oracle mirrors the capped
+    // algorithm 1:1 (df filter -> candidates -> full-set verify), so the
+    // gate checks the implementation, independent of whether the cap
+    // happens to be recall-neutral on this corpus (DedupCapSpec shows it
+    // is).
+    Q(
+      "q_dedup_ngram_capped",
+      raw"""WITH tok AS (
+        |  SELECT doc_id, lang, $duckTokens AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id, lang, $duckShingles AS shingles FROM tok WHERE len(w) >= 3
+        |), ex AS (
+        |  SELECT doc_id, lang, unnest(shingles) AS v FROM sh
+        |), df AS (
+        |  SELECT lang, v, count(*) AS c FROM ex GROUP BY lang, v
+        |), kept AS (
+        |  SELECT ex.doc_id, ex.lang, ex.v FROM ex JOIN df USING (lang, v) WHERE df.c <= 4
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM kept a JOIN kept b ON a.v = b.v AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b,
+        |  CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+        |    / len(list_distinct(x.shingles || y.shingles)) AS jaccard
+        |FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+        |WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+        |    / len(list_distinct(x.shingles || y.shingles)) >= 0.3""") { (s, dir) =>
+      ngramJaccardPairs(s, dir, minJaccard = 0.3, maxDf = 4)
+    },
+
     // ---- embedding cosine near-dup (label-blocked, exact DECIMAL dot) ------
     Q(
       "q_dedup_embedding",
