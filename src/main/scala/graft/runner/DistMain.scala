@@ -44,18 +44,25 @@ object DistMain {
         if (opts.contains("u")) System.setProperty("spark.ui.enabled", "true")
         Sessions.local("graft-dist", opts.getOrElse("L", Sessions.defaultCpus))
       } else SparkSession.builder().appName("graft-dist").getOrCreate()
-    try {
-      val configPath = opts.getOrElse("c",
-        throw new IllegalArgumentException("-c <config.json> is required"))
-      val config = DistConfig.parse(readFile(spark, configPath))
-      val direction = opts.get("d") match {
-        case Some(d) => d
-        case None if config.directions.size == 1 => config.directions.keys.head
-        case None => throw new IllegalArgumentException(
-          s"-d <direction> required; configured: ${config.directions.keys.mkString(", ")}")
-      }
-      runDirection(spark, config.direction(direction), direction)
-    } finally spark.stop()
+    try run(opts, spark)
+    finally spark.stop()
+  }
+
+  /** The CLI body minus session lifecycle — config fetch (through the
+    * Hadoop FS of the path's scheme), direction resolution, execution.
+    * Separated so DistPipelineSpec can drive the full CLI path on the
+    * shared test session (main owns stop()). */
+  def run(opts: Map[String, String], spark: SparkSession): Unit = {
+    val configPath = opts.getOrElse("c",
+      throw new IllegalArgumentException("-c <config.json> is required"))
+    val config = DistConfig.parse(readFile(spark, configPath))
+    val direction = opts.get("d") match {
+      case Some(d) => d
+      case None if config.directions.size == 1 => config.directions.keys.head
+      case None => throw new IllegalArgumentException(
+        s"-d <direction> required; configured: ${config.directions.keys.mkString(", ")}")
+    }
+    runDirection(spark, config.direction(direction), direction)
   }
 
   /** Run one direction: ordered tasks, each load → save, with the
@@ -142,7 +149,7 @@ object DistMain {
   }
 
   /** Minimal getopt: flags l/u take no value; c/d/t/m/L take one. */
-  private[runner] def parseArgs(args: Array[String]): Map[String, String] = {
+  def parseArgs(args: Array[String]): Map[String, String] = {
     val flags = Set("l", "u", "h")
     val out = Map.newBuilder[String, String]
     var i = 0

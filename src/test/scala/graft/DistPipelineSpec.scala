@@ -145,6 +145,34 @@ class DistPipelineSpec extends SparkSpec {
     assert(back.columns.sorted.toSeq == Seq("n_name", "n_nationkey"))
   }
 
+  test("CLI path end-to-end: parseArgs -> config fetch -> direction -> tasks") {
+    val base = tmpDir("dist")
+    Files.writeString(Paths.get(s"$base/job.json"), s"""{
+      "copy": [{
+        "source": {"adapter": "hadoopParquet", "path": "file:${sf()}/region.parquet",
+                   "params": {"columns": ["r_regionkey", "r_name"]}},
+        "dest":   {"adapter": "hadoopParquet", "path": "file:$base/out"}}]
+    }""")
+    // exactly what main() does minus session lifecycle: CLI string array
+    // through parseArgs, config read through the path's Hadoop FS,
+    // single-direction default resolution (-d omitted)
+    val opts = DistMain.parseArgs(Array("-c", s"file:$base/job.json", "-l"))
+    assert(opts == Map("c" -> s"file:$base/job.json", "l" -> "true"))
+    DistMain.run(opts, spark)
+    val out = spark.read.parquet(s"file:$base/out")
+    assert(out.count() == 5)
+    assert(out.columns.sorted.toSeq == Seq("r_name", "r_regionkey"))
+    // ambiguous direction fails fast when the config has several
+    Files.writeString(Paths.get(s"$base/two.json"), s"""{
+      "a": [{"source": {"adapter": "hadoopParquet", "path": "file:${sf()}/region.parquet"},
+             "dest": {"adapter": "hadoopParquet", "path": "file:$base/o1"}}],
+      "b": [{"source": {"adapter": "hadoopParquet", "path": "file:${sf()}/region.parquet"},
+             "dest": {"adapter": "hadoopParquet", "path": "file:$base/o2"}}]
+    }""")
+    assertThrows[IllegalArgumentException](
+      DistMain.run(DistMain.parseArgs(Array("-c", s"file:$base/two.json")), spark))
+  }
+
   test("merge_schema: parquet files with evolved schemas union their columns") {
     import spark.implicits._
     val base = tmpDir("dist")
