@@ -102,6 +102,32 @@ object Sampling {
           min(col("doc_id")).as("first_pick"), max(col("doc_id")).as("last_pick"))
     },
 
+    // ---- weighted priority sample (Efraimidis-Spirakis top-k) --------------
+    // Weighted sampling without replacement as a priority top-k: each row
+    // draws u from its content hash (deterministic, partition-layout
+    // independent) and ranks by ln(u)/w — the E-S key in log space, with
+    // w = n_chars. Top-100 via orderBy+limit = TakeOrderedAndProject
+    // (distributed bounded heaps, never a global sort). ln goes through
+    // dec_cast(18,12) before ranking (libm last-ulp differs per engine);
+    // the cutoff tie-breaks on doc_id, so the selected set is exact.
+    Q(
+      "q_weighted_sample",
+      s"""SELECT doc_id, n_chars,
+        |  CAST(CAST(ln((${duck("doc_id::VARCHAR")} % 1000000 + 1) / 1000001.0)
+        |       / n_chars AS DECIMAL(18,12)) AS DOUBLE) AS priority
+        |FROM documents WHERE n_chars > 0
+        |ORDER BY priority DESC, doc_id LIMIT 100""") { (s, dir) =>
+      Tables(s, dir, "documents")
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars"),
+          call_function("dec_cast",
+            log((expr(h("cast(doc_id as string)")) % 1000000 + 1) / lit(1000001.0))
+              / col("n_chars"),
+            lit(18), lit(12)).cast("double").as("priority"))
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(100)
+    },
+
     // ---- sequence packing (concat-and-chunk into 512-token windows) --------
     // The training-example assembly step: concatenate documents in a
     // deterministic order and cut every 512 tokens; each document lands

@@ -164,6 +164,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ngram_stats"), "native per-row expression missing")
   }
 
+  test("q_weighted_sample: distributed TakeOrdered, no global sort or window") {
+    val p = planOf("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Window"), "priority top-k must not windows-sort the corpus")
+  }
+
   test("q_pack_sequences: one shard exchange feeds the packing window") {
     val p = planOf("q_pack_sequences")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
