@@ -29,16 +29,25 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * with part_count=1).
   */
 object JdbcPlaceholders {
-  /** Split `q` on `?` placeholders, ignoring `?` inside single-quoted
-    * SQL string literals (doubled `''` quoting toggles through
-    * correctly). Returns n+1 pieces for n placeholders. */
+  /** Split `q` on `?` placeholders the way PreparedStatement parsing
+    * does: `?` inside single-quoted string literals, double-quoted
+    * identifiers, or `--` line comments is text (doubled `''`/`""`
+    * quoting toggles through correctly). Returns n+1 pieces for n
+    * placeholders. */
   def split(q: String): Seq[String] = {
     val pieces = Seq.newBuilder[String]
     val sb = new StringBuilder
     var inStr = false
+    var inIdent = false
+    var inComment = false
     for (c <- q) c match {
-      case '\'' => inStr = !inStr; sb.append(c)
-      case '?' if !inStr => pieces += sb.toString; sb.clear()
+      case '\n' if inComment => inComment = false; sb.append(c)
+      case _ if inComment => sb.append(c)
+      case '\'' if !inIdent => inStr = !inStr; sb.append(c)
+      case '"' if !inStr => inIdent = !inIdent; sb.append(c)
+      case '-' if !inStr && !inIdent && sb.nonEmpty && sb.last == '-' =>
+        inComment = true; sb.append(c)
+      case '?' if !inStr && !inIdent => pieces += sb.toString; sb.clear()
       case _ => sb.append(c)
     }
     pieces += sb.toString
@@ -98,6 +107,12 @@ final class JdbcColumnarInput extends InputAdapter {
         val ps = pieces.get
         require(ps.length == 3,
           s"jdbcColumnar: a placeholder query needs exactly two ?, got ${ps.length - 1}")
+        require(conf.str("partition_column").isEmpty,
+          "jdbcColumnar: a placeholder query and partition_column are mutually " +
+            "exclusive — the ? ranges already define the partitioning")
+        // note: each per-part reader resolves its schema against the remote
+        // DB at plan time (N round-trips); acceptable for the reference's
+        // moderate part counts, and the N SELECTs still run in one stage
         val parts = math.max(partCount, 1)
         (0 until parts)
           .map { i =>

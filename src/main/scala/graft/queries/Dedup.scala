@@ -95,12 +95,15 @@ object Dedup {
         .filter(col("jaccard") >= minJaccard)
     } else {
       // df per (lang, v) shuffles on the same key as the candidate join;
-      // the filtered key set rejoins the postings before the self-join
+      // the filtered key set rejoins the postings before the self-join.
+      // persist: kept feeds BOTH sides of the candidate self-join — the
+      // explode + df shuffle + rejoin would otherwise run twice
       val kept = ex.join(
         ex.groupBy(col("lang"), col("v")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxDf)
           .select(col("lang"), col("v")),
         Seq("lang", "v"))
+        .persist()
       val cand = kept.as("a")
         .join(kept.as("b"), expr("a.v = b.v and a.lang = b.lang and a.doc_id < b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

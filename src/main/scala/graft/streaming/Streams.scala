@@ -141,21 +141,24 @@ object Streams {
 
   /** Streaming decontamination — the streaming twin of
     * `q_decontaminate`: a stateless per-row gate dropping documents that
-    * share any 5-gram with the eval set. The eval hashes ride the plan
-    * as a literal array here (benchmark sets are tiny); at larger eval
-    * sizes the same plan swaps in a broadcast Bloom filter or the
-    * stream-static semi-join of [[enrichStatic]]'s shape. No state, no
-    * watermark: works in every output mode. */
-  def decontaminate(docs: DataFrame, evalHashes: Seq[Long]): DataFrame = {
+    * share any 5-gram with the eval set. The eval shingles ride the plan
+    * as a literal string array (benchmark sets are tiny) and the overlap
+    * check is all codegen'd (`shingles` + `arrays_overlap`, no
+    * interpreted lambda); at larger eval sizes the same plan swaps in a
+    * broadcast Bloom filter over shingle hashes or the stream-static
+    * semi-join of [[enrichStatic]]'s shape. No state, no watermark:
+    * works in every output mode. NULL/short texts cannot be
+    * contaminated, so they pass through. */
+  def decontaminate(docs: DataFrame, evalShingles: Seq[String]): DataFrame = {
     graft.functions.GraftRuntime.ensure(docs.sparkSession)
     docs
       .withColumn("w", expr("split(trim(text), '\\\\s+')"))
       .withColumn(
         "contaminated",
-        expr("size(w) >= 5") &&
-          arrays_overlap(
-            expr("transform(shingles(w, 5), s -> xxhash64(s))"),
-            typedLit(evalHashes)))
+        coalesce(
+          expr("size(w) >= 5") &&
+            arrays_overlap(expr("shingles(w, 5)"), typedLit(evalShingles)),
+          lit(false)))
       .filter(!col("contaminated"))
       .drop("w", "contaminated")
   }

@@ -68,6 +68,11 @@ class JdbcAdapterSpec extends SparkSpec {
     assert(split("x = 'q?' AND y BETWEEN ? AND ?") ==
       Seq("x = 'q?' AND y BETWEEN ", " AND ", ""))
     assert(split("tag = 'it''s ?'") == Seq("tag = 'it''s ?'"))
+    // double-quoted identifiers and -- line comments hide '?' too
+    assert(split("SELECT \"flag?\" FROM t WHERE k BETWEEN ? AND ?") ==
+      Seq("SELECT \"flag?\" FROM t WHERE k BETWEEN ", " AND ", ""))
+    assert(split("SELECT a -- really?\nFROM t WHERE b = ?") ==
+      Seq("SELECT a -- really?\nFROM t WHERE b = ", ""))
     // parts=3 over [0,3]: JdbcRDD yields (0,0) (1,1) (2,3)
     assert((0 until 3).map(bounds(_, 3, 3)) == Seq((0L, 0L), (1L, 1L), (2L, 3L)))
     // parts=4 over [0,4]: (0,0) (1,1) (2,2) (3,4)

@@ -6,6 +6,19 @@ import graft.multimodal.Media
   * preservation, and the stubbed resize/frame-sample contracts. */
 class MediaSpec extends SparkSpec {
 
+  test("corpus is pure ASCII — the byte-arithmetic oracles' precondition") {
+    // q_media_resize / q_media_frames oracles substring the VARCHAR text
+    // where Spark slices payload BYTES; valid only while char offsets
+    // equal byte offsets (docs/determinism.md "Binary payloads")
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq(sf(), sf("sf0.01"))) {
+      val nonAscii = graft.io.Tables(spark, dir, "documents")
+        .filter(expr("octet_length(cast(text as binary)) <> length(text)"))
+        .count()
+      assert(nonAscii == 0, s"$dir has non-ASCII documents; byte oracles invalid")
+    }
+  }
+
   test("synthesize: stable schema, kinds, payload bytes") {
     val ds = Media.synthesize(spark, sf())
     assert(ds.schema.fieldNames.toSeq ==

@@ -164,13 +164,13 @@ class StreamingSpec extends SparkSpec {
     implicit val sq = spark.sqlContext
     import spark.implicits._
     val evalText = "alpha beta gamma delta epsilon zeta"
-    // eval 5-gram hashes, computed with the same expressions batch-side
-    val evalHashes = Seq(evalText).toDF("text")
-      .selectExpr("explode(transform(shingles(split(trim(text), '\\\\s+'), 5), s -> xxhash64(s))) v")
-      .collect().map(_.getLong(0)).toSeq
+    // eval 5-gram shingles, computed with the same expression batch-side
+    val evalShingles = Seq(evalText).toDF("text")
+      .selectExpr("explode(shingles(split(trim(text), '\\\\s+'), 5)) s")
+      .collect().map(_.getString(0)).toSeq
     val mem = MemoryStream[(Long, String)]
     val query = Streams.decontaminate(
-      mem.toDF().toDF("doc_id", "text"), evalHashes)
+      mem.toDF().toDF("doc_id", "text"), evalShingles)
       .writeStream.format("memory").queryName("decon_out")
       .outputMode(OutputMode.Append()).start()
     try {
@@ -179,9 +179,11 @@ class StreamingSpec extends SparkSpec {
         (2L, "completely different words in this one here"),
         (3L, "short doc")) // under 5 tokens -> kept
       query.processAllAvailable()
+      mem.addData((4L, null.asInstanceOf[String])) // NULL text -> kept, not dropped
+      query.processAllAvailable()
       val kept = spark.table("decon_out").select("doc_id")
         .collect().map(_.getLong(0)).toSet
-      assert(kept == Set(2L, 3L))
+      assert(kept == Set(2L, 3L, 4L))
     } finally query.stop()
   }
 
