@@ -55,7 +55,14 @@ object Dedup {
     * shared shingle is corpus-hot can be missed (DedupCapSpec shows the
     * pair set is identical on the test corpus). This is the knob that
     * keeps the shuffle alive when 100 TB of web text all contains
-    * "terms of service apply". */
+    * "terms of service apply".
+    *
+    * Caching contract: the doc-level shingle frame is `.persist()`ed (it
+    * feeds the postings explode plus both verify sides, and the returned
+    * frame is lazy, so this method cannot release it). Verify/Bench clear
+    * the cache after each query; any other caller owns the lifecycle and
+    * should `spark.catalog.clearCache()` (or unpersist via
+    * `spark.sharedState.cacheManager`) once the result is materialized. */
   def ngramJaccardPairs(
       s: org.apache.spark.sql.SparkSession,
       dir: String,
@@ -94,16 +101,23 @@ object Dedup {
           expr("cast(i as double) / (n_a + n_b - i)").as("jaccard"))
         .filter(col("jaccard") >= minJaccard)
     } else {
-      // df per (lang, v) shuffles on the same key as the candidate join;
-      // the filtered key set rejoins the postings before the self-join.
-      // persist: kept feeds BOTH sides of the candidate self-join — the
-      // explode + df shuffle + rejoin would otherwise run twice
-      val kept = ex.join(
-        ex.groupBy(col("lang"), col("v")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDf)
-          .select(col("lang"), col("v")),
-        Seq("lang", "v"))
-        .persist()
+      // df as a WINDOW count over the postings — partitioned on the SAME
+      // (lang, v) key the candidate self-join clusters on, so the filter
+      // costs one exchange and the self-join reuses it for both sides
+      // (ReusedExchange), where the old groupBy+rejoin+persist paid a
+      // second full postings shuffle, a join, and a cache materialization.
+      val kept = ex
+        .select(col("doc_id"), col("lang"), col("v")) // n_sh not needed: verify uses full sets
+        .withColumn("df",
+          count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("lang"), col("v"))))
+        .filter(col("df") <= maxDf)
+        .select(col("doc_id"), col("lang"), col("v"))
+      // one pair-dedup exchange BEFORE the verify: a pair sharing k kept
+      // shingles appears k times, and each duplicate row would otherwise
+      // pay two sh-joins plus an array_intersect of the full sets —
+      // deduping 16-byte pair rows (with map-side partial combine) is
+      // the cheaper side of that trade at any scale
       val cand = kept.as("a")
         .join(kept.as("b"), expr("a.v = b.v and a.lang = b.lang and a.doc_id < b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

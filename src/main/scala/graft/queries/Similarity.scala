@@ -87,8 +87,12 @@ object Similarity {
         .select(col("query_id"), col("cand_id"), expr("dot_f(q_emb, c_emb)").as("ddot"))
       // per-query 10th-best double score via the bounded-heap TopK
       // aggregate: O(k) state with map-side partials — never a full
-      // sort-shuffle of the |Q| x |V| score stream — then broadcast the
-      // per-query threshold back over a recomputed (map-only) score pass
+      // sort-shuffle of the |Q| x |V| score stream. The threshold and
+      // survivor frames are one row per QUERY (and |Q| grows with the
+      // corpus), so they are NOT hinted: at sf0.1 AQE broadcasts them at
+      // runtime, at 100 TB it keeps the shuffle join — a forced
+      // broadcast here would pin an O(corpus) build side into every
+      // executor.
       val topk10 = udaf(
         new graft.functions.Aggregators.TopK(10),
         org.apache.spark.sql.Encoders.tuple(
@@ -98,10 +102,10 @@ object Similarity {
         .agg(topk10(col("ddot"), col("cand_id")).as("tk"))
         .select(col("t_qid"), expr("element_at(tk, 10)._1").as("th"))
       val surv = scored
-        .join(broadcast(th), col("query_id") === col("t_qid"))
+        .join(th, col("query_id") === col("t_qid"))
         .filter(col("th").isNull || col("ddot") >= col("th") - 1e-9)
         .select(col("query_id"), col("cand_id"))
-      e.join(broadcast(surv), col("vec_id") === col("cand_id"))
+      e.join(surv, col("vec_id") === col("cand_id"))
         .join(broadcast(q), "query_id")
         .select(col("query_id"), col("cand_id"), expr(dot("q_emb", "embedding")).as("dot"))
         .withColumn("rn", row_number().over(
@@ -173,21 +177,23 @@ object Similarity {
       val cents = e.filter(col("vec_id") % 50 === 7)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
       // two-phase assignment: |V| x |C| double dots in one codegen'd map
-      // stage (no shuffle — the per-vector max comes back as a broadcast),
-      // then the exact DECIMAL dot only on the ~1 surviving centroid per
-      // vector (margin 1e-9 >> the double dot's ~1e-13 error, so the
-      // exact ranking is unaffected)
+      // stage, per-vector argmax as a WINDOW over the flat 20-byte score
+      // stream — one exchange on vec_id, no join-back, nothing broadcast.
+      // (The old groupBy-max + broadcast-join-back pinned a
+      // one-row-per-VECTOR frame into every executor — fine at sf0.1,
+      // fatal at 100 TB.) Exact DECIMAL dot runs only on the ~1 surviving
+      // centroid per vector (margin 1e-9 >> the double dot's ~1e-13
+      // error, so the exact ranking is unaffected).
       val ddots = e.select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(cents))
         .select(col("vec_id"), col("c_id"), expr("dot_f(embedding, c_emb)").as("cdd"))
-      val maxes = ddots.groupBy(col("vec_id")).agg(max(col("cdd")).as("mx"))
-        .withColumnRenamed("vec_id", "mx_vec")
       val best = ddots
-        .join(broadcast(maxes), col("vec_id") === col("mx_vec"))
+        .withColumn("mx", max(col("cdd")).over(Window.partitionBy(col("vec_id"))))
         .filter(col("cdd") >= col("mx") - 1e-9)
         .select(col("vec_id").as("b_vec"), col("c_id"))
+      // best is ~1 row per vector — unhinted join; AQE picks the strategy
       val assign = e
-        .join(broadcast(best), col("vec_id") === col("b_vec"))
+        .join(best, col("vec_id") === col("b_vec"))
         .join(broadcast(cents), "c_id")
         .select(col("vec_id"), col("embedding"), col("c_id"),
           expr(dot("embedding", "c_emb")).as("cdot"))
@@ -200,7 +206,10 @@ object Similarity {
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))
       assign
         .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb2"), col("cell").as("x_cell"))
-        .join(broadcast(q), col("cell") === col("x_cell") && col("query_id") =!= col("cand_id"))
+        // q descends from the full assignment (|Q| grows with the
+        // corpus): unhinted equi-join on the cell — AQE broadcasts the
+        // 1% probe side at runtime, shuffles it at 100 TB
+        .join(q, col("cell") === col("x_cell") && col("query_id") =!= col("cand_id"))
         .select(col("query_id"), col("cand_id"), col("cell"),
           expr(dot("q_emb", "c_emb2")).as("dot"))
         .withColumn("rn", row_number().over(
@@ -257,17 +266,18 @@ object Similarity {
       val cents = e.filter(col("vec_id") % 50 === 7)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
       // phase 1: nearest seed (double prefilter + exact decimal on the
-      // surviving ~1 candidate per vector — same two-phase shape as ivf)
+      // surviving ~1 candidate per vector — same two-phase shape as ivf).
+      // Per-vector argmax is a window over the flat score stream: one
+      // exchange on vec_id, no join-back, nothing broadcast (and no
+      // persist — the stream now has a single consumer).
       val dd1 = e.select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(cents))
         .select(col("vec_id"), col("c_id"), expr("dot_f(embedding, c_emb)").as("cdd"))
-        .persist() // |V|x|C| score stream feeds the max AND the join-back
-      val mx1 = dd1.groupBy(col("vec_id")).agg(max(col("cdd")).as("mx"))
-        .withColumnRenamed("vec_id", "mx_vec")
-      val best1 = dd1.join(broadcast(mx1), col("vec_id") === col("mx_vec"))
+      val best1 = dd1
+        .withColumn("mx", max(col("cdd")).over(Window.partitionBy(col("vec_id"))))
         .filter(col("cdd") >= col("mx") - 1e-9)
         .select(col("vec_id").as("b_vec"), col("c_id"))
-      val assign1 = e.join(broadcast(best1), col("vec_id") === col("b_vec"))
+      val assign1 = e.join(best1, col("vec_id") === col("b_vec"))
         .join(broadcast(cents), "c_id")
         .select(col("vec_id"), col("embedding"), col("c_id"),
           expr(dot("embedding", "c_emb")).as("cdot"))
@@ -290,17 +300,18 @@ object Similarity {
       // phase 3: reassign against the trained centroids — double
       // prefilter again; the exact decimal dot runs only on the ~1
       // surviving trained centroid per vector
+      // trained stays broadcast: it is one row per CELL — k is a fixed
+      // model parameter, not a function of corpus size (the %50 seed rule
+      // is only this harness's determinism trick)
       val dd2 = assign1.select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(trained))
         .select(col("vec_id"), col("t_cell"), expr("dot_f(embedding, t_emb)").as("tdd"))
-        .persist() // same two-branch diamond as phase 1
-      val mx2 = dd2.groupBy(col("vec_id")).agg(max(col("tdd")).as("mx2"))
-        .withColumnRenamed("vec_id", "mx2_vec")
-      val surv2 = dd2.join(broadcast(mx2), col("vec_id") === col("mx2_vec"))
+      val surv2 = dd2
+        .withColumn("mx2", max(col("tdd")).over(Window.partitionBy(col("vec_id"))))
         .filter(col("tdd") >= col("mx2") - 1e-9)
         .select(col("vec_id").as("s_vec"), col("t_cell").as("s_cell"))
       val assign2 = assign1.select(col("vec_id"), col("embedding"), col("cell").as("cell1"))
-        .join(broadcast(surv2), col("vec_id") === col("s_vec"))
+        .join(surv2, col("vec_id") === col("s_vec"))
         .join(broadcast(trained), col("s_cell") === col("t_cell"))
         .select(col("vec_id"), col("cell1"), col("t_cell"),
           expr(dot("embedding", "t_emb")).as("tdot"))
@@ -359,13 +370,16 @@ object Similarity {
         org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.scalaDouble,
           org.apache.spark.sql.Encoders.scalaLong))
+      // th2/surv are one row per VECTOR — never hinted (the forced
+      // broadcast of an O(corpus) frame was the round-6 scale defect);
+      // AQE broadcasts them at sf0.1, shuffle-joins at 100 TB
       val th2 = ddots.groupBy(col("vec_id").as("t_vec"))
         .agg(topk2(col("cdd"), col("c_id")).as("tk"))
         .select(col("t_vec"), expr("element_at(tk, 2)._1").as("th"))
-      val surv = ddots.join(broadcast(th2), col("vec_id") === col("t_vec"))
+      val surv = ddots.join(th2, col("vec_id") === col("t_vec"))
         .filter(col("th").isNull || col("cdd") >= col("th") - 1e-9)
         .select(col("vec_id").as("s_vec"), col("c_id"))
-      val ranked = e.join(broadcast(surv), col("vec_id") === col("s_vec"))
+      val ranked = e.join(surv, col("vec_id") === col("s_vec"))
         .join(broadcast(cents), "c_id")
         .select(col("vec_id"), col("embedding"), col("c_id"),
           expr(dot("embedding", "c_emb")).as("cdot"))
@@ -378,7 +392,9 @@ object Similarity {
       val probes = ranked.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("c_id").as("cell"))
       assign
-        .join(broadcast(probes), col("cell") === col("x_cell") && col("query_id") =!= col("cand_id"))
+        // probes descend from the full ranked assignment: unhinted, AQE
+        // broadcasts the 1% probe fan-out at runtime only
+        .join(probes, col("cell") === col("x_cell") && col("query_id") =!= col("cand_id"))
         .select(col("query_id"), col("cand_id"), expr(dot("q_emb", "c_emb2")).as("dot"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("cand_id"))))

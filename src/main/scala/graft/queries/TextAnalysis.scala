@@ -126,8 +126,10 @@ object TextAnalysis {
     // ---- end-to-end training-data filter pipeline ---------------------------
     // the composed shape a real pipeline runs: quality gate AND
     // dedup-keeper (lowest doc_id of each prefix cluster) -> per-lang
-    // survivor counts. One scan, one groupBy for the cluster keep-list
-    // (broadcast back), one final groupBy.
+    // survivor counts. One scan, ONE shuffle on prefix_fp (the keeper is
+    // a window min — the old groupBy + broadcast-join-back shipped a
+    // one-row-per-cluster frame, which grows with the corpus), one final
+    // groupBy.
     Q(
       "q_pipeline_filter",
       raw"""WITH scored AS (
@@ -151,12 +153,11 @@ object TextAnalysis {
         col("doc_id"), col("lang"),
         expr(h(s"concat_ws(' ', slice($tokens, 1, 8))")).as("prefix_fp"),
         expr(s"case when size($tokens) >= 10 and $stopRatio >= 0.01 then 1 else 0 end").as("ok"))
-      val keepers = scored.groupBy(col("prefix_fp").as("k_fp"))
-        .agg(min(col("doc_id")).as("keep_id"))
       scored
-        .join(broadcast(keepers),
-          col("prefix_fp") === col("k_fp") && col("doc_id") === col("keep_id"))
-        .filter(col("ok") === 1)
+        .withColumn("keep_id",
+          min(col("doc_id")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("prefix_fp"))))
+        .filter(col("doc_id") === col("keep_id") && col("ok") === 1)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("kept"))
     },

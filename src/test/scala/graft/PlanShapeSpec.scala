@@ -77,16 +77,60 @@ class PlanShapeSpec extends SparkSpec {
   test("q_ann_topk: threshold via bounded-heap aggregate, no full sort of the score stream") {
     val p = planOf("q_ann_topk")
     assert(p.contains("ObjectHashAggregate"), "TopK threshold aggregate missing")
-    // the only Sort allowed is the final per-query rank over ~k survivors
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
+    // threshold agg + unhinted threshold/survivor joins (AQE collapses
+    // the small sides at runtime) + final per-query rank — bounded even
+    // in the pre-AQE plan
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 6, p)
   }
 
-  test("q_ann_ivf: assignment stage joins broadcast maxima, bounded exchanges") {
+  test("q_ann_ivf: window argmax assignment — no broadcast of a per-vector frame") {
     val p = planOf("q_ann_ivf")
-    assert(p.contains("BroadcastHashJoin"))
-    // maxes agg + exact-rank window + probe-rank window + final stages —
-    // never an exchange of the |V| x |C| score stream itself
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 5, p)
+    assert(p.contains("BroadcastHashJoin")) // the centroid dims broadcast
+    assert(p.contains("Window"), "per-vector argmax must be a window, not groupBy+join-back")
+    // score-stream window + assignment join + probe join + ranks — never
+    // an extra exchange for a groupBy-max rejoin
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 6, p)
+  }
+
+  test("ANN/pipeline: no forced broadcast of a frame that grows with the corpus") {
+    // Round-6 defect class: broadcast() on per-vector/per-doc argmax or
+    // keeper frames — kilobytes at sf0.1, multi-GB pinned into every
+    // executor at 100 TB. Gate: in the ANN + pipeline-filter + capped-
+    // dedup queries, every broadcast HINT must wrap a genuinely bounded
+    // frame — either a selective slice (Project/Filter straight over a
+    // scan: the 1% query sample, the %50 centroid seeds, ...) or the
+    // k-means trained centroids (an Aggregate grouped exactly on the
+    // cell id — one row per cell, k is a fixed model parameter). AQE
+    // may still broadcast unhinted frames at runtime from observed
+    // sizes; that is the point — the HINT is what must not pin an
+    // O(corpus) frame.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def stripTop(pl: LogicalPlan): LogicalPlan = pl match {
+      case Project(_, c)       => stripTop(c)
+      case SubqueryAlias(_, c) => stripTop(c)
+      case f: Filter           => stripTop(f.child)
+      case other               => other
+    }
+    val gated = Seq("q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_ann_kmeans",
+      "q_ann_ivf_multiprobe", "q_pipeline_filter", "q_dedup_ngram_capped")
+    for (name <- gated) {
+      val plan = SparkEntry.queries(name)(spark, sf()).queryExecution.analyzed
+      val hinted = plan.collect { case h: ResolvedHint if h.hints.strategy.isDefined => h.child }
+      // non-vacuity: the ANN queries DO hint their sample/centroid slices
+      if (name != "q_pipeline_filter" && name != "q_dedup_ngram_capped")
+        assert(hinted.nonEmpty, s"$name: expected the sample/centroid broadcast hints")
+      for (sub <- hinted) {
+        val slice = sub.collectFirst { case _: Aggregate | _: Window | _: Join => () }.isEmpty &&
+          sub.collectFirst { case _: Filter => () }.isDefined
+        val trainedCentroids = stripTop(sub) match {
+          case a: Aggregate =>
+            a.groupingExpressions.flatMap(_.references.map(_.name)) == Seq("cell")
+          case _ => false
+        }
+        assert(slice || trainedCentroids,
+          s"$name force-broadcasts a frame that grows with the corpus:\n$sub")
+      }
+    }
   }
 
   test("q_tpch_q14: part joins broadcast; single-group aggregate, no sort") {
