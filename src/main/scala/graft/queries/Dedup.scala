@@ -101,35 +101,59 @@ object Dedup {
           expr("cast(i as double) / (n_a + n_b - i)").as("jaccard"))
         .filter(col("jaccard") >= minJaccard)
     } else {
-      // df as a WINDOW count over the postings — partitioned on the SAME
-      // (lang, v) key the candidate self-join clusters on, so the filter
-      // costs one exchange and the self-join reuses it for both sides
-      // (ReusedExchange), where the old groupBy+rejoin+persist paid a
-      // second full postings shuffle, a join, and a cache materialization.
-      val kept = ex
-        .select(col("doc_id"), col("lang"), col("v")) // n_sh not needed: verify uses full sets
-        .withColumn("df",
-          count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("lang"), col("v"))))
-        .filter(col("df") <= maxDf)
-        .select(col("doc_id"), col("lang"), col("v"))
-      // one pair-dedup exchange BEFORE the verify: a pair sharing k kept
-      // shingles appears k times, and each duplicate row would otherwise
-      // pay two sh-joins plus an array_intersect of the full sets —
-      // deduping 16-byte pair rows (with map-side partial combine) is
-      // the cheaper side of that trade at any scale
-      val cand = kept.as("a")
-        .join(kept.as("b"), expr("a.v = b.v and a.lang = b.lang and a.doc_id < b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
-      // exact verify on the full (uncapped) shingle sets
-      cand
-        .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
-        .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
-        .select(
-          col("id_a"), col("id_b"),
-          expr("cast(size(array_intersect(sh_a, sh_b)) as double) / " +
-            "size(array_union(sh_a, sh_b))").as("jaccard"))
+      // hot-shingle cap, all-Tungsten, four stages. ONE count aggregate
+      // computes per-shingle df (HashAggregate: fixed-width buffers,
+      // graceful spill — never a list buffer, and never
+      // ObjectHashAggregate's 128-key sort fallback, which is what made
+      // collect_list/window formulations of this cap sort the whole
+      // postings stream). Only REPEATED shingles (df >= 2) survive the
+      // join-back: singleton shingles — the vast majority of any corpus
+      // — generate no pairs and no hot probes, so they never leave the
+      // map side. AQE broadcasts the repeated-vocab table at small
+      // scale and shuffle-joins it at 100 TB.
+      val dfTab = ex
+        .groupBy(col("lang"), col("v"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2)
+      val mark = ex.join(dfTab, Seq("lang", "v"))
+      // the full-set jaccard the cap verifies also counts HOT shingles
+      // shared by a candidate pair: |intersection| = i_kept + i_hot,
+      // since every shingle is either kept (df <= maxDf) or hot. Each
+      // doc's hot shingles form a SMALL array (a doc holds at most a
+      // few corpus-hot shingles, never the hot posting lists — the
+      // quadratic intra-hot-list fan-out the cap exists to avoid).
+      val docHot = mark.filter(col("df") > maxDf)
+        .groupBy(col("doc_id").as("h_doc"))
+        .agg(collect_list(col("v")).as("hot_arr"))
+      // kept candidate self-join: every postings list on the join key
+      // is bounded at maxDf rows (≤ maxDf² fan-out per key); a pair
+      // sharing k kept shingles appears k times, so ONE groupBy both
+      // dedups the pair and yields i_kept = |kept shingles shared|,
+      // with the full set sizes riding along. No arrays pass through
+      // this aggregate: array-typed agg buffers would demote it from
+      // HashAggregate to a SortAggregate over the whole pair stream.
+      val keptPost = mark.filter(col("df") <= maxDf)
+        .select(col("doc_id"), col("lang"), col("v"), col("n_sh"))
+      val pairs = keptPost.as("a")
+        .join(keptPost.as("b"), expr("a.v = b.v and a.lang = b.lang and a.doc_id < b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"),
+          count(lit(1)).as("i_kept"))
+      // hot sets attach per pair END, after the aggregate — two joins
+      // against the per-doc frame (AQE broadcasts it at small scale;
+      // at 100 TB both are high-cardinality id equi-joins)
+      pairs
+        .join(docHot.select(col("h_doc"), col("hot_arr").as("hot_a")),
+          col("id_a") === col("h_doc"), "left")
+        .drop("h_doc")
+        .join(docHot.select(col("h_doc"), col("hot_arr").as("hot_b")),
+          col("id_b") === col("h_doc"), "left")
+        .drop("h_doc")
+        .select(col("id_a"), col("id_b"),
+          expr("i_kept + coalesce(size(array_intersect(hot_a, hot_b)), 0)").as("i"),
+          col("n_a"), col("n_b"))
+        .select(col("id_a"), col("id_b"),
+          expr("cast(i as double) / (n_a + n_b - i)").as("jaccard"))
         .filter(col("jaccard") >= minJaccard)
     }
   }

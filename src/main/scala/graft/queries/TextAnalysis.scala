@@ -297,7 +297,9 @@ object TextAnalysis {
     // ---- TF-IDF top terms per document -------------------------------------
     // explode → (doc, term) counts → document frequency → idf weighting →
     // per-doc top-3. Shuffles on term hash and doc_id only (both
-    // high-cardinality); the vocabulary-sized df table broadcasts back.
+    // high-cardinality); the df join is UNHINTED — the vocabulary grows
+    // ~√corpus (Heap's law, multi-GB at 100 TB), so AQE broadcasts it at
+    // small scale and shuffle-joins it when it is genuinely big.
     // ln() is libm-dependent (JVM vs C++ may differ in the last ulp), so
     // scores snap through the decimal path before ranking — rank order
     // is then engine-identical, with the term as tie-break.
@@ -330,7 +332,7 @@ object TextAnalysis {
       val df = tf.groupBy(col("term").as("df_term")).agg(count(lit(1)).as("df"))
       // corpus size as an in-plan broadcast scalar, not a driver count() job
       val n = docs.agg(count(lit(1)).cast("double").as("n"))
-      tf.join(broadcast(df), col("term") === col("df_term"))
+      tf.join(df, col("term") === col("df_term"))
         .crossJoin(broadcast(n))
         .select(col("doc_id"), col("term"),
           call_function("dec_cast",
@@ -391,7 +393,9 @@ object TextAnalysis {
         countDistinct(col("doc_id")).cast("double").as("n"),
         (sum(col("tf")).cast("double") / countDistinct(col("doc_id"))).as("avgdl"))
       val byDoc = Window.partitionBy(col("doc_id"))
-      tf.join(broadcast(df), col("term") === col("df_term"))
+      // df unhinted for the same reason as q_tfidf: one row per TERM is
+      // a Heap's-law frame, not a bounded dim — AQE decides at runtime
+      tf.join(df, col("term") === col("df_term"))
         .crossJoin(broadcast(consts))
         .withColumn("dlen", sum(col("tf")).over(byDoc))
         .select(col("doc_id"), col("term"),
@@ -573,12 +577,16 @@ object TextAnalysis {
         |FROM sh JOIN ev USING (s)
         |WHERE sh.doc_id % 29 <> 0
         |GROUP BY sh.doc_id""") { (s, dir) =>
+      // NOT persisted: caching here would pin the FULL corpus shingle
+      // stream just to serve the tiny eval-set build. The eval branch's
+      // doc_id filter pushes below the explode, so it tokenizes only the
+      // 1-in-29 eval slice; the corpus side streams through the probe
+      // join exactly once — nothing corpus-sized is ever cached.
       val sh = Tables(s, dir, "documents")
         .select(col("doc_id"), expr(tokens).as("w"))
         .filter(expr("size(w) >= 5"))
         .select(col("doc_id"), explode(expr("shingles(w, 5)")).as("s"))
         .select(col("doc_id"), xxhash64(col("s")).as("v"))
-        .persist() // feeds both the eval-set build and the corpus probe
       val ev = sh.filter(col("doc_id") % 29 === 0).select(col("v")).distinct()
       sh.filter(col("doc_id") % 29 =!= 0)
         .join(broadcast(ev), Seq("v"))

@@ -133,6 +133,28 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_ngram_capped: Tungsten df count — no window sort, list aggs only on per-doc keys") {
+    val p = planOf("q_dedup_ngram_capped")
+    // the cap's df must be a plain count HashAggregate (fixed-width
+    // buffers, graceful spill), never a window count — a window
+    // sort-shuffles the full postings stream and still needs a self-join
+    assert(!p.contains("Window"), s"hot-shingle cap must not window-sort the postings:\n$p")
+    // the only list-collecting aggregate allowed is the per-doc hot
+    // shingle set (tiny groups); a list aggregate keyed on the SHINGLE
+    // would hit ObjectHashAggregate's 128-key sort fallback — a silent
+    // full sort of the postings plus O(df) buffers on hot keys
+    val objKeys = "ObjectHashAggregate\\(keys=\\[(\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(objKeys.subsetOf(Set("doc_id", "h_doc")), s"list aggregate on a non-doc key: $objKeys\n$p")
+    // and nothing may demote to a SortAggregate (array-typed agg
+    // buffers do that silently — the df count, the pair aggregate and
+    // the hot-set collection must all stay hash-based)
+    assert(!p.contains("SortAggregate"), s"a SortAggregate crept into the capped plan:\n$p")
+    // pre-AQE count; the duplicated docHot/self-join subtrees collapse
+    // to ReusedExchange at runtime
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 7, p)
+  }
+
   test("q_tpch_q14: part joins broadcast; single-group aggregate, no sort") {
     val p = planOf("q_tpch_q14")
     assert(p.contains("BroadcastHashJoin"))
