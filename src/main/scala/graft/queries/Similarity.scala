@@ -27,6 +27,23 @@ import graft.io.Tables
   */
 object Similarity {
 
+  /** Fixed-cardinality deterministic samples: the probe/query set and
+    * the centroid seeds are the top-k vec_ids by a cross-engine hash —
+    * k is a FIXED model/workload parameter (|Q| queries, |C| centroids),
+    * not a fraction of the corpus. The %-of-corpus slices these replace
+    * (vec_id % 100 / % 50) grew linearly with the corpus, so the
+    * broadcast hints protecting them pinned O(corpus) frames — the
+    * round-7 gate loophole. A hash-ordered LIMIT k is bounded by
+    * construction at any corpus size (and is what a real workload does:
+    * k and |Q| are chosen, not derived from data volume). */
+  private val NQ = 8
+  private val NC = 16
+
+  private def qHash = h("concat('q#', cast(vec_id as string))")
+  private def cHash = h("concat('c#', cast(vec_id as string))")
+  private def duckQHash = duck("'q#' || vec_id::VARCHAR")
+  private def duckCHash = duck("'c#' || vec_id::VARCHAR")
+
   /** Spark SQL: exact decimal dot product of two float arrays, via the
     * native codegen'd [[graft.functions.DecimalDot]] (bit-identical to
     * the HOF formulation — DecimalDotSpec — but one static loop instead
@@ -65,34 +82,38 @@ object Similarity {
     // ---- brute-force top-10 by exact decimal dot ---------------------------
     Q(
       "q_ann_topk",
-      s"""SELECT query_id, cand_id, rn, CAST(dot AS DOUBLE) AS dot FROM (
+      s"""WITH q AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  ORDER BY $duckQHash, vec_id LIMIT $NQ
+        |)
+        |SELECT query_id, cand_id, rn, CAST(dot AS DOUBLE) AS dot FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
         |    ${duckDot("q.embedding", "c.embedding")} AS dot,
         |    row_number() OVER (PARTITION BY q.vec_id
         |      ORDER BY ${duckDot("q.embedding", "c.embedding")} DESC, c.vec_id) AS rn
-        |  FROM embeddings q JOIN embeddings c
-        |    ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+        |  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
         |) WHERE rn <= 10""".stripMargin) { (s, dir) =>
       // two-phase: score every pair with the codegen'd DOUBLE dot (the
       // 64-term double sum is within ~1e-13 of the exact decimal dot),
       // keep everything within 1e-9 of the 10th-best, and compute the
       // exact DECIMAL dot only on those ~10/query survivors. Arrays are
       // projected away before the ranking shuffle, so the window moves
-      // 24-byte rows, not 256-byte vectors.
+      // 24-byte rows, not 256-byte vectors. The query set is a fixed-|Q|
+      // hash-ordered LIMIT (distributed TakeOrdered), so broadcast(q) is
+      // bounded by construction at any corpus size.
       val e = Tables(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val q = e.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          expr(qHash).as("qh"))
+        .orderBy(col("qh"), col("query_id")).limit(NQ)
+        .select(col("query_id"), col("q_emb"))
       val scored = e.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
         .join(broadcast(q), col("query_id") =!= col("cand_id"))
         .select(col("query_id"), col("cand_id"), expr("dot_f(q_emb, c_emb)").as("ddot"))
       // per-query 10th-best double score via the bounded-heap TopK
       // aggregate: O(k) state with map-side partials — never a full
       // sort-shuffle of the |Q| x |V| score stream. The threshold and
-      // survivor frames are one row per QUERY (and |Q| grows with the
-      // corpus), so they are NOT hinted: at sf0.1 AQE broadcasts them at
-      // runtime, at 100 TB it keeps the shuffle join — a forced
-      // broadcast here would pin an O(corpus) build side into every
-      // executor.
+      // survivor frames stay UNHINTED out of habit-forming caution
+      // (AQE broadcasts them at runtime from observed sizes).
       val topk10 = udaf(
         new graft.functions.Aggregators.TopK(10),
         org.apache.spark.sql.Encoders.tuple(
@@ -119,22 +140,28 @@ object Similarity {
       "q_ann_lsh",
       s"""WITH bucketed AS (
         |  SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket FROM embeddings
+        |), q AS (
+        |  SELECT vec_id, embedding, bucket FROM bucketed
+        |  ORDER BY $duckQHash, vec_id LIMIT $NQ
         |)
         |SELECT query_id, cand_id, bucket, rn, CAST(dot AS DOUBLE) AS dot FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.bucket AS bucket,
         |    ${duckDot("q.embedding", "c.embedding")} AS dot,
         |    row_number() OVER (PARTITION BY q.vec_id
         |      ORDER BY ${duckDot("q.embedding", "c.embedding")} DESC, c.vec_id) AS rn
-        |  FROM bucketed q JOIN bucketed c
-        |    ON q.bucket = c.bucket AND q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+        |  FROM q JOIN bucketed c
+        |    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
         |) WHERE rn <= 3""".stripMargin) { (s, dir) =>
       // persist: the bucketed frame feeds both the query and candidate
       // sides of the bucket-equi-join
       val bucketed = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"), bucketCol("embedding").cast("int").as("bucket"))
         .persist()
-      val q = bucketed.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+      val q = bucketed
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"),
+          expr(qHash).as("qh"))
+        .orderBy(col("qh"), col("query_id")).limit(NQ)
+        .select(col("query_id"), col("q_emb"), col("bucket"))
       val c = bucketed
         .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("bucket").as("c_bucket"))
       c.join(broadcast(q), col("bucket") === col("c_bucket") && col("query_id") =!= col("cand_id"))
@@ -146,8 +173,8 @@ object Similarity {
     },
 
     // ---- IVF-style ANN: inverted file by nearest centroid ------------------
-    // Deterministic "training-free" IVF: a fixed centroid subset
-    // (vec_id % 50 == 7), every vector assigned to its nearest centroid
+    // Deterministic "training-free" IVF: a fixed-|C| hash-ordered
+    // centroid subset, every vector assigned to its nearest centroid
     // (exact decimal dot, ties to the lowest centroid id) — the
     // inverted-file cells. Queries probe only their own cell. At scale
     // the assignment is one broadcast-centroids map stage and the probe
@@ -156,7 +183,8 @@ object Similarity {
     Q(
       "q_ann_ivf",
       s"""WITH cents AS (
-        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 50 = 7
+        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+        |  ORDER BY $duckCHash, vec_id LIMIT $NC
         |), assign AS (
         |  SELECT vec_id, embedding, c_id AS cell FROM (
         |    SELECT v.vec_id, v.embedding, c.c_id,
@@ -164,18 +192,23 @@ object Similarity {
         |        ORDER BY ${duckDot("v.embedding", "c.c_emb")} DESC, c.c_id) AS crn
         |    FROM embeddings v CROSS JOIN cents c
         |  ) WHERE crn = 1
+        |), q AS (
+        |  SELECT vec_id, embedding, cell FROM assign
+        |  ORDER BY $duckQHash, vec_id LIMIT $NQ
         |)
         |SELECT query_id, cand_id, cell, rn, CAST(dot AS DOUBLE) AS dot FROM (
         |  SELECT q.vec_id AS query_id, x.vec_id AS cand_id, q.cell,
         |    ${duckDot("q.embedding", "x.embedding")} AS dot,
         |    row_number() OVER (PARTITION BY q.vec_id
         |      ORDER BY ${duckDot("q.embedding", "x.embedding")} DESC, x.vec_id) AS rn
-        |  FROM assign q JOIN assign x
-        |    ON q.cell = x.cell AND q.vec_id % 100 = 0 AND q.vec_id <> x.vec_id
+        |  FROM q JOIN assign x
+        |    ON q.cell = x.cell AND q.vec_id <> x.vec_id
         |) WHERE rn <= 5""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
-      val cents = e.filter(col("vec_id") % 50 === 7)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val cents = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          expr(cHash).as("ch"))
+        .orderBy(col("ch"), col("c_id")).limit(NC)
+        .select(col("c_id"), col("c_emb"))
       // two-phase assignment: |V| x |C| double dots in one codegen'd map
       // stage, per-vector argmax as a WINDOW over the flat 20-byte score
       // stream — one exchange on vec_id, no join-back, nothing broadcast.
@@ -202,13 +235,17 @@ object Similarity {
         .filter(col("crn") === 1)
         .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
         .persist() // assignment feeds both probe sides
-      val q = assign.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))
+      // fixed-|Q| probe set: assign has exactly one row per vector, so
+      // the hash-ordered LIMIT picks the same ids as over the raw scan
+      val q = assign
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"),
+          expr(qHash).as("qh"))
+        .orderBy(col("qh"), col("query_id")).limit(NQ)
+        .select(col("query_id"), col("q_emb"), col("cell"))
       assign
         .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb2"), col("cell").as("x_cell"))
-        // q descends from the full assignment (|Q| grows with the
-        // corpus): unhinted equi-join on the cell — AQE broadcasts the
-        // 1% probe side at runtime, shuffles it at 100 TB
+        // unhinted equi-join on the cell — AQE broadcasts the bounded
+        // probe side at runtime
         .join(q, col("cell") === col("x_cell") && col("query_id") =!= col("cand_id"))
         .select(col("query_id"), col("cand_id"), col("cell"),
           expr(dot("q_emb", "c_emb2")).as("dot"))
@@ -230,7 +267,8 @@ object Similarity {
     Q(
       "q_ann_kmeans",
       s"""WITH cents AS (
-        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 50 = 7
+        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+        |  ORDER BY $duckCHash, vec_id LIMIT $NC
         |), assign1 AS (
         |  SELECT vec_id, embedding, c_id AS cell FROM (
         |    SELECT v.vec_id, v.embedding, c.c_id,
@@ -263,8 +301,10 @@ object Similarity {
         |  min(vec_id) AS min_member
         |FROM assign2 GROUP BY cell2""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
-      val cents = e.filter(col("vec_id") % 50 === 7)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val cents = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          expr(cHash).as("ch"))
+        .orderBy(col("ch"), col("c_id")).limit(NC)
+        .select(col("c_id"), col("c_emb"))
       // phase 1: nearest seed (double prefilter + exact decimal on the
       // surviving ~1 candidate per vector — same two-phase shape as ivf).
       // Per-vector argmax is a window over the flat score stream: one
@@ -301,8 +341,7 @@ object Similarity {
       // prefilter again; the exact decimal dot runs only on the ~1
       // surviving trained centroid per vector
       // trained stays broadcast: it is one row per CELL — k is a fixed
-      // model parameter, not a function of corpus size (the %50 seed rule
-      // is only this harness's determinism trick)
+      // model parameter, matching the fixed-|C| hash-ordered seed rule
       val dd2 = assign1.select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(trained))
         .select(col("vec_id"), col("t_cell"), expr("dot_f(embedding, t_emb)").as("tdd"))
@@ -335,7 +374,8 @@ object Similarity {
     Q(
       "q_ann_ivf_multiprobe",
       s"""WITH cents AS (
-        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 50 = 7
+        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+        |  ORDER BY $duckCHash, vec_id LIMIT $NC
         |), ranked AS (
         |  SELECT vec_id, embedding, c_id, crn FROM (
         |    SELECT v.vec_id, v.embedding, c.c_id,
@@ -345,8 +385,11 @@ object Similarity {
         |  ) WHERE crn <= 2
         |), assign AS (
         |  SELECT vec_id, embedding, c_id AS cell FROM ranked WHERE crn = 1
+        |), qids AS (
+        |  SELECT vec_id FROM embeddings ORDER BY $duckQHash, vec_id LIMIT $NQ
         |), probes AS (
-        |  SELECT vec_id, embedding, c_id AS cell FROM ranked WHERE vec_id % 100 = 0
+        |  SELECT vec_id, embedding, c_id AS cell FROM ranked
+        |  WHERE vec_id IN (SELECT vec_id FROM qids)
         |)
         |SELECT query_id, cand_id, rn, CAST(dot AS DOUBLE) AS dot FROM (
         |  SELECT q.vec_id AS query_id, x.vec_id AS cand_id,
@@ -357,8 +400,10 @@ object Similarity {
         |    ON q.cell = x.cell AND q.vec_id <> x.vec_id
         |) WHERE rn <= 5""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
-      val cents = e.filter(col("vec_id") % 50 === 7)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val cents = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          expr(cHash).as("ch"))
+        .orderBy(col("ch"), col("c_id")).limit(NC)
+        .select(col("c_id"), col("c_emb"))
       // double scores once; top-2-per-vector via the bounded-heap TopK
       // (map-side partials — the |V| x |C| stream is never shuffled),
       // margin-filter against the 2nd-best, exact-DECIMAL rank survivors
@@ -389,11 +434,18 @@ object Similarity {
         .persist() // feeds the candidate index AND the probe fan-out
       val assign = ranked.filter(col("crn") === 1)
         .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb2"), col("c_id").as("x_cell"))
-      val probes = ranked.filter(col("vec_id") % 100 === 0)
+      // probes keep BOTH ranked cells of each query vector, so the
+      // fixed-|Q| id set is a hash-ordered LIMIT over the raw scan,
+      // semi-joined against ranked (a LIMIT over ranked would bound
+      // rows, not vectors)
+      val qids = e.select(col("vec_id"), expr(qHash).as("qh"))
+        .orderBy(col("qh"), col("vec_id")).limit(NQ)
+        .select(col("vec_id").as("q_vec"))
+      val probes = ranked.join(qids, col("vec_id") === col("q_vec"), "left_semi")
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("c_id").as("cell"))
       assign
         // probes descend from the full ranked assignment: unhinted, AQE
-        // broadcasts the 1% probe fan-out at runtime only
+        // broadcasts the bounded probe fan-out at runtime only
         .join(probes, col("cell") === col("x_cell") && col("query_id") =!= col("cand_id"))
         .select(col("query_id"), col("cand_id"), expr(dot("q_emb", "c_emb2")).as("dot"))
         .withColumn("rn", row_number().over(

@@ -96,14 +96,15 @@ class PlanShapeSpec extends SparkSpec {
     // Round-6 defect class: broadcast() on per-vector/per-doc argmax or
     // keeper frames — kilobytes at sf0.1, multi-GB pinned into every
     // executor at 100 TB. Gate: in the ANN + pipeline-filter + capped-
-    // dedup queries, every broadcast HINT must wrap a genuinely bounded
-    // frame — either a selective slice (Project/Filter straight over a
-    // scan: the 1% query sample, the %50 centroid seeds, ...) or the
-    // k-means trained centroids (an Aggregate grouped exactly on the
-    // cell id — one row per cell, k is a fixed model parameter). AQE
-    // may still broadcast unhinted frames at runtime from observed
-    // sizes; that is the point — the HINT is what must not pin an
-    // O(corpus) frame.
+    // dedup queries, every broadcast HINT must wrap a frame bounded BY
+    // CONSTRUCTION — a fixed-k LIMIT (the hash-ordered query/centroid
+    // samples: k is a model/workload parameter, not a fraction of the
+    // corpus) or the k-means trained centroids (an Aggregate grouped
+    // exactly on the cell id — one row per cell). A bare Filter slice
+    // does NOT qualify: round 7 blessed %-of-corpus filters as
+    // "bounded", and those grow linearly with the data. AQE may still
+    // broadcast unhinted frames at runtime from observed sizes; that is
+    // the point — the HINT is what must never pin an O(corpus) frame.
     import org.apache.spark.sql.catalyst.plans.logical._
     def stripTop(pl: LogicalPlan): LogicalPlan = pl match {
       case Project(_, c)       => stripTop(c)
@@ -116,18 +117,17 @@ class PlanShapeSpec extends SparkSpec {
     for (name <- gated) {
       val plan = SparkEntry.queries(name)(spark, sf()).queryExecution.analyzed
       val hinted = plan.collect { case h: ResolvedHint if h.hints.strategy.isDefined => h.child }
-      // non-vacuity: the ANN queries DO hint their sample/centroid slices
+      // non-vacuity: the ANN queries DO hint their sample/centroid frames
       if (name != "q_pipeline_filter" && name != "q_dedup_ngram_capped")
         assert(hinted.nonEmpty, s"$name: expected the sample/centroid broadcast hints")
       for (sub <- hinted) {
-        val slice = sub.collectFirst { case _: Aggregate | _: Window | _: Join => () }.isEmpty &&
-          sub.collectFirst { case _: Filter => () }.isDefined
+        val fixedK = sub.collectFirst { case _: GlobalLimit => () }.isDefined
         val trainedCentroids = stripTop(sub) match {
           case a: Aggregate =>
             a.groupingExpressions.flatMap(_.references.map(_.name)) == Seq("cell")
           case _ => false
         }
-        assert(slice || trainedCentroids,
+        assert(fixedK || trainedCentroids,
           s"$name force-broadcasts a frame that grows with the corpus:\n$sub")
       }
     }
