@@ -34,8 +34,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // queries persist() internal frames; drop them so cached partitions
-      // don't accumulate in executor storage across the full 121-query dump
+      // queries cache internal frames via CacheScope; release them so
+      // cached partitions don't accumulate in executor storage across
+      // the full dump (clearCache stays as harness belt-and-braces)
+      graft.io.CacheScope.releaseAll()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

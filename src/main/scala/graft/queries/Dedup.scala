@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.CrossHash.{duck, h}
+import graft.io.CacheScope.Persisted
 import graft.io.Tables
 
 /** Deduplication suite over `documents` / `embeddings` — the operators a
@@ -57,12 +58,12 @@ object Dedup {
     * keeps the shuffle alive when 100 TB of web text all contains
     * "terms of service apply".
     *
-    * Caching contract: the doc-level shingle frame is `.persist()`ed (it
-    * feeds the postings explode plus both verify sides, and the returned
-    * frame is lazy, so this method cannot release it). Verify/Bench clear
-    * the cache after each query; any other caller owns the lifecycle and
-    * should `spark.catalog.clearCache()` (or unpersist via
-    * `spark.sharedState.cacheManager`) once the result is materialized. */
+    * Caching contract: the doc-level shingle frame is cached via
+    * [[graft.io.CacheScope]] (it feeds the postings explode plus both
+    * join sides, and the returned frame is lazy, so this method cannot
+    * release it). Every materialization site — Verify, Bench, the
+    * DistMain task runner, or an embedding application — calls
+    * `CacheScope.releaseAll()` once its action completes. */
   def ngramJaccardPairs(
       s: org.apache.spark.sql.SparkSession,
       dir: String,
@@ -79,7 +80,7 @@ object Dedup {
       .select(col("doc_id"), col("lang"), expr(tokens).as("w"))
       .filter(expr("size(w) >= 3"))
       .select(col("doc_id"), col("lang"), expr(shingles).as("shingles"))
-      .persist()
+      .persistScoped()
     // Join key is xxhash64 of the exploded shingle — a flat codegen'd
     // expression (HOF-embedded hashes run interpreted), and the 8-byte
     // key shuffles cheaper than the shingle strings. Distinct shingles
@@ -217,7 +218,7 @@ object Dedup {
         .select(col("doc_id"), expr(tokens).as("w"))
         .filter(expr("size(w) >= 3"))
         .select(col("doc_id"), expr(shingles).as("shingles"))
-        .persist()
+        .persistScoped()
       // hash AFTER the explode: a flat md5 projection is codegen'd,
       // while the same hash inside a transform() lambda is interpreted.
       // The 16 XOR-permutation mins fold in ONE long[16] buffer
@@ -443,7 +444,7 @@ object Dedup {
         .select(col("doc_id"), expr(tokens).as("w"))
         .filter(expr("size(w) >= 3"))
         .select(col("doc_id"), expr(shingles).as("shingles"))
-        .persist() // feeds signatures + both verify sides
+        .persistScoped() // feeds signatures + both verify sides
       val seedArr = seeds.map(sd => s"${sd}L").mkString(",")
       val sigs = sh
         .select(col("doc_id"), explode(col("shingles")).as("s"))
@@ -523,7 +524,7 @@ object Dedup {
         .select(col("doc_id"), col("lang"), expr(tokens).as("w"))
         .filter(expr("size(w) >= 3"))
         .select(col("doc_id"), col("lang"), expr(shingles).as("shingles"))
-        .persist()
+        .persistScoped()
       val ex = sh
         .select(
           col("doc_id"), col("lang"), expr("size(shingles)").as("n_sh"),
@@ -548,10 +549,10 @@ object Dedup {
         .toDF("src", "dst")
       val edges = sym
         .union(sym.select(col("src")).distinct().select(col("src"), col("src").as("dst")))
-        .persist() // reused every propagation round
+        .persistScoped() // reused every propagation round
       var labels = edges.select(col("src").as("doc_id"), col("src").as("label"))
         .distinct()
-        .persist()
+        .persistScoped()
       var changed = 1L
       while (changed > 0) {
         val next = edges
@@ -560,7 +561,7 @@ object Dedup {
           .agg(
             min(col("srcl")).as("label"),
             min(when(col("src") === col("dst"), col("srcl"))).as("old"))
-          .persist()
+          .persistScoped()
         changed = next.filter(col("label") =!= col("old")).count()
         labels.unpersist()
         labels = next // keeps the spent `old` column; join/final sites project it away

@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CrossHash.{duck, h}
+import graft.io.CacheScope.Persisted
 import graft.io.Tables
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
@@ -156,7 +157,7 @@ object Similarity {
       // sides of the bucket-equi-join
       val bucketed = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"), bucketCol("embedding").cast("int").as("bucket"))
-        .persist()
+        .persistScoped()
       val q = bucketed
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"),
           expr(qHash).as("qh"))
@@ -234,7 +235,7 @@ object Similarity {
           Window.partitionBy(col("vec_id")).orderBy(col("cdot").desc, col("c_id"))))
         .filter(col("crn") === 1)
         .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
-        .persist() // assignment feeds both probe sides
+        .persistScoped() // assignment feeds both probe sides
       // fixed-|Q| probe set: assign has exactly one row per vector, so
       // the hash-ordered LIMIT picks the same ids as over the raw scan
       val q = assign
@@ -325,7 +326,7 @@ object Similarity {
           Window.partitionBy(col("vec_id")).orderBy(col("cdot").desc, col("c_id"))))
         .filter(col("crn") === 1)
         .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
-        .persist() // feeds centroid update AND reassignment
+        .persistScoped() // feeds centroid update AND reassignment
       // phase 2: element-wise mean per cell — one (cell, dim) shuffle
       // with map-side partials, exactly the q_label_centroids shape
       val trained = assign1
@@ -431,7 +432,7 @@ object Similarity {
         .withColumn("crn", row_number().over(
           Window.partitionBy(col("vec_id")).orderBy(col("cdot").desc, col("c_id"))))
         .filter(col("crn") <= 2)
-        .persist() // feeds the candidate index AND the probe fan-out
+        .persistScoped() // feeds the candidate index AND the probe fan-out
       val assign = ranked.filter(col("crn") === 1)
         .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb2"), col("c_id").as("x_cell"))
       // probes keep BOTH ranked cells of each query vector, so the

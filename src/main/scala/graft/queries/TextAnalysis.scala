@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.CrossHash.{duck, h}
+import graft.io.CacheScope.Persisted
 import graft.io.Tables
 
 /** Text-analysis operators over the `documents` table — the per-document
@@ -328,7 +329,7 @@ object TextAnalysis {
       // tf feeds both the scoring join and df (df = tf's per-term row count,
       // since tf already has one row per (doc, term)) — one explode, cached
       val tf = ex.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        .persist()
+        .persistScoped()
       val df = tf.groupBy(col("term").as("df_term")).agg(count(lit(1)).as("df"))
       // corpus size as an in-plan broadcast scalar, not a driver count() job
       val n = docs.agg(count(lit(1)).cast("double").as("n"))
@@ -387,7 +388,7 @@ object TextAnalysis {
       // the SAME doc_id window partitioning the final ranking needs — so
       // the whole scoring stage is one shuffle on doc_id, no dl join
       val tf = ex.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        .persist()
+        .persistScoped()
       val df = tf.groupBy(col("term").as("df_term")).agg(count(lit(1)).as("df"))
       val consts = tf.agg(
         countDistinct(col("doc_id")).cast("double").as("n"),
@@ -447,9 +448,9 @@ object TextAnalysis {
         .select(col("doc_id"), expr(tokens).as("w"))
         .filter(expr("size(w) >= 2"))
         .select(col("doc_id"), explode(expr("shingles(w, 2)")).as("b"))
-        .persist() // feeds the bigram counts AND the scoring join
+        .persistScoped() // feeds the bigram counts AND the scoring join
       val bgc = bg.groupBy(col("b").as("c_b")).agg(count(lit(1)).as("bn"))
-        .persist() // feeds the prefix counts AND the combined count table
+        .persistScoped() // feeds the prefix counts AND the combined count table
       val unc = bgc.groupBy(expr("split_part(c_b, ' ', 1)").as("a"))
         .agg(sum(col("bn")).as("an"))
       val counts = bgc.join(unc, expr("split_part(c_b, ' ', 1) = a"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.io.CacheScope.Persisted
 import graft.io.Tables
 
 /** The remaining TPC-H query shapes (Q2/4/7/8/9/11/12/13/15/16/17/20/21/22),
@@ -71,7 +72,7 @@ object TpchShapes {
         .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
           col("n_regionkey") === col("r_regionkey"))
         .select(col("l_partkey"), col("cost"), col("s_name"), col("s_acctbal"), col("n_name"))
-        .persist() // feeds the min-per-part side and the winner join
+        .persistScoped() // feeds the min-per-part side and the winner join
       val minc = eur.groupBy(col("l_partkey").as("m_part"))
         .agg(min(col("cost")).as("mincost"))
       t(s, dir, "part").filter(col("p_size").isin(5, 15, 25, 35, 45) && col("p_type") === "LARGE")
@@ -251,7 +252,7 @@ object TpchShapes {
           col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("l_partkey"))
         .agg(dsumDec(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("vdec"))
-        .persist() // feeds the scalar total and the filtered output
+        .persistScoped() // feeds the scalar total and the filtered output
       val total = vals.agg(sum(col("vdec")).cast(dec4).as("tdec"))
       vals.crossJoin(broadcast(total))
         .filter(col("vdec").cast("double") > col("tdec").cast("double") * 0.001)
@@ -323,7 +324,7 @@ object TpchShapes {
           col("l_shipdate") < lit("1996-04-01").cast("timestamp_ntz"))
         .groupBy(col("l_suppkey").as("supplier_no"))
         .agg(dsumDec(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rdec"))
-        .persist() // feeds the scalar max and the winner filter
+        .persistScoped() // feeds the scalar max and the winner filter
       val mx = rev.agg(max(col("rdec")).as("mx"))
       t(s, dir, "supplier")
         .join(rev.crossJoin(broadcast(mx)).filter(col("rdec") === col("mx")),
@@ -468,7 +469,7 @@ object TpchShapes {
       val pos = t(s, dir, "customer")
         .filter(col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13) && col("c_acctbal") > 0.0)
         .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
-        .persist() // feeds the scalar average and the probe side
+        .persistScoped() // feeds the scalar average and the probe side
       val avg = pos.agg((dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
       pos.crossJoin(broadcast(avg))
         .filter(col("c_acctbal") > col("avg_bal"))

@@ -102,6 +102,10 @@ object DistMain {
       }
       oa.save(sub, df, task.dest.path, outConf)
     }
+    // a transform may call into library code that caches via CacheScope
+    // (and this session is long-lived): release per task, so no cached
+    // partitions survive the task that created them
+    graft.io.CacheScope.releaseAll()
   }
 
   /** `"streaming": true` task: incremental catch-up copy. The source

@@ -478,6 +478,26 @@ class DistPipelineSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("cache hygiene: cacheManager is empty after a transform task completes") {
+    val base = tmpDir("dist")
+    // simulate a long-lived embedding session: library code has cached
+    // internal frames via CacheScope before the pipeline task runs
+    graft.queries.Dedup.ngramJaccardPairs(spark, sf(), minJaccard = 0.3)
+      .write.format("noop").mode("overwrite").save()
+    assert(!spark.sharedState.cacheManager.isEmpty, "precondition: library cached something")
+    val cfg = s"""{
+      "d": [{
+        "source": {"adapter": "hadoopParquet", "path": "file:${sf()}/region.parquet"},
+        "transform": "SELECT r_regionkey, upper(r_name) AS r_name_u FROM _input",
+        "dest":   {"adapter": "hadoopParquet", "path": "file:$base/out"}}]
+    }"""
+    write(s"$base/config.json", cfg)
+    val conf = DistConfig.parse(DistMain.readFile(spark, s"file:$base/config.json"))
+    DistMain.runDirection(spark, conf.direction("d"), "d")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "graft-created caches must not survive the task that triggered them")
+  }
+
   test("recursive input lookup finds nested files (reference S3 prefix semantics)") {
     val base = tmpDir("dist")
     // nested layout: base/in/y=1/part.parquet, base/in/y=2/deep/part.parquet
