@@ -7,6 +7,21 @@ import graft.io.Sessions
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Marker lifecycle, crash-safe: `_PARTIAL_RUN` is written BEFORE any
+    * dump — for FULL runs too (sentinel content) — and removed only
+    * once a full dump has completed. A crashed full run, or a filtered
+    * run, therefore always leaves the marker behind, and check.py
+    * refuses the directory instead of passing a half-finished or stale
+    * mix as the gate. */
+  def startMarker(outDir: String, only: Option[Set[String]]): Unit =
+    Files.writeString(
+      Paths.get(s"$outDir/_PARTIAL_RUN"),
+      only.map(_.toSeq.sorted.mkString("\n")).getOrElse("FULL_RUN_IN_PROGRESS"))
+
+  def finishMarker(outDir: String, only: Option[Set[String]]): Unit =
+    if (only.isEmpty) Files.deleteIfExists(Paths.get(s"$outDir/_PARTIAL_RUN"))
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     // SPARK_GRAFT_ONLY=q_a,q_b limits the dump (dev iteration; driver unsets it)
@@ -21,13 +36,7 @@ object Verify {
     }
     val spark = Sessions.local("graft-verify")
     new java.io.File(outDir).mkdirs()
-    // a filtered dump is never a gate: leave a marker check.py refuses
-    // without --partial (and scrub a stale marker on full runs)
-    val marker = Paths.get(s"$outDir/_PARTIAL_RUN")
-    only match {
-      case Some(sel) => Files.writeString(marker, sel.toSeq.sorted.mkString("\n"))
-      case None => Files.deleteIfExists(marker)
-    }
+    startMarker(outDir, only)
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -55,6 +64,7 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    finishMarker(outDir, only)
     spark.stop()
   }
 }

@@ -31,24 +31,44 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object JdbcPlaceholders {
   /** Split `q` on `?` placeholders the way PreparedStatement parsing
     * does: `?` inside single-quoted string literals, double-quoted
-    * identifiers, or `--` line comments is text (doubled `''`/`""`
-    * quoting toggles through correctly). Returns n+1 pieces for n
+    * identifiers, `--` line comments, or `/* */` block comments is
+    * text (doubled `''`/`""` quoting toggles through correctly; block
+    * comments nest, as in standard SQL). Returns n+1 pieces for n
     * placeholders. */
   def split(q: String): Seq[String] = {
     val pieces = Seq.newBuilder[String]
     val sb = new StringBuilder
     var inStr = false
     var inIdent = false
-    var inComment = false
-    for (c <- q) c match {
-      case '\n' if inComment => inComment = false; sb.append(c)
-      case _ if inComment => sb.append(c)
-      case '\'' if !inIdent => inStr = !inStr; sb.append(c)
-      case '"' if !inStr => inIdent = !inIdent; sb.append(c)
-      case '-' if !inStr && !inIdent && sb.nonEmpty && sb.last == '-' =>
-        inComment = true; sb.append(c)
-      case '?' if !inStr && !inIdent => pieces += sb.toString; sb.clear()
-      case _ => sb.append(c)
+    var inLine = false
+    var depth = 0 // /* */ nesting
+    var i = 0
+    def twoChar(t: String): Boolean = i + 1 < q.length && q(i) == t(0) && q(i + 1) == t(1)
+    while (i < q.length) {
+      val c = q(i)
+      if (inLine) {
+        if (c == '\n') inLine = false
+        sb.append(c); i += 1
+      } else if (depth > 0) {
+        if (twoChar("*/")) { depth -= 1; sb.append("*/"); i += 2 }
+        else if (twoChar("/*")) { depth += 1; sb.append("/*"); i += 2 }
+        else { sb.append(c); i += 1 }
+      } else if (inStr) {
+        if (c == '\'') inStr = false // doubled '' toggles straight back in
+        sb.append(c); i += 1
+      } else if (inIdent) {
+        if (c == '"') inIdent = false
+        sb.append(c); i += 1
+      } else if (twoChar("--")) {
+        inLine = true; sb.append("--"); i += 2
+      } else if (twoChar("/*")) {
+        depth = 1; sb.append("/*"); i += 2
+      } else c match {
+        case '\'' => inStr = true; sb.append(c); i += 1
+        case '"' => inIdent = true; sb.append(c); i += 1
+        case '?' => pieces += sb.toString; sb.clear(); i += 1
+        case _ => sb.append(c); i += 1
+      }
     }
     pieces += sb.toString
     pieces.result()

@@ -19,10 +19,17 @@ import graft.io.Tables
   * decodes them back through `ImageIO.read` into real pixel histograms —
   * so the encode→decode round-trip is verified against a DuckDB oracle
   * that computes the same histogram analytically. Corrupt/truncated
-  * images (e.g. after the byte-budget `resize`) fall back to the byte
-  * histogram, the usual skip-don't-crash posture of a decode stage.
+  * images (e.g. after the byte-budget `resize`) and sample depths the
+  * histogram doesn't model (e.g. 16-bit grayscale) fall back to the
+  * byte histogram, the usual skip-don't-crash posture of a decode stage.
   *
-  * The AUDIO/VIDEO decoders remain STUBS (no codec libraries in this
+  * The AUDIO path is real the same way: `synthesize` emits genuine WAV
+  * payloads (8-bit unsigned mono PCM via `javax.sound.sampled`, no
+  * external libraries) whose samples are a known function of the id,
+  * and the decoder reads them back through `AudioSystem` into sample
+  * histograms, oracle-checked analytically like the image path.
+  *
+  * The VIDEO decoder remains a STUB (no codec libraries in this
   * container): `decodeStub` computes a deterministic fake (byte
   * histogram + hash-derived pseudo-features) clearly marked below.
   * Swapping in a real codec changes only the body of `decodeStub` —
@@ -66,6 +73,36 @@ object Media {
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Synthetic audio is AUD_N samples of 8-bit unsigned mono PCM at
+    * 16 kHz with sample(i) = (id * 11 + i) mod 256 — analytically
+    * reproducible in SQL, so the real decode is oracle-checked exactly
+    * like the image path. */
+  val AUD_N = 64
+
+  /** Real WAV encode via `javax.sound.sampled` — deterministic samples
+    * from the id, wrapped in a genuine RIFF/WAVE container. */
+  def encodeWav(id: Long): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED, 16000f, 8, 1, 1, 16000f, false)
+    val samples = Array.tabulate(AUD_N)(i => ((id * 11 + i) % 256).toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, AUD_N.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Real WAV decode via `AudioSystem`; None on undecodable bytes or a
+    * sample depth the 16-bin byte histogram doesn't model. */
+  private def decodeWav(bytes: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      if (ais.getFormat.getSampleSizeInBits != 8) None
+      else Some(ais.readAllBytes())
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   final case class MediaMeta(width: Int, height: Int, sampleRate: Int, durationMs: Long)
 
   final case class MediaRecord(
@@ -82,9 +119,10 @@ object Media {
 
   /** Deterministic synthetic media corpus derived from `documents`:
     * image rows carry a REAL PNG payload (JDK-encoded, known pixels),
-    * audio/video carry the UTF-8 bytes of the text as an opaque stand-in;
-    * kind round-robins, metadata derives from the id. Stands in for a
-    * real binary source (S3 blobs, tar shards) with an identical schema. */
+    * audio rows a REAL WAV payload (known samples), video rows the
+    * UTF-8 bytes of the text as an opaque stand-in; kind round-robins,
+    * metadata derives from the id. Stands in for a real binary source
+    * (S3 blobs, tar shards) with an identical schema. */
   def synthesize(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables(spark, sfDir, "documents")
@@ -95,7 +133,9 @@ object Media {
         MediaRecord(
           id,
           kind,
-          if (kind == "image") encodePng(id) else text.getBytes("UTF-8"),
+          if (kind == "image") encodePng(id)
+          else if (kind == "audio") encodeWav(id)
+          else text.getBytes("UTF-8"),
           MediaMeta(
             width = if (kind == "image") IMG_DIM else 64 + (id % 16).toInt * 16,
             height = if (kind == "image") IMG_DIM else 64 + (id % 9).toInt * 16,
@@ -104,11 +144,11 @@ object Media {
       }
   }
 
-  /** STUB decoder for audio/video — deterministic fake standing in for a
-    * real codec (libraries unavailable in this environment), and the
-    * fallback for undecodable images. Consumes one bounded batch, exactly
-    * like an Arrow batch handed to a Pandas UDF; replace the body with
-    * the real decoder at deployment. */
+  /** STUB decoder for video — deterministic fake standing in for a real
+    * codec (libraries unavailable in this environment), and the
+    * skip-don't-crash fallback for undecodable images/audio. Consumes
+    * one bounded batch, exactly like an Arrow batch handed to a Pandas
+    * UDF; replace the body with the real decoder at deployment. */
   private def decodeStub(r: MediaRecord): MediaFeatures = {
     val hist = new Array[Long](16)
     var i = 0
@@ -125,31 +165,52 @@ object Media {
     MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, hist, emb)
   }
 
-  /** Real image decode: 16-bin histogram over the decoded 8-bit gray
-    * raster. Undecodable bytes (corrupt, or truncated by the byte-budget
-    * resize) fall back to the byte-histogram stub — skip-don't-crash. */
-  private def decodeOne(r: MediaRecord): MediaFeatures =
-    if (r.kind != "image") decodeStub(r)
-    else decodePng(r.payload) match {
-      case None => decodeStub(r)
-      case Some(img) =>
-        val raster = img.getRaster
-        val hist = new Array[Long](16)
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            hist(raster.getSample(x, y, 0) >> 4) += 1
-            x += 1
-          }
-          y += 1
-        }
-        val emb = Array.tabulate(8) { d =>
-          val h = java.util.Arrays.hashCode(hist) * 31 + d
-          (h % 1000) / 1000.0f
-        }
-        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, hist, emb)
+  private def histFeatures(r: MediaRecord, hist: Array[Long]): MediaFeatures = {
+    val emb = Array.tabulate(8) { d =>
+      val h = java.util.Arrays.hashCode(hist) * 31 + d
+      (h % 1000) / 1000.0f
     }
+    MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, hist, emb)
+  }
+
+  /** Real image/audio decode: 16-bin histogram over the decoded 8-bit
+    * gray raster (images) or the 8-bit PCM samples (audio). Undecodable
+    * bytes (corrupt, truncated by the byte-budget resize) and deeper
+    * sample formats the 16-bin histogram doesn't model (e.g. a valid
+    * 16-bit grayscale PNG) fall back to the byte-histogram stub —
+    * skip-don't-crash, never an exception out of the decode stage. */
+  private def decodeOne(r: MediaRecord): MediaFeatures = r.kind match {
+    case "image" =>
+      decodePng(r.payload) match {
+        case Some(img) if img.getSampleModel.getSampleSize(0) <= 8 =>
+          val raster = img.getRaster
+          val hist = new Array[Long](16)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              hist(raster.getSample(x, y, 0) >> 4) += 1
+              x += 1
+            }
+            y += 1
+          }
+          histFeatures(r, hist)
+        case _ => decodeStub(r)
+      }
+    case "audio" =>
+      decodeWav(r.payload) match {
+        case Some(samples) =>
+          val hist = new Array[Long](16)
+          var i = 0
+          while (i < samples.length) {
+            hist((samples(i) & 0xff) >> 4) += 1
+            i += 1
+          }
+          histFeatures(r, hist)
+        case None => decodeStub(r)
+      }
+    case _ => decodeStub(r)
+  }
 
   /** One bounded batch through the decoders — the seam where a
     * vectorized decoder (an Arrow batch handed to a Pandas UDF, a GPU
@@ -160,7 +221,8 @@ object Media {
 
   /** Batch-wise feature extraction: partition-preserving map stage with
     * bounded per-batch memory (`batchSize` × payload). Images decode for
-    * real (ImageIO); audio/video go through the stub. */
+    * real (ImageIO), audio for real (AudioSystem); video goes through
+    * the stub. */
   def extractFeatures(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = ds.sparkSession
     import spark.implicits._

@@ -7,12 +7,13 @@ import graft.multimodal.Media
 
 /** Query-surface entries for the multimodal plumbing. `q_media_meta`
   * exercises the binary-column schema end-to-end in pure SQL (oracle-
-  * checked). `q_media_features` is a REAL decode: payloads are genuine
-  * JDK-encoded PNGs whose pixels are a known function of the id, the
-  * query decodes them back via ImageIO and histograms the raster, and
-  * the DuckDB oracle reproduces the histogram analytically — an
+  * checked). `q_media_features` is a REAL decode for images AND audio:
+  * payloads are genuine JDK-encoded PNGs/WAVs whose pixels/samples are
+  * a known function of the id, the query decodes them back via
+  * ImageIO / AudioSystem and histograms the result, and the DuckDB
+  * oracle reproduces both histograms analytically — an
   * encode→decode→aggregate round-trip under the hash gate. The resize/
-  * frame queries still run stub decoders (rows-only checks). */
+  * frame queries exercise the stub (video) path. */
 object Multimodal {
 
   val queries: Seq[Q] = Seq(
@@ -37,45 +38,47 @@ object Multimodal {
           max(col("byte_len")).as("max_bytes"))
     },
 
-    // Real image decode under the hash gate: synthesize PNGs with
-    // pixel(x,y) = (id*7 + y*8 + x) % 256, decode via ImageIO, histogram
-    // the raster into 16 bins; the oracle computes the identical
-    // distribution analytically from the pixel formula. Bins that decode
-    // to zero pixels are filtered so both sides emit the same row set.
+    // Real image AND audio decode under the hash gate: synthesize PNGs
+    // with pixel(x,y) = (id*7 + y*8 + x) % 256 and WAVs with
+    // sample(i) = (id*11 + i) % 256, decode via ImageIO / AudioSystem,
+    // histogram into 16 bins; the oracle computes both distributions
+    // analytically from the formulas. Bins that decode to zero
+    // pixels/samples are filtered so both sides emit the same row set.
     Q(
       "q_media_features",
-      """SELECT CAST(((d.doc_id * 7 + p.i) % 256) // 16 AS INT) AS bin,
-        |       count(*) AS total
-        |FROM documents d CROSS JOIN generate_series(0, 63) p(i)
-        |WHERE d.doc_id % 3 = 0
-        |GROUP BY 1""") { (s, dir) =>
-      Media.extractFeatures(Media.synthesize(s, dir).filter(col("kind") === "image"))
-        .select(posexplode(col("histogram")).as(Seq("bin", "cnt")))
-        .groupBy(col("bin"))
+      """SELECT kind, bin, count(*) AS total FROM (
+        |  SELECT 'image' AS kind, CAST(((d.doc_id * 7 + p.i) % 256) // 16 AS INT) AS bin
+        |  FROM documents d CROSS JOIN generate_series(0, 63) p(i) WHERE d.doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'audio' AS kind, CAST(((d.doc_id * 11 + p.i) % 256) // 16 AS INT) AS bin
+        |  FROM documents d CROSS JOIN generate_series(0, 63) p(i) WHERE d.doc_id % 3 = 1
+        |) GROUP BY kind, bin""") { (s, dir) =>
+      Media.extractFeatures(Media.synthesize(s, dir).filter(col("kind") =!= "video"))
+        .select(col("kind"), posexplode(col("histogram")).as(Seq("bin", "cnt")))
+        .groupBy(col("kind"), col("bin"))
         .agg(sum(col("cnt")).as("total"))
         .filter(col("total") > 0)
     },
 
-    // Resize contract under the hash gate (audio/video, whose payloads
-    // are the UTF-8 text bytes): the byte budget (w*h cap) and the stub
+    // Resize contract under the hash gate (video, whose payload is the
+    // UTF-8 text bytes): the byte budget (w*h cap) and the stub
     // decoder's byte histogram are both reproduced analytically by the
     // oracle — the corpus is pure ASCII (TESTDATA), so byte offsets equal
     // char offsets and bins 2/6 are the regex classes [ -/] and [`a-o].
-    // Image payloads are PNGs (not SQL-reproducible); their resize
-    // fallback is covered by MediaSpec.
+    // Image/audio payloads are PNG/WAV containers (not SQL-
+    // reproducible); their resize fallback is covered by MediaSpec.
     Q(
       "q_media_resize",
-      """SELECT kind, count(*) AS cnt,
+      """SELECT 'video' AS kind, count(*) AS cnt,
         |  CAST(max(least(len, 1024)) AS BIGINT) AS max_bytes,
         |  CAST(sum(least(len, 1024)) AS BIGINT) AS sum_bytes,
         |  CAST(sum(len(regexp_extract_all(p, '[ -/]'))) AS BIGINT) AS hist_bin2,
         |  CAST(sum(len(regexp_extract_all(p, '[`a-o]'))) AS BIGINT) AS hist_bin6
-        |FROM (SELECT CASE doc_id % 3 WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |        substring(text, 1, 1024) AS p, octet_length(encode(text)) AS len
-        |      FROM documents WHERE doc_id % 3 <> 0)
-        |GROUP BY kind""") { (s, dir) =>
+        |FROM (SELECT substring(text, 1, 1024) AS p, octet_length(encode(text)) AS len
+        |      FROM documents WHERE doc_id % 3 = 2)
+        |GROUP BY 1""") { (s, dir) =>
       Media.extractFeatures(
-        Media.resize(Media.synthesize(s, dir).filter(col("kind") =!= "image"), 32, 32))
+        Media.resize(Media.synthesize(s, dir).filter(col("kind") === "video"), 32, 32))
         .groupBy(col("kind"))
         .agg(
           count(lit(1)).as("cnt"),
@@ -86,14 +89,14 @@ object Multimodal {
     },
 
     // Frame sampling under the hash gate: n evenly-spaced 16-byte windows
-    // per record; for audio/video the payload is the text's UTF-8 bytes,
-    // so the oracle re-derives every window offset and its bytes with
+    // per record; for video the payload is the text's UTF-8 bytes, so
+    // the oracle re-derives every window offset and its bytes with
     // substring arithmetic (ASCII corpus: char index == byte index).
     Q(
       "q_media_frames",
       """WITH m AS (
         |  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS len
-        |  FROM documents WHERE doc_id % 3 <> 0
+        |  FROM documents WHERE doc_id % 3 = 2
         |), fr AS (
         |  SELECT media_id,
         |    substring(text, CAST(f.f * greatest(0, len - 16) // 3 AS BIGINT) + 1, 16) AS frame
@@ -103,7 +106,7 @@ object Multimodal {
         |  CAST(sum(octet_length(encode(frame))) AS BIGINT) AS sum_frame_bytes,
         |  CAST(count(DISTINCT frame) AS BIGINT) AS distinct_frames
         |FROM fr GROUP BY media_id""") { (s, dir) =>
-      Media.frameSample(Media.synthesize(s, dir).filter(col("kind") =!= "image"), 4)
+      Media.frameSample(Media.synthesize(s, dir).filter(col("kind") === "video"), 4)
         .groupBy(col("media_id"))
         .agg(
           count(lit(1)).as("n_frames"),

@@ -73,6 +73,18 @@ class JdbcAdapterSpec extends SparkSpec {
       Seq("SELECT \"flag?\" FROM t WHERE k BETWEEN ", " AND ", ""))
     assert(split("SELECT a -- really?\nFROM t WHERE b = ?") ==
       Seq("SELECT a -- really?\nFROM t WHERE b = ", ""))
+    // /* */ block comments hide '?' too, including across lines and
+    // nested (standard SQL) — and text after the close is live again
+    assert(split("SELECT /* what? */ a FROM t WHERE b = ?") ==
+      Seq("SELECT /* what? */ a FROM t WHERE b = ", ""))
+    assert(split("SELECT /* line1?\nline2? */ a WHERE b = ?") ==
+      Seq("SELECT /* line1?\nline2? */ a WHERE b = ", ""))
+    assert(split("a /* outer /* inner? */ still? */ = ?") ==
+      Seq("a /* outer /* inner? */ still? */ = ", ""))
+    // '/*' inside a string literal does not open a comment
+    assert(split("a = '/*' AND b = ?") == Seq("a = '/*' AND b = ", ""))
+    // an unterminated-looking '/*/' stays inside the comment
+    assert(split("a /*/ ? */ = ?") == Seq("a /*/ ? */ = ", ""))
     // parts=3 over [0,3]: JdbcRDD yields (0,0) (1,1) (2,3)
     assert((0 until 3).map(bounds(_, 3, 3)) == Seq((0L, 0L), (1L, 1L), (2L, 3L)))
     // parts=4 over [0,4]: (0,0) (1,1) (2,2) (3,4)

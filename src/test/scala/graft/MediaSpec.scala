@@ -26,7 +26,9 @@ class MediaSpec extends SparkSpec {
     assert(ds.schema("payload").dataType.typeName == "binary")
     val r = ds.filter(_.media_id == 7).head()
     assert(r.kind == "audio") // 7 % 3 == 1
-    assert(new String(r.payload, "UTF-8").nonEmpty)
+    // audio rows carry a real RIFF/WAVE container
+    assert(new String(r.payload.take(4), "US-ASCII") == "RIFF")
+    assert(new String(r.payload.slice(8, 12), "US-ASCII") == "WAVE")
     assert(r.meta.sampleRate == 16000)
     // image rows carry a real PNG (magic bytes) that the JDK can decode
     val img = ds.filter(_.media_id == 6).head()
@@ -44,9 +46,12 @@ class MediaSpec extends SparkSpec {
       x.media_id == y.media_id && x.byte_len == y.byte_len &&
         x.histogram.sameElements(y.histogram) && x.embedding.sameElements(y.embedding)
     })
-    assert(a.filter(_.kind != "image").forall(f => f.histogram.sum == f.byte_len))
+    assert(a.filter(_.kind == "video").forall(f => f.histogram.sum == f.byte_len))
     assert(a.filter(_.kind == "image")
       .forall(f => f.histogram.sum == Media.IMG_DIM.toLong * Media.IMG_DIM))
+    // audio histograms count decoded SAMPLES, not container bytes
+    assert(a.filter(_.kind == "audio")
+      .forall(f => f.histogram.sum == Media.AUD_N.toLong && f.byte_len > Media.AUD_N))
     assert(a.forall(_.embedding.length == 8))
   }
 
@@ -61,6 +66,35 @@ class MediaSpec extends SparkSpec {
       }
       assert(f.histogram.sameElements(expected), s"media ${f.media_id}")
     }
+  }
+
+  test("audio decode round-trips the analytic sample formula") {
+    val ds = Media.synthesize(spark, sf()).filter(_.kind == "audio")
+    val feats = Media.extractFeatures(ds).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val expected = new Array[Long](16)
+      (0 until Media.AUD_N).foreach { i =>
+        expected((((f.media_id * 11 + i) % 256) >> 4).toInt) += 1
+      }
+      assert(f.histogram.sameElements(expected), s"media ${f.media_id}")
+    }
+  }
+
+  test("16-bit grayscale PNG falls back to the stub instead of throwing") {
+    import spark.implicits._
+    // a VALID deep-sample PNG the 16-bin histogram can't model: the
+    // decode stage must skip (stub), never crash the task
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    (0 until 4).foreach(y => (0 until 4).foreach(x =>
+      img.getRaster.setSample(x, y, 0, x * 4096 + y * 997)))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val bytes = out.toByteArray
+    val rec = Media.MediaRecord(1L, "image", bytes, Media.MediaMeta(4, 4, 0, 0L))
+    val f = Media.extractFeatures(spark.createDataset(Seq(rec))).head()
+    assert(f.histogram.sum == bytes.length, "expected the byte-histogram stub")
   }
 
   test("truncated image payloads fall back to the byte-histogram stub") {
