@@ -220,6 +220,27 @@ class PlanShapeSpec extends SparkSpec {
     // eval-distinct + final per-doc count; the corpus shingle stream
     // itself must not hash-exchange for the join
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+    // and nothing may be cached: a persist here pins the FULL corpus
+    // shingle stream to serve a tiny eval-set build (round-7 finding #3)
+    assert(!p.contains("InMemoryTableScan"), s"decontaminate must not cache the corpus:\n$p")
+  }
+
+  test("q_tfidf / q_bm25: vocabulary joins carry no broadcast hint (Heap's-law frames)") {
+    // the per-term df table grows ~sqrt(corpus); a forced broadcast pins
+    // it into every executor at 100 TB. Only genuinely one-row frames
+    // (ungrouped aggregates: corpus size, avgdl consts) may be hinted —
+    // AQE decides the vocab join strategy from observed sizes.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    for (name <- Seq("q_tfidf", "q_bm25")) {
+      val plan = SparkEntry.queries(name)(spark, sf()).queryExecution.analyzed
+      val hinted = plan.collect { case h: ResolvedHint if h.hints.strategy.isDefined => h.child }
+      for (sub <- hinted) {
+        val scalarAgg = sub.collectFirst {
+          case a: Aggregate if a.groupingExpressions.isEmpty => ()
+        }.isDefined
+        assert(scalarAgg, s"$name hints a non-scalar frame:\n$sub")
+      }
+    }
   }
 
   test("q_text_repetition: per-document stats are a map-only plan, zero exchanges") {
