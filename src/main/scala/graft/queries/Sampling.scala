@@ -166,5 +166,36 @@ object Sampling {
           expr("(cum - n_tok) div 512").as("first_bin"),
           expr("(cum - 1) div 512").as("last_bin"),
           expr("(cum - 1) div 512 - (cum - n_tok) div 512 + 1").as("n_bins"))
+    },
+
+    // ---- overlapping document chunking (RAG / context-window prep) ---------
+    // Per-document 32-token windows with stride 16 (50% overlap) — the
+    // retrieval-corpus twin of q_pack_sequences' training packing: a doc
+    // with n tokens yields max(1, (n-1) div 16) chunks, the window
+    // clamps at the document end, and each chunk ships with its content
+    // fingerprint (downstream chunk-level dedup). Pure map + explode —
+    // no shuffle at any scale; chunk arithmetic is exact integers and
+    // the chunk text is hash-verified byte-for-byte cross-engine.
+    // (Window/stride are sized to the synthetic corpus — ~54-token docs
+    // — so multi-chunk overlap is actually exercised; a production run
+    // uses e.g. 512/256 with the identical plan.)
+    Q(
+      "q_chunk_overlap",
+      raw"""WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |)
+        |SELECT doc_id, i AS chunk_id,
+        |  CAST(len(w[i*16+1 : i*16+32]) AS BIGINT) AS n_tok,
+        |  ${duck("array_to_string(w[i*16+1 : i*16+32], ' ')")} AS chunk_fp
+        |FROM tok, unnest(generate_series(0, greatest(1, (len(w)-1) // 16) - 1)) AS t(i)""") { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("w"))
+        .select(col("doc_id"), col("w"),
+          explode(expr("sequence(0, greatest(1, (size(w) - 1) div 16) - 1)")).as("chunk_id"))
+        .select(
+          col("doc_id"),
+          col("chunk_id").cast("long").as("chunk_id"),
+          expr("cast(size(slice(w, chunk_id * 16 + 1, 32)) as bigint)").as("n_tok"),
+          expr(h("concat_ws(' ', slice(w, chunk_id * 16 + 1, 32))")).as("chunk_fp"))
     })
 }

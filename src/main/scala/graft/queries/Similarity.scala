@@ -476,5 +476,57 @@ object Similarity {
           // through the float's short toString and rounds differently
           sum(expr("dec_cast(cast(x as double), 18, 8)")).cast("decimal(28,8)").cast("double").as("csum"),
           count(lit(1)).as("cnt"))
+    },
+
+    // ---- int8 scalar quantization + reconstruction error -------------------
+    // The vector-compression pass an embedding store runs before
+    // serving: per-dimension min/max over the corpus -> 8-bit scalar
+    // quantization q = round((x - mn)/scale) -> reconstruction error
+    // stats. min/max are exact selections (no float accumulation); the
+    // per-row error is shared double arithmetic (bit-identical cross-
+    // engine, positive halves round identically), and only the error
+    // SUM goes through the DECIMAL snap. Two tiny shuffles on the
+    // 64-value dim key; the stats frame joins back unhinted (64 rows —
+    // dimensionality is a model constant, AQE broadcasts it).
+    Q(
+      "q_quantize_embeddings",
+      """WITH ex AS (
+        |  SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+        |), st AS (
+        |  SELECT dim, min(x) AS mn, max(x) AS mx FROM ex GROUP BY dim
+        |), qz AS (
+        |  SELECT ex.dim AS dim, x, mn, mx,
+        |    CASE WHEN mx = mn THEN 0.0
+        |         ELSE round((x - mn) / ((mx - mn) / 255.0)) END AS q
+        |  FROM ex JOIN st ON ex.dim = st.dim
+        |), err AS (
+        |  SELECT dim, q,
+        |    abs(x - (mn + q * (CASE WHEN mx = mn THEN 0.0 ELSE (mx - mn) / 255.0 END))) AS ae
+        |  FROM qz
+        |)
+        |SELECT dim, count(*) AS n,
+        |  CAST(max(ae) AS DOUBLE) AS max_abs_err,
+        |  CAST(CAST(sum(CAST(ae AS DECIMAL(18,12))) AS DECIMAL(28,12)) AS DOUBLE)
+        |    / count(*) AS avg_abs_err,
+        |  CAST(count(DISTINCT q) AS BIGINT) AS n_levels
+        |FROM err GROUP BY dim""".stripMargin) { (s, dir) =>
+      val ex = Tables(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+        .select(col("dim"), col("xf").cast("double").as("x"))
+      val st = ex.groupBy(col("dim").as("s_dim"))
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      ex.join(st, col("dim") === col("s_dim"))
+        .select(col("dim"), col("x"), col("mn"),
+          expr("case when mx = mn then 0.0 else round((x - mn) / ((mx - mn) / 255.0)) end").as("q"),
+          expr("case when mx = mn then 0.0 else (mx - mn) / 255.0 end").as("scale"))
+        .select(col("dim"), col("q"), expr("abs(x - (mn + q * scale))").as("ae"))
+        .groupBy(col("dim"))
+        .agg(
+          count(lit(1)).as("n"),
+          max(col("ae")).as("max_abs_err"),
+          (sum(expr("dec_cast(ae, 18, 12)")).cast("decimal(28,12)").cast("double")
+            / count(lit(1))).as("avg_abs_err"),
+          countDistinct(col("q")).as("n_levels"))
     })
 }
