@@ -439,18 +439,22 @@ object TextAnalysis {
         |    AS DECIMAL(28,9)) AS DOUBLE) / count(*) AS avg_logprob
         |FROM bg JOIN bgc USING (b) JOIN unc ON split_part(b, ' ', 1) = unc.a
         |GROUP BY doc_id""") { (s, dir) =>
-      // corpus count tables both derive from one cached bigram-count frame:
-      // the prefix counts are the per-prefix SUM of bigram counts, so unc
-      // reads vocabulary-sized bgc, not the exploded stream; the two
-      // vocabulary-sized tables pre-join on the prefix, leaving a single
-      // high-cardinality shuffle join against the big exploded stream
+      // corpus count tables both derive from one cached bigram-count
+      // frame: the prefix counts are the per-prefix SUM of bigram
+      // counts, so unc reads VOCABULARY-sized bgc, not the exploded
+      // stream; the two vocabulary-sized tables pre-join on the prefix,
+      // leaving a single high-cardinality shuffle join against the big
+      // exploded stream. bg itself is NOT cached — it is one row per
+      // (doc, bigram), a corpus-sized frame; its two consumers each
+      // re-run the explode (a codegen'd map stage over the scan), which
+      // is the decontaminate trade: stream the corpus twice rather than
+      // pin it into executor storage.
       val bg = Tables(s, dir, "documents")
         .select(col("doc_id"), expr(tokens).as("w"))
         .filter(expr("size(w) >= 2"))
         .select(col("doc_id"), explode(expr("shingles(w, 2)")).as("b"))
-        .persistScoped() // feeds the bigram counts AND the scoring join
       val bgc = bg.groupBy(col("b").as("c_b")).agg(count(lit(1)).as("bn"))
-        .persistScoped() // feeds the prefix counts AND the combined count table
+        .persistScoped() // vocabulary-sized: feeds prefix counts AND the count table
       val unc = bgc.groupBy(expr("split_part(c_b, ' ', 1)").as("a"))
         .agg(sum(col("bn")).as("an"))
       val counts = bgc.join(unc, expr("split_part(c_b, ' ', 1) = a"))
