@@ -18,6 +18,41 @@ class StreamingSpec extends SparkSpec {
   // is treated as late and dropped, so keep test times off epoch
   private def ts(minutes: Long): Timestamp = new Timestamp((1440 + minutes) * 60000L)
 
+  test("idempotentSink: foreachBatch upsert survives a replayed micro-batch") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-fb").toString
+    val mem = MemoryStream[Event]
+    val q = Streams.idempotentSink(mem.toDF(), s"$base/out", s"$base/ckpt")
+    try {
+      // batch 0: a duplicate event_id inside the batch merges to the
+      // earliest-ts row
+      mem.addData(
+        Event(1, ts(5), 1, "click", 1.5),
+        Event(1, ts(9), 7, "view", 9.9),
+        Event(2, ts(20), 2, "click", 2.5))
+      q.processAllAvailable()
+      // batch 1: new keys land in their own partition
+      mem.addData(Event(3, ts(70), 1, "view", 3.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$base/out")
+      assert(out.count() == 3)
+      assert(out.filter(col("event_id") === 1).select("user_id", "value")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((1L, 1.5)))
+      // crash replay: the SAME batch delivered again must overwrite its
+      // own partition, not double-append
+      val replay = Seq(
+        Event(1, ts(5), 1, "click", 1.5),
+        Event(1, ts(9), 7, "view", 9.9),
+        Event(2, ts(20), 2, "click", 2.5)).toDF()
+      Streams.upsertBatch(replay, 0L, s"$base/out")
+      val after = spark.read.parquet(s"$base/out")
+      assert(after.count() == 3, "replayed batch must be idempotent")
+      assert(after.filter(col("batch_id") === 1).count() == 1,
+        "dynamic overwrite must not touch other batches' partitions")
+    } finally q.stop()
+  }
+
   test("windowedAgg: tumbling hourly counts emitted after watermark passes") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
