@@ -599,6 +599,63 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_overlap"))
     },
 
+    // ---- cross-modal consistency audit (text signals × embedding labels) ---
+    // The audit a multimodal pipeline runs before trusting either side:
+    // join the text modality (marker-based language prediction, quality
+    // gate) with the embedding modality (cluster label, 1:1 on id) and
+    // cross-tabulate. A lang×label cell that mixes languages or fails
+    // quality wholesale flags a bad embedding cluster or a bad text
+    // filter. One high-cardinality id equi-join (AQE broadcasts at
+    // small scale, shuffles at 100 TB) + one tiny cross-tab aggregate;
+    // all outputs are exact integers.
+    Q(
+      "q_modal_consistency", {
+        val scores = markers.map { case (l, ws) =>
+          s"len(list_filter($duckTokens, t -> t IN (${ws.map("'" + _ + "'").mkString(",")}))) AS s_$l"
+        }.mkString(",\n  ")
+        raw"""WITH scored AS (
+          |  SELECT doc_id,
+          |    CASE WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+          |         WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+          |         WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_predicted,
+          |    CASE WHEN len($duckTokens) >= 10
+          |          AND CAST(len(list_filter($duckTokens, t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+          |              / len($duckTokens) >= 0.01
+          |         THEN 1 ELSE 0 END AS ok
+          |  FROM (SELECT doc_id, text,
+          |  """.stripMargin + scores + raw"""
+          |  FROM documents)
+          |)
+          |SELECT lang_predicted, label, count(*) AS n_docs,
+          |  CAST(sum(ok) AS BIGINT) AS n_keep, min(doc_id) AS sample_doc
+          |FROM scored JOIN embeddings ON doc_id = vec_id
+          |GROUP BY 1, 2""".stripMargin
+      }) { (s, dir) =>
+      val stopRatio =
+        s"cast(size(filter($tokens, t -> t in ('the','a','of','and','is'))) as double) / size($tokens)"
+      val scored = markers.foldLeft(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text"))) {
+        case (df, (l, ws)) =>
+          df.withColumn(
+            s"s_$l",
+            expr(s"size(filter($tokens, t -> t in (${ws.map("'" + _ + "'").mkString(",")})))"))
+      }.select(
+        col("doc_id"),
+        expr("""case when s_en >= greatest(s_de, s_fr, s_es) then 'en'
+                |     when s_de >= greatest(s_fr, s_es) then 'de'
+                |     when s_fr >= s_es then 'fr' else 'es' end""".stripMargin)
+          .as("lang_predicted"),
+        expr(s"case when size($tokens) >= 10 and $stopRatio >= 0.01 then 1 else 0 end").as("ok"))
+      scored
+        .join(Tables(s, dir, "embeddings").select(col("vec_id"), col("label")),
+          col("doc_id") === col("vec_id"))
+        .groupBy(col("lang_predicted"), col("label"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("ok")).cast("bigint").as("n_keep"),
+          min(col("doc_id")).as("sample_doc"))
+    },
+
     // ---- composed corpus pipeline (quality -> dedup -> stats) --------------
     // The end-to-end pre-training pass, as ONE declarative plan: quality
     // gate, exact-dedup keeper (min doc_id per content fingerprint), PII
