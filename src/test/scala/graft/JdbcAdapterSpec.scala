@@ -85,6 +85,15 @@ class JdbcAdapterSpec extends SparkSpec {
     assert(split("a = '/*' AND b = ?") == Seq("a = '/*' AND b = ", ""))
     // an unterminated-looking '/*/' stays inside the comment
     assert(split("a /*/ ? */ = ?") == Seq("a /*/ ? */ = ", ""))
+    // reconstruction invariant: split only ever REMOVES live '?'s, so
+    // rejoining with '?' reproduces any input byte-for-byte — fuzzed
+    // over the state-machine alphabet (quotes, comment openers, ?)
+    val alphabet = "?'\"-/*\n ab".toCharArray
+    val rnd = new scala.util.Random(8)
+    for (_ <- 1 to 2000) {
+      val q = Array.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      assert(split(q).mkString("?") == q, s"reconstruction failed for: $q")
+    }
     // parts=3 over [0,3]: JdbcRDD yields (0,0) (1,1) (2,3)
     assert((0 until 3).map(bounds(_, 3, 3)) == Seq((0L, 0L), (1L, 1L), (2L, 3L)))
     // parts=4 over [0,4]: (0,0) (1,1) (2,2) (3,4)
