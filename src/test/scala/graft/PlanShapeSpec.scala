@@ -263,6 +263,20 @@ class PlanShapeSpec extends SparkSpec {
       s"packing must shuffle once on (lang, shard):\n$p")
   }
 
+  test("q_chunk_overlap: chunking is a pure map+explode plan, zero exchanges") {
+    val p = planOf("q_chunk_overlap")
+    assert(!p.contains("Exchange hashpartitioning"), s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate"), "expected the chunk-index explode")
+  }
+
+  test("q_quantize_embeddings: two dim-keyed aggregations, stats join back without a hint") {
+    val p = planOf("q_quantize_embeddings")
+    // per-dim min/max + final error stats; the 64-row stats frame joins
+    // back via AQE (no forced broadcast of anything)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
+    assert(!p.contains("SortAggregate"), s"quantization aggregates must stay hash-based:\n$p")
+  }
+
   test("q_stats_moments: all six power sums in ONE aggregation pass") {
     val p = planOf("q_stats_moments")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
