@@ -599,6 +599,79 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_overlap"))
     },
 
+    // ---- explainable filtering: per-doc drop reasons ------------------------
+    // The audit artifact a pipeline ships next to its filtered corpus:
+    // every document labeled with WHICH gates it failed (length,
+    // stopword ratio, Gopher repetition, PII) — debugging a filter
+    // cascade needs the reasons, not just the survivor set. Pure map
+    // stage (repetition fracs via the codegen'd per-row ngram_stats,
+    // null-guarded for short docs); the reasons list is serialized with
+    // commas (no arrays in final output — hash gate). Thresholds are
+    // tuned to the synthetic corpus so the first three gates all fire;
+    // the email gate is structurally verified (the corpus contains no
+    // PII-shaped strings — q_text_pii_redact counts agree).
+    Q(
+      "q_filter_reasons",
+      raw"""WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w, text FROM documents
+        |), c2 AS (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+        |      i -> w[i] || ' ' || w[i+1])) AS g
+        |    FROM tok WHERE len(w) >= 3) GROUP BY doc_id, g
+        |), s2 AS (
+        |  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top2_frac FROM c2 GROUP BY doc_id
+        |), c3 AS (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |    FROM tok WHERE len(w) >= 3) GROUP BY doc_id, g
+        |), s3 AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS dup3_frac
+        |  FROM c3 GROUP BY doc_id
+        |)
+        |SELECT t.doc_id AS doc_id,
+        |  concat_ws(',',
+        |    CASE WHEN len(w) < 15 THEN 'too_short' END,
+        |    CASE WHEN CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+        |              / len(w) < 0.01 THEN 'low_stopword' END,
+        |    CASE WHEN top2_frac > 0.10 OR dup3_frac > 0.08 THEN 'repetitive' END,
+        |    CASE WHEN len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+')) > 0
+        |         THEN 'pii' END)
+        |    AS reasons,
+        |  CASE WHEN len(w) >= 15
+        |        AND CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+        |            / len(w) >= 0.01
+        |        AND NOT coalesce(top2_frac > 0.10 OR dup3_frac > 0.08, false)
+        |        AND len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+')) = 0
+        |       THEN 'keep' ELSE 'drop' END AS verdict
+        |FROM tok t LEFT JOIN s2 ON t.doc_id = s2.doc_id LEFT JOIN s3 ON t.doc_id = s3.doc_id""") { (s, dir) =>
+      val stopRatio =
+        "cast(size(filter(w, x -> x in ('the','a','of','and','is'))) as double) / size(w)"
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), expr(tokens).as("w"))
+        .select(col("doc_id"), col("text"), col("w"),
+          expr("case when size(w) >= 3 then ngram_stats(w, 2) end").as("s2"),
+          expr("case when size(w) >= 3 then ngram_stats(w, 3) end").as("s3"))
+        .select(col("doc_id"), col("text"), col("w"),
+          expr("cast(s2.top as double) / s2.total").as("top2_frac"),
+          expr("cast(s3.dup as double) / s3.total").as("dup3_frac"))
+        .select(
+          col("doc_id"),
+          expr(s"""concat_ws(',',
+            |  case when size(w) < 15 then 'too_short' end,
+            |  case when $stopRatio < 0.01 then 'low_stopword' end,
+            |  case when top2_frac > 0.10 or dup3_frac > 0.08 then 'repetitive' end,
+            |  case when size(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', 0)) > 0
+            |    then 'pii' end)"""
+            .stripMargin).as("reasons"),
+          expr(s"""case when size(w) >= 15 and $stopRatio >= 0.01
+            |  and not coalesce(top2_frac > 0.10 or dup3_frac > 0.08, false)
+            |  and size(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', 0)) = 0
+            |  then 'keep' else 'drop' end""".stripMargin).as("verdict"))
+    },
+
     // ---- cross-modal consistency audit (text signals × embedding labels) ---
     // The audit a multimodal pipeline runs before trusting either side:
     // join the text modality (marker-based language prediction, quality
