@@ -14,6 +14,15 @@ import org.apache.spark.sql.Dataset
   * completes. Releasing is idempotent, so builders that ALSO unpersist
   * eagerly (e.g. per-round fixpoint caches) may still do so.
   *
+  * Concurrency contract: the registry is process-global, so build →
+  * materialize → releaseAll is a SERIAL protocol per session — exactly
+  * how Verify/Bench/DistMain run. An application materializing several
+  * graft queries concurrently on one session must not call releaseAll
+  * mid-flight (it would drop a sibling query's caches and force
+  * recompute — correct results, wasted work); it should release once
+  * all in-flight actions finish, or fall back to
+  * `spark.catalog.clearCache()` at its own quiesce points.
+  *
   * At cluster scale this is what keeps a long-lived session from
   * accumulating corpus-sized cached partitions across queries —
   * `spark.catalog.clearCache()` would work too, but it nukes caches the

@@ -93,13 +93,19 @@ object Media {
     out.toByteArray
   }
 
-  /** Real WAV decode via `AudioSystem`; None on undecodable bytes or a
-    * sample depth the 16-bin byte histogram doesn't model. */
+  /** Real WAV decode via `AudioSystem`; None on undecodable bytes or
+    * any format the 16-bin byte histogram doesn't model — it reads raw
+    * sample bytes, so only UNSIGNED 8-bit MONO qualifies (a signed
+    * sample of -1 would land in bin 15 instead of mid-scale, and
+    * multi-channel would interleave) — everything else falls back to
+    * the stub, like the deep-sample image path. */
   private def decodeWav(bytes: Array[Byte]): Option[Array[Byte]] =
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      if (ais.getFormat.getSampleSizeInBits != 8) None
+      val f = ais.getFormat
+      if (f.getSampleSizeInBits != 8 || f.getChannels != 1 ||
+        f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) None
       else Some(ais.readAllBytes())
     } catch { case scala.util.control.NonFatal(_) => None }
 

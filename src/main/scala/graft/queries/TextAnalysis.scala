@@ -34,6 +34,17 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est"),
     "es" -> Seq("el", "los", "las", "y", "es"))
 
+  // THE stopword gate, defined once: every query that filters on the
+  // English stopword ratio (quality, pipeline, corpus pass, reasons,
+  // modal audit) derives from these helpers — editing the word set or
+  // a formulation in one query but not its siblings would silently
+  // break their documented agreement.
+  private val stopIn = markers.head._2.map("'" + _ + "'").mkString(",")
+  private def stopRatio(arr: String): String =
+    s"cast(size(filter($arr, t -> t in ($stopIn))) as double) / size($arr)"
+  private def duckStopRatio(arr: String): String =
+    s"CAST(len(list_filter($arr, t -> t IN ($stopIn))) AS DOUBLE) / len($arr)"
+
   val queries: Seq[Q] = Seq(
 
     // ---- token counting: whitespace + BPE-ish regex ------------------------
@@ -60,24 +71,21 @@ object TextAnalysis {
     Q(
       "q_text_quality",
       raw"""SELECT doc_id,
-        |  CAST(len(list_filter($duckTokens, t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
-        |    / len($duckTokens) AS stopword_ratio,
+        |  ${duckStopRatio(duckTokens)} AS stopword_ratio,
         |  CAST(length(text) - length(regexp_replace(text, '[^a-z0-9\s]', '', 'g')) AS BIGINT) AS n_punct,
         |  CAST(length(text) AS DOUBLE) / len($duckTokens) AS chars_per_token,
         |  CASE WHEN len($duckTokens) >= 10
-        |        AND CAST(len(list_filter($duckTokens, t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
-        |            / len($duckTokens) >= 0.01
+        |        AND ${duckStopRatio(duckTokens)} >= 0.01
         |       THEN 'keep' ELSE 'drop' END AS quality_flag
         |FROM documents""") { (s, dir) =>
-      val stopRatio =
-        s"cast(size(filter($tokens, t -> t in ('the','a','of','and','is'))) as double) / size($tokens)"
+      val sr = stopRatio(tokens)
       Tables(s, dir, "documents").select(
         col("doc_id"),
-        expr(stopRatio).as("stopword_ratio"),
+        expr(sr).as("stopword_ratio"),
         expr(raw"length(text) - length(regexp_replace(text, '[^a-z0-9\\s]', ''))")
           .cast("long").as("n_punct"),
         expr(s"cast(length(text) as double) / size($tokens)").as("chars_per_token"),
-        expr(s"case when size($tokens) >= 10 and $stopRatio >= 0.01 then 'keep' else 'drop' end")
+        expr(s"case when size($tokens) >= 10 and $sr >= 0.01 then 'keep' else 'drop' end")
           .as("quality_flag"))
     },
 
@@ -137,8 +145,7 @@ object TextAnalysis {
         |  SELECT doc_id, lang,
         |    ${duck(s"array_to_string(($duckTokens)[1:8], ' ')")} AS prefix_fp,
         |    CASE WHEN len($duckTokens) >= 10
-        |          AND CAST(len(list_filter($duckTokens, t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
-        |              / len($duckTokens) >= 0.01
+        |          AND ${duckStopRatio(duckTokens)} >= 0.01
         |         THEN 1 ELSE 0 END AS ok
         |  FROM documents
         |), keepers AS (
@@ -148,12 +155,11 @@ object TextAnalysis {
         |FROM scored s JOIN keepers k ON s.prefix_fp = k.prefix_fp AND s.doc_id = k.keep_id
         |WHERE s.ok = 1
         |GROUP BY lang""") { (s, dir) =>
-      val stopRatio =
-        s"cast(size(filter($tokens, t -> t in ('the','a','of','and','is'))) as double) / size($tokens)"
+      val sr = stopRatio(tokens)
       val scored = Tables(s, dir, "documents").select(
         col("doc_id"), col("lang"),
         expr(h(s"concat_ws(' ', slice($tokens, 1, 8))")).as("prefix_fp"),
-        expr(s"case when size($tokens) >= 10 and $stopRatio >= 0.01 then 1 else 0 end").as("ok"))
+        expr(s"case when size($tokens) >= 10 and $sr >= 0.01 then 1 else 0 end").as("ok"))
       scored
         .withColumn("keep_id",
           min(col("doc_id")).over(
@@ -634,21 +640,18 @@ object TextAnalysis {
         |SELECT t.doc_id AS doc_id,
         |  concat_ws(',',
         |    CASE WHEN len(w) < 15 THEN 'too_short' END,
-        |    CASE WHEN CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
-        |              / len(w) < 0.01 THEN 'low_stopword' END,
+        |    CASE WHEN ${duckStopRatio("w")} < 0.01 THEN 'low_stopword' END,
         |    CASE WHEN top2_frac > 0.10 OR dup3_frac > 0.08 THEN 'repetitive' END,
         |    CASE WHEN len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+')) > 0
         |         THEN 'pii' END)
         |    AS reasons,
         |  CASE WHEN len(w) >= 15
-        |        AND CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
-        |            / len(w) >= 0.01
+        |        AND ${duckStopRatio("w")} >= 0.01
         |        AND NOT coalesce(top2_frac > 0.10 OR dup3_frac > 0.08, false)
         |        AND len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+')) = 0
         |       THEN 'keep' ELSE 'drop' END AS verdict
         |FROM tok t LEFT JOIN s2 ON t.doc_id = s2.doc_id LEFT JOIN s3 ON t.doc_id = s3.doc_id""") { (s, dir) =>
-      val stopRatio =
-        "cast(size(filter(w, x -> x in ('the','a','of','and','is'))) as double) / size(w)"
+      val sr = stopRatio("w")
       Tables(s, dir, "documents")
         .select(col("doc_id"), col("text"), expr(tokens).as("w"))
         .select(col("doc_id"), col("text"), col("w"),
@@ -661,12 +664,12 @@ object TextAnalysis {
           col("doc_id"),
           expr(s"""concat_ws(',',
             |  case when size(w) < 15 then 'too_short' end,
-            |  case when $stopRatio < 0.01 then 'low_stopword' end,
+            |  case when $sr < 0.01 then 'low_stopword' end,
             |  case when top2_frac > 0.10 or dup3_frac > 0.08 then 'repetitive' end,
             |  case when size(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', 0)) > 0
             |    then 'pii' end)"""
             .stripMargin).as("reasons"),
-          expr(s"""case when size(w) >= 15 and $stopRatio >= 0.01
+          expr(s"""case when size(w) >= 15 and $sr >= 0.01
             |  and not coalesce(top2_frac > 0.10 or dup3_frac > 0.08, false)
             |  and size(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', 0)) = 0
             |  then 'keep' else 'drop' end""".stripMargin).as("verdict"))
@@ -692,8 +695,7 @@ object TextAnalysis {
           |         WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
           |         WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_predicted,
           |    CASE WHEN len($duckTokens) >= 10
-          |          AND CAST(len(list_filter($duckTokens, t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
-          |              / len($duckTokens) >= 0.01
+          |          AND ${duckStopRatio(duckTokens)} >= 0.01
           |         THEN 1 ELSE 0 END AS ok
           |  FROM (SELECT doc_id, text,
           |  """.stripMargin + scores + raw"""
@@ -704,8 +706,7 @@ object TextAnalysis {
           |FROM scored JOIN embeddings ON doc_id = vec_id
           |GROUP BY 1, 2""".stripMargin
       }) { (s, dir) =>
-      val stopRatio =
-        s"cast(size(filter($tokens, t -> t in ('the','a','of','and','is'))) as double) / size($tokens)"
+      val sr = stopRatio(tokens)
       val scored = markers.foldLeft(
         Tables(s, dir, "documents").select(col("doc_id"), col("text"))) {
         case (df, (l, ws)) =>
@@ -718,7 +719,7 @@ object TextAnalysis {
                 |     when s_de >= greatest(s_fr, s_es) then 'de'
                 |     when s_fr >= s_es then 'fr' else 'es' end""".stripMargin)
           .as("lang_predicted"),
-        expr(s"case when size($tokens) >= 10 and $stopRatio >= 0.01 then 1 else 0 end").as("ok"))
+        expr(s"case when size($tokens) >= 10 and $sr >= 0.01 then 1 else 0 end").as("ok"))
       scored
         .join(Tables(s, dir, "embeddings").select(col("vec_id"), col("label")),
           col("doc_id") === col("vec_id"))
@@ -746,8 +747,7 @@ object TextAnalysis {
         |), gated AS (
         |  SELECT * FROM scored
         |  WHERE len(w) >= 10
-        |    AND CAST(len(list_filter(w, t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
-        |        / len(w) >= 0.01
+        |    AND ${duckStopRatio("w")} >= 0.01
         |), kept AS (
         |  SELECT * FROM (
         |    SELECT doc_id, lang, text, w,
@@ -768,7 +768,7 @@ object TextAnalysis {
           expr(tokens).as("w"), expr(h("lower(text)")).as("fp"))
         .filter(expr(
           "size(w) >= 10 and " +
-            "cast(size(filter(w, t -> t in ('the','a','of','and','is'))) as double) / size(w) >= 0.01"))
+            s"${stopRatio("w")} >= 0.01"))
         .withColumn("keep_id", min(col("doc_id")).over(w))
         .filter(col("doc_id") === col("keep_id"))
         .groupBy(col("lang"))

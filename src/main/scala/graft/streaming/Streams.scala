@@ -295,21 +295,22 @@ object Streams {
 
   /** One micro-batch of the idempotent foreachBatch sink, exposed so a
     * crash-replay (same batchId delivered twice) is directly testable:
-    * the batch is merged to one row per event_id (earliest ts wins —
-    * a deterministic rule any keyed target expresses the same way) and
-    * written with DYNAMIC partition overwrite into its own
-    * `batch_id=<id>` partition. A replayed batch overwrites exactly its
-    * own partition instead of double-appending — exactly-once results
-    * on top of at-least-once delivery, with no streaming-native sink
-    * required. */
+    * the batch is merged to one row per event_id — the lexicographic
+    * MINIMUM of (ts, user_id, event_type, value), a TOTAL order, so a
+    * replay reproduces the identical row even when two records share
+    * (event_id, ts) (min_by on ts alone would be tie-arbitrary across
+    * partial-merge orders) — and written with DYNAMIC partition
+    * overwrite into its own `batch_id=<id>` partition. A replayed
+    * batch overwrites exactly its own partition instead of
+    * double-appending: idempotent DELIVERY on top of at-least-once
+    * semantics, with no streaming-native sink required. */
   def upsertBatch(batch: DataFrame, batchId: Long, outDir: String): Unit =
     batch
       .groupBy(col("event_id"))
-      .agg(
-        min(col("ts")).as("ts"),
-        min_by(col("user_id"), col("ts")).as("user_id"),
-        min_by(col("event_type"), col("ts")).as("event_type"),
-        min_by(col("value"), col("ts")).as("value"))
+      .agg(min(struct(col("ts"), col("user_id"), col("event_type"), col("value"))).as("m"))
+      .select(
+        col("event_id"), col("m.ts").as("ts"), col("m.user_id").as("user_id"),
+        col("m.event_type").as("event_type"), col("m.value").as("value"))
       .withColumn("batch_id", lit(batchId))
       .write
       .mode("overwrite")
@@ -318,10 +319,15 @@ object Streams {
       .parquet(outDir)
 
   /** foreachBatch idempotent sink — the production pattern when the
-    * target is not streaming-native (JDBC upsert, key-value store,
-    * plain parquet): Structured Streaming guarantees batchId is
-    * monotonic and replayed verbatim after a crash, and [[upsertBatch]]
-    * makes each delivery idempotent. */
+    * target is not streaming-native: Structured Streaming guarantees
+    * batchId is monotonic and replayed verbatim after a crash, and
+    * [[upsertBatch]] makes each DELIVERY idempotent. Scope note: the
+    * per-key merge is within a micro-batch; collapsing the same key
+    * across different batches is the keyed TARGET's job (a JDBC upsert
+    * or MERGE keyed on event_id does it for free — the parquet
+    * stand-in keeps one row per (batch_id, event_id), so a source-level
+    * redelivery in a LATER batch lands as a second row and readers
+    * dedup by key). */
   def idempotentSink(
       events: DataFrame, outDir: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream

@@ -81,6 +81,26 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("16-bit PCM WAV falls back to the stub (histogram models unsigned 8-bit mono only)") {
+    import spark.implicits._
+    // a VALID 16-bit mono WAV: raw frame bytes are not 8-bit samples,
+    // so the decode stage must skip (stub), never mis-bin. (8-bit
+    // signed can't be tested this way — the WAV container only stores
+    // 8-bit as unsigned, so the JDK writer converts on write.)
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED, 16000f, 16, 1, 2, 16000f, false)
+    val samples = Array.tabulate(64)(i => (i * 31).toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, 32L)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val bytes = out.toByteArray
+    val rec = Media.MediaRecord(1L, "audio", bytes, Media.MediaMeta(0, 0, 16000, 2L))
+    val f = Media.extractFeatures(spark.createDataset(Seq(rec))).head()
+    assert(f.histogram.sum == bytes.length, "expected the byte-histogram stub")
+  }
+
   test("16-bit grayscale PNG falls back to the stub instead of throwing") {
     import spark.implicits._
     // a VALID deep-sample PNG the 16-bin histogram can't model: the

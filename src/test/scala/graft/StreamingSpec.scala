@@ -32,13 +32,20 @@ class StreamingSpec extends SparkSpec {
         Event(1, ts(9), 7, "view", 9.9),
         Event(2, ts(20), 2, "click", 2.5))
       q.processAllAvailable()
-      // batch 1: new keys land in their own partition
-      mem.addData(Event(3, ts(70), 1, "view", 3.0))
+      // batch 1: new keys land in their own partition; a pair sharing
+      // (event_id, ts) must resolve by the lexicographic total order,
+      // not an arbitrary min_by tie-break
+      mem.addData(
+        Event(3, ts(70), 1, "view", 3.0),
+        Event(4, ts(80), 9, "b", 2.0),
+        Event(4, ts(80), 3, "a", 1.0))
       q.processAllAvailable()
       val out = spark.read.parquet(s"$base/out")
-      assert(out.count() == 3)
+      assert(out.count() == 4)
       assert(out.filter(col("event_id") === 1).select("user_id", "value")
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((1L, 1.5)))
+      assert(out.filter(col("event_id") === 4).select("user_id", "event_type")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((3L, "a")))
       // crash replay: the SAME batch delivered again must overwrite its
       // own partition, not double-append
       val replay = Seq(
@@ -47,8 +54,8 @@ class StreamingSpec extends SparkSpec {
         Event(2, ts(20), 2, "click", 2.5)).toDF()
       Streams.upsertBatch(replay, 0L, s"$base/out")
       val after = spark.read.parquet(s"$base/out")
-      assert(after.count() == 3, "replayed batch must be idempotent")
-      assert(after.filter(col("batch_id") === 1).count() == 1,
+      assert(after.count() == 4, "replayed batch must be idempotent")
+      assert(after.filter(col("batch_id") === 1).count() == 2,
         "dynamic overwrite must not touch other batches' partitions")
     } finally q.stop()
   }
