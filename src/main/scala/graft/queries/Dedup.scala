@@ -108,15 +108,19 @@ object Dedup {
       // ObjectHashAggregate's 128-key sort fallback, which is what made
       // collect_list/window formulations of this cap sort the whole
       // postings stream). Only REPEATED shingles (df >= 2) survive the
-      // join-back: singleton shingles — the vast majority of any corpus
-      // — generate no pairs and no hot probes, so they never leave the
-      // map side. AQE broadcasts the repeated-vocab table at small
-      // scale and shuffle-joins it at 100 TB.
+      // join-backs: singleton shingles — the vast majority of any
+      // corpus — generate no pairs and no hot probes, so they never
+      // leave the map side. AQE broadcasts the vocab slices at small
+      // scale and shuffle-joins them at 100 TB.
       val dfTab = ex
         .groupBy(col("lang"), col("v"))
         .agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2)
-      val mark = ex.join(dfTab, Seq("lang", "v"))
+      // disjoint vocab slices, each probed directly: the kept and hot
+      // branches broadcast only the shingles they need (both descend
+      // from the SAME df aggregate, so the postings exchange computes
+      // once and is reused)
+      val keptV = dfTab.filter(col("df").between(2, maxDf)).select(col("lang"), col("v"))
+      val hotV = dfTab.filter(col("df") > maxDf).select(col("lang"), col("v"))
       // the full-set jaccard the cap verifies also counts HOT shingles
       // shared by a candidate pair: |intersection| = i_kept + i_hot,
       // since every shingle is either kept (df <= maxDf) or hot. Each
@@ -132,7 +136,7 @@ object Dedup {
       // window plan) or from pair-level hot-count joins, which cost
       // two more shuffle stages end to end (measured slower at sf0.1
       // and no safer at 100 TB).
-      val docHot = mark.filter(col("df") > maxDf)
+      val docHot = ex.join(hotV, Seq("lang", "v"))
         .groupBy(col("doc_id").as("h_doc"))
         .agg(collect_list(col("v")).as("hot_arr"))
       // kept candidate self-join: every postings list on the join key
@@ -142,7 +146,7 @@ object Dedup {
       // with the full set sizes riding along. No arrays pass through
       // this aggregate: array-typed agg buffers would demote it from
       // HashAggregate to a SortAggregate over the whole pair stream.
-      val keptPost = mark.filter(col("df") <= maxDf)
+      val keptPost = ex.join(keptV, Seq("lang", "v"))
         .select(col("doc_id"), col("lang"), col("v"), col("n_sh"))
       val pairs = keptPost.as("a")
         .join(keptPost.as("b"), expr("a.v = b.v and a.lang = b.lang and a.doc_id < b.doc_id"))
