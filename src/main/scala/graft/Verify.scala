@@ -37,11 +37,20 @@ object Verify {
     val spark = Sessions.local("graft-verify")
     new java.io.File(outDir).mkdirs()
     startMarker(outDir, only)
+    val failed = collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
+        // a failed dump must not leave a stale (or half-overwritten)
+        // parquet dir from a previous run for check.py to compare — the
+        // gate would pass OLD code's output as this run's result. Delete
+        // it: a missing output dir fails that query's check honestly.
+        val p = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
       }
       // queries cache internal frames via CacheScope; release them so
       // cached partitions don't accumulate in executor storage across
@@ -64,6 +73,11 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // informational marker (check.py doesn't refuse on it; the failed
+    // queries' outputs were deleted above so they fail honestly)
+    if (failed.nonEmpty)
+      Files.writeString(Paths.get(s"$outDir/_FAILED"), failed.sorted.mkString("\n"))
+    else Files.deleteIfExists(Paths.get(s"$outDir/_FAILED"))
     finishMarker(outDir, only)
     spark.stop()
   }

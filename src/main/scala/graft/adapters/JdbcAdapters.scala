@@ -32,10 +32,14 @@ object JdbcPlaceholders {
   /** Split `q` on `?` placeholders the way PreparedStatement parsing
     * does: `?` inside single-quoted string literals, double-quoted
     * identifiers, `--` line comments, or `/* */` block comments is
-    * text (doubled `''`/`""` quoting toggles through correctly; block
-    * comments nest, as in standard SQL). Returns n+1 pieces for n
-    * placeholders. */
-  def split(q: String): Seq[String] = {
+    * text (doubled `''`/`""` quoting toggles through correctly).
+    * `nestComments` controls whether an inner open marker deepens a
+    * block comment: standard SQL and PostgreSQL nest, but most JDBC
+    * targets (MySQL, SQL Server, Oracle, SQLite) end the comment at
+    * the FIRST close marker — defaulting to non-nesting matches what
+    * those drivers' parsers see, so a live `?` after the first close
+    * stays a placeholder. Returns n+1 pieces for n placeholders. */
+  def split(q: String, nestComments: Boolean = false): Seq[String] = {
     val pieces = Seq.newBuilder[String]
     val sb = new StringBuilder
     var inStr = false
@@ -51,7 +55,7 @@ object JdbcPlaceholders {
         sb.append(c); i += 1
       } else if (depth > 0) {
         if (twoChar("*/")) { depth -= 1; sb.append("*/"); i += 2 }
-        else if (twoChar("/*")) { depth += 1; sb.append("/*"); i += 2 }
+        else if (twoChar("/*") && nestComments) { depth += 1; sb.append("/*"); i += 2 }
         else { sb.append(c); i += 1 }
       } else if (inStr) {
         if (c == '\'') inStr = false // doubled '' toggles straight back in
@@ -96,6 +100,10 @@ final class JdbcColumnarInput extends InputAdapter {
           "bind each partition's inclusive (start, end) sub-range of " +
           "[0, part_count], split as JdbcRDD splits it"),
       ParamDef("table", "Table to read (alternative to query)"),
+      ParamDef("nest_comments",
+        "Whether /* */ comments nest when scanning the query for ? " +
+          "placeholders (PostgreSQL/standard: true; MySQL, SQL Server, " +
+          "Oracle, SQLite end at the first close: false, the default)"),
       ParamDef("partition_column", "Numeric column to range-split on"),
       ParamDef("lower_bound", "Partitioning lower bound"),
       ParamDef("upper_bound", "Partitioning upper bound")))
@@ -115,7 +123,8 @@ final class JdbcColumnarInput extends InputAdapter {
       conf.str("password").foreach(p => r = r.option("password", p))
       r
     }
-    val pieces = conf.str("query").map(JdbcPlaceholders.split)
+    val pieces = conf.str("query")
+      .map(JdbcPlaceholders.split(_, conf.bool("nest_comments", dflt = false)))
     val df = (conf.str("query"), conf.str("table")) match {
       case (Some(_), _) if pieces.exists(_.length > 1) =>
         // reference placeholder mode (JdbcColumnarInput.java:62-77):

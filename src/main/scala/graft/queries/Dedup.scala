@@ -164,7 +164,10 @@ object Dedup {
           col("id_b") === col("h_doc"), "left")
         .drop("h_doc")
         .select(col("id_a"), col("id_b"),
-          expr("i_kept + coalesce(size(array_intersect(hot_a, hot_b)), 0)").as("i"),
+          // coalesce the ARRAYS, not the size: under ansi=false Spark's
+          // size(NULL) is -1 (not NULL), so a size-level coalesce never
+          // fires and the count goes off by one for hotless docs
+          expr("i_kept + size(array_intersect(coalesce(hot_a, array()), coalesce(hot_b, array())))").as("i"),
           col("n_a"), col("n_b"))
         .select(col("id_a"), col("id_b"),
           expr("cast(i as double) / (n_a + n_b - i)").as("jaccard"))

@@ -79,7 +79,12 @@ class JdbcAdapterSpec extends SparkSpec {
       Seq("SELECT /* what? */ a FROM t WHERE b = ", ""))
     assert(split("SELECT /* line1?\nline2? */ a WHERE b = ?") ==
       Seq("SELECT /* line1?\nline2? */ a WHERE b = ", ""))
+    // DEFAULT is non-nesting (MySQL/SQL Server/Oracle/SQLite): the
+    // comment ends at the FIRST */ and the following '?' is live
     assert(split("a /* outer /* inner? */ still? */ = ?") ==
+      Seq("a /* outer /* inner? */ still", " */ = ", ""))
+    // PostgreSQL-style nesting behind the flag
+    assert(split("a /* outer /* inner? */ still? */ = ?", nestComments = true) ==
       Seq("a /* outer /* inner? */ still? */ = ", ""))
     // '/*' inside a string literal does not open a comment
     assert(split("a = '/*' AND b = ?") == Seq("a = '/*' AND b = ", ""))

@@ -47,12 +47,20 @@ def rows_of(table):
 
 
 def main(outdir, sfdir, partial=False):
+    kept = None
     if os.path.exists(f"{outdir}/_PARTIAL_RUN"):
+        marker = open(f"{outdir}/_PARTIAL_RUN").read().split()
+        if marker == ["FULL_RUN_IN_PROGRESS"]:
+            # a full Verify run started here and never finished — the
+            # directory is half-written regardless of --partial
+            print("REFUSED: a FULL Verify run crashed mid-dump here "
+                  "(see _PARTIAL_RUN sentinel); re-run Verify")
+            return 1
         if not partial:
             print("REFUSED: dump was produced under SPARK_GRAFT_ONLY "
                   "(see _PARTIAL_RUN); re-run Verify unfiltered or pass --partial")
             return 1
-        kept = open(f"{outdir}/_PARTIAL_RUN").read().split()
+        kept = set(marker)
         print(f"*** PARTIAL run: checking only {len(kept)} filtered queries ***")
     con = duckdb.connect()
     for t in TABLES:
@@ -60,6 +68,8 @@ def main(outdir, sfdir, partial=False):
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     ok = bad = 0
     for name in sorted(oracle):
+        if kept is not None and name not in kept:
+            continue
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
