@@ -115,6 +115,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
       (children: Seq[Expression]) => MinHashAgg(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("marker_scores"),
+      new ExpressionInfo(classOf[MarkerScores].getName, "marker_scores"),
+      (children: Seq[Expression]) => MarkerScores(
+        children.head,
+        children.tail.map(
+          _.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+            .toString.split(",").toSeq))))
+    ext.injectFunction((
       new FunctionIdentifier("dec_cast"),
       new ExpressionInfo(classOf[FastDecimalCast].getName, "dec_cast"),
       (children: Seq[Expression]) => FastDecimalCast(
