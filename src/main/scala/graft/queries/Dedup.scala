@@ -58,29 +58,25 @@ object Dedup {
     * keeps the shuffle alive when 100 TB of web text all contains
     * "terms of service apply".
     *
-    * Caching contract: the doc-level shingle frame is cached via
-    * [[graft.io.CacheScope]] (it feeds the postings explode plus both
-    * join sides, and the returned frame is lazy, so this method cannot
-    * release it). Every materialization site — Verify, Bench, the
-    * DistMain task runner, or an embedding application — calls
-    * `CacheScope.releaseAll()` once its action completes. */
+    * Deliberately UNCACHED: the shingle frame feeds the postings
+    * explode plus both self-join sides, but every consumer sits above
+    * exchanges that canonicalize equal, so AQE's ReuseExchange serves
+    * each subtree from one shuffle write. Persisting the frame instead
+    * actively BREAKS that: each AQE stage wraps the cache scan in its
+    * own `TableCacheQueryStage`, whose stage identity survives
+    * canonicalization, so no two exchanges above it ever compare equal
+    * and the postings shuffle runs once per branch (measured 6.97s
+    * cold / reused=0 cached vs 2.00s cold / reused=4 uncached at
+    * sf0.001; PlanShapeSpec gates the runtime ReusedExchange). */
   def ngramJaccardPairs(
       s: org.apache.spark.sql.SparkSession,
       dir: String,
       minJaccard: Double,
       maxDf: Int = 0): org.apache.spark.sql.DataFrame = {
-    // persist the ARRAY frame, not the exploded postings: downstream
-    // needs both size(shingles) and explode(shingles), and
-    // CollapseProject would otherwise re-inline the shingle construction
-    // into each (2x per row, then 2x again for the two join sides).
-    // Cached arrays make the explode passes pure reads — and the
-    // doc-level frame is the smallest thing to cache at corpus scale
-    // (postings are |shingles| x bigger).
     val sh = Tables(s, dir, "documents")
       .select(col("doc_id"), col("lang"), expr(tokens).as("w"))
       .filter(expr("size(w) >= 3"))
       .select(col("doc_id"), col("lang"), expr(shingles).as("shingles"))
-      .persistScoped()
     // Join key is xxhash64 of the exploded shingle — a flat codegen'd
     // expression (HOF-embedded hashes run interpreted), and the 8-byte
     // key shuffles cheaper than the shingle strings. Distinct shingles

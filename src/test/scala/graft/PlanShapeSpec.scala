@@ -155,6 +155,19 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 7, p)
   }
 
+  test("q_dedup_ngram_capped: postings exchange is REUSED at runtime, not recomputed") {
+    // the plan comment in Dedup.scala promises the kept/hot vocab
+    // branches descend from ONE materialized df aggregate — gate it on
+    // the EXECUTED adaptive plan, so a Spark upgrade that silently
+    // doubles the postings shuffle fails here instead of only showing
+    // up as a bench regression
+    val df = SparkEntry.queries("q_dedup_ngram_capped")(spark, sf())
+    df.collect() // drives AQE to its final plan on df's own QueryExecution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"no runtime exchange reuse in the capped dedup plan:\n$p")
+  }
+
   test("q_tpch_q14: part joins broadcast; single-group aggregate, no sort") {
     val p = planOf("q_tpch_q14")
     assert(p.contains("BroadcastHashJoin"))
