@@ -378,6 +378,65 @@ object Dedup {
       ngramJaccardPairs(s, dir, minJaccard = 0.3, maxDf = 4)
     },
 
+    // ---- substring-level exact dedup (fingerprint windows) -----------------
+    // The dedup family 5-gram Jaccard dilutes: documents sharing LONG
+    // verbatim spans (boilerplate, licenses, syndicated paragraphs) whose
+    // overall shingle overlap is small (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better", approximated with
+    // fixed-length fingerprint windows instead of suffix arrays — a
+    // suffix array is a single-machine structure; hashed windows bucket).
+    // Every 30-token window at stride 10 is hashed; docs sharing a
+    // window hash share (at least) a 30-token verbatim span. Candidates
+    // come from an inverted index on the window hash — the same bucketed
+    // shape as the n-gram kernel, never all-pairs — with the hot-window
+    // cap reused: a window occurring in > maxDf docs (a corpus-wide
+    // boilerplate span) is excluded from pair GENERATION, bounding every
+    // postings list at maxDf rows (<= maxDf^2 pair fan-out per key).
+    // Per-doc window sets are deduped (HashAggregate) before the df
+    // count so a span repeated WITHIN one doc counts that doc once.
+    Q(
+      "q_dedup_substring",
+      raw"""WITH tok AS (
+        |  SELECT doc_id, $duckTokens AS w FROM documents
+        |), win AS (
+        |  SELECT DISTINCT doc_id,
+        |    ${duck("array_to_string(w[i:i+29], ' ')")} AS fp
+        |  FROM tok, unnest(generate_series(1, len(w) - 29, 10)) AS t(i)
+        |  WHERE len(w) >= 30
+        |), kept AS (
+        |  SELECT fp FROM win GROUP BY fp HAVING count(*) BETWEEN 2 AND 8
+        |), post AS (
+        |  SELECT doc_id, win.fp FROM win JOIN kept USING (fp)
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  count(*) AS shared_windows
+        |FROM post a JOIN post b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""") { (s, dir) =>
+      val W = 30; val stride = 10; val maxDf = 8
+      // hash AFTER the explode as a flat codegen'd projection (the HOF
+      // formulation would run the md5 interpreted inside the lambda)
+      val wins = Tables(s, dir, "documents")
+        .select(col("doc_id"), expr(tokens).as("w"))
+        .filter(expr(s"size(w) >= $W"))
+        .select(col("doc_id"), col("w"),
+          explode(expr(s"sequence(1, size(w) - ${W - 1}, $stride)")).as("i"))
+        .select(col("doc_id"),
+          expr(h(s"concat_ws(' ', slice(w, i, $W))")).as("fp"))
+        .distinct()
+      // df over DISTINCT (doc, window) rows = docs-per-window; kept
+      // windows bound the postings self-join exactly like the shingle
+      // cap (HashAggregate count, no lists, no window functions)
+      val kept = wins.groupBy(col("fp"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, maxDf))
+        .select(col("fp"))
+      val post = wins.join(kept, Seq("fp"))
+      post.as("a")
+        .join(post.as("b"), expr("a.fp = b.fp and a.doc_id < b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("shared_windows"))
+    },
+
     // ---- embedding cosine near-dup (label-blocked, exact DECIMAL dot) ------
     Q(
       "q_dedup_embedding",

@@ -168,6 +168,18 @@ class PlanShapeSpec extends SparkSpec {
       s"no runtime exchange reuse in the capped dedup plan:\n$p")
   }
 
+  test("q_dedup_substring: bucketed window-fingerprint join — no window sort, hash aggregates only") {
+    val p = planOf("q_dedup_substring")
+    // candidates must come from the inverted index on the window hash,
+    // capped by the df filter — never an all-pairs or windowed plan
+    assert(!p.contains("CartesianProduct"), s"substring dedup went all-pairs:\n$p")
+    assert(!p.contains("Window"), s"window-function sort in the fingerprint plan:\n$p")
+    // per-doc distinct, df count and the pair count are all plain
+    // HashAggregates — no list buffers anywhere in this kernel
+    assert(!p.contains("SortAggregate") && !p.contains("ObjectHashAggregate"),
+      s"non-Tungsten aggregate in the substring plan:\n$p")
+  }
+
   test("q_tpch_q14: part joins broadcast; single-group aggregate, no sort") {
     val p = planOf("q_tpch_q14")
     assert(p.contains("BroadcastHashJoin"))
