@@ -528,5 +528,81 @@ object Similarity {
           (sum(expr("dec_cast(ae, 18, 12)")).cast("decimal(28,12)").cast("double")
             / count(lit(1))).as("avg_abs_err"),
           countDistinct(col("q")).as("n_levels"))
+    },
+
+    // ---- SemDeDup-style semantic dedup (k-means cells + in-cell near-dup) --
+    // Abbas et al. 2023 ("SemDeDup: Data-efficient learning at web-scale
+    // through semantic deduplication"): cluster the embedding space,
+    // then search for near-duplicates only WITHIN each cluster — the
+    // cell assignment turns the quadratic all-pairs scan into per-cell
+    // blocks with zero cross-cell pairs by construction. Composes the
+    // IVF cell assignment above with the q_dedup_embedding verify
+    // kernel: nearest-centroid cells (fixed-|C| hash-ordered seed set,
+    // two-phase double-prefilter + exact-DECIMAL argmax), then a SALTED
+    // in-cell self-join (|C|=16 cells would cap parallelism at 16
+    // unsalted) keeping the lowest vec_id of every near-dup pair.
+    Q(
+      "q_dedup_semantic",
+      s"""WITH cents AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+        |  ORDER BY $duckCHash, vec_id LIMIT $NC
+        |), assign AS (
+        |  SELECT vec_id, embedding, c_id AS cell FROM (
+        |    SELECT v.vec_id, v.embedding, c.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY ${duckDot("v.embedding", "c.c_emb")} DESC, c.c_id) AS crn
+        |    FROM embeddings v CROSS JOIN cents c
+        |  ) WHERE crn = 1
+        |), pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE ${duckDot("a.embedding", "b.embedding")} >= 0.35
+        |)
+        |SELECT vec_id, cell FROM assign
+        |WHERE vec_id NOT IN (SELECT id_b FROM pairs)""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val cents = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          expr(cHash).as("ch"))
+        .orderBy(col("ch"), col("c_id")).limit(NC)
+        .select(col("c_id"), col("c_emb"))
+      // cell assignment — same two-phase shape as q_ann_ivf (double
+      // prefilter over broadcast fixed-|C| centroids, window argmax,
+      // exact DECIMAL tie-break)
+      val ddots = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("c_id"), expr("dot_f(embedding, c_emb)").as("cdd"))
+      val best = ddots
+        .withColumn("mx", max(col("cdd")).over(Window.partitionBy(col("vec_id"))))
+        .filter(col("cdd") >= col("mx") - 1e-9)
+        .select(col("vec_id").as("b_vec"), col("c_id"))
+      val assign = e
+        .join(best, col("vec_id") === col("b_vec"))
+        .join(broadcast(cents), "c_id")
+        .select(col("vec_id"), col("embedding"), col("c_id"),
+          expr(dot("embedding", "c_emb")).as("cdot"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("cdot").desc, col("c_id"))))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+        // feeds both pair sides AND the keeper anti-join; the salted
+        // sides differ structurally, so AQE exchange reuse cannot serve
+        // them — a scoped cache is the right tool here (unlike the
+        // ngram kernel, whose branches DO canonicalize equal)
+        .persistScoped()
+      // in-cell near-dup pairs, salted like q_dedup_embedding (16 cells
+      // would otherwise bound the shuffle at 16 tasks); cheap double
+      // prefilter, exact DECIMAL dot on survivors only
+      val salts = 8
+      val pa = assign.withColumn("salt", pmod(hash(col("vec_id")), lit(salts)))
+      val pb = assign.withColumn("salt", explode(expr(s"sequence(0, ${salts - 1})")))
+      val dropped = pa.as("a")
+        .join(pb.as("b"), expr("a.cell = b.cell and a.salt = b.salt and a.vec_id < b.vec_id"))
+        .filter(expr("dot_f(a.embedding, b.embedding) >= 0.3499999"))
+        .filter(expr(s"${dot("a.embedding", "b.embedding")} >= 0.35"))
+        .select(col("b.vec_id").as("id_b"))
+        .distinct()
+      assign
+        .join(dropped, col("vec_id") === col("id_b"), "left_anti")
+        .select(col("vec_id"), col("cell"))
     })
 }
