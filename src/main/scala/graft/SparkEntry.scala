@@ -16,7 +16,8 @@ object SparkEntry {
   def allQueries: Seq[Q] =
     Relational.queries ++ Breadth.queries ++ TpchShapes.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Events.queries ++ Multimodal.queries ++ Sampling.queries
+      Events.queries ++ Multimodal.queries ++ Sampling.queries ++
+      Bpe.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

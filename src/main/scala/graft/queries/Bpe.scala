@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.io.CacheScope.Persisted
+import graft.io.Tables
+
+/** Byte-pair-encoding merge training (Sennrich et al. 2016, "Neural
+  * Machine Translation of Rare Words with Subword Units") — the
+  * tokenizer-vocabulary operator a training-data pipeline runs after
+  * dedup/filtering. BPE trains on the WORD-FREQUENCY table, not the raw
+  * corpus: the corpus collapses to a Heap's-law-bounded vocab in one
+  * hash-groupBy, and every subsequent round touches only that bounded
+  * frame — the same iterative-over-a-bounded-subset shape as the
+  * connected-components loop.
+  *
+  * Each round:
+  *  1. adjacent symbol pairs exploded from the vocab, counted weighted
+  *     by word frequency (HashAggregate, map-side partials);
+  *  2. the single top pair (count desc, then lexicographic — fully
+  *     deterministic) collected as the round's SCALAR decision, like the
+  *     CC loop's convergence count — never row data;
+  *  3. the pair merged into every word's symbol array with a greedy
+  *     left-to-right non-overlapping fold (a just-merged symbol is
+  *     strictly longer than `lhs`, so it can never re-match as the left
+  *     element within the same pass — exactly Sennrich's semantics).
+  *
+  * The merge fold is an interpreted HOF, acceptable here because it runs
+  * over the bounded vocab, never the corpus. The DuckDB oracle unrolls
+  * the same K rounds with a positional formulation (windowed
+  * run-parity), which is equivalent to the greedy fold: candidate runs
+  * with lhs != rhs are singletons, and for lhs == rhs greedy merges at
+  * even offsets within each run.
+  */
+object Bpe {
+
+  private val tokens = "split(trim(text), '\\\\s+')"
+  private val duckTokens = raw"regexp_split_to_array(trim(text), '\s+')"
+
+  /** Merge rounds — a fixed model constant, like |C| centroids. */
+  private val K = 6
+
+  private def duckOracle: String = {
+    val base =
+      raw"""w0 AS MATERIALIZED (
+        |  SELECT word, freq, list_transform(generate_series(1, len(word)), i -> word[i]) AS syms
+        |  FROM (
+        |    SELECT lower(t) AS word, count(*) AS freq
+        |    FROM (SELECT unnest($duckTokens) AS t FROM documents)
+        |    WHERE regexp_matches(lower(t), '^[a-z]+$$')
+        |    GROUP BY 1))""".stripMargin
+    val rounds = (1 to K).map { r =>
+      val p = r - 1
+      s"""p$r AS MATERIALIZED (
+         |  SELECT syms[i] AS lhs, syms[i+1] AS rhs, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM w$p, unnest(generate_series(1, len(syms)-1)) AS t(i)
+         |  GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$r ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |e$r AS MATERIALIZED (
+         |  SELECT word, freq, i, syms[i] AS sym,
+         |    (i < len(syms) AND syms[i] = m.lhs AND syms[i+1] = m.rhs) AS cand
+         |  FROM w$p, m$r m, unnest(generate_series(1, len(syms))) AS t(i)),
+         |st$r AS MATERIALIZED (
+         |  SELECT word, i, (i - min(i) OVER (PARTITION BY word, isl)) % 2 = 0 AS is_start
+         |  FROM (SELECT word, i, i - row_number() OVER (PARTITION BY word ORDER BY i) AS isl
+         |        FROM e$r WHERE cand)),
+         |w$r AS MATERIALIZED (
+         |  SELECT e.word, any_value(e.freq) AS freq,
+         |    list(CASE WHEN coalesce(s.is_start, false) THEN m.lhs || m.rhs ELSE e.sym END ORDER BY e.i) AS syms
+         |  FROM e$r e
+         |  CROSS JOIN m$r m
+         |  LEFT JOIN st$r s ON s.word = e.word AND s.i = e.i
+         |  LEFT JOIN st$r sp ON sp.word = e.word AND sp.i = e.i - 1 AND sp.is_start
+         |  WHERE sp.i IS NULL
+         |  GROUP BY e.word)""".stripMargin
+    }
+    val unions = (1 to K)
+      .map(r => s"SELECT $r AS round, lhs, rhs, lhs || rhs AS merged, cnt FROM m$r")
+      .mkString(" UNION ALL ")
+    "WITH " + (base +: rounds).mkString(",\n") + "\n" + unions
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q_bpe_merges", duckOracle) { (s, dir) =>
+      import s.implicits._
+      // vocab: one corpus-wide hash-groupBy; everything after is bounded
+      var words = Tables(s, dir, "documents")
+        .select(explode(expr(tokens)).as("t"))
+        .select(lower(col("t")).as("word"))
+        .filter(expr("word rlike '^[a-z]+$'"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .select(col("word"), col("freq"),
+          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"))
+        .persistScoped()
+      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+      for (r <- 1 to K) {
+        // guard size >= 2 BEFORE the pair sequence: Spark's
+        // sequence(1, 0) runs DESCENDING ([1, 0]), it is not empty
+        val top = words
+          .filter(expr("size(syms) >= 2"))
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "i -> struct(element_at(syms, i) as lhs, element_at(syms, i + 1) as rhs))")).as("p"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+          .limit(1)
+          .collect()(0) // ONE aggregated decision row per round, not row data
+        val (lhs, rhs, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+        merges += ((r, lhs, rhs, lhs + rhs, cnt))
+        // symbols are ^[a-z]+$ by construction (single chars of filtered
+        // words, closed under concatenation), so literal embedding is safe
+        val next = words
+          .withColumn("syms", expr(
+            s"""aggregate(syms, cast(array() as array<string>), (acc, x) ->
+               |  case when size(acc) > 0 and element_at(acc, -1) = '$lhs' and x = '$rhs'
+               |    then concat(slice(acc, 1, size(acc) - 1), array('$lhs$rhs'))
+               |    else concat(acc, array(x)) end)""".stripMargin))
+          .persistScoped()
+        next.count() // materialize before dropping the parent round's cache
+        words.unpersist()
+        words = next
+      }
+      words.unpersist()
+      merges.result().toDF("round", "lhs", "rhs", "merged", "cnt")
+    })
+}
