@@ -29,11 +29,15 @@ import graft.io.Tables
   * and the decoder reads them back through `AudioSystem` into sample
   * histograms, oracle-checked analytically like the image path.
   *
-  * The VIDEO decoder remains a STUB (no codec libraries in this
-  * container): `decodeStub` computes a deterministic fake (byte
-  * histogram + hash-derived pseudo-features) clearly marked below.
-  * Swapping in a real codec changes only the body of `decodeStub` —
-  * every schema and plan stays identical.
+  * The VIDEO path is now real as well, using only JDK machinery: the
+  * synthetic payload is a trivial container of `VID_FRAMES`
+  * length-prefixed PNG frames (4-byte big-endian length + PNG bytes,
+  * repeated), each frame's pixels a known function of (id, frame), and
+  * the decoder parses the container and routes every frame through the
+  * same ImageIO path as still images. A real codec (H.264 etc.) would
+  * replace only `decodeVideo`'s container parse; the per-frame decode,
+  * histogram, resize and frame-sample plumbing stay identical. The
+  * byte-histogram stub survives only as the undecodable-input fallback.
   *
   * Scale shape: feature extraction is a pure map stage (no shuffle); a
   * 100 TB media corpus partitions by file and streams batch-by-batch
@@ -46,8 +50,8 @@ object Media {
     * reproducible in SQL, so a real decode can be oracle-checked. */
   val IMG_DIM = 8
 
-  /** Real PNG encode via the JDK — deterministic pixels from the id. */
-  def encodePng(id: Long): Array[Byte] = {
+  /** 8-bit gray PNG with pixel(x, y) = (seed + y*IMG_DIM + x) mod 256. */
+  private def encodeGray(seed: Long): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       IMG_DIM, IMG_DIM, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
@@ -55,7 +59,7 @@ object Media {
     while (y < IMG_DIM) {
       var x = 0
       while (x < IMG_DIM) {
-        raster.setSample(x, y, 0, (((id * 7 + y * IMG_DIM + x) % 256).toInt))
+        raster.setSample(x, y, 0, (((seed + y * IMG_DIM + x) % 256).toInt))
         x += 1
       }
       y += 1
@@ -63,6 +67,48 @@ object Media {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
+  }
+
+  /** Real PNG encode via the JDK — deterministic pixels from the id. */
+  def encodePng(id: Long): Array[Byte] = encodeGray(id * 7)
+
+  /** Frames per synthetic video — a fixed container constant. */
+  val VID_FRAMES = 4
+
+  /** Real video encode: `VID_FRAMES` length-prefixed PNG frames, frame
+    * f's pixels = (id*7 + f*13 + y*IMG_DIM + x) mod 256 — analytically
+    * reproducible per frame, so the whole container round-trips under
+    * the oracle gate like the still-image path. */
+  def encodeVideo(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    var f = 0
+    while (f < VID_FRAMES) {
+      val png = encodeGray(id * 7 + f * 13)
+      dos.writeInt(png.length)
+      dos.write(png)
+      f += 1
+    }
+    dos.flush()
+    out.toByteArray
+  }
+
+  /** Parse the length-prefixed frame container; None on any malformed
+    * length, truncated frame, or trailing garbage — the undecodable
+    * fallback path, same posture as the PNG/WAV decoders. */
+  private def decodeVideo(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    val frames = Seq.newBuilder[Array[Byte]]
+    var off = 0
+    var n = 0
+    while (off + 4 <= bytes.length) {
+      val len = ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+        ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+      if (len < 0 || off + 4 + len > bytes.length) return None
+      frames += java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + len)
+      off += 4 + len
+      n += 1
+    }
+    if (off != bytes.length || n == 0) None else Some(frames.result())
   }
 
   /** Real PNG decode via the JDK; None on corrupt/undecodable bytes.
@@ -125,23 +171,24 @@ object Media {
 
   /** Deterministic synthetic media corpus derived from `documents`:
     * image rows carry a REAL PNG payload (JDK-encoded, known pixels),
-    * audio rows a REAL WAV payload (known samples), video rows the
-    * UTF-8 bytes of the text as an opaque stand-in; kind round-robins,
-    * metadata derives from the id. Stands in for a real binary source
-    * (S3 blobs, tar shards) with an identical schema. */
+    * audio rows a REAL WAV payload (known samples), video rows a REAL
+    * frame container (length-prefixed PNGs, known per-frame pixels);
+    * kind round-robins, metadata derives from the id. Stands in for a
+    * real binary source (S3 blobs, tar shards) with an identical
+    * schema. */
   def synthesize(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, text) =>
+      .select(col("doc_id"))
+      .as[Long]
+      .map { id =>
         val kind = kinds((id % 3).toInt)
         MediaRecord(
           id,
           kind,
           if (kind == "image") encodePng(id)
           else if (kind == "audio") encodeWav(id)
-          else text.getBytes("UTF-8"),
+          else encodeVideo(id),
           MediaMeta(
             width = if (kind == "image") IMG_DIM else 64 + (id % 16).toInt * 16,
             height = if (kind == "image") IMG_DIM else 64 + (id % 9).toInt * 16,
@@ -150,11 +197,10 @@ object Media {
       }
   }
 
-  /** STUB decoder for video — deterministic fake standing in for a real
-    * codec (libraries unavailable in this environment), and the
-    * skip-don't-crash fallback for undecodable images/audio. Consumes
-    * one bounded batch, exactly like an Arrow batch handed to a Pandas
-    * UDF; replace the body with the real decoder at deployment. */
+  /** Byte-histogram fallback for UNDECODABLE payloads of any kind —
+    * corrupt bytes, truncated containers, sample depths the histogram
+    * doesn't model. Deterministic, never throws: the skip-don't-crash
+    * posture every decode stage needs. */
   private def decodeStub(r: MediaRecord): MediaFeatures = {
     val hist = new Array[Long](16)
     var i = 0
@@ -179,29 +225,38 @@ object Media {
     MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, hist, emb)
   }
 
-  /** Real image/audio decode: 16-bin histogram over the decoded 8-bit
-    * gray raster (images) or the 8-bit PCM samples (audio). Undecodable
-    * bytes (corrupt, truncated by the byte-budget resize) and deeper
-    * sample formats the 16-bin histogram doesn't model (e.g. a valid
-    * 16-bit grayscale PNG) fall back to the byte-histogram stub —
-    * skip-don't-crash, never an exception out of the decode stage. */
+  /** Accumulate an 8-bit gray image's pixels into a 16-bin histogram;
+    * false (leaving `hist` partially updated is fine — callers discard
+    * on failure) when the sample depth isn't histogram-modelable. */
+  private def addPixels(img: java.awt.image.BufferedImage, hist: Array[Long]): Boolean = {
+    if (img.getSampleModel.getSampleSize(0) > 8) return false
+    val raster = img.getRaster
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        hist(raster.getSample(x, y, 0) >> 4) += 1
+        x += 1
+      }
+      y += 1
+    }
+    true
+  }
+
+  /** Real image/audio/video decode: 16-bin histogram over the decoded
+    * 8-bit gray raster (images), the 8-bit PCM samples (audio), or ALL
+    * decoded frames' pixels (video). Undecodable bytes (corrupt,
+    * truncated) and deeper sample formats the 16-bin histogram doesn't
+    * model (e.g. a valid 16-bit grayscale PNG) fall back to the
+    * byte-histogram stub — skip-don't-crash, never an exception out of
+    * the decode stage. */
   private def decodeOne(r: MediaRecord): MediaFeatures = r.kind match {
     case "image" =>
       decodePng(r.payload) match {
-        case Some(img) if img.getSampleModel.getSampleSize(0) <= 8 =>
-          val raster = img.getRaster
+        case Some(img) =>
           val hist = new Array[Long](16)
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              hist(raster.getSample(x, y, 0) >> 4) += 1
-              x += 1
-            }
-            y += 1
-          }
-          histFeatures(r, hist)
-        case _ => decodeStub(r)
+          if (addPixels(img, hist)) histFeatures(r, hist) else decodeStub(r)
+        case None => decodeStub(r)
       }
     case "audio" =>
       decodeWav(r.payload) match {
@@ -213,6 +268,14 @@ object Media {
             i += 1
           }
           histFeatures(r, hist)
+        case None => decodeStub(r)
+      }
+    case "video" =>
+      decodeVideo(r.payload) match {
+        case Some(frames) =>
+          val hist = new Array[Long](16)
+          val ok = frames.forall(fb => decodePng(fb).exists(addPixels(_, hist)))
+          if (ok) histFeatures(r, hist) else decodeStub(r)
         case None => decodeStub(r)
       }
     case _ => decodeStub(r)
@@ -227,38 +290,132 @@ object Media {
 
   /** Batch-wise feature extraction: partition-preserving map stage with
     * bounded per-batch memory (`batchSize` × payload). Images decode for
-    * real (ImageIO), audio for real (AudioSystem); video goes through
-    * the stub. */
+    * real (ImageIO), audio for real (AudioSystem), video frames for
+    * real (container parse + ImageIO per frame). */
   def extractFeatures(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions(_.grouped(batchSize).flatMap(decodeBatch))
   }
 
-  /** STUB resize: keeps the byte-budget contract (w*h) of a real resize
-    * without decoding; metadata updated for real. */
+  /** Deterministic nearest-neighbor resample of an 8-bit gray image:
+    * out(x, y) = in(x*srcW/w, y*srcH/h) with integer floor — exact
+    * index arithmetic, no AWT interpolation, so the resized pixels are
+    * analytically reproducible in SQL (the oracle's requirement). */
+  private def resampleGray(
+      img: java.awt.image.BufferedImage, w: Int, h: Int): Array[Byte] = {
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val src = img.getRaster
+    val dst = out.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        dst.setSample(x, y, 0,
+          src.getSample(x * img.getWidth / w, y * img.getHeight / h, 0))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL resize for images (decode → nearest-neighbor resample →
+    * re-encode) and video (every container frame resampled, container
+    * rebuilt). Undecodable payloads, deep sample formats, and audio
+    * (resize is a visual op) fall back to the byte-budget truncation
+    * (w*h cap) — the skip-don't-crash contract of the old stub.
+    * Metadata is rewritten either way. */
   def resize(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     val spark = ds.sparkSession
     import spark.implicits._
+    def truncate(r: MediaRecord): Array[Byte] =
+      java.util.Arrays.copyOf(r.payload, math.min(r.payload.length, w * h))
     ds.map { r =>
-      val budget = math.min(r.payload.length, w * h)
-      r.copy(
-        payload = java.util.Arrays.copyOf(r.payload, budget),
-        meta = r.meta.copy(width = w, height = h))
+      val payload = r.kind match {
+        case "image" =>
+          decodePng(r.payload) match {
+            case Some(img) if img.getSampleModel.getSampleSize(0) <= 8 =>
+              resampleGray(img, w, h)
+            case _ => truncate(r)
+          }
+        case "video" =>
+          decodeVideo(r.payload)
+            .flatMap { frames =>
+              val resized = frames.map(fb =>
+                decodePng(fb).filter(_.getSampleModel.getSampleSize(0) <= 8)
+                  .map(resampleGray(_, w, h)))
+              if (resized.forall(_.isDefined)) {
+                val out = new java.io.ByteArrayOutputStream()
+                val dos = new java.io.DataOutputStream(out)
+                resized.flatten.foreach { png => dos.writeInt(png.length); dos.write(png) }
+                dos.flush()
+                Some(out.toByteArray)
+              } else None
+            }
+            .getOrElse(truncate(r))
+        case _ => truncate(r)
+      }
+      r.copy(payload = payload, meta = r.meta.copy(width = w, height = h))
     }
   }
 
-  /** STUB frame sampling: n evenly spaced 16-byte windows standing in
-    * for n decoded video frames; batch shape and schema are real. */
+  /** Frame sampling: for decodable video containers, n evenly spaced
+    * REAL frames (their PNG payloads, indices f*(F-1)/(n-1) over the F
+    * container frames); for everything else — non-video kinds and
+    * undecodable containers — the stub's n evenly spaced 16-byte
+    * windows, so the schema and batch shape are uniform. */
   def frameSample(ds: Dataset[MediaRecord], n: Int): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.flatMap { r =>
+    def windows(r: MediaRecord): Iterator[(Long, Int, Array[Byte])] = {
       val len = r.payload.length
       (0 until n).iterator.map { f =>
         val off = if (n == 1) 0 else (f.toLong * math.max(0, len - 16) / math.max(1, n - 1)).toInt
         (r.media_id, f, java.util.Arrays.copyOfRange(r.payload, off, math.min(len, off + 16)))
       }
+    }
+    ds.flatMap { r =>
+      val frames = if (r.kind == "video") decodeVideo(r.payload) else None
+      frames match {
+        case Some(fr) =>
+          (0 until n).iterator.map { f =>
+            val idx = if (n == 1) 0 else (f.toLong * (fr.length - 1) / (n - 1)).toInt
+            (r.media_id, f, fr(idx))
+          }
+        case None => windows(r)
+      }
     }.toDF("media_id", "frame_no", "frame_bytes")
+  }
+
+  /** Per-frame pixel statistics over sampled frames: decode each
+    * frame's PNG and report exact pixel count + sum (analytically
+    * reproducible); undecodable frames fall back to byte stats. A pure
+    * map stage over the frames frame — no shuffle. */
+  def frameStats(frames: DataFrame): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.select(col("media_id"), col("frame_no"), col("frame_bytes"))
+      .as[(Long, Int, Array[Byte])]
+      .map { case (id, f, fb) =>
+        decodePng(fb).filter(_.getSampleModel.getSampleSize(0) <= 8) match {
+          case Some(img) =>
+            val raster = img.getRaster
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            (id, f.toLong, img.getWidth.toLong * img.getHeight, sum)
+          case None =>
+            (id, f.toLong, fb.length.toLong, fb.iterator.map(b => (b & 0xff).toLong).sum)
+        }
+      }
+      .toDF("media_id", "frame_no", "n_px", "px_sum")
   }
 }

@@ -6,19 +6,6 @@ import graft.multimodal.Media
   * preservation, and the stubbed resize/frame-sample contracts. */
 class MediaSpec extends SparkSpec {
 
-  test("corpus is pure ASCII — the byte-arithmetic oracles' precondition") {
-    // q_media_resize / q_media_frames oracles substring the VARCHAR text
-    // where Spark slices payload BYTES; valid only while char offsets
-    // equal byte offsets (docs/determinism.md "Binary payloads")
-    import org.apache.spark.sql.functions._
-    for (dir <- Seq(sf(), sf("sf0.01"))) {
-      val nonAscii = graft.io.Tables(spark, dir, "documents")
-        .filter(expr("octet_length(cast(text as binary)) <> length(text)"))
-        .count()
-      assert(nonAscii == 0, s"$dir has non-ASCII documents; byte oracles invalid")
-    }
-  }
-
   test("synthesize: stable schema, kinds, payload bytes") {
     val ds = Media.synthesize(spark, sf())
     assert(ds.schema.fieldNames.toSeq ==
@@ -34,9 +21,14 @@ class MediaSpec extends SparkSpec {
     val img = ds.filter(_.media_id == 6).head()
     assert(img.kind == "image")
     assert((img.payload(0) & 0xff) == 0x89 && img.payload(1) == 'P'.toByte)
+    // video rows carry a frame container whose first frame is a PNG
+    // behind the 4-byte length prefix
+    val vid = ds.filter(_.media_id == 8).head()
+    assert(vid.kind == "video")
+    assert((vid.payload(4) & 0xff) == 0x89 && vid.payload(5) == 'P'.toByte)
   }
 
-  test("extractFeatures: deterministic; stub hist sums to byte_len, image hist to pixels") {
+  test("extractFeatures: deterministic; every kind's hist counts decoded pixels/samples") {
     val ds = Media.synthesize(spark, sf())
     val a = Media.extractFeatures(ds, batchSize = 7).collect().sortBy(_.media_id)
     val b = Media.extractFeatures(ds, batchSize = 64).collect().sortBy(_.media_id)
@@ -46,7 +38,9 @@ class MediaSpec extends SparkSpec {
       x.media_id == y.media_id && x.byte_len == y.byte_len &&
         x.histogram.sameElements(y.histogram) && x.embedding.sameElements(y.embedding)
     })
-    assert(a.filter(_.kind == "video").forall(f => f.histogram.sum == f.byte_len))
+    // video histograms count decoded PIXELS across every container frame
+    assert(a.filter(_.kind == "video").forall(f =>
+      f.histogram.sum == Media.VID_FRAMES.toLong * Media.IMG_DIM * Media.IMG_DIM))
     assert(a.filter(_.kind == "image")
       .forall(f => f.histogram.sum == Media.IMG_DIM.toLong * Media.IMG_DIM))
     // audio histograms count decoded SAMPLES, not container bytes
@@ -117,12 +111,47 @@ class MediaSpec extends SparkSpec {
     assert(f.histogram.sum == bytes.length, "expected the byte-histogram stub")
   }
 
-  test("truncated image payloads fall back to the byte-histogram stub") {
-    val resized = Media.resize(Media.synthesize(spark, sf()).filter(_.kind == "image"), 4, 4)
-    val feats = Media.extractFeatures(resized).collect()
-    // 16-byte payloads can't decode as PNG; stub hist sums to byte_len
+  test("video decode round-trips the analytic per-frame pixel formula") {
+    val ds = Media.synthesize(spark, sf()).filter(_.kind == "video")
+    val feats = Media.extractFeatures(ds).collect()
     assert(feats.nonEmpty)
-    assert(feats.forall(f => f.histogram.sum == f.byte_len && f.byte_len <= 16))
+    feats.foreach { f =>
+      val expected = new Array[Long](16)
+      for (fr <- 0 until Media.VID_FRAMES; i <- 0 until Media.IMG_DIM * Media.IMG_DIM)
+        expected((((f.media_id * 7 + fr * 13 + i) % 256) >> 4).toInt) += 1
+      assert(f.histogram.sameElements(expected), s"media ${f.media_id}")
+    }
+  }
+
+  test("resize resamples real pixels (nearest neighbor) for images and video frames") {
+    val ds = Media.synthesize(spark, sf()).filter(r => r.kind != "audio" && r.media_id < 30)
+    val feats = Media.extractFeatures(Media.resize(ds, 4, 4)).collect()
+    assert(feats.exists(_.kind == "image") && feats.exists(_.kind == "video"))
+    feats.foreach { f =>
+      val frames = if (f.kind == "video") Media.VID_FRAMES else 1
+      val expected = new Array[Long](16)
+      for (fr <- 0 until frames; y <- 0 until 4; x <- 0 until 4)
+        expected((((f.media_id * 7 + fr * 13 + (y * 2) * Media.IMG_DIM + x * 2) % 256) >> 4).toInt) += 1
+      assert(f.histogram.sameElements(expected), s"media ${f.media_id} (${f.kind})")
+      assert(f.histogram.sum == frames.toLong * 16)
+    }
+  }
+
+  test("undecodable payloads fall back to byte-budget truncation + byte-histogram stub") {
+    import spark.implicits._
+    // corrupt PNG: the resize must truncate to the w*h budget and the
+    // feature decode must byte-histogram, never throw
+    val rec = Media.MediaRecord(1L, "image",
+      Array.tabulate[Byte](200)(i => (i * 7).toByte), Media.MediaMeta(8, 8, 0, 0L))
+    val out = Media.resize(spark.createDataset(Seq(rec)), 4, 4).head()
+    assert(out.payload.length == 16, "byte budget w*h for the undecodable fallback")
+    val f = Media.extractFeatures(spark.createDataset(Seq(out))).head()
+    assert(f.histogram.sum == 16, "expected the byte-histogram stub")
+    // truncated video container (cut mid-frame): same posture
+    val vid = Media.MediaRecord(2L, "video",
+      java.util.Arrays.copyOf(Media.encodeVideo(2L), 50), Media.MediaMeta(8, 8, 0, 0L))
+    val vf = Media.extractFeatures(spark.createDataset(Seq(vid))).head()
+    assert(vf.histogram.sum == 50, "expected the byte-histogram stub on a torn container")
   }
 
   test("extractFeatures preserves partitioning (map-only stage)") {
@@ -130,16 +159,28 @@ class MediaSpec extends SparkSpec {
     assert(Media.extractFeatures(ds).rdd.getNumPartitions == 5)
   }
 
-  test("resize caps payload at w*h and rewrites metadata") {
+  test("resize rewrites metadata and truncates audio to the byte budget") {
     val out = Media.resize(Media.synthesize(spark, sf()), 8, 8).collect()
-    assert(out.forall(_.payload.length <= 64))
     assert(out.forall(r => r.meta.width == 8 && r.meta.height == 8))
+    assert(out.filter(_.kind == "audio").forall(_.payload.length <= 64))
   }
 
-  test("frameSample emits n frames per record with bounded windows") {
-    val frames = Media.frameSample(Media.synthesize(spark, sf()).limit(10), 4)
+  test("frameSample: real PNG frames for video, bounded windows otherwise") {
+    val ds = Media.synthesize(spark, sf()).filter(_.media_id < 30)
+    val frames = Media.frameSample(ds, 4)
     assert(frames.columns.toSeq == Seq("media_id", "frame_no", "frame_bytes"))
-    assert(frames.count() == 40)
-    assert(frames.selectExpr("max(octet_length(frame_bytes))").head().getInt(0) <= 16)
+    assert(frames.count() == 120) // 30 records x 4 frames
+    val byKind = frames.withColumn("is_png",
+      org.apache.spark.sql.functions.expr("substring(frame_bytes, 2, 3) = cast('PNG' as binary)"))
+    // video ids are 2 mod 3; every sampled video frame is a decodable PNG
+    assert(byKind.filter("media_id % 3 = 2 and not is_png").count() == 0)
+    assert(byKind.filter("media_id % 3 <> 2 and octet_length(frame_bytes) > 16").count() == 0)
+    // frame stats on the video frames match the analytic pixel sum
+    val stats = Media.frameStats(frames.filter("media_id % 3 = 2")).collect()
+    stats.foreach { r =>
+      val (id, f) = (r.getLong(0), r.getLong(1))
+      val exp = (0 until 64).map(i => (id * 7 + f * 13 + i) % 256).sum
+      assert(r.getLong(2) == 64 && r.getLong(3) == exp, s"media $id frame $f")
+    }
   }
 }
