@@ -318,16 +318,83 @@ object Streams {
       .partitionBy("batch_id")
       .parquet(outDir)
 
+  /** Merge-on-read keyed view of the sink directory: one row per
+    * event_id — the row from the HIGHEST batch_id that wrote the key
+    * (latest write wins; within a batch [[upsertBatch]] already merged
+    * to one row, so batch_id alone is a total order per key). One hash
+    * aggregate keyed on event_id (batch_id leads the max-struct, no
+    * window sort, no list buffers) — the same plan at 100 partitions or
+    * 100 TB of them. Readers get exactly-once per-key semantics over
+    * the at-least-once append-of-partitions physical layout. */
+  def keyedView(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+      .groupBy(col("event_id"))
+      .agg(max(struct(
+        col("batch_id"), col("ts"), col("user_id"), col("event_type"), col("value"))).as("m"))
+      .select(
+        col("event_id"), col("m.ts").as("ts"), col("m.user_id").as("user_id"),
+        col("m.event_type").as("event_type"), col("m.value").as("value"),
+        col("m.batch_id").as("batch_id"))
+
+  /** Periodic compaction: fold every partition with batch_id <=
+    * `upToBatch` into the single partition `batch_id=upToBatch` (its
+    * content becomes the keyed view of those batches), then delete the
+    * superseded partitions. Crash-safe for readers at every step: the
+    * compacted partition carries the highest batch_id of the folded
+    * range, so [[keyedView]]'s latest-wins merge returns identical rows
+    * whether the stale partitions are still present (crash before
+    * delete) or gone. `upToBatch` must not exceed the last COMMITTED
+    * batch — the one micro-batch Structured Streaming may replay after
+    * a crash is the uncommitted head, and a replay overwrites its own
+    * partition wholesale. Bounds merge-on-read amplification: readers
+    * touch one compacted partition plus the uncompacted tail. */
+  def compact(spark: SparkSession, outDir: String, upToBatch: Long): Unit = {
+    // stage → publish: Spark refuses (rightly) to overwrite a path it is
+    // reading, so the folded view materializes to a scratch dir first —
+    // the same write-temp-then-commit shape a production compactor uses
+    val tmpDir = s"$outDir.compact-tmp-$upToBatch"
+    spark.read.parquet(outDir)
+      .filter(col("batch_id") <= upToBatch)
+      .groupBy(col("event_id"))
+      .agg(max(struct(
+        col("batch_id"), col("ts"), col("user_id"), col("event_type"), col("value"))).as("m"))
+      .select(
+        col("event_id"), col("m.ts").as("ts"), col("m.user_id").as("user_id"),
+        col("m.event_type").as("event_type"), col("m.value").as("value"))
+      .write.mode("overwrite").parquet(tmpDir)
+    // publish into exactly the batch_id=upToBatch partition (dynamic
+    // overwrite commits staged files, so a crash mid-publish leaves the
+    // previous partition content in place)
+    spark.read.parquet(tmpDir)
+      .withColumn("batch_id", lit(upToBatch))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+    // the folded partition now shadows every older one per key — delete
+    // the stale partitions (a crash before/midway leaves correctness
+    // intact, only the space savings pending)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(outDir)).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("batch_id=")) {
+        val id = name.stripPrefix("batch_id=").toLong
+        if (id < upToBatch) fs.delete(st.getPath, true)
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+  }
+
   /** foreachBatch idempotent sink — the production pattern when the
     * target is not streaming-native: Structured Streaming guarantees
     * batchId is monotonic and replayed verbatim after a crash, and
-    * [[upsertBatch]] makes each DELIVERY idempotent. Scope note: the
-    * per-key merge is within a micro-batch; collapsing the same key
-    * across different batches is the keyed TARGET's job (a JDBC upsert
-    * or MERGE keyed on event_id does it for free — the parquet
-    * stand-in keeps one row per (batch_id, event_id), so a source-level
-    * redelivery in a LATER batch lands as a second row and readers
-    * dedup by key). */
+    * [[upsertBatch]] makes each DELIVERY idempotent. Cross-batch key
+    * collapse is finished by [[keyedView]] (merge-on-read, latest batch
+    * wins) and [[compact]] (periodic fold of old partitions); a keyed
+    * TARGET (JDBC upsert / MERGE on event_id) gets the same result for
+    * free at delivery time. */
   def idempotentSink(
       events: DataFrame, outDir: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream

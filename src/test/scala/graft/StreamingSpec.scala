@@ -60,6 +60,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("keyedView + compact: a key updated across batches lands exactly once, through crash-replay") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-kv").toString
+    val mem = MemoryStream[Event]
+    val q = Streams.idempotentSink(mem.toDF(), s"$base/out", s"$base/ckpt")
+    try {
+      // batch 0: keys 1 and 2
+      mem.addData(Event(1, ts(5), 1, "click", 1.5), Event(2, ts(20), 2, "click", 2.5))
+      q.processAllAvailable()
+      // batch 1: key 1 REDELIVERED with an updated value + new key 3
+      mem.addData(Event(1, ts(50), 1, "update", 7.5), Event(3, ts(70), 3, "view", 3.0))
+      q.processAllAvailable()
+      // physically two rows for key 1 (one per batch partition)...
+      assert(spark.read.parquet(s"$base/out").filter(col("event_id") === 1).count() == 2)
+      // ...but the keyed view collapses to the LATEST batch's row
+      def viewRows() = Streams.keyedView(spark, s"$base/out")
+        .collect().map(r => (r.getLong(0), r.getString(3), r.getDouble(4))).sortBy(_._1).toSeq
+      val expected = Seq((1L, "update", 7.5), (2L, "click", 2.5), (3L, "view", 3.0))
+      assert(viewRows() == expected)
+      // crash replay of batch 1 (its key also lives in batch 0): the
+      // partition overwrites itself, the view still yields ONE row per
+      // key with the batch-1 value
+      val replay = Seq(
+        Event(1, ts(50), 1, "update", 7.5), Event(3, ts(70), 3, "view", 3.0)).toDF()
+      Streams.upsertBatch(replay, 1L, s"$base/out")
+      assert(viewRows() == expected, "replayed batch must not duplicate or regress keys")
+      // compaction folds both partitions into batch_id=1 and prunes the
+      // old one; the view is unchanged
+      Streams.compact(spark, s"$base/out", 1L)
+      val dirs = new java.io.File(s"$base/out").listFiles()
+        .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted.toSeq
+      assert(dirs == Seq("batch_id=1"), s"stale partitions must be pruned: $dirs")
+      assert(viewRows() == expected, "compaction must preserve the keyed view")
+      // a LATER batch keeps winning over the compacted partition
+      mem.addData(Event(1, ts(90), 1, "final", 9.0))
+      q.processAllAvailable()
+      assert(viewRows() == Seq((1L, "final", 9.0), (2L, "click", 2.5), (3L, "view", 3.0)))
+    } finally q.stop()
+  }
+
   test("windowedAgg: tumbling hourly counts emitted after watermark passes") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
