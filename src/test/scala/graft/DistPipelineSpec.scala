@@ -482,7 +482,9 @@ class DistPipelineSpec extends SparkSpec {
     val base = tmpDir("dist")
     // simulate a long-lived embedding session: library code has cached
     // internal frames via CacheScope before the pipeline task runs
-    graft.queries.Dedup.ngramJaccardPairs(spark, sf(), minJaccard = 0.3)
+    // (the minhash kernel persists its shingle frame; the ngram kernel
+    // no longer caches — AQE exchange reuse replaced it)
+    SparkEntry.queries("q_dedup_minhash_lsh")(spark, sf())
       .write.format("noop").mode("overwrite").save()
     assert(!spark.sharedState.cacheManager.isEmpty, "precondition: library cached something")
     val cfg = s"""{
