@@ -58,25 +58,34 @@ object Dedup {
     * keeps the shuffle alive when 100 TB of web text all contains
     * "terms of service apply".
     *
-    * Deliberately UNCACHED: the shingle frame feeds the postings
-    * explode plus both self-join sides, but every consumer sits above
-    * exchanges that canonicalize equal, so AQE's ReuseExchange serves
-    * each subtree from one shuffle write. Persisting the frame instead
-    * actively BREAKS that: each AQE stage wraps the cache scan in its
-    * own `TableCacheQueryStage`, whose stage identity survives
-    * canonicalization, so no two exchanges above it ever compare equal
-    * and the postings shuffle runs once per branch (measured 6.97s
-    * cold / reused=0 cached vs 2.00s cold / reused=4 uncached at
-    * sf0.001; PlanShapeSpec gates the runtime ReusedExchange). */
+    * Caching is PER-VARIANT, decided by measurement:
+    *
+    *  - capped (maxDf > 0): deliberately UNCACHED. Its four consumers
+    *    (df count, kept/hot probes, self-join sides) sit above
+    *    exchanges that canonicalize equal, so AQE's ReuseExchange
+    *    serves them from one shuffle write. Persisting the frame
+    *    actively BREAKS that: each AQE stage wraps the cache scan in
+    *    its own `TableCacheQueryStage`, whose stage identity survives
+    *    canonicalization, so no two exchanges above it compare equal
+    *    and the postings shuffle runs once per branch (6.97s cold /
+    *    reused=0 cached vs 2.00s cold / reused=4 uncached at sf0.001;
+    *    PlanShapeSpec gates the runtime ReusedExchange).
+    *  - uncapped (maxDf <= 0): CACHED via [[graft.io.CacheScope]]. The
+    *    bare self-join gets no exchange reuse in practice (reused=0
+    *    measured either way at sf0.1), so without the cache the
+    *    shingle construction runs once per join side — cached wins
+    *    warm 1.15s vs 1.85s at sf0.1. Materialization sites release
+    *    via `CacheScope.releaseAll()`. */
   def ngramJaccardPairs(
       s: org.apache.spark.sql.SparkSession,
       dir: String,
       minJaccard: Double,
       maxDf: Int = 0): org.apache.spark.sql.DataFrame = {
-    val sh = Tables(s, dir, "documents")
+    val shBare = Tables(s, dir, "documents")
       .select(col("doc_id"), col("lang"), expr(tokens).as("w"))
       .filter(expr("size(w) >= 3"))
       .select(col("doc_id"), col("lang"), expr(shingles).as("shingles"))
+    val sh = if (maxDf <= 0) shBare.persistScoped() else shBare
     // Join key is xxhash64 of the exploded shingle — a flat codegen'd
     // expression (HOF-embedded hashes run interpreted), and the 8-byte
     // key shuffles cheaper than the shingle strings. Distinct shingles

@@ -160,7 +160,13 @@ class PlanShapeSpec extends SparkSpec {
     // branches descend from ONE materialized df aggregate — gate it on
     // the EXECUTED adaptive plan, so a Spark upgrade that silently
     // doubles the postings shuffle fails here instead of only showing
-    // up as a bench regression
+    // up as a bench regression. Start from a clean cache: a live cache
+    // of the UNCAPPED kernel's shingle frame (same subtree) would be
+    // auto-substituted into this plan and break exchange reuse — the
+    // bench/verify sites release caches between queries for the same
+    // reason.
+    graft.io.CacheScope.releaseAll()
+    spark.catalog.clearCache()
     val df = SparkEntry.queries("q_dedup_ngram_capped")(spark, sf())
     df.collect() // drives AQE to its final plan on df's own QueryExecution
     val p = df.queryExecution.executedPlan.toString
