@@ -40,7 +40,9 @@ object Bpe {
   /** Merge rounds — a fixed model constant, like |C| centroids. */
   private val K = 6
 
-  private def duckOracle: String = {
+  /** Shared CTE prefix: w0 (vocab) through w`K` (merged vocab) plus the
+    * per-round m{r} top-pair frames. */
+  private def duckCtes: String = {
     val base =
       raw"""w0 AS MATERIALIZED (
         |  SELECT word, freq, list_transform(generate_series(1, len(word)), i -> word[i]) AS syms
@@ -74,54 +76,104 @@ object Bpe {
          |  WHERE sp.i IS NULL
          |  GROUP BY e.word)""".stripMargin
     }
-    val unions = (1 to K)
+    "WITH " + (base +: rounds).mkString(",\n")
+  }
+
+  private def duckOracle: String =
+    duckCtes + "\n" + (1 to K)
       .map(r => s"SELECT $r AS round, lhs, rhs, lhs || rhs AS merged, cnt FROM m$r")
       .mkString(" UNION ALL ")
-    "WITH " + (base +: rounds).mkString(",\n") + "\n" + unions
+
+  private def duckEncodeOracle: String =
+    duckCtes +
+      raw""",
+         |tok AS (
+         |  SELECT doc_id, lower(t) AS word
+         |  FROM (SELECT doc_id, unnest($duckTokens) AS t FROM documents)
+         |)
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(len(w$K.syms)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(length(word)) AS BIGINT) AS n_chars
+         |FROM tok JOIN w$K USING (word)
+         |WHERE regexp_matches(word, '^[a-z]+$$')
+         |GROUP BY doc_id""".stripMargin
+
+  /** Run the K training rounds; returns the merge decisions and the
+    * final vocab frame (word, freq, syms) — scoped-persisted, released
+    * by the materialization site like every other scoped cache. */
+  private def train(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): (Seq[(Int, String, String, String, Long)], org.apache.spark.sql.DataFrame) = {
+    // vocab: one corpus-wide hash-groupBy; everything after is bounded
+    var words = Tables(s, dir, "documents")
+      .select(explode(expr(tokens)).as("t"))
+      .select(lower(col("t")).as("word"))
+      .filter(expr("word rlike '^[a-z]+$'"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"))
+      .persistScoped()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (r <- 1 to K) {
+      // guard size >= 2 BEFORE the pair sequence: Spark's
+      // sequence(1, 0) runs DESCENDING ([1, 0]), it is not empty
+      val top = words
+        .filter(expr("size(syms) >= 2"))
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) as lhs, element_at(syms, i + 1) as rhs))")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1)
+        .collect()(0) // ONE aggregated decision row per round, not row data
+      val (lhs, rhs, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((r, lhs, rhs, lhs + rhs, cnt))
+      // symbols are ^[a-z]+$ by construction (single chars of filtered
+      // words, closed under concatenation), so literal embedding is safe
+      val next = words
+        .withColumn("syms", expr(
+          s"""aggregate(syms, cast(array() as array<string>), (acc, x) ->
+             |  case when size(acc) > 0 and element_at(acc, -1) = '$lhs' and x = '$rhs'
+             |    then concat(slice(acc, 1, size(acc) - 1), array('$lhs$rhs'))
+             |    else concat(acc, array(x)) end)""".stripMargin))
+        .persistScoped()
+      next.count() // materialize before dropping the parent round's cache
+      words.unpersist()
+      words = next
+    }
+    (merges.result(), words)
   }
 
   val queries: Seq[Q] = Seq(
+
     Q("q_bpe_merges", duckOracle) { (s, dir) =>
       import s.implicits._
-      // vocab: one corpus-wide hash-groupBy; everything after is bounded
-      var words = Tables(s, dir, "documents")
-        .select(explode(expr(tokens)).as("t"))
-        .select(lower(col("t")).as("word"))
-        .filter(expr("word rlike '^[a-z]+$'"))
-        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-        .select(col("word"), col("freq"),
-          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"))
-        .persistScoped()
-      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-      for (r <- 1 to K) {
-        // guard size >= 2 BEFORE the pair sequence: Spark's
-        // sequence(1, 0) runs DESCENDING ([1, 0]), it is not empty
-        val top = words
-          .filter(expr("size(syms) >= 2"))
-          .select(col("freq"), explode(expr(
-            "transform(sequence(1, size(syms) - 1), " +
-              "i -> struct(element_at(syms, i) as lhs, element_at(syms, i + 1) as rhs))")).as("p"))
-          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-          .agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
-          .limit(1)
-          .collect()(0) // ONE aggregated decision row per round, not row data
-        val (lhs, rhs, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
-        merges += ((r, lhs, rhs, lhs + rhs, cnt))
-        // symbols are ^[a-z]+$ by construction (single chars of filtered
-        // words, closed under concatenation), so literal embedding is safe
-        val next = words
-          .withColumn("syms", expr(
-            s"""aggregate(syms, cast(array() as array<string>), (acc, x) ->
-               |  case when size(acc) > 0 and element_at(acc, -1) = '$lhs' and x = '$rhs'
-               |    then concat(slice(acc, 1, size(acc) - 1), array('$lhs$rhs'))
-               |    else concat(acc, array(x)) end)""".stripMargin))
-          .persistScoped()
-        next.count() // materialize before dropping the parent round's cache
-        words.unpersist()
-        words = next
-      }
+      val (merges, words) = train(s, dir)
       words.unpersist()
-      merges.result().toDF("round", "lhs", "rhs", "merged", "cnt")
+      merges.toDF("round", "lhs", "rhs", "merged", "cnt")
+    },
+
+    // ---- apply the trained tokenizer to the corpus -------------------------
+    // Encoding never touches the corpus with the interpreted merge fold:
+    // documents join the BOUNDED trained vocab (word -> subword count)
+    // and aggregate per doc — explode, one broadcast-ish join (AQE
+    // decides; the vocab is Heap's-law bounded), one groupBy on doc_id.
+    // The per-word segmentation cost was paid once at training time.
+    Q(
+      "q_bpe_encode",
+      duckEncodeOracle) { (s, dir) =>
+      val (_, words) = train(s, dir)
+      val wordLens = words.select(col("word"), expr("size(syms)").as("n_sub"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(tokens)).as("t"))
+        .select(col("doc_id"), lower(col("t")).as("word"))
+        .filter(expr("word rlike '^[a-z]+$'"))
+        .join(wordLens, Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(col("n_sub")).cast("long").as("n_tokens"),
+          sum(length(col("word"))).cast("long").as("n_chars"))
     })
 }
