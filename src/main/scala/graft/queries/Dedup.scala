@@ -180,6 +180,27 @@ object Dedup {
     }
   }
 
+  /** Substring-fingerprint window parameters (SURVEY §8.3): 30-token
+    * windows at stride 10; windows in more than SUB_MAX_DF docs are
+    * corpus boilerplate, excluded from pair generation. */
+  private val SUB_W = 30
+  private val SUB_STRIDE = 10
+  private val SUB_MAX_DF = 8
+
+  /** (doc_id, i, fp): every stride-aligned token window's start index
+    * and cross-engine fingerprint hash. Hashing happens AFTER the
+    * explode as a flat codegen'd projection (inside a HOF lambda the
+    * md5 would run interpreted). Map+explode only — no shuffle. */
+  private def windowFps(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), expr(tokens).as("w"))
+      .filter(expr(s"size(w) >= $SUB_W"))
+      .select(col("doc_id"), col("w"),
+        explode(expr(s"sequence(1, size(w) - ${SUB_W - 1}, $SUB_STRIDE)")).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr(h(s"concat_ws(' ', slice(w, i, $SUB_W))")).as("fp"))
+
   val queries: Seq[Q] = Seq(
 
     // ---- exact dedup: hash-groupBy, keep lowest doc_id ---------------------
@@ -421,29 +442,82 @@ object Dedup {
         |  count(*) AS shared_windows
         |FROM post a JOIN post b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2""") { (s, dir) =>
-      val W = 30; val stride = 10; val maxDf = 8
-      // hash AFTER the explode as a flat codegen'd projection (the HOF
-      // formulation would run the md5 interpreted inside the lambda)
-      val wins = Tables(s, dir, "documents")
-        .select(col("doc_id"), expr(tokens).as("w"))
-        .filter(expr(s"size(w) >= $W"))
-        .select(col("doc_id"), col("w"),
-          explode(expr(s"sequence(1, size(w) - ${W - 1}, $stride)")).as("i"))
-        .select(col("doc_id"),
-          expr(h(s"concat_ws(' ', slice(w, i, $W))")).as("fp"))
-        .distinct()
       // df over DISTINCT (doc, window) rows = docs-per-window; kept
       // windows bound the postings self-join exactly like the shingle
       // cap (HashAggregate count, no lists, no window functions)
+      val wins = windowFps(s, dir).select(col("doc_id"), col("fp")).distinct()
       val kept = wins.groupBy(col("fp"))
         .agg(count(lit(1)).as("df"))
-        .filter(col("df").between(2, maxDf))
+        .filter(col("df").between(2, SUB_MAX_DF))
         .select(col("fp"))
       val post = wins.join(kept, Seq("fp"))
       post.as("a")
         .join(post.as("b"), expr("a.fp = b.fp and a.doc_id < b.doc_id"))
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .agg(count(lit(1)).as("shared_windows"))
+    },
+
+    // ---- per-doc duplication fraction (the Lee et al. filter signal) -------
+    // What fraction of a doc's fingerprint windows also occur in some
+    // OTHER document — the doc-level score a pipeline thresholds to
+    // drop boilerplate-heavy pages. df counts DOCS per window (distinct
+    // per doc first), so a span repeated within one doc is not
+    // self-duplication. Per-row integer ratio → shared double
+    // arithmetic, bit-identical cross-engine.
+    Q(
+      "q_text_dup_fraction",
+      raw"""WITH tok AS (
+        |  SELECT doc_id, $duckTokens AS w FROM documents
+        |), win AS (
+        |  SELECT DISTINCT doc_id,
+        |    ${duck("array_to_string(w[i:i+29], ' ')")} AS fp
+        |  FROM tok, unnest(generate_series(1, len(w) - 29, 10)) AS t(i)
+        |  WHERE len(w) >= 30
+        |), df AS (
+        |  SELECT fp, count(*) AS dfc FROM win GROUP BY fp
+        |)
+        |SELECT doc_id, count(*) AS n_windows,
+        |  CAST(sum(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(sum(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+        |FROM win JOIN df USING (fp)
+        |GROUP BY doc_id""") { (s, dir) =>
+      val wins = windowFps(s, dir).select(col("doc_id"), col("fp")).distinct()
+        .persistScoped() // feeds the df count and the join-back
+      val dfTab = wins.groupBy(col("fp")).agg(count(lit(1)).as("dfc"))
+      wins.join(dfTab, Seq("fp"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_windows"),
+          sum(when(col("dfc") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_windows"), col("n_dup"),
+          (col("n_dup").cast("double") / col("n_windows")).as("dup_frac"))
+    },
+
+    // ---- duplicated-span positions (the Lee et al. removal primitive) ------
+    // Span REMOVAL needs positions, not just pair scores: emit every
+    // (doc, window-start) whose fingerprint occurs in >= 2 docs — the
+    // token ranges a remediation pass masks or cuts. Window starts ride
+    // through the inverted index; the df side still deduplicates per
+    // doc so within-doc repetition alone never flags a span.
+    Q(
+      "q_dedup_spans",
+      raw"""WITH tok AS (
+        |  SELECT doc_id, $duckTokens AS w FROM documents
+        |), winp AS (
+        |  SELECT doc_id, i AS win_start,
+        |    ${duck("array_to_string(w[i:i+29], ' ')")} AS fp
+        |  FROM tok, unnest(generate_series(1, len(w) - 29, 10)) AS t(i)
+        |  WHERE len(w) >= 30
+        |), df AS (
+        |  SELECT fp, count(DISTINCT doc_id) AS dfc FROM winp GROUP BY fp
+        |)
+        |SELECT doc_id, CAST(win_start AS BIGINT) AS win_start
+        |FROM winp JOIN df USING (fp) WHERE dfc >= 2""") { (s, dir) =>
+      val winp = windowFps(s, dir)
+      val dfTab = winp.select(col("doc_id"), col("fp")).distinct()
+        .groupBy(col("fp")).agg(count(lit(1)).as("dfc"))
+      winp.join(dfTab.filter(col("dfc") >= 2).select(col("fp")), Seq("fp"))
+        .select(col("doc_id"), col("i").cast("long").as("win_start"))
     },
 
     // ---- embedding cosine near-dup (label-blocked, exact DECIMAL dot) ------
