@@ -45,6 +45,12 @@ import graft.io.Tables
   */
 object Media {
 
+  // ImageIO defaults to DISK-backed stream caching: every read/write
+  // creates and deletes a temp file. Tiny in-memory payloads make that
+  // pure per-call overhead — keep the cache in memory (JVM-global,
+  // idempotent; executors hit it on first Media use per JVM).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Synthetic images are IMG_DIM×IMG_DIM 8-bit grayscale PNGs with
     * pixel(x, y) = (id * 7 + y * IMG_DIM + x) mod 256 — analytically
     * reproducible in SQL, so a real decode can be oracle-checked. */
