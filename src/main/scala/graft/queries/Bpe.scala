@@ -114,6 +114,11 @@ object Bpe {
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"))
       .persistScoped()
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    // grandparent release: round r's top-pair collect materializes
+    // frame r-1's cache, after which frame r-2 has no live consumer —
+    // releasing THEN (instead of force-materializing each new frame
+    // with a count) saves one job per round
+    var grandparent: org.apache.spark.sql.DataFrame = null
     for (r <- 1 to K) {
       // guard size >= 2 BEFORE the pair sequence: Spark's
       // sequence(1, 0) runs DESCENDING ([1, 0]), it is not empty
@@ -127,6 +132,7 @@ object Bpe {
         .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
         .limit(1)
         .collect()(0) // ONE aggregated decision row per round, not row data
+      if (grandparent != null) grandparent.unpersist()
       val (lhs, rhs, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((r, lhs, rhs, lhs + rhs, cnt))
       // symbols are ^[a-z]+$ by construction (single chars of filtered
@@ -138,8 +144,7 @@ object Bpe {
              |    then concat(slice(acc, 1, size(acc) - 1), array('$lhs$rhs'))
              |    else concat(acc, array(x)) end)""".stripMargin))
         .persistScoped()
-      next.count() // materialize before dropping the parent round's cache
-      words.unpersist()
+      grandparent = words
       words = next
     }
     (merges.result(), words)
