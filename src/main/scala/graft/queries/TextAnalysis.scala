@@ -615,6 +615,51 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_overlap"))
     },
 
+    // ---- graded contamination: per-doc eval-overlap FRACTION ---------------
+    // The binary gate above drops any overlapping doc; real pipelines
+    // threshold a graded score (a 1-in-500 incidental 5-gram is not the
+    // same as a half-copied eval item). Same broadcast probe shape, but
+    // a LEFT join against the eval set so zero-overlap docs keep score
+    // 0, and the doc's total distinct-5-gram count rides through the
+    // explode — ONE corpus tokenization pass, nothing corpus-sized
+    // cached, per-row integer→double ratio at the end.
+    Q(
+      "q_decontaminate_frac",
+      raw"""WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), sh0 AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-4),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS l
+        |  FROM tok WHERE len(w) >= 5
+        |), sh AS (
+        |  SELECT doc_id, len(l) AS n_sh, unnest(l) AS s FROM sh0
+        |), ev AS (
+        |  SELECT DISTINCT s, 1 AS hit FROM sh WHERE doc_id % 29 = 0
+        |)
+        |SELECT sh.doc_id, any_value(n_sh) AS n_sh,
+        |  CAST(sum(coalesce(hit, 0)) AS BIGINT) AS n_overlap,
+        |  CAST(sum(coalesce(hit, 0)) AS DOUBLE) / any_value(n_sh) AS contamination
+        |FROM sh LEFT JOIN ev USING (s)
+        |WHERE sh.doc_id % 29 <> 0
+        |GROUP BY sh.doc_id""") { (s, dir) =>
+      val sh = Tables(s, dir, "documents")
+        .select(col("doc_id"), expr(tokens).as("w"))
+        .filter(expr("size(w) >= 5"))
+        .select(col("doc_id"), expr("shingles(w, 5)").as("l"))
+        .select(col("doc_id"), expr("size(l)").as("n_sh"), explode(col("l")).as("s"))
+        .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("v"))
+      val ev = sh.filter(col("doc_id") % 29 === 0)
+        .select(col("v")).distinct().withColumn("hit", lit(1))
+      sh.filter(col("doc_id") % 29 =!= 0)
+        .join(broadcast(ev), Seq("v"), "left")
+        .groupBy(col("doc_id"))
+        .agg(
+          first(col("n_sh")).as("n_sh"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_overlap"))
+        .select(col("doc_id"), col("n_sh"), col("n_overlap"),
+          (col("n_overlap").cast("double") / col("n_sh")).as("contamination"))
+    },
+
     // ---- explainable filtering: per-doc drop reasons ------------------------
     // The audit artifact a pipeline ships next to its filtered corpus:
     // every document labeled with WHICH gates it failed (length,
