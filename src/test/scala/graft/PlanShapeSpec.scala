@@ -186,6 +186,21 @@ class PlanShapeSpec extends SparkSpec {
       s"non-Tungsten aggregate in the substring plan:\n$p")
   }
 
+  test("substring family + graded decontamination: hash-only aggregates, no window sorts") {
+    for (name <- Seq("q_text_dup_fraction", "q_dedup_spans", "q_decontaminate_frac")) {
+      val p = planOf(name)
+      assert(!p.contains("Window"), s"$name window-sorts a corpus stream:\n$p")
+      assert(!p.contains("SortAggregate") && !p.contains("ObjectHashAggregate"),
+        s"$name has a non-Tungsten aggregate:\n$p")
+    }
+    // the graded gate must keep the binary gate's shape: eval set built
+    // from the pushed-down slice, corpus streamed once into a broadcast
+    // probe — never a shuffled corpus join
+    val p = planOf("q_decontaminate_frac")
+    assert(p.contains("BroadcastHashJoin"), s"eval probe must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus side must not shuffle for the probe:\n$p")
+  }
+
   test("q_tpch_q14: part joins broadcast; single-group aggregate, no sort") {
     val p = planOf("q_tpch_q14")
     assert(p.contains("BroadcastHashJoin"))

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-query consistency of the substring-fingerprint family
+  * (q_dedup_substring / q_dedup_spans / q_text_dup_fraction): all three
+  * derive from the same window fingerprints, so their outputs must
+  * agree with each other — a property the per-query oracles can't see
+  * because each checks one query in isolation. */
+class SubstringDedupSpec extends SparkSpec {
+
+  private def rows(q: String) = SparkEntry.queries(q)(spark, sf("sf0.01")).collect()
+
+  test("every substring-dup pair end has at least one flagged span and a nonzero dup fraction") {
+    val pairDocs = rows("q_dedup_substring")
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(pairDocs.nonEmpty, "corpus must contain substring dups")
+    val spanDocs = rows("q_dedup_spans").map(_.getLong(0)).toSet
+    // pairs come from kept (df <= 8) windows; spans flag df >= 2 with no
+    // upper cap, so span docs are a superset of pair-end docs
+    assert(pairDocs.subsetOf(spanDocs),
+      s"pair ends without flagged spans: ${pairDocs -- spanDocs}")
+    val fracByDoc = rows("q_text_dup_fraction")
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    pairDocs.foreach { d =>
+      assert(fracByDoc.get(d).exists(_ > 0), s"doc $d in a dup pair but dup_frac == 0")
+    }
+  }
+
+  test("dup fractions are well-formed and within-doc repetition alone never flags") {
+    val fr = rows("q_text_dup_fraction")
+    assert(fr.nonEmpty)
+    fr.foreach { r =>
+      val (n, dup, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(dup <= n && frac >= 0.0 && frac <= 1.0)
+      assert(math.abs(frac - dup.toDouble / n) < 1e-15)
+    }
+  }
+}
