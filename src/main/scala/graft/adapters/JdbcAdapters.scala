@@ -178,11 +178,97 @@ final class JdbcColumnarOutput extends OutputAdapter {
       ParamDef("table", "Destination table (defaults to the stream sub-name)"),
       ParamDef("batch_size", "INSERT batch size", Some(500)),
       ParamDef("mode", "SaveMode: append/overwrite/errorifexists", Some("append")),
-      ParamDef("columns", "Columns to write; '_' skips a column")))
+      ParamDef("columns", "Columns to write; '_' skips a column"),
+      ParamDef("upsert_keys",
+        "Comma-separated key columns: write becomes a keyed UPSERT into an " +
+          "existing table (exactly-once per key on at-least-once delivery — " +
+          "the keyed-target completion of the streaming foreachBatch sink)"),
+      ParamDef("upsert_dialect",
+        "UPSERT statement dialect: 'update_insert' (portable UPDATE-then-" +
+          "INSERT-if-absent inside a per-partition transaction, the " +
+          "default — works on any target incl. Derby), 'merge' " +
+          "(SQL-standard MERGE with a VALUES source: SQL Server, DB2, " +
+          "H2), 'on_conflict' (PostgreSQL/SQLite INSERT .. ON CONFLICT), " +
+          "'duplicate_key' (MySQL INSERT .. ON DUPLICATE KEY UPDATE)",
+        Some("update_insert"))))
+
+  import JdbcColumnarOutput.upsertSql
+
+  /** Keyed upsert: one connection + transaction per partition. The
+    * single-statement dialects batch `batchSize` rows per round trip;
+    * the portable `update_insert` dialect runs UPDATE-then-INSERT per
+    * row (the UPDATE's row count decides the INSERT), which every JDBC
+    * target supports. The target table must exist (an UPSERT has no
+    * schema to create from — unlike plain INSERT mode). */
+  private def upsert(
+      df: DataFrame, path: String, table: String, conf: AdapterConf,
+      keys: Seq[String], dialect: String, batchSize: Int): Unit = {
+    val schema = df.schema
+    val driver = conf.str("driver").get
+    val user = conf.str("user")
+    val password = conf.str("password")
+    // resolve statements NOW so a bad dialect/keys fails on the driver
+    val single = if (dialect == "update_insert") None
+      else Some(upsertSql(table, schema, keys, dialect))
+    val pair = if (dialect == "update_insert")
+      Some(JdbcColumnarOutput.updateInsertSql(table, schema, keys)) else None
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      java.lang.Class.forName(driver)
+      val props = new java.util.Properties()
+      user.foreach(props.setProperty("user", _))
+      password.foreach(props.setProperty("password", _))
+      val conn = java.sql.DriverManager.getConnection(path, props)
+      try {
+        conn.setAutoCommit(false)
+        def bind(ps: java.sql.PreparedStatement, row: org.apache.spark.sql.Row,
+            order: Seq[Int]): Unit = {
+          var m = 1
+          order.foreach { i =>
+            if (row.isNullAt(i)) ps.setObject(m, null) else ps.setObject(m, row.get(i))
+            m += 1
+          }
+        }
+        (single, pair) match {
+          case (Some(sql), _) =>
+            val ps = conn.prepareStatement(sql)
+            val order = schema.indices
+            var pending = 0
+            rows.foreach { row =>
+              bind(ps, row, order)
+              ps.addBatch()
+              pending += 1
+              if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
+            }
+            if (pending > 0) ps.executeBatch()
+          case (None, Some((updSql, updOrder, insSql, insOrder))) =>
+            val upd = conn.prepareStatement(updSql)
+            val ins = conn.prepareStatement(insSql)
+            rows.foreach { row =>
+              bind(upd, row, updOrder)
+              if (upd.executeUpdate() == 0) {
+                bind(ins, row, insOrder)
+                ins.executeUpdate()
+              }
+            }
+          case _ => ()
+        }
+        conn.commit()
+      } finally conn.close()
+    }
+  }
 
   def save(subName: String, df: DataFrame, path: String, conf: AdapterConf): Unit = {
     val table = conf.str("table").orElse(Option(subName).filter(_.nonEmpty)).getOrElse(
       throw new IllegalArgumentException("jdbcColumnar output needs 'table' or a stream name"))
+    conf.str("upsert_keys") match {
+      case Some(ks) =>
+        val keys = ks.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        upsert(
+          HadoopFiles.selectColumns(df, conf), path, table, conf,
+          keys, conf.str("upsert_dialect", "update_insert"), conf.int("batch_size", 500))
+        return
+      case None => ()
+    }
     var writer = HadoopFiles.selectColumns(df, conf).write.format("jdbc")
       .option("url", path)
       .option("driver", conf.str("driver").get)
@@ -196,5 +282,99 @@ final class JdbcColumnarOutput extends OutputAdapter {
     conf.str("user").foreach(u => writer = writer.option("user", u))
     conf.str("password").foreach(p => writer = writer.option("password", p))
     writer.save()
+  }
+}
+
+object JdbcColumnarOutput {
+
+  /** SQL type for a CAST around a `?` marker inside MERGE .. USING
+    * (VALUES ..) — Derby and DB2 reject untyped parameter markers there. */
+  private def sqlType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => "BIGINT"
+      case IntegerType => "INTEGER"
+      case ShortType => "SMALLINT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "REAL"
+      case BooleanType => "BOOLEAN"
+      case DateType => "DATE"
+      case TimestampType => "TIMESTAMP"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case _ => "VARCHAR(32672)"
+    }
+  }
+
+  /** Per-dialect single-row UPSERT statement with `?` markers in schema
+    * field order. Quoting follows what Spark's JDBC writer did when it
+    * created the table: the TABLE name passes through verbatim (Spark
+    * uses the dbtable string as given), while COLUMN names are quoted
+    * (double quotes; backticks for the MySQL dialect) because
+    * JdbcUtils quotes every column identifier on CREATE. */
+  private[graft] def upsertSql(
+      table: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keys: Seq[String],
+      dialect: String): String = {
+    val quote = if (dialect == "duplicate_key") "`" else "\""
+    def q(c: String) = quote + c + quote
+    val cols = schema.fields.map(_.name).toSeq
+    require(keys.nonEmpty && keys.forall(cols.contains),
+      s"upsert_keys $keys must be columns of $cols")
+    val nonKeys = cols.filterNot(keys.contains)
+    val colList = cols.map(q).mkString(", ")
+    dialect match {
+      case "merge" =>
+        val values = schema.fields
+          .map(f => s"CAST(? AS ${sqlType(f.dataType)})").mkString(", ")
+        val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+        val matched =
+          if (nonKeys.isEmpty) ""
+          else "WHEN MATCHED THEN UPDATE SET " +
+            nonKeys.map(c => s"${q(c)} = s.${q(c)}").mkString(", ") + " "
+        s"""MERGE INTO $table t USING (VALUES ($values)) s($colList) ON $on """ +
+          matched +
+          s"WHEN NOT MATCHED THEN INSERT ($colList) VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})"
+      case "on_conflict" =>
+        val conflictAction =
+          if (nonKeys.isEmpty) "DO NOTHING"
+          else "DO UPDATE SET " + nonKeys.map(c => s"${q(c)} = excluded.${q(c)}").mkString(", ")
+        s"INSERT INTO $table ($colList) VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+          s"ON CONFLICT (${keys.map(q).mkString(", ")}) $conflictAction"
+      case "duplicate_key" =>
+        val update =
+          if (nonKeys.isEmpty) keys.map(c => s"${q(c)} = ${q(c)}").take(1).mkString
+          else nonKeys.map(c => s"${q(c)} = VALUES(${q(c)})").mkString(", ")
+        s"INSERT INTO $table ($colList) VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+          s"ON DUPLICATE KEY UPDATE $update"
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown upsert_dialect '$other' " +
+            "(update_insert | merge | on_conflict | duplicate_key)")
+    }
+  }
+
+  /** Portable UPDATE-then-INSERT pair with per-statement bind orders
+    * (schema field indices in marker order). All-key rows degrade the
+    * UPDATE to a no-op existence probe (`SET k = k`) whose row count
+    * still decides the INSERT. */
+  private[graft] def updateInsertSql(
+      table: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keys: Seq[String]): (String, Seq[Int], String, Seq[Int]) = {
+    def q(c: String) = "\"" + c + "\""
+    val cols = schema.fields.map(_.name).toSeq
+    require(keys.nonEmpty && keys.forall(cols.contains),
+      s"upsert_keys $keys must be columns of $cols")
+    val nonKeys = cols.filterNot(keys.contains)
+    val setCols = if (nonKeys.isEmpty) Seq.empty else nonKeys
+    val set =
+      if (setCols.isEmpty) s"${q(keys.head)} = ${q(keys.head)}"
+      else setCols.map(c => s"${q(c)} = ?").mkString(", ")
+    val where = keys.map(k => s"${q(k)} = ?").mkString(" AND ")
+    val updOrder = setCols.map(cols.indexOf) ++ keys.map(cols.indexOf)
+    val insSql = s"INSERT INTO $table (${cols.map(q).mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    (s"UPDATE $table SET $set WHERE $where", updOrder, insSql, cols.indices)
   }
 }
