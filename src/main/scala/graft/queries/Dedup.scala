@@ -457,6 +457,71 @@ object Dedup {
         .agg(count(lit(1)).as("shared_windows"))
     },
 
+    // ---- longest contiguous shared span per pair ---------------------------
+    // Lee et al.'s reported metric is the longest verbatim MATCH, not
+    // the shared-window count: windows matching at a constant offset
+    // difference (ia - ib) and consecutive stride-aligned starts form
+    // one contiguous shared span of W + (runlen-1)*stride tokens.
+    // Gaps-and-islands on the CANDIDATE MATCH stream — a frame bounded
+    // by the hot-window cap (<= maxDf^2 rows per fingerprint), never
+    // the corpus — so the per-(pair, offset) window sort is a sort of a
+    // bounded subset, the same budget class as the capped kernel's
+    // per-doc hot arrays.
+    Q(
+      "q_dedup_span_extent",
+      raw"""WITH tok AS (
+        |  SELECT doc_id, $duckTokens AS w FROM documents
+        |), winp AS (
+        |  SELECT doc_id, i,
+        |    ${duck("array_to_string(w[i:i+29], ' ')")} AS fp
+        |  FROM tok, unnest(generate_series(1, len(w) - 29, 10)) AS t(i)
+        |  WHERE len(w) >= 30
+        |), kept AS (
+        |  SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM winp)
+        |  GROUP BY fp HAVING count(*) BETWEEN 2 AND 8
+        |), post AS (
+        |  SELECT doc_id, i, winp.fp FROM winp JOIN kept USING (fp)
+        |), matches AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.i AS ia, b.i AS ib
+        |  FROM post a JOIN post b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |), aligned AS (
+        |  SELECT id_a, id_b, ia - ib AS d,
+        |    ia // 10 - row_number() OVER (PARTITION BY id_a, id_b, ia - ib ORDER BY ia) AS island
+        |  FROM matches
+        |), runs AS (
+        |  SELECT id_a, id_b, count(*) AS runlen
+        |  FROM aligned GROUP BY id_a, id_b, d, island
+        |)
+        |SELECT id_a, id_b,
+        |  CAST(30 + (max(runlen) - 1) * 10 AS BIGINT) AS longest_span_tokens,
+        |  CAST(sum(runlen) AS BIGINT) AS n_matches
+        |FROM runs GROUP BY 1, 2""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val winp = windowFps(s, dir)
+      val kept = winp.select(col("doc_id"), col("fp")).distinct()
+        .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, SUB_MAX_DF))
+        .select(col("fp"))
+      val post = winp.join(kept, Seq("fp"))
+      val matches = post.as("a")
+        .join(post.as("b"), expr("a.fp = b.fp and a.doc_id < b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.i").as("ia"), col("b.i").as("ib"))
+      // islands: within one (pair, alignment) group, stride-consecutive
+      // starts have constant ia/stride - row_number
+      val grp = Window.partitionBy(col("id_a"), col("id_b"), expr("ia - ib"))
+      val isl = Window.partitionBy(col("id_a"), col("id_b"), expr("ia - ib"), col("island"))
+      matches
+        .withColumn("island",
+          expr(s"ia div $SUB_STRIDE") - row_number().over(grp.orderBy(col("ia"))))
+        .withColumn("runlen", count(lit(1)).over(isl))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(
+          (lit(SUB_W) + (max(col("runlen")) - 1) * SUB_STRIDE)
+            .cast("long").as("longest_span_tokens"),
+          count(lit(1)).as("n_matches"))
+    },
+
     // ---- per-doc duplication fraction (the Lee et al. filter signal) -------
     // What fraction of a doc's fingerprint windows also occur in some
     // OTHER document — the doc-level score a pipeline thresholds to

@@ -27,6 +27,20 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("span extents agree with the pair query: same pairs, spans >= one window") {
+    val pairs = rows("q_dedup_substring")
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val extents = rows("q_dedup_span_extent")
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // both derive candidates from the same kept-window inverted index
+    assert(extents.keySet == pairs.keySet, "pair sets must be identical")
+    extents.foreach { case (p, (span, nMatches)) =>
+      assert(span >= 30, s"$p: a shared window is at least W tokens")
+      // matches count positions; the pair query counts distinct fps
+      assert(nMatches >= pairs(p), s"$p: matches can't be fewer than shared fps")
+    }
+  }
+
   test("dup fractions are well-formed and within-doc repetition alone never flags") {
     val fr = rows("q_text_dup_fraction")
     assert(fr.nonEmpty)
