@@ -201,6 +201,59 @@ object Dedup {
       .select(col("doc_id"), col("i"),
         expr(h(s"concat_ws(' ', slice(w, i, $SUB_W))")).as("fp"))
 
+  /** Losers of the exact-dedup stage: every doc whose lowercased
+    * content fingerprint has a lower doc_id holder. One column
+    * `loser_id`. */
+  private[queries] def exactLosers(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), expr(h("lower(text)")).as("fp"))
+      .withColumn("keep_id",
+        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id").as("loser_id"))
+
+  /** Losers of the MinHash-LSH near-dup stage: the HIGHER doc_id of
+    * every banded candidate pair whose full-set Jaccard >= 0.5 — the
+    * q_dedup_minhash_lsh pipeline ending in one distinct id column
+    * `id_b`. Shared by q_dedup_survivors and q_corpus_funnel. */
+  private[queries] def lshNearDupLosers(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val seeds = (0 until 16).map(i => graft.functions.CrossHash.local(s"seed#$i"))
+    val sh = Tables(s, dir, "documents")
+      .select(col("doc_id"), expr(tokens).as("w"))
+      .filter(expr("size(w) >= 3"))
+      .select(col("doc_id"), expr(shingles).as("shingles"))
+      .persistScoped() // feeds signatures + both verify sides
+    val seedArr = seeds.map(sd => s"${sd}L").mkString(",")
+    val sigs = sh
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), expr(h("s")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(expr(s"minhash_agg(v, array($seedArr))").as("sig"))
+    val bandStructs = (0 until 4).map { b =>
+      val key = (0 until 4)
+        .map(j => s"cast(element_at(sig, ${b * 4 + j + 1}) as string)").mkString(", ',', ")
+      s"struct($b as b, md5(cast(concat_ws('', $key) as binary)) as bk)"
+    }.mkString(", ")
+    val bands = sigs
+      .select(col("doc_id"), explode(expr(s"array($bandStructs)")).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.bk").as("bk"))
+    val cand = bands.as("a")
+      .join(bands.as("c"), expr("a.b = c.b and a.bk = c.bk and a.doc_id < c.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("c.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id"), col("shingles").as("sh_a")), col("doc_id") === col("id_a"))
+      .drop("doc_id")
+      .join(sh.select(col("doc_id"), col("shingles").as("sh_b")), col("doc_id") === col("id_b"))
+      .drop("doc_id")
+      .filter(
+        expr("cast(size(array_intersect(sh_a, sh_b)) as double) / size(array_union(sh_a, sh_b))")
+          >= 0.5)
+      .select(col("id_b")).distinct()
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- exact dedup: hash-groupBy, keep lowest doc_id ---------------------
@@ -657,49 +710,10 @@ object Dedup {
         |SELECT d.doc_id, d.lang FROM documents d
         |WHERE d.doc_id NOT IN (SELECT id_b FROM neardups)
         |  AND d.doc_id NOT IN (SELECT doc_id FROM exact_losers)""") { (s, dir) =>
-      val seeds = (0 until 16).map(i => graft.functions.CrossHash.local(s"seed#$i"))
       val docs = Tables(s, dir, "documents")
-      val sh = docs
-        .select(col("doc_id"), expr(tokens).as("w"))
-        .filter(expr("size(w) >= 3"))
-        .select(col("doc_id"), expr(shingles).as("shingles"))
-        .persistScoped() // feeds signatures + both verify sides
-      val seedArr = seeds.map(sd => s"${sd}L").mkString(",")
-      val sigs = sh
-        .select(col("doc_id"), explode(col("shingles")).as("s"))
-        .select(col("doc_id"), expr(h("s")).as("v"))
-        .groupBy(col("doc_id"))
-        .agg(expr(s"minhash_agg(v, array($seedArr))").as("sig"))
-      val bandStructs = (0 until 4).map { b =>
-        val key = (0 until 4)
-          .map(j => s"cast(element_at(sig, ${b * 4 + j + 1}) as string)").mkString(", ',', ")
-        s"struct($b as b, md5(cast(concat_ws('', $key) as binary)) as bk)"
-      }.mkString(", ")
-      val bands = sigs
-        .select(col("doc_id"), explode(expr(s"array($bandStructs)")).as("band"))
-        .select(col("doc_id"), col("band.b").as("b"), col("band.bk").as("bk"))
-      val cand = bands.as("a")
-        .join(bands.as("c"), expr("a.b = c.b and a.bk = c.bk and a.doc_id < c.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("c.doc_id").as("id_b"))
-        .distinct()
-      val neardups = cand
-        .join(sh.select(col("doc_id"), col("shingles").as("sh_a")), col("doc_id") === col("id_a"))
-        .drop("doc_id")
-        .join(sh.select(col("doc_id"), col("shingles").as("sh_b")), col("doc_id") === col("id_b"))
-        .drop("doc_id")
-        .filter(
-          expr("cast(size(array_intersect(sh_a, sh_b)) as double) / size(array_union(sh_a, sh_b))")
-            >= 0.5)
-        .select(col("id_b")).distinct()
-      val exactLosers = docs
-        .select(col("doc_id"), expr(h("lower(text)")).as("fp"))
-        .withColumn("keep_id",
-          min(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-        .filter(col("doc_id") =!= col("keep_id"))
-        .select(col("doc_id").as("loser_id"))
       docs.select(col("doc_id"), col("lang"))
-        .join(neardups, col("doc_id") === col("id_b"), "left_anti")
-        .join(exactLosers, col("doc_id") === col("loser_id"), "left_anti")
+        .join(lshNearDupLosers(s, dir), col("doc_id") === col("id_b"), "left_anti")
+        .join(exactLosers(docs), col("doc_id") === col("loser_id"), "left_anti")
     },
 
     // ---- near-dup cluster assignment (connected components) ----------------

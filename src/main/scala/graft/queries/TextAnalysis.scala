@@ -835,5 +835,113 @@ object TextAnalysis {
           sum(expr("size(regexp_extract_all(text, '[0-9]{6,}', 0))"))
             .cast("long").as("total_pii_ids"),
           min(col("doc_id")).as("first_doc"))
+    },
+
+    // ---- the data card: per-stage survivor counts through the funnel -------
+    // The datasheet artifact shipped next to a training corpus: how many
+    // documents survive each stage of quality gate -> exact dedup ->
+    // verified LSH near-dedup -> eval withholding + decontamination.
+    // Composes the existing building blocks (marker quality flags,
+    // Dedup.exactLosers, Dedup.lshNearDupLosers, the broadcast eval
+    // probe) into ONE flags frame — four left joins against small loser/
+    // overlap sets, then a single conditional aggregate and a 5-row
+    // inline unpivot. Nothing corpus-sized is collected or cached
+    // beyond the LSH kernel's own scoped shingle frame.
+    Q(
+      "q_corpus_funnel",
+      raw"""WITH tok AS (
+        |  SELECT doc_id, $duckTokens AS w FROM documents
+        |), flags AS (
+        |  SELECT doc_id, (len(w) >= 10 AND ${duckStopRatio("w")} >= 0.01) AS q FROM tok
+        |), exact_losers AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS keep_id
+        |    FROM (SELECT doc_id, ${duck("lower(text)")} AS fp FROM documents))
+        |  WHERE doc_id <> keep_id
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_transform(list_distinct(list_transform(generate_series(1, len(w)-2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])), s -> ${duck("s")}) AS hsh
+        |  FROM tok WHERE len(w) >= 3
+        |), mh AS (
+        |  SELECT doc_id, hsh,
+        |    list_transform(
+        |      list_transform(generate_series(0, 15), i -> ${duck("'seed#' || i::VARCHAR")}),
+        |      sd -> list_min(list_transform(hsh, v -> xor(v, sd)))) AS sig
+        |  FROM sh
+        |), bands AS (
+        |  SELECT doc_id, b,
+        |    md5(sig[b*4+1]::VARCHAR || ',' || sig[b*4+2]::VARCHAR || ',' ||
+        |        sig[b*4+3]::VARCHAR || ',' || sig[b*4+4]::VARCHAR) AS bk
+        |  FROM mh, unnest(generate_series(0, 3)) AS t(b)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id
+        |), neardups AS (
+        |  SELECT DISTINCT id_b FROM cand
+        |  JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+        |  WHERE CAST(len(list_intersect(x.hsh, y.hsh)) AS DOUBLE) /
+        |        len(list_distinct(x.hsh || y.hsh)) >= 0.5
+        |), sh5 AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w)-4),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS s
+        |  FROM tok WHERE len(w) >= 5
+        |), ev AS (
+        |  SELECT DISTINCT s FROM sh5 WHERE doc_id % 29 = 0
+        |), cont AS (
+        |  SELECT DISTINCT sh5.doc_id FROM sh5 JOIN ev USING (s) WHERE sh5.doc_id % 29 <> 0
+        |), f AS (
+        |  SELECT d.doc_id, flags.q,
+        |    d.doc_id IN (SELECT doc_id FROM exact_losers) AS ex,
+        |    d.doc_id IN (SELECT id_b FROM neardups) AS nd,
+        |    d.doc_id % 29 = 0 AS ev_doc,
+        |    d.doc_id IN (SELECT doc_id FROM cont) AS ct
+        |  FROM documents d JOIN flags USING (doc_id)
+        |)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'total' AS stage_name, count(*) AS n_docs FROM f
+        |UNION ALL SELECT 2, 'quality', count(*) FROM f WHERE q
+        |UNION ALL SELECT 3, 'exact_dedup', count(*) FROM f WHERE q AND NOT ex
+        |UNION ALL SELECT 4, 'near_dedup', count(*) FROM f WHERE q AND NOT ex AND NOT nd
+        |UNION ALL SELECT 5, 'decontaminated', count(*) FROM f
+        |  WHERE q AND NOT ex AND NOT nd AND NOT ev_doc AND NOT ct""") { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val flags = docs
+        .select(col("doc_id"), expr(markerCall(tokens)).as("ms"))
+        .select(col("doc_id"),
+          expr("ms.total >= 10 and cast(ms.c0 as double) / ms.total >= 0.01").as("q"))
+      val ex = Dedup.exactLosers(docs).withColumn("ex", lit(true))
+      val nd = Dedup.lshNearDupLosers(s, dir).withColumn("nd", lit(true))
+      val sh5 = docs
+        .select(col("doc_id"), expr(tokens).as("w"))
+        .filter(expr("size(w) >= 5"))
+        .select(col("doc_id"), explode(expr("shingles(w, 5)")).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("v"))
+      val ev = sh5.filter(col("doc_id") % 29 === 0).select(col("v")).distinct()
+      val cont = sh5.filter(col("doc_id") % 29 =!= 0)
+        .join(broadcast(ev), Seq("v"))
+        .select(col("doc_id").as("ct_doc")).distinct()
+        .withColumn("ct", lit(true))
+      flags
+        .join(ex, col("doc_id") === col("loser_id"), "left").drop("loser_id")
+        .join(nd, col("doc_id") === col("id_b"), "left").drop("id_b")
+        .join(cont, col("doc_id") === col("ct_doc"), "left").drop("ct_doc")
+        .select(col("doc_id"), col("q"),
+          coalesce(col("ex"), lit(false)).as("ex"),
+          coalesce(col("nd"), lit(false)).as("nd"),
+          (col("doc_id") % 29 === 0).as("ev_doc"),
+          coalesce(col("ct"), lit(false)).as("ct"))
+        .agg(
+          count(lit(1)).as("n1"),
+          sum(when(col("q"), 1L).otherwise(0L)).as("n2"),
+          sum(when(col("q") && !col("ex"), 1L).otherwise(0L)).as("n3"),
+          sum(when(col("q") && !col("ex") && !col("nd"), 1L).otherwise(0L)).as("n4"),
+          sum(when(col("q") && !col("ex") && !col("nd") && !col("ev_doc") && !col("ct"), 1L)
+            .otherwise(0L)).as("n5"))
+        .selectExpr("""inline(array(
+          struct(1L as stage, 'total' as stage_name, n1 as n_docs),
+          struct(2L as stage, 'quality' as stage_name, n2 as n_docs),
+          struct(3L as stage, 'exact_dedup' as stage_name, n3 as n_docs),
+          struct(4L as stage, 'near_dedup' as stage_name, n4 as n_docs),
+          struct(5L as stage, 'decontaminated' as stage_name, n5 as n_docs)))""")
     })
 }
