@@ -254,6 +254,45 @@ object Dedup {
       .select(col("id_b")).distinct()
   }
 
+  /** Min-label propagation to the fixpoint over an undirected pair
+    * graph — the Pregel connected-components shape. Propagates over
+    * PAIRED nodes only (isolated nodes keep their own label by
+    * construction, so per-round frames are |paired nodes|, not the
+    * corpus); self-loops fold the node's own label into the same
+    * neighbourhood-min aggregation, so a round is ONE join + ONE
+    * groupBy yielding both the new label and (via the self edge) the
+    * previous one — convergence detection costs no extra shuffle. The
+    * fixpoint is unique, so the result is deterministic regardless of
+    * execution order. Returns (doc_id, label) for paired nodes; the
+    * returned frame carries the spent `old` column, which callers
+    * project away. */
+  private[queries] def minLabelComponents(
+      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sym = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst")
+    val edges = sym
+      .union(sym.select(col("src")).distinct().select(col("src"), col("src").as("dst")))
+      .persistScoped() // reused every propagation round
+    var labels = edges.select(col("src").as("doc_id"), col("src").as("label"))
+      .distinct()
+      .persistScoped()
+    var changed = 1L
+    while (changed > 0) {
+      val next = edges
+        .join(labels.select(col("doc_id").as("src"), col("label").as("srcl")), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(
+          min(col("srcl")).as("label"),
+          min(when(col("src") === col("dst"), col("srcl"))).as("old"))
+        .persistScoped()
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- exact dedup: hash-groupBy, keep lowest doc_id ---------------------
@@ -771,35 +810,7 @@ object Dedup {
           count(lit(1)).as("i"))
         .filter(expr("cast(i as double) / (n_a + n_b - i) >= 0.3"))
         .select(col("id_a"), col("id_b"))
-      // propagate over PAIRED nodes only — isolated docs keep their own
-      // label by construction, so the per-round frames are |paired docs|
-      // (the near-dup fraction), not the whole corpus. Self-loops fold the
-      // node's own label into the same neighbourhood-min aggregation, so a
-      // round is ONE join + ONE groupBy that yields both the new label and
-      // (via the self edge) the previous one — convergence detection costs
-      // no extra join or shuffle.
-      val sym = pairs.union(pairs.select(col("id_b"), col("id_a")))
-        .toDF("src", "dst")
-      val edges = sym
-        .union(sym.select(col("src")).distinct().select(col("src"), col("src").as("dst")))
-        .persistScoped() // reused every propagation round
-      var labels = edges.select(col("src").as("doc_id"), col("src").as("label"))
-        .distinct()
-        .persistScoped()
-      var changed = 1L
-      while (changed > 0) {
-        val next = edges
-          .join(labels.select(col("doc_id").as("src"), col("label").as("srcl")), "src")
-          .groupBy(col("dst").as("doc_id"))
-          .agg(
-            min(col("srcl")).as("label"),
-            min(when(col("src") === col("dst"), col("srcl"))).as("old"))
-          .persistScoped()
-        changed = next.filter(col("label") =!= col("old")).count()
-        labels.unpersist()
-        labels = next // keeps the spent `old` column; join/final sites project it away
-      }
-      edges.unpersist()
+      val labels = minLabelComponents(pairs)
       sh.unpersist()
       Tables(s, dir, "documents")
         .join(labels.withColumnRenamed("doc_id", "l_doc"),
@@ -807,5 +818,56 @@ object Dedup {
         .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
         .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("label"))))
         .select(col("doc_id"), col("label").as("cluster_id"), col("n_members"))
+    },
+
+    // ---- semantic dedup with GROUP semantics (SemDeDup, one per cluster) ---
+    // q_dedup_semantic drops every vector with a LOWER near-dup
+    // neighbour — local-minima semantics, which can keep two vectors of
+    // one component when neither neighbours the other. This variant
+    // finishes the SemDeDup story with true one-per-GROUP keeps:
+    // connected components over the in-cell near-dup pair graph (the
+    // same min-label loop as q_dedup_clusters — pairs are within-cell
+    // by construction, so components never span cells), cluster id =
+    // component min. Output: every vector with its cluster and whether
+    // it is the cluster's keeper.
+    Q(
+      "q_dedup_semantic_clusters",
+      s"""WITH RECURSIVE cents AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+        |  ORDER BY ${graft.functions.CrossHash.duck("'c#' || vec_id::VARCHAR")}, vec_id LIMIT 16
+        |), assign AS (
+        |  SELECT vec_id, embedding, c_id AS cell FROM (
+        |    SELECT v.vec_id, v.embedding, c.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY list_sum(list_transform(generate_series(1, 64),
+        |          i -> CAST(CAST(v.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)
+        |               AS DECIMAL(28,12)))) DESC, c.c_id) AS crn
+        |    FROM embeddings v CROSS JOIN cents c
+        |  ) WHERE crn = 1
+        |), pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(generate_series(1, 64),
+        |    i -> CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+        |         AS DECIMAL(28,12)))) >= 0.35
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM pairs
+        |), reach(a, b) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+        |)
+        |SELECT vec_id, cluster_id, vec_id = cluster_id AS is_keeper
+        |FROM (SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a)""".stripMargin) { (s, dir) =>
+      val pairs = Similarity.semanticCellsAndPairs(s, dir)._2
+      val labels = minLabelComponents(pairs)
+      Tables(s, dir, "embeddings").select(col("vec_id"))
+        .join(labels.withColumnRenamed("doc_id", "l_id"),
+          col("vec_id") === col("l_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("label"), col("vec_id")).as("cluster_id"))
+        .withColumn("is_keeper", col("vec_id") === col("cluster_id"))
     })
 }

@@ -560,49 +560,61 @@ object Similarity {
         |)
         |SELECT vec_id, cell FROM assign
         |WHERE vec_id NOT IN (SELECT id_b FROM pairs)""".stripMargin) { (s, dir) =>
-      val e = Tables(s, dir, "embeddings")
-      val cents = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-          expr(cHash).as("ch"))
-        .orderBy(col("ch"), col("c_id")).limit(NC)
-        .select(col("c_id"), col("c_emb"))
-      // cell assignment — same two-phase shape as q_ann_ivf (double
-      // prefilter over broadcast fixed-|C| centroids, window argmax,
-      // exact DECIMAL tie-break)
-      val ddots = e.select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("c_id"), expr("dot_f(embedding, c_emb)").as("cdd"))
-      val best = ddots
-        .withColumn("mx", max(col("cdd")).over(Window.partitionBy(col("vec_id"))))
-        .filter(col("cdd") >= col("mx") - 1e-9)
-        .select(col("vec_id").as("b_vec"), col("c_id"))
-      val assign = e
-        .join(best, col("vec_id") === col("b_vec"))
-        .join(broadcast(cents), "c_id")
-        .select(col("vec_id"), col("embedding"), col("c_id"),
-          expr(dot("embedding", "c_emb")).as("cdot"))
-        .withColumn("crn", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("cdot").desc, col("c_id"))))
-        .filter(col("crn") === 1)
-        .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
-        // feeds both pair sides AND the keeper anti-join; the salted
-        // sides differ structurally, so AQE exchange reuse cannot serve
-        // them — a scoped cache is the right tool here (unlike the
-        // ngram kernel, whose branches DO canonicalize equal)
-        .persistScoped()
-      // in-cell near-dup pairs, salted like q_dedup_embedding (16 cells
-      // would otherwise bound the shuffle at 16 tasks); cheap double
-      // prefilter, exact DECIMAL dot on survivors only
-      val salts = 8
-      val pa = assign.withColumn("salt", pmod(hash(col("vec_id")), lit(salts)))
-      val pb = assign.withColumn("salt", explode(expr(s"sequence(0, ${salts - 1})")))
-      val dropped = pa.as("a")
-        .join(pb.as("b"), expr("a.cell = b.cell and a.salt = b.salt and a.vec_id < b.vec_id"))
-        .filter(expr("dot_f(a.embedding, b.embedding) >= 0.3499999"))
-        .filter(expr(s"${dot("a.embedding", "b.embedding")} >= 0.35"))
-        .select(col("b.vec_id").as("id_b"))
-        .distinct()
+      val (assign, pairs) = semanticCellsAndPairs(s, dir)
+      val dropped = pairs.select(col("id_b")).distinct()
       assign
         .join(dropped, col("vec_id") === col("id_b"), "left_anti")
         .select(col("vec_id"), col("cell"))
     })
+
+  /** Shared SemDeDup machinery: the per-vector cell assignment (scoped-
+    * persisted — it feeds both pair sides and the caller's final join)
+    * and the in-cell near-dup pair frame (id_a, id_b). Used by
+    * q_dedup_semantic (local-minima keeps) and
+    * q_dedup_semantic_clusters (connected-component keeps). */
+  private[queries] def semanticCellsAndPairs(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val e = Tables(s, dir, "embeddings")
+    val cents = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        expr(cHash).as("ch"))
+      .orderBy(col("ch"), col("c_id")).limit(NC)
+      .select(col("c_id"), col("c_emb"))
+    // cell assignment — same two-phase shape as q_ann_ivf (double
+    // prefilter over broadcast fixed-|C| centroids, window argmax,
+    // exact DECIMAL tie-break)
+    val ddots = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("c_id"), expr("dot_f(embedding, c_emb)").as("cdd"))
+    val best = ddots
+      .withColumn("mx", max(col("cdd")).over(Window.partitionBy(col("vec_id"))))
+      .filter(col("cdd") >= col("mx") - 1e-9)
+      .select(col("vec_id").as("b_vec"), col("c_id"))
+    val assign = e
+      .join(best, col("vec_id") === col("b_vec"))
+      .join(broadcast(cents), "c_id")
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        expr(dot("embedding", "c_emb")).as("cdot"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cdot").desc, col("c_id"))))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+      // feeds both pair sides AND the caller's final join; the salted
+      // sides differ structurally, so AQE exchange reuse cannot serve
+      // them — a scoped cache is the right tool here (unlike the
+      // ngram kernel, whose branches DO canonicalize equal)
+      .persistScoped()
+    // in-cell near-dup pairs, salted like q_dedup_embedding (16 cells
+    // would otherwise bound the shuffle at 16 tasks); cheap double
+    // prefilter, exact DECIMAL dot on survivors only
+    val salts = 8
+    val pa = assign.withColumn("salt", pmod(hash(col("vec_id")), lit(salts)))
+    val pb = assign.withColumn("salt", explode(expr(s"sequence(0, ${salts - 1})")))
+    val pairs = pa.as("a")
+      .join(pb.as("b"), expr("a.cell = b.cell and a.salt = b.salt and a.vec_id < b.vec_id"))
+      .filter(expr("dot_f(a.embedding, b.embedding) >= 0.3499999"))
+      .filter(expr(s"${dot("a.embedding", "b.embedding")} >= 0.35"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    (assign, pairs)
+  }
 }
