@@ -677,6 +677,66 @@ object Dedup {
         .select(col("doc_id"), col("i").cast("long").as("win_start"))
     },
 
+    // ---- span removal: the remediated corpus -------------------------------
+    // The transform Lee et al. actually apply: CUT the duplicated spans
+    // and keep the rest of the document. Flagged window starts (the
+    // q_dedup_spans set — a bounded subset, only flagged docs) collect
+    // into one small per-doc array; the mask itself is then a pure map
+    // stage — an indexed HOF filter dropping tokens covered by any
+    // flagged [start, start+W) interval, re-joined with single spaces.
+    // The only list aggregate is keyed on doc_id over the SPANS subset
+    // (never the corpus stream), and the remediated text surfaces as a
+    // cross-engine hash so the full transform sits under the gate.
+    Q(
+      "q_dedup_span_removal",
+      raw"""WITH tok AS (
+        |  SELECT doc_id, $duckTokens AS w FROM documents
+        |), winp AS (
+        |  SELECT doc_id, i AS win_start,
+        |    ${duck("array_to_string(w[i:i+29], ' ')")} AS fp
+        |  FROM tok, unnest(generate_series(1, len(w) - 29, 10)) AS t(i)
+        |  WHERE len(w) >= 30
+        |), df AS (
+        |  SELECT fp, count(DISTINCT doc_id) AS dfc FROM winp GROUP BY fp
+        |), spans AS (
+        |  SELECT doc_id, win_start FROM winp JOIN df USING (fp) WHERE dfc >= 2
+        |), perdoc AS (
+        |  SELECT doc_id, list(win_start) AS starts FROM spans GROUP BY doc_id
+        |), cut AS (
+        |  SELECT t.doc_id, t.w,
+        |    CASE WHEN p.starts IS NULL THEN t.w
+        |         ELSE list_filter(t.w, (x, i) ->
+        |           len(list_filter(p.starts, s -> i >= s AND i < s + 30)) = 0) END AS kept
+        |  FROM tok t LEFT JOIN perdoc p USING (doc_id)
+        |)
+        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_before,
+        |  CAST(len(kept) AS BIGINT) AS n_after,
+        |  ${duck("coalesce(array_to_string(kept, ' '), '')")} AS remediated_fp
+        |FROM cut""") { (s, dir) =>
+      val winp = windowFps(s, dir)
+      val dfTab = winp.select(col("doc_id"), col("fp")).distinct()
+        .groupBy(col("fp")).agg(count(lit(1)).as("dfc"))
+      val spans = winp
+        .join(dfTab.filter(col("dfc") >= 2).select(col("fp")), Seq("fp"))
+        .select(col("doc_id"), col("i"))
+      val perDoc = spans.groupBy(col("doc_id").as("p_doc"))
+        .agg(collect_list(col("i")).as("starts"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), expr(tokens).as("w"))
+        .join(perDoc, col("doc_id") === col("p_doc"), "left")
+        .select(col("doc_id"), col("w"),
+          // Spark HOF filter index is 0-based; the window starts are
+          // 1-based sequence positions — align with idx + 1
+          expr(s"""case when starts is null then w
+                  |else filter(w, (x, idx) ->
+                  |  not exists(starts, s -> idx + 1 >= s and idx + 1 < s + $SUB_W)) end"""
+            .stripMargin).as("kept"))
+        .select(col("doc_id"),
+          expr("cast(size(w) as bigint)").as("n_before"),
+          expr("cast(size(kept) as bigint)").as("n_after"),
+          expr(h("concat_ws(' ', kept)")).as("remediated_fp"))
+    },
+
     // ---- embedding cosine near-dup (label-blocked, exact DECIMAL dot) ------
     Q(
       "q_dedup_embedding",
