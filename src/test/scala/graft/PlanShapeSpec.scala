@@ -193,6 +193,14 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("SortAggregate") && !p.contains("ObjectHashAggregate"),
         s"$name has a non-Tungsten aggregate:\n$p")
     }
+    // span removal: its one list aggregate (window starts) must key on
+    // the doc over the bounded SPANS subset — and the mask stage
+    // shuffles nothing else
+    val pr = planOf("q_dedup_span_removal")
+    assert(!pr.contains("Window") && !pr.contains("SortAggregate"), pr)
+    val prKeys = "ObjectHashAggregate\\(keys=\\[(\\w+)".r
+      .findAllMatchIn(pr).map(_.group(1)).toSet
+    assert(prKeys.subsetOf(Set("doc_id", "p_doc")), s"list agg on a non-doc key: $prKeys\n$pr")
     // the graded gate must keep the binary gate's shape: eval set built
     // from the pushed-down slice, corpus streamed once into a broadcast
     // probe — never a shuffled corpus join

@@ -41,6 +41,17 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("span removal cuts exactly the flagged docs, and only whole windows") {
+    val flagged = rows("q_dedup_spans").map(_.getLong(0)).toSet
+    val rem = rows("q_dedup_span_removal")
+    assert(rem.length == 500)
+    rem.foreach { r =>
+      val (doc, before, after) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      if (flagged(doc)) assert(after < before, s"doc $doc flagged but uncut")
+      else assert(after == before, s"doc $doc unflagged but cut")
+    }
+  }
+
   test("dup fractions are well-formed and within-doc repetition alone never flags") {
     val fr = rows("q_text_dup_fraction")
     assert(fr.nonEmpty)
