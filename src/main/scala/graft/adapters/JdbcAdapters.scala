@@ -3,6 +3,7 @@ package graft.adapters
 import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** JDBC columnar adapters, capability-parity with the reference
   * `jdbcColumnar` verbs (datacooker-jdbc/.../JdbcColumnarInput.java:27-77,
@@ -212,7 +213,17 @@ final class JdbcColumnarOutput extends OutputAdapter {
       else Some(upsertSql(table, schema, keys, dialect))
     val pair = if (dialect == "update_insert")
       Some(JdbcColumnarOutput.updateInsertSql(table, schema, keys)) else None
-    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+    // typed null binding: setObject(m, null) is optional in the JDBC
+    // spec and rejected by several targets the dialects advertise —
+    // mirror Spark's own JdbcUtils and use setNull(pos, sqlType)
+    val nullTypes = schema.fields.map(f => JdbcColumnarOutput.jdbcNullType(f.dataType))
+    df
+      // co-locate every occurrence of a key in ONE partition: two
+      // concurrent tasks holding the same key would otherwise both see
+      // UPDATE=0 and both INSERT — duplicate rows with no error on a
+      // constraint-free target (the exactly-once-per-key guarantee)
+      .repartition(keys.map(col): _*)
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       java.lang.Class.forName(driver)
       val props = new java.util.Properties()
       user.foreach(props.setProperty("user", _))
@@ -224,7 +235,7 @@ final class JdbcColumnarOutput extends OutputAdapter {
             order: Seq[Int]): Unit = {
           var m = 1
           order.foreach { i =>
-            if (row.isNullAt(i)) ps.setObject(m, null) else ps.setObject(m, row.get(i))
+            if (row.isNullAt(i)) ps.setNull(m, nullTypes(i)) else ps.setObject(m, row.get(i))
             m += 1
           }
         }
@@ -253,6 +264,13 @@ final class JdbcColumnarOutput extends OutputAdapter {
           case _ => ()
         }
         conn.commit()
+      } catch {
+        case e: Throwable =>
+          // close-with-open-transaction is implementation-defined (Oracle
+          // COMMITS on close) — roll back explicitly so a failed
+          // partition never half-commits, then let Spark retry the task
+          try conn.rollback() catch { case _: java.sql.SQLException => () }
+          throw e
       } finally conn.close()
     }
   }
@@ -286,6 +304,26 @@ final class JdbcColumnarOutput extends OutputAdapter {
 }
 
 object JdbcColumnarOutput {
+
+  /** `java.sql.Types` code for typed NULL binding (setNull), mirroring
+    * Spark's JdbcUtils — untyped setObject(_, null) is optional in the
+    * JDBC spec and rejected by several real targets. */
+  private[adapters] def jdbcNullType(dt: org.apache.spark.sql.types.DataType): Int = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => java.sql.Types.BIGINT
+      case IntegerType => java.sql.Types.INTEGER
+      case ShortType => java.sql.Types.SMALLINT
+      case DoubleType => java.sql.Types.DOUBLE
+      case FloatType => java.sql.Types.REAL
+      case BooleanType => java.sql.Types.BOOLEAN
+      case DateType => java.sql.Types.DATE
+      case TimestampType => java.sql.Types.TIMESTAMP
+      case _: DecimalType => java.sql.Types.DECIMAL
+      case BinaryType => java.sql.Types.BLOB
+      case _ => java.sql.Types.VARCHAR
+    }
+  }
 
   /** SQL type for a CAST around a `?` marker inside MERGE .. USING
     * (VALUES ..) — Derby and DB2 reject untyped parameter markers there. */

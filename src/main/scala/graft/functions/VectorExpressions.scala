@@ -119,9 +119,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MarkerScores].getName, "marker_scores"),
       (children: Seq[Expression]) => MarkerScores(
         children.head,
-        children.tail.map(
-          _.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-            .toString.split(",").toSeq))))
+        children.tail.map { e =>
+          // guard BEFORE eval: a non-foldable column or a null literal
+          // would otherwise die in the analyzer with a raw NPE /
+          // unbound-attribute error instead of a usable message
+          if (!e.foldable ||
+            e.dataType != org.apache.spark.sql.types.StringType ||
+            e.eval() == null)
+            throw new IllegalArgumentException(
+              "marker_scores word sets must be non-null string literals " +
+                s"('w1,w2,...'), got ${e.sql}")
+          e.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+            .toString.split(",").toSeq
+        })))
     ext.injectFunction((
       new FunctionIdentifier("dec_cast"),
       new ExpressionInfo(classOf[FastDecimalCast].getName, "dec_cast"),

@@ -109,7 +109,10 @@ object Media {
     while (off + 4 <= bytes.length) {
       val len = ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
         ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
-      if (len < 0 || off + 4 + len > bytes.length) return None
+      // long arithmetic: a hostile length like 0x7FFFFFFC would overflow
+      // `off + 4 + len` to negative and slip past an int bounds check,
+      // turning the never-throws contract into an uncaught copyOfRange
+      if (len < 0 || off.toLong + 4L + len > bytes.length) return None
       frames += java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + len)
       off += 4 + len
       n += 1

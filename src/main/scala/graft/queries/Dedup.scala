@@ -537,6 +537,12 @@ object Dedup {
       // df over DISTINCT (doc, window) rows = docs-per-window; kept
       // windows bound the postings self-join exactly like the shingle
       // cap (HashAggregate count, no lists, no window functions)
+      // UNCACHED by measurement: both consumers descend from the
+      // distinct's exchange, which canonicalizes equal and is served by
+      // AQE ReuseExchange (0.5-0.8s uncached vs 0.9-1.0s cached at
+      // sf0.1) — the same flip as the capped ngram kernel. The
+      // position-carrying winp diamonds below have no reusable
+      // exchange, so THEY cache.
       val wins = windowFps(s, dir).select(col("doc_id"), col("fp")).distinct()
       val kept = wins.groupBy(col("fp"))
         .agg(count(lit(1)).as("df"))
@@ -590,6 +596,7 @@ object Dedup {
         |FROM runs GROUP BY 1, 2""") { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val winp = windowFps(s, dir)
+        .persistScoped() // feeds the cap count and both match sides
       val kept = winp.select(col("doc_id"), col("fp")).distinct()
         .groupBy(col("fp")).agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, SUB_MAX_DF))
@@ -638,8 +645,9 @@ object Dedup {
         |  CAST(sum(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
         |FROM win JOIN df USING (fp)
         |GROUP BY doc_id""") { (s, dir) =>
+      // UNCACHED: same distinct-exchange diamond as q_dedup_substring
+      // (measured there: AQE ReuseExchange beats the cache)
       val wins = windowFps(s, dir).select(col("doc_id"), col("fp")).distinct()
-        .persistScoped() // feeds the df count and the join-back
       val dfTab = wins.groupBy(col("fp")).agg(count(lit(1)).as("dfc"))
       wins.join(dfTab, Seq("fp"))
         .groupBy(col("doc_id"))
@@ -671,6 +679,7 @@ object Dedup {
         |SELECT doc_id, CAST(win_start AS BIGINT) AS win_start
         |FROM winp JOIN df USING (fp) WHERE dfc >= 2""") { (s, dir) =>
       val winp = windowFps(s, dir)
+        .persistScoped() // feeds the df count and the position join
       val dfTab = winp.select(col("doc_id"), col("fp")).distinct()
         .groupBy(col("fp")).agg(count(lit(1)).as("dfc"))
       winp.join(dfTab.filter(col("dfc") >= 2).select(col("fp")), Seq("fp"))
@@ -714,6 +723,7 @@ object Dedup {
         |  ${duck("coalesce(array_to_string(kept, ' '), '')")} AS remediated_fp
         |FROM cut""") { (s, dir) =>
       val winp = windowFps(s, dir)
+        .persistScoped() // feeds the df count and the span join
       val dfTab = winp.select(col("doc_id"), col("fp")).distinct()
         .groupBy(col("fp")).agg(count(lit(1)).as("dfc"))
       val spans = winp

@@ -48,6 +48,19 @@ class MarkerScoresSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l => l.contains("marker_scores") && l.contains("*(")))
   }
 
+  test("non-literal / null word-set arguments fail with a usable message, not an NPE") {
+    val df = graft.io.Tables(spark, sf(), "documents").limit(1)
+    for (bad <- Seq("cast(null as string)", "text")) {
+      val e = intercept[Exception] {
+        df.selectExpr(s"marker_scores(split(trim(text), '\\\\s+'), $bad)").collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("non-null string literals")),
+        s"unhelpful error for $bad: $e")
+    }
+  }
+
   test("langid/quality/modal/reasons: ONE tokenization per row, no interpreted HOF") {
     for (q <- Seq("q_text_langid", "q_text_quality", "q_modal_consistency", "q_filter_reasons")) {
       val plan = SparkEntry.queries(q)(spark, sf()).queryExecution.optimizedPlan

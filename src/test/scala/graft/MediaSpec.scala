@@ -152,6 +152,12 @@ class MediaSpec extends SparkSpec {
       java.util.Arrays.copyOf(Media.encodeVideo(2L), 50), Media.MediaMeta(8, 8, 0, 0L))
     val vf = Media.extractFeatures(spark.createDataset(Seq(vid))).head()
     assert(vf.histogram.sum == 50, "expected the byte-histogram stub on a torn container")
+    // hostile frame-length prefix near Int.MaxValue: the bounds check
+    // must not int-overflow into an uncaught copyOfRange
+    val hostile = Media.MediaRecord(3L, "video",
+      Array[Byte](0x7f, -1, -1, -4, 1, 2, 3), Media.MediaMeta(8, 8, 0, 0L))
+    val hf = Media.extractFeatures(spark.createDataset(Seq(hostile))).head()
+    assert(hf.histogram.sum == 7, "expected the byte-histogram stub on an overflowing length")
   }
 
   test("extractFeatures preserves partitioning (map-only stage)") {
