@@ -102,6 +102,63 @@ object Sampling {
           min(col("doc_id")).as("first_pick"), max(col("doc_id")).as("last_pick"))
     },
 
+    // ---- temperature-scaled source mixture ---------------------------------
+    // The multilingual/multi-source rebalancing rule (sample share
+    // proportional to count^alpha, here alpha = 0.5): raw proportional
+    // sampling drowns low-resource sources, uniform over-weights them —
+    // the sqrt temperature is the standard compromise. Per-source
+    // quotas derive from EXACT counts: sqrt runs on the aggregated
+    // count (correctly-rounded IEEE, identical both engines), each term
+    // snaps through dec_cast before the 3-term total so the sum order
+    // can't flip a ulp, and the final share is one double division +
+    // floor on identical inputs. Selection inside a source is the same
+    // content-hash rank gate as q_data_mix — reproducible across runs,
+    // partitionings, and engines.
+    Q(
+      "q_temperature_mix",
+      s"""WITH cnts AS (
+        |  SELECT source, count(*) AS cnt FROM documents GROUP BY source
+        |), w AS (
+        |  SELECT source, cnt,
+        |    CAST(CAST(sqrt(cnt) AS DECIMAL(18,9)) AS DOUBLE) AS sw,
+        |    CAST(sum(CAST(sqrt(cnt) AS DECIMAL(18,9))) OVER () AS DOUBLE) AS tw
+        |  FROM cnts
+        |), quota AS (
+        |  SELECT source, cnt, CAST(floor(100 * sw / tw) AS BIGINT) AS n FROM w
+        |), ranked AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ${duck("source || '#' || doc_id::VARCHAR")}, doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT r.source, any_value(q.cnt) AS source_total, any_value(q.n) AS quota,
+        |  count(*) AS picked, min(doc_id) AS first_pick
+        |FROM ranked r JOIN quota q ON r.source = q.source AND r.rn <= q.n
+        |GROUP BY r.source""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cnts = Tables(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      val w = cnts.select(col("source"), col("cnt"),
+        expr("cast(dec_cast(sqrt(cnt), 18, 9) as double)").as("sw"),
+        expr("cast(sum(dec_cast(sqrt(cnt), 18, 9)) over () as double)").as("tw"))
+      // the per-source frame is |sources| rows — the unpartitioned
+      // window total is a scalar over a bounded frame, not corpus data
+      val quota = w.select(col("source").as("q_src"), col("cnt").as("source_total"),
+        expr("cast(floor(100 * sw / tw) as bigint)").as("n"))
+      Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          expr(h("concat(source, '#', cast(doc_id as string))")).as("hv"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("hv"), col("doc_id"))))
+        .join(broadcast(quota), col("source") === col("q_src") && col("rn") <= col("n"))
+        .groupBy(col("source"))
+        .agg(
+          first(col("source_total")).as("source_total"),
+          first(col("n")).as("quota"),
+          count(lit(1)).as("picked"),
+          min(col("doc_id")).as("first_pick"))
+    },
+
     // ---- weighted priority sample (Efraimidis-Spirakis top-k) --------------
     // Weighted sampling without replacement as a priority top-k: each row
     // draws u from its content hash (deterministic, partition-layout
