@@ -78,22 +78,43 @@ object Similarity {
        |        * CAST($v[i] AS DOUBLE)), (x, y) -> x + y) >= 0
        |  THEN (1 << j) ELSE 0 END))::INT""".stripMargin
 
+  /** Shared oracle texts (the recall query composes them verbatim as
+    * derived tables). */
+  private val topkOracleSql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  ORDER BY $duckQHash, vec_id LIMIT $NQ
+      |)
+      |SELECT query_id, cand_id, rn, CAST(dot AS DOUBLE) AS dot FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |    ${duckDot("q.embedding", "c.embedding")} AS dot,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY ${duckDot("q.embedding", "c.embedding")} DESC, c.vec_id) AS rn
+      |  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+      |) WHERE rn <= 10""".stripMargin
+
+  private val lshOracleSql: String =
+    s"""WITH bucketed AS (
+      |  SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket FROM embeddings
+      |), q AS (
+      |  SELECT vec_id, embedding, bucket FROM bucketed
+      |  ORDER BY $duckQHash, vec_id LIMIT $NQ
+      |)
+      |SELECT query_id, cand_id, bucket, rn, CAST(dot AS DOUBLE) AS dot FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.bucket AS bucket,
+      |    ${duckDot("q.embedding", "c.embedding")} AS dot,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY ${duckDot("q.embedding", "c.embedding")} DESC, c.vec_id) AS rn
+      |  FROM q JOIN bucketed c
+      |    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      |) WHERE rn <= 3""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ---- brute-force top-10 by exact decimal dot ---------------------------
     Q(
       "q_ann_topk",
-      s"""WITH q AS (
-        |  SELECT vec_id, embedding FROM embeddings
-        |  ORDER BY $duckQHash, vec_id LIMIT $NQ
-        |)
-        |SELECT query_id, cand_id, rn, CAST(dot AS DOUBLE) AS dot FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-        |    ${duckDot("q.embedding", "c.embedding")} AS dot,
-        |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY ${duckDot("q.embedding", "c.embedding")} DESC, c.vec_id) AS rn
-        |  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
-        |) WHERE rn <= 10""".stripMargin) { (s, dir) =>
+      topkOracleSql) { (s, dir) =>
       // two-phase: score every pair with the codegen'd DOUBLE dot (the
       // 64-term double sum is within ~1e-13 of the exact decimal dot),
       // keep everything within 1e-9 of the 10th-best, and compute the
@@ -139,20 +160,7 @@ object Similarity {
     // ---- LSH-bucketed top-3 (the scale path) -------------------------------
     Q(
       "q_ann_lsh",
-      s"""WITH bucketed AS (
-        |  SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket FROM embeddings
-        |), q AS (
-        |  SELECT vec_id, embedding, bucket FROM bucketed
-        |  ORDER BY $duckQHash, vec_id LIMIT $NQ
-        |)
-        |SELECT query_id, cand_id, bucket, rn, CAST(dot AS DOUBLE) AS dot FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.bucket AS bucket,
-        |    ${duckDot("q.embedding", "c.embedding")} AS dot,
-        |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY ${duckDot("q.embedding", "c.embedding")} DESC, c.vec_id) AS rn
-        |  FROM q JOIN bucketed c
-        |    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-        |) WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      lshOracleSql) { (s, dir) =>
       // persist: the bucketed frame feeds both the query and candidate
       // sides of the bucket-equi-join
       val bucketed = Tables(s, dir, "embeddings")
@@ -565,6 +573,41 @@ object Similarity {
       assign
         .join(dropped, col("vec_id") === col("id_b"), "left_anti")
         .select(col("vec_id"), col("cell"))
+    },
+
+    // ---- ANN recall evaluation: LSH vs brute-force ground truth ------------
+    // The evaluation loop an ANN deployment actually needs: recall@3 of
+    // the LSH bucket search against the exact top-3, per query. Both
+    // sides are the REGISTERED queries (so the evaluation measures
+    // exactly what ships), joined on (query, candidate) with a semi
+    // join; zero-hit queries keep a row via the left join. Counts are
+    // integers and the recall is one int/int division — deterministic.
+    Q(
+      "q_ann_recall",
+      s"""WITH ex AS (
+        |  SELECT query_id, cand_id FROM ($topkOracleSql) WHERE rn <= 3
+        |), ls AS (
+        |  SELECT query_id, cand_id FROM ($lshOracleSql)
+        |), hits AS (
+        |  SELECT ls.query_id, count(*) AS n_hit
+        |  FROM ls JOIN ex ON ls.query_id = ex.query_id AND ls.cand_id = ex.cand_id
+        |  GROUP BY ls.query_id
+        |)
+        |SELECT q.query_id, coalesce(n_hit, 0) AS n_hit,
+        |  CAST(coalesce(n_hit, 0) AS DOUBLE) / 3 AS recall_at_3
+        |FROM (SELECT DISTINCT query_id FROM ex) q
+        |LEFT JOIN hits ON q.query_id = hits.query_id""".stripMargin) { (s, dir) =>
+      val ex = graft.SparkEntry.queries("q_ann_topk")(s, dir)
+        .filter(col("rn") <= 3).select(col("query_id"), col("cand_id"))
+      val ls = graft.SparkEntry.queries("q_ann_lsh")(s, dir)
+        .select(col("query_id"), col("cand_id"))
+      val hits = ls.join(ex, Seq("query_id", "cand_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      ex.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / 3).as("recall_at_3"))
     })
 
   /** Shared SemDeDup machinery: the per-vector cell assignment (scoped-
