@@ -182,7 +182,9 @@ final class JdbcColumnarOutput extends OutputAdapter {
       ParamDef("columns", "Columns to write; '_' skips a column"),
       ParamDef("upsert_keys",
         "Comma-separated key columns: write becomes a keyed UPSERT into an " +
-          "existing table (exactly-once per key on at-least-once delivery — " +
+          "existing table (exactly-once per key on at-least-once delivery; " +
+          "like any side-effecting sink, requires speculative execution off " +
+          "or a unique key constraint on the target — " +
           "the keyed-target completion of the streaming foreachBatch sink)"),
       ParamDef("upsert_dialect",
         "UPSERT statement dialect: 'update_insert' (portable UPDATE-then-" +
@@ -212,7 +214,7 @@ final class JdbcColumnarOutput extends OutputAdapter {
     val single = if (dialect == "update_insert") None
       else Some(upsertSql(table, schema, keys, dialect))
     val pair = if (dialect == "update_insert")
-      Some(JdbcColumnarOutput.updateInsertSql(table, schema, keys)) else None
+      Some(JdbcColumnarOutput.updateInsertSql(table, schema, keys, path)) else None
     // typed null binding: setObject(m, null) is optional in the JDBC
     // spec and rejected by several targets the dialects advertise —
     // mirror Spark's own JdbcUtils and use setNull(pos, sqlType)
@@ -221,7 +223,12 @@ final class JdbcColumnarOutput extends OutputAdapter {
       // co-locate every occurrence of a key in ONE partition: two
       // concurrent tasks holding the same key would otherwise both see
       // UPDATE=0 and both INSERT — duplicate rows with no error on a
-      // constraint-free target (the exactly-once-per-key guarantee)
+      // constraint-free target. This serializes DISTINCT partitions;
+      // duplicate attempts of the SAME partition (speculation, zombie
+      // tasks after a stage retry) are the standard side-effecting-sink
+      // caveat: run with speculation off or put a unique constraint on
+      // the keys (then the loser's INSERT errors and the retry's UPDATE
+      // path converges)
       .repartition(keys.map(col): _*)
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       java.lang.Class.forName(driver)
@@ -339,7 +346,10 @@ object JdbcColumnarOutput {
       case DateType => "DATE"
       case TimestampType => "TIMESTAMP"
       case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
-      case _ => "VARCHAR(32672)"
+      // 4000 fits every merge target's plain-varchar ceiling (SQL
+      // Server caps at 8000; 32672 is a Derby-ism, and Derby takes the
+      // update_insert path, never this cast)
+      case _ => "VARCHAR(4000)"
     }
   }
 
@@ -370,9 +380,11 @@ object JdbcColumnarOutput {
           if (nonKeys.isEmpty) ""
           else "WHEN MATCHED THEN UPDATE SET " +
             nonKeys.map(c => s"${q(c)} = s.${q(c)}").mkString(", ") + " "
+        // the trailing semicolon is MANDATORY for SQL Server's MERGE
+        // (error 10713 without it) and harmless on H2/DB2
         s"""MERGE INTO $table t USING (VALUES ($values)) s($colList) ON $on """ +
           matched +
-          s"WHEN NOT MATCHED THEN INSERT ($colList) VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})"
+          s"WHEN NOT MATCHED THEN INSERT ($colList) VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")});"
       case "on_conflict" =>
         val conflictAction =
           if (nonKeys.isEmpty) "DO NOTHING"
@@ -395,22 +407,27 @@ object JdbcColumnarOutput {
   /** Portable UPDATE-then-INSERT pair with per-statement bind orders
     * (schema field indices in marker order). All-key rows degrade the
     * UPDATE to a no-op existence probe (`SET k = k`) whose row count
-    * still decides the INSERT. */
+    * still decides the INSERT. Column quoting follows the TARGET's
+    * identifier style, derived from the JDBC url: MySQL/MariaDB default
+    * sql_mode treats double quotes as string literals, so those get
+    * backticks; everything else the ANSI double quote. */
   private[graft] def updateInsertSql(
       table: String,
       schema: org.apache.spark.sql.types.StructType,
-      keys: Seq[String]): (String, Seq[Int], String, Seq[Int]) = {
-    def q(c: String) = "\"" + c + "\""
+      keys: Seq[String],
+      url: String = ""): (String, Seq[Int], String, Seq[Int]) = {
+    val quote =
+      if (url.startsWith("jdbc:mysql") || url.startsWith("jdbc:mariadb")) "`" else "\""
+    def q(c: String) = quote + c + quote
     val cols = schema.fields.map(_.name).toSeq
     require(keys.nonEmpty && keys.forall(cols.contains),
       s"upsert_keys $keys must be columns of $cols")
     val nonKeys = cols.filterNot(keys.contains)
-    val setCols = if (nonKeys.isEmpty) Seq.empty else nonKeys
     val set =
-      if (setCols.isEmpty) s"${q(keys.head)} = ${q(keys.head)}"
-      else setCols.map(c => s"${q(c)} = ?").mkString(", ")
+      if (nonKeys.isEmpty) s"${q(keys.head)} = ${q(keys.head)}"
+      else nonKeys.map(c => s"${q(c)} = ?").mkString(", ")
     val where = keys.map(k => s"${q(k)} = ?").mkString(" AND ")
-    val updOrder = setCols.map(cols.indexOf) ++ keys.map(cols.indexOf)
+    val updOrder = nonKeys.map(cols.indexOf) ++ keys.map(cols.indexOf)
     val insSql = s"INSERT INTO $table (${cols.map(q).mkString(", ")}) " +
       s"VALUES (${cols.map(_ => "?").mkString(", ")})"
     (s"UPDATE $table SET $set WHERE $where", updOrder, insSql, cols.indices)

@@ -54,6 +54,27 @@ object TextAnalysis {
   private def markerCall(arr: String): String =
     s"marker_scores($arr, ${markers.map(m => "'" + m._2.mkString(",") + "'").mkString(", ")})"
 
+  /** Corpus/eval 5-gram probe frames shared by the decontamination
+    * family (binary gate, graded fraction, funnel stage 5): the corpus
+    * shingle stream (doc_id, n_sh, v) and the DISTINCT eval-slice
+    * hash set (doc_id % 29 == 0 — the harness's held-out split). NOT
+    * persisted: caching would pin the FULL corpus shingle stream just
+    * to serve the tiny eval-set build; the eval branch's doc_id filter
+    * pushes below the explode so it tokenizes only the 1-in-29 slice,
+    * and the corpus side streams through each probe join exactly once. */
+  private def evalShingleProbe(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val sh = Tables(s, dir, "documents")
+      .select(col("doc_id"), expr(tokens).as("w"))
+      .filter(expr("size(w) >= 5"))
+      .select(col("doc_id"), expr("shingles(w, 5)").as("l"))
+      .select(col("doc_id"), expr("size(l)").as("n_sh"), explode(col("l")).as("s"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("v"))
+    val ev = sh.filter(col("doc_id") % 29 === 0).select(col("v")).distinct()
+    (sh, ev)
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- token counting: whitespace + BPE-ish regex ------------------------
@@ -598,17 +619,7 @@ object TextAnalysis {
         |FROM sh JOIN ev USING (s)
         |WHERE sh.doc_id % 29 <> 0
         |GROUP BY sh.doc_id""") { (s, dir) =>
-      // NOT persisted: caching here would pin the FULL corpus shingle
-      // stream just to serve the tiny eval-set build. The eval branch's
-      // doc_id filter pushes below the explode, so it tokenizes only the
-      // 1-in-29 eval slice; the corpus side streams through the probe
-      // join exactly once — nothing corpus-sized is ever cached.
-      val sh = Tables(s, dir, "documents")
-        .select(col("doc_id"), expr(tokens).as("w"))
-        .filter(expr("size(w) >= 5"))
-        .select(col("doc_id"), explode(expr("shingles(w, 5)")).as("s"))
-        .select(col("doc_id"), xxhash64(col("s")).as("v"))
-      val ev = sh.filter(col("doc_id") % 29 === 0).select(col("v")).distinct()
+      val (sh, ev) = evalShingleProbe(s, dir)
       sh.filter(col("doc_id") % 29 =!= 0)
         .join(broadcast(ev), Seq("v"))
         .groupBy(col("doc_id"))
@@ -642,14 +653,8 @@ object TextAnalysis {
         |FROM sh LEFT JOIN ev USING (s)
         |WHERE sh.doc_id % 29 <> 0
         |GROUP BY sh.doc_id""") { (s, dir) =>
-      val sh = Tables(s, dir, "documents")
-        .select(col("doc_id"), expr(tokens).as("w"))
-        .filter(expr("size(w) >= 5"))
-        .select(col("doc_id"), expr("shingles(w, 5)").as("l"))
-        .select(col("doc_id"), expr("size(l)").as("n_sh"), explode(col("l")).as("s"))
-        .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("v"))
-      val ev = sh.filter(col("doc_id") % 29 === 0)
-        .select(col("v")).distinct().withColumn("hit", lit(1))
+      val (sh, ev0) = evalShingleProbe(s, dir)
+      val ev = ev0.withColumn("hit", lit(1))
       sh.filter(col("doc_id") % 29 =!= 0)
         .join(broadcast(ev), Seq("v"), "left")
         .groupBy(col("doc_id"))
@@ -911,12 +916,7 @@ object TextAnalysis {
           expr("ms.total >= 10 and cast(ms.c0 as double) / ms.total >= 0.01").as("q"))
       val ex = Dedup.exactLosers(docs).withColumn("ex", lit(true))
       val nd = Dedup.lshNearDupLosers(s, dir).withColumn("nd", lit(true))
-      val sh5 = docs
-        .select(col("doc_id"), expr(tokens).as("w"))
-        .filter(expr("size(w) >= 5"))
-        .select(col("doc_id"), explode(expr("shingles(w, 5)")).as("g"))
-        .select(col("doc_id"), xxhash64(col("g")).as("v"))
-      val ev = sh5.filter(col("doc_id") % 29 === 0).select(col("v")).distinct()
+      val (sh5, ev) = evalShingleProbe(s, dir)
       val cont = sh5.filter(col("doc_id") % 29 =!= 0)
         .join(broadcast(ev), Seq("v"))
         .select(col("doc_id").as("ct_doc")).distinct()
