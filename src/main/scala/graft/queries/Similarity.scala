@@ -109,7 +109,7 @@ object Similarity {
       |    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
       |) WHERE rn <= 3""".stripMargin
 
-  val queries: Seq[Q] = Seq(
+  private val baseQueries: Seq[Q] = Seq(
 
     // ---- brute-force top-10 by exact decimal dot ---------------------------
     Q(
@@ -575,40 +575,69 @@ object Similarity {
         .select(col("vec_id"), col("cell"))
     },
 
-    // ---- ANN recall evaluation: LSH vs brute-force ground truth ------------
-    // The evaluation loop an ANN deployment actually needs: recall@3 of
-    // the LSH bucket search against the exact top-3, per query. Both
-    // sides are the REGISTERED queries (so the evaluation measures
-    // exactly what ships), joined on (query, candidate) with a semi
-    // join; zero-hit queries keep a row via the left join. Counts are
-    // integers and the recall is one int/int division — deterministic.
+    )
+
+  /** The approximate methods the recall harness evaluates (all return
+    * ranked rows with an `rn` column, truncated to @3 here). */
+  private val recallMethods = Seq("lsh" -> "q_ann_lsh", "ivf" -> "q_ann_ivf",
+    "ivf_multiprobe" -> "q_ann_ivf_multiprobe")
+
+  /** ANN recall evaluation: every approximate method vs the brute-force
+    * ground truth. The evaluation loop an ANN deployment actually needs:
+    * recall@3 per (method, query). All sides are the REGISTERED queries
+    * (so the evaluation measures exactly what ships) and the oracle
+    * composes those queries' own oracle texts verbatim as derived
+    * tables — no second formulation to drift. Zero-hit method/query
+    * combos keep a row via the grid left join; counts are integers and
+    * the recall is one int/int division — deterministic. */
+  private val recallQuery: Q = {
+    def oracleOf(name: String) = baseQueries.find(_.name == name).get.oracle.get
+    val methodSql = recallMethods
+      .map { case (m, qn) =>
+        s"SELECT '$m' AS method, query_id, cand_id FROM (${oracleOf(qn)}) WHERE rn <= 3"
+      }
+      .mkString("\n  UNION ALL ")
     Q(
       "q_ann_recall",
       s"""WITH ex AS (
-        |  SELECT query_id, cand_id FROM ($topkOracleSql) WHERE rn <= 3
-        |), ls AS (
-        |  SELECT query_id, cand_id FROM ($lshOracleSql)
+        |  SELECT query_id, cand_id FROM (${oracleOf("q_ann_topk")}) WHERE rn <= 3
+        |), apx AS (
+        |  $methodSql
         |), hits AS (
-        |  SELECT ls.query_id, count(*) AS n_hit
-        |  FROM ls JOIN ex ON ls.query_id = ex.query_id AND ls.cand_id = ex.cand_id
-        |  GROUP BY ls.query_id
+        |  SELECT method, apx.query_id, count(*) AS n_hit
+        |  FROM apx JOIN ex ON apx.query_id = ex.query_id AND apx.cand_id = ex.cand_id
+        |  GROUP BY method, apx.query_id
         |)
-        |SELECT q.query_id, coalesce(n_hit, 0) AS n_hit,
+        |SELECT g.method, g.query_id, coalesce(n_hit, 0) AS n_hit,
         |  CAST(coalesce(n_hit, 0) AS DOUBLE) / 3 AS recall_at_3
-        |FROM (SELECT DISTINCT query_id FROM ex) q
-        |LEFT JOIN hits ON q.query_id = hits.query_id""".stripMargin) { (s, dir) =>
-      val ex = graft.SparkEntry.queries("q_ann_topk")(s, dir)
-        .filter(col("rn") <= 3).select(col("query_id"), col("cand_id"))
-      val ls = graft.SparkEntry.queries("q_ann_lsh")(s, dir)
-        .select(col("query_id"), col("cand_id"))
-      val hits = ls.join(ex, Seq("query_id", "cand_id"), "left_semi")
-        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
-      ex.select(col("query_id")).distinct()
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-          (coalesce(col("n_hit"), lit(0L)).cast("double") / 3).as("recall_at_3"))
-    })
+        |FROM (SELECT method, query_id
+        |      FROM (SELECT DISTINCT query_id FROM ex)
+        |      CROSS JOIN (VALUES ('lsh'), ('ivf'), ('ivf_multiprobe')) m(method)) g
+        |LEFT JOIN hits ON g.method = hits.method AND g.query_id = hits.query_id""".stripMargin) {
+      (s, dir) =>
+        val ex = graft.SparkEntry.queries("q_ann_topk")(s, dir)
+          .filter(col("rn") <= 3).select(col("query_id"), col("cand_id"))
+        val apx = recallMethods
+          .map { case (m, qn) =>
+            graft.SparkEntry.queries(qn)(s, dir)
+              .filter(col("rn") <= 3)
+              .select(lit(m).as("method"), col("query_id"), col("cand_id"))
+          }
+          .reduce(_.unionByName(_))
+        val hits = apx.join(ex, Seq("query_id", "cand_id"), "left_semi")
+          .groupBy(col("method"), col("query_id")).agg(count(lit(1)).as("n_hit"))
+        import s.implicits._
+        val grid = ex.select(col("query_id")).distinct()
+          .crossJoin(recallMethods.map(_._1).toDF("method"))
+        grid
+          .join(hits, Seq("method", "query_id"), "left")
+          .select(col("method"), col("query_id"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") / 3).as("recall_at_3"))
+    }
+  }
+
+  val queries: Seq[Q] = baseQueries :+ recallQuery
 
   /** Shared SemDeDup machinery: the per-vector cell assignment (scoped-
     * persisted — it feeds both pair sides and the caller's final join)
