@@ -77,7 +77,10 @@ object TpchShapes {
         .agg(min(col("cost")).as("mincost"))
       t(s, dir, "part").filter(col("p_size").isin(5, 15, 25, 35, 45) && col("p_type") === "LARGE")
         .join(eur, col("p_partkey") === col("l_partkey"))
-        .join(broadcast(minc),
+        // UNHINTED: min-per-part grows with |part x supplier| — a forced
+        // broadcast here is the O(data) hint class round 7 removed; AQE
+        // still broadcasts it at small scale from observed sizes
+        .join(minc,
           col("p_partkey") === col("m_part") && col("cost") === col("mincost"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("p_name"), col("cost"))
