@@ -53,6 +53,10 @@ object GraftRuntime {
       (children: Seq[Expression]) => MinHashAgg(children(0), children(1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mg_agg",
+      (children: Seq[Expression]) => MisraGriesAgg(children(0), children(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dec_cast",
       (children: Seq[Expression]) => FastDecimalCast(
         children(0),
