@@ -53,8 +53,40 @@ object GraftRuntime {
       (children: Seq[Expression]) => MinHashAgg(children(0), children(1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "marker_scores",
+      (children: Seq[Expression]) => MarkerScores(
+        children.head,
+        children.tail.map { e =>
+          if (!e.foldable ||
+            e.dataType != org.apache.spark.sql.types.StringType ||
+            e.eval() == null)
+            throw new IllegalArgumentException(
+              "marker_scores word sets must be non-null string literals " +
+                s"('w1,w2,...'), got ${e.sql}")
+          e.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+            .toString.split(",").toSeq
+        }),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mg_agg",
       (children: Seq[Expression]) => MisraGriesAgg(children(0), children(1)),
+      "built-in")
+    // Spark's own runtime-filter bloom expressions (public catalyst
+    // classes, not exposed as SQL functions by default): bloom_agg
+    // builds a BinaryType bloom from a BIGINT stream; might_contain
+    // probes it. The bloom side of might_contain must be a constant or
+    // scalar subquery (Spark's check), i.e. `(SELECT b FROM bf)`.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_agg",
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "might_contain",
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dec_cast",

@@ -115,6 +115,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
       (children: Seq[Expression]) => MinHashAgg(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("mg_agg"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "mg_agg"),
+      (children: Seq[Expression]) => MisraGriesAgg(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("marker_scores"),
       new ExpressionInfo(classOf[MarkerScores].getName, "marker_scores"),
       (children: Seq[Expression]) => MarkerScores(

@@ -30,6 +30,12 @@ object Curation {
   private val tokens = "split(trim(text), '\\\\s+')"
   private val duckTokens = raw"regexp_split_to_array(trim(text), '\s+')"
 
+  /** Word-3-gram shingle set (the codegen'd [[graft.functions.Shingles]]
+    * expression; same pair as Dedup.scala). */
+  private val sparkShingles = "shingles(w, 3)"
+  private val duckShingles =
+    "list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
+
   /** MG capacity: every token with freq > n/(K_MG+1) is guaranteed in the
     * candidate set; the final exact filter keeps freq > n/K_MG, safely
     * inside the guarantee for any data distribution. */
@@ -68,5 +74,221 @@ object Curation {
         .crossJoin(broadcast(n))
         .filter(col("cnt") * K_MG > col("n_tok"))
         .select(col("t"), col("cnt"))
+    },
+
+    // ---- incremental dedup: vet an INCOMING batch against the corpus -------
+    // The production shape: the existing corpus is already deduplicated;
+    // only the new batch (here the deterministic doc_id % 5 = 0 slice)
+    // needs vetting, and it must NEVER re-pair existing docs with each
+    // other. Exact duplicates via fingerprint equi-join; near-dups via
+    // the same inverted-index shape as q_dedup_ngram_jaccard but with
+    // the incoming slice as the probe side — candidates are only
+    // (incoming, existing) pairs sharing a shingle hash, never
+    // incoming x existing. At web scale the existing postings are the
+    // big side and the per-shingle fan-out is bounded by the hot-shingle
+    // cap knob (Dedup.ngramJaccardPairs maxDf); uncapped here so the
+    // DuckDB oracle is exact. Jaccard division is per-pair IEEE double
+    // (bit-identical cross-engine); max() is selection, not accumulation.
+    Q(
+      "q_dedup_incremental",
+      raw"""WITH tok AS (
+        |  SELECT doc_id, lang, $duckTokens AS w FROM documents
+        |), sh0 AS (
+        |  SELECT doc_id, lang, $duckShingles AS l FROM tok WHERE len(w) >= 3
+        |), sh AS (
+        |  SELECT doc_id, lang, len(l) AS n_sh, unnest(l) AS s FROM sh0
+        |), pairs AS (
+        |  SELECT i.doc_id AS id_i, e.doc_id AS id_e,
+        |    any_value(i.n_sh) AS n_a, any_value(e.n_sh) AS n_b, count(*) AS i
+        |  FROM sh i JOIN sh e ON i.s = e.s AND i.lang = e.lang
+        |  WHERE i.doc_id % 5 = 0 AND e.doc_id % 5 <> 0
+        |  GROUP BY 1, 2
+        |), best AS (
+        |  SELECT id_i, max(CAST(i AS DOUBLE) / (n_a + n_b - i)) AS max_jaccard
+        |  FROM pairs GROUP BY id_i
+        |), fps AS (
+        |  SELECT doc_id, ${duck("lower(text)")} AS fp FROM documents
+        |), dup AS (
+        |  SELECT DISTINCT i.doc_id FROM fps i JOIN fps e
+        |  ON i.fp = e.fp AND i.doc_id % 5 = 0 AND e.doc_id % 5 <> 0
+        |)
+        |SELECT d.doc_id,
+        |  CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup_exact,
+        |  coalesce(best.max_jaccard, 0.0) AS max_jaccard,
+        |  CASE WHEN dup.doc_id IS NULL AND coalesce(best.max_jaccard, 0.0) < 0.5
+        |       THEN 1 ELSE 0 END AS kept
+        |FROM documents d
+        |LEFT JOIN best ON d.doc_id = best.id_i
+        |LEFT JOIN dup ON d.doc_id = dup.doc_id
+        |WHERE d.doc_id % 5 = 0""") { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val ex = docs
+        .select(col("doc_id"), col("lang"), expr(tokens).as("w"))
+        .filter(expr("size(w) >= 3"))
+        .select(col("doc_id"), col("lang"), expr(s"$sparkShingles").as("sh"))
+        .select(
+          col("doc_id"), col("lang"), expr("size(sh)").as("n_sh"),
+          explode(col("sh")).as("s"))
+        .select(col("doc_id"), col("lang"), col("n_sh"), xxhash64(col("s")).as("v"))
+      val best = ex.filter(col("doc_id") % 5 === 0).as("a")
+        .join(
+          ex.filter(col("doc_id") % 5 =!= 0).as("b"),
+          expr("a.v = b.v AND a.lang = b.lang"))
+        .groupBy(col("a.doc_id").as("id_i"), col("b.doc_id").as("id_e"))
+        .agg(
+          first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"),
+          count(lit(1)).as("i"))
+        .groupBy(col("id_i"))
+        .agg(max(expr("cast(i as double) / (n_a + n_b - i)")).as("max_jaccard"))
+      val fps = docs.select(col("doc_id"), expr(h("lower(text)")).as("fp"))
+      val dupHit = fps.filter(col("doc_id") % 5 === 0)
+        .join(
+          fps.filter(col("doc_id") % 5 =!= 0).select(col("fp")).distinct()
+            .withColumn("hit", lit(1)),
+          Seq("fp"), "left")
+        .select(col("doc_id"), col("hit"))
+      docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+        .join(best, col("doc_id") === col("id_i"), "left")
+        .join(dupHit, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          when(col("hit").isNotNull, 1).otherwise(0).as("dup_exact"),
+          coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
+          when(col("hit").isNull && coalesce(col("max_jaccard"), lit(0.0)) < 0.5, 1)
+            .otherwise(0).as("kept"))
+    },
+
+    // ---- source-level curation: drop whole domains below the bar -----------
+    // The CCNet/RefinedWeb move: per-doc quality (the shared stopword
+    // gate from TextAnalysis) aggregates up to the source/domain, and a
+    // source whose keep-fraction is below threshold is dropped wholesale.
+    // Pure map stage + one tiny aggregate (|sources| rows) — nothing
+    // about this plan changes at 100 TB. The mean stopword ratio is a
+    // float aggregate, so it accumulates in DECIMAL (dec_cast per row,
+    // fixed-scale sum) and surfaces as DOUBLE on both engines.
+    Q(
+      "q_source_curation",
+      raw"""WITH per AS (
+        |  SELECT source,
+        |    CASE WHEN len(w) >= 10
+        |          AND CAST(len(list_filter(w, t -> t IN ('the','a','of','and','is'))) AS DOUBLE) / len(w) >= 0.01
+        |         THEN 1 ELSE 0 END AS keep,
+        |    CAST(CAST(len(list_filter(w, t -> t IN ('the','a','of','and','is'))) AS DOUBLE) / len(w)
+        |         AS DECIMAL(18,12)) AS sr_dec
+        |  FROM (SELECT source, $duckTokens AS w FROM documents)
+        |)
+        |SELECT source, count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_keep,
+        |  CAST(sum(keep) AS DOUBLE) / count(*) AS keep_frac,
+        |  CAST(CAST(sum(sr_dec) AS DECIMAL(28,12)) AS DOUBLE) / count(*) AS mean_stop,
+        |  CASE WHEN CAST(sum(keep) AS DOUBLE) / count(*) >= 0.9
+        |       THEN 'keep' ELSE 'drop' END AS verdict
+        |FROM per GROUP BY source""") { (s, dir) =>
+      Tables(s, dir, "documents")
+        // one codegen'd pass: token total + stopword count (the shared
+        // English gate set) — marker_scores is variadic, one set suffices
+        .select(col("source"), expr(s"marker_scores($tokens, 'the,a,of,and,is')").as("ms"))
+        .select(
+          col("source"),
+          expr("case when ms.total >= 10 and cast(ms.c0 as double) / ms.total >= 0.01 then 1 else 0 end").as("keep"),
+          expr("dec_cast(cast(ms.c0 as double) / ms.total, 18, 12)").as("sr_dec"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("keep")).cast("long").as("n_keep"),
+          sum(col("sr_dec")).cast("decimal(28,12)").as("sum_sr"))
+        .select(
+          col("source"), col("n_docs"), col("n_keep"),
+          (col("n_keep").cast("double") / col("n_docs")).as("keep_frac"),
+          (col("sum_sr").cast("double") / col("n_docs")).as("mean_stop"),
+          when(col("n_keep").cast("double") / col("n_docs") >= 0.9, "keep")
+            .otherwise("drop").as("verdict"))
+    },
+
+    // ---- bloom-gated decontamination ---------------------------------------
+    // Same semantics (and oracle) as q_decontaminate, different scale
+    // path: instead of broadcasting the eval 5-gram HASH SET, the eval
+    // side collapses to a Spark BloomFilter (bloom_agg — the engine's
+    // own runtime-filter sketch) evaluated as a scalar subquery, and the
+    // corpus stream is pre-filtered by might_contain BEFORE the join.
+    // When the eval/reference set is too large for a broadcast hash
+    // relation (~100M n-grams = GBs as a hash set, MBs as a bloom), this
+    // is the shape that survives: the exact confirm join then runs over
+    // only the bloom survivors, so the join input is a few false
+    // positives away from the final answer. The confirm join is left
+    // UNHINTED — the result stays exact whatever the FP rate, which is
+    // why the q_decontaminate oracle must agree row-for-row.
+    Q(
+      "q_decontaminate_bloom",
+      raw"""WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w)-4),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS s
+        |  FROM tok WHERE len(w) >= 5
+        |), ev AS (
+        |  SELECT DISTINCT s FROM sh WHERE doc_id % 29 = 0
+        |)
+        |SELECT sh.doc_id, count(*) AS n_overlap
+        |FROM sh JOIN ev USING (s)
+        |WHERE sh.doc_id % 29 <> 0
+        |GROUP BY sh.doc_id""") { (s, dir) =>
+      graft.io.Tables.registerAll(s, dir)
+      s.sql(s"""
+        |WITH sh AS (
+        |  SELECT doc_id, xxhash64(sv) AS v
+        |  FROM (SELECT doc_id, explode(shingles(w, 5)) AS sv
+        |        FROM (SELECT doc_id, $tokens AS w FROM documents)
+        |        WHERE size(w) >= 5)
+        |), ev AS (
+        |  SELECT DISTINCT v FROM sh WHERE doc_id % 29 = 0
+        |), bf AS (
+        |  SELECT bloom_agg(v, 100000L, 800000L) AS b FROM ev
+        |)
+        |SELECT c.doc_id, count(*) AS n_overlap
+        |FROM (SELECT doc_id, v FROM sh
+        |      WHERE doc_id % 29 <> 0 AND might_contain((SELECT b FROM bf), v)) c
+        |JOIN ev USING (v)
+        |GROUP BY c.doc_id""".stripMargin)
+    },
+
+    // ---- Achlioptas +-1 random projection: 64-d -> 16-d --------------------
+    // The cheap deterministic dimensionality reduction before clustering
+    // / coarse ANN (Achlioptas 2003: +-1 entries preserve pairwise
+    // distances in expectation like Gaussian projections). The sign
+    // matrix is derived from CrossHash at PLAN time, so each output dim
+    // is one codegen'd 64-term double sum in fixed left-fold order — a
+    // pure map stage, zero shuffles, with the identical +-1 literals
+    // baked into the DuckDB oracle text. Per-ROW IEEE double arithmetic
+    // in a pinned order is bit-identical cross-engine (the proven LSH
+    // hyperplane pattern in Similarity); a DECIMAL(_,12) snap would
+    // actually BREAK here — with +-1 signs the "product" is the raw
+    // float, whose short mantissa makes decimal half-ties likely, and
+    // the two engines break ties differently.
+    Q(
+      "q_random_projection", {
+        val dims = rpSigns.zipWithIndex.map { case (signs, k) =>
+          val lst = signs.mkString("[", ", ", "]")
+          s"""list_reduce(list_transform(generate_series(1, 64),
+             |    i -> CAST(($lst)[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+             |  (x, y) -> x + y) AS p$k""".stripMargin
+        }.mkString(",\n  ")
+        s"SELECT vec_id,\n  $dims\nFROM embeddings"
+      }) { (s, dir) =>
+      val cols = rpSigns.zipWithIndex.map { case (signs, k) =>
+        signs.zipWithIndex.map { case (w, i) =>
+          lit(w) * element_at(col("embedding"), i + 1).cast("double")
+        }.reduceLeft(_ + _).as(s"p$k")
+      }
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id") +: cols: _*)
     })
+
+  /** 16×64 ±1 projection matrix, a pure function of [[CrossHash]] — the
+    * same plan-time-constant trick as the LSH hyperplanes in
+    * [[Similarity]], so both engines see literally the same weights. */
+  private lazy val rpSigns: IndexedSeq[IndexedSeq[Double]] =
+    (0 until 16).map { k =>
+      (1 to 64).map(i =>
+        if (graft.functions.CrossHash.local(s"rp#$k#$i") % 2 == 0) 1.0 else -1.0)
+    }
 }

@@ -110,10 +110,12 @@ class PlanShapeSpec extends SparkSpec {
       case Project(_, c)       => stripTop(c)
       case SubqueryAlias(_, c) => stripTop(c)
       case f: Filter           => stripTop(f.child)
+      case g: Generate         => stripTop(g.child) // explode of a bounded array
       case other               => other
     }
     val gated = Seq("q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_ann_kmeans",
-      "q_ann_ivf_multiprobe", "q_pipeline_filter", "q_dedup_ngram_capped")
+      "q_ann_ivf_multiprobe", "q_pipeline_filter", "q_dedup_ngram_capped",
+      "q_heavy_hitters")
     for (name <- gated) {
       val plan = SparkEntry.queries(name)(spark, sf()).queryExecution.analyzed
       val hinted = plan.collect { case h: ResolvedHint if h.hints.strategy.isDefined => h.child }
@@ -127,7 +129,16 @@ class PlanShapeSpec extends SparkSpec {
             a.groupingExpressions.flatMap(_.references.map(_.name)) == Seq("cell")
           case _ => false
         }
-        assert(fixedK || trainedCentroids,
+        // a GLOBAL aggregate (no grouping keys) is one row by
+        // construction, and exploding its bounded array output keeps it
+        // bounded — the MG candidate set (<= k entries) is this shape;
+        // stripTop (not collect) so a corpus-sized frame that merely
+        // CONTAINS a global agg somewhere beneath does not sneak through
+        val globalAgg = stripTop(sub) match {
+          case a: Aggregate => a.groupingExpressions.isEmpty
+          case _ => false
+        }
+        assert(fixedK || trainedCentroids || globalAgg,
           s"$name force-broadcasts a frame that grows with the corpus:\n$sub")
       }
     }
@@ -335,5 +346,44 @@ class PlanShapeSpec extends SparkSpec {
     val p = planOf("q_stats_moments")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
       s"moments must be a single groupBy pass:\n$p")
+  }
+
+  test("q_heavy_hitters: MG sketch has map-side partials; candidates broadcast back") {
+    val p = planOf("q_heavy_hitters")
+    // partial + final ObjectHashAggregate around the single k-counter
+    // shuffle — the map-side MG summary is the whole point
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"MG aggregate must have map-side partials:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "candidate join-back should broadcast <= k rows")
+    assert(!p.contains("SortAggregate"), s"no sort fallback expected on a global MG key:\n$p")
+  }
+
+  test("q_random_projection: pure map stage, zero exchanges, pruned scan") {
+    val p = planOf("q_random_projection")
+    assert(!p.contains("Exchange"), s"projection must not shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+      "projection should read only vec_id + embedding")
+  }
+
+  test("q_source_curation: one tiny aggregate over a map stage") {
+    val p = planOf("q_source_curation")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"source rollup must shuffle once on source:\n$p")
+    assert(!p.contains("SortAggregate"), s"quality rollup must stay hash-based:\n$p")
+  }
+
+  test("q_decontaminate_bloom: bloom prefilter sits under the confirm join") {
+    val p = planOf("q_decontaminate_bloom")
+    // the probe must be a FILTER on the corpus stream (map-side, below
+    // the confirm join), not a post-join residual; string positions
+    // because AdaptiveSparkPlanExec does not expose its subtree to
+    // collect() before execution: a tree prints parents BEFORE their
+    // children, so the confirm join must appear before the filter
+    val fi = p.indexOf("Filter might_contain")
+    assert(fi >= 0, s"might_contain must be a map-side Filter operator:\n$p")
+    val ji = p.indexOf("Join")
+    assert(ji >= 0 && ji < fi, s"bloom filter must run below the confirm join:\n$p")
+    // the bloom itself is a scalar subquery over the DISTINCT eval set
+    assert(p.contains("bloom_filter_agg"), s"bloom build missing:\n$p")
   }
 }
