@@ -66,4 +66,16 @@ class PropertySpec extends SparkSpec {
     graft.adapters.Adapters.inputs.values.flatMap(_.meta.params).foreach(p =>
       assert(doc.contains(s"`${p.name}`"), s"missing param ${p.name}"))
   }
+
+  test("docs/queries.md matches the live query registry (QueryCatalog render)") {
+    // loads QueryCatalog, whose own require() refuses an out-of-sync
+    // module list; comparing against the committed file then catches the
+    // other failure mode — a new query registered without re-rendering
+    val rendered = graft.runner.QueryCatalog.render()
+    val onDisk = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("docs/queries.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(onDisk == rendered,
+      "docs/queries.md is stale - run `sbt \"runMain graft.runner.QueryCatalog\"`")
+  }
 }
