@@ -32,6 +32,99 @@ import org.apache.spark.unsafe.types.UTF8String
   * Nulls are skipped. `eval` returns `array<struct<t,lb>>` sorted by
   * (weight desc, token asc) so the output is deterministic.
   */
+/** The algorithm itself, shared between the batch aggregate and the
+  * streaming sharded processor ([[graft.streaming.Streams]]): one
+  * implementation of update/merge/prune/serialize, two execution
+  * surfaces. */
+object MisraGries {
+
+  /** Classic MG ingest of one item. */
+  def ingest(buf: java.util.HashMap[String, Long], t: String, k: Int): Unit = {
+    val cur: Long = buf.get(t) // absent unboxes to 0L; live weights >= 1
+    if (cur != 0L) buf.put(t, cur + 1L)
+    else if (buf.size < k) buf.put(t, 1L)
+    else {
+      // a full table + a new item cancels one unit of every counter
+      // (amortized O(1): each decrement is paid for by a prior increment)
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+      }
+    }
+  }
+
+  /** Merge `b2` into `b1` and re-prune to `k` (Agarwal et al. 2013):
+    * subtract the (k+1)-th largest weight from every counter and drop
+    * the non-positive ones — keeps the n/(k+1) undercount bound
+    * additive across merges. */
+  def merge(
+      b1: java.util.HashMap[String, Long],
+      b2: java.util.HashMap[String, Long],
+      k: Int): java.util.HashMap[String, Long] = {
+    val addIt = b2.entrySet().iterator()
+    while (addIt.hasNext) {
+      val e = addIt.next()
+      val old: Long = b1.get(e.getKey)
+      b1.put(e.getKey, old + e.getValue)
+    }
+    if (b1.size > k) {
+      val ws = new Array[Long](b1.size)
+      var i = 0
+      val vit = b1.values().iterator()
+      while (vit.hasNext) { ws(i) = vit.next(); i += 1 }
+      java.util.Arrays.sort(ws)
+      val cut = ws(ws.length - (k + 1)) // (k+1)-th largest
+      val it = b1.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue <= cut) it.remove() else e.setValue(e.getValue - cut)
+      }
+    }
+    b1
+  }
+
+  /** Deterministic (weight desc, token asc) ordering of the summary. */
+  def sorted(buf: java.util.HashMap[String, Long]): Array[(String, Long)] = {
+    val entries = new Array[(String, Long)](buf.size)
+    var i = 0
+    buf.forEach((t, c) => { entries(i) = (t, c); i += 1 })
+    scala.util.Sorting.stableSort(
+      entries, (a: (String, Long), b: (String, Long)) =>
+        a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+    entries
+  }
+
+  def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
+    var bytes = 4
+    val items = new java.util.ArrayList[(Array[Byte], Long)](buf.size)
+    buf.forEach((t, c) => {
+      val b = t.getBytes(StandardCharsets.UTF_8)
+      items.add((b, c))
+      bytes += 4 + b.length + 8
+    })
+    val bb = ByteBuffer.allocate(bytes)
+    bb.putInt(items.size)
+    items.forEach { case (b, c) => bb.putInt(b.length); bb.put(b); bb.putLong(c) }
+    bb.array()
+  }
+
+  def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val m = new java.util.HashMap[String, Long](n * 2)
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val b = new Array[Byte](len)
+      bb.get(b)
+      m.put(new String(b, StandardCharsets.UTF_8), bb.getLong)
+      i += 1
+    }
+    m
+  }
+}
+
 case class MisraGriesAgg(
     child: Expression,
     kExpr: Expression,
@@ -59,95 +152,25 @@ case class MisraGriesAgg(
       buf: java.util.HashMap[String, Long],
       input: InternalRow): java.util.HashMap[String, Long] = {
     val v = child.eval(input)
-    if (v != null) {
-      val t = v.asInstanceOf[UTF8String].toString
-      val cur = buf.get(t)
-      if (cur != 0L || buf.containsKey(t)) buf.put(t, cur + 1L)
-      else if (buf.size < k) buf.put(t, 1L)
-      else {
-        // classic MG step: a full table + a new item cancels one unit of
-        // every counter (amortized O(1): each decrement is paid for by a
-        // prior increment)
-        val it = buf.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
-        }
-      }
-    }
+    if (v != null) MisraGries.ingest(buf, v.asInstanceOf[UTF8String].toString, k)
     buf
   }
 
   override def merge(
       b1: java.util.HashMap[String, Long],
-      b2: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] = {
-    val addIt = b2.entrySet().iterator()
-    while (addIt.hasNext) {
-      val e = addIt.next()
-      // absent key unboxes to 0L (BoxesRunTime.unboxToLong(null)); live
-      // weights are always >= 1 so 0 is unambiguous
-      val old: Long = b1.get(e.getKey)
-      b1.put(e.getKey, old + e.getValue)
-    }
-    if (b1.size > k) {
-      // subtract the (k+1)-th largest weight from every counter and drop
-      // the non-positive ones — the mergeable-summaries prune that keeps
-      // the n/(k+1) undercount bound additive across merges
-      val ws = new Array[Long](b1.size)
-      var i = 0
-      val vit = b1.values().iterator()
-      while (vit.hasNext) { ws(i) = vit.next(); i += 1 }
-      java.util.Arrays.sort(ws)
-      val cut = ws(ws.length - (k + 1)) // (k+1)-th largest
-      val it = b1.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        if (e.getValue <= cut) it.remove() else e.setValue(e.getValue - cut)
-      }
-    }
-    b1
-  }
+      b2: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] =
+    MisraGries.merge(b1, b2, k)
 
-  override def eval(buf: java.util.HashMap[String, Long]): Any = {
-    val entries = new Array[(String, Long)](buf.size)
-    var i = 0
-    buf.forEach((t, c) => { entries(i) = (t, c); i += 1 })
-    scala.util.Sorting.stableSort(
-      entries, (a: (String, Long), b: (String, Long)) =>
-        a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
-    new GenericArrayData(entries.map { case (t, c) =>
+  override def eval(buf: java.util.HashMap[String, Long]): Any =
+    new GenericArrayData(MisraGries.sorted(buf).map { case (t, c) =>
       InternalRow(UTF8String.fromString(t), c)
     }.asInstanceOf[Array[Any]])
-  }
 
-  override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
-    var bytes = 4
-    val items = new java.util.ArrayList[(Array[Byte], Long)](buf.size)
-    buf.forEach((t, c) => {
-      val b = t.getBytes(StandardCharsets.UTF_8)
-      items.add((b, c))
-      bytes += 4 + b.length + 8
-    })
-    val bb = ByteBuffer.allocate(bytes)
-    bb.putInt(items.size)
-    items.forEach { case (b, c) => bb.putInt(b.length); bb.put(b); bb.putLong(c) }
-    bb.array()
-  }
+  override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] =
+    MisraGries.serialize(buf)
 
-  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Long] = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val m = new java.util.HashMap[String, Long](n * 2)
-    var i = 0
-    while (i < n) {
-      val len = bb.getInt
-      val b = new Array[Byte](len)
-      bb.get(b)
-      m.put(new String(b, StandardCharsets.UTF_8), bb.getLong)
-      i += 1
-    }
-    m
-  }
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Long] =
+    MisraGries.deserialize(bytes)
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("t", StringType), StructField("lb", LongType))),

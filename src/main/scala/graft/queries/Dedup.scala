@@ -293,6 +293,60 @@ object Dedup {
     labels
   }
 
+  /** Oracle texts shared with `q_dedup_lsh_recall`, which embeds them as
+    * derived tables — one formulation, no drift (the q_ann_recall
+    * pattern). */
+  private[queries] val minhashLshOracle: String =
+    raw"""WITH tok AS (
+      |  SELECT doc_id, $duckTokens AS w FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_transform($duckShingles, s -> ${duck("s")}) AS hsh
+      |  FROM tok WHERE len(w) >= 3
+      |), mh AS (
+      |  SELECT doc_id, hsh,
+      |    list_transform(
+      |      list_transform(generate_series(0, 15), i -> ${duck("'seed#' || i::VARCHAR")}),
+      |      sd -> list_min(list_transform(hsh, v -> xor(v, sd)))) AS sig
+      |  FROM sh
+      |), bands AS (
+      |  SELECT doc_id, b,
+      |    md5(sig[b*4+1]::VARCHAR || ',' || sig[b*4+2]::VARCHAR || ',' ||
+      |        sig[b*4+3]::VARCHAR || ',' || sig[b*4+4]::VARCHAR) AS bk
+      |  FROM mh, unnest(generate_series(0, 3)) AS t(b)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      |  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id
+      |)
+      |SELECT id_a, id_b,
+      |  CAST(len(list_intersect(x.hsh, y.hsh)) AS DOUBLE) /
+      |  len(list_distinct(x.hsh || y.hsh)) AS jaccard
+      |FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+      |WHERE CAST(len(list_intersect(x.hsh, y.hsh)) AS DOUBLE) /
+      |      len(list_distinct(x.hsh || y.hsh)) >= 0.5""".stripMargin
+
+  private[queries] val simhashOracle: String = {
+    // token hashes computed once, reused across all 60 bits
+    val duckSim =
+      """list_sum(list_transform(generate_series(0, 59), b ->
+         |  CASE WHEN list_sum(list_transform(hs, v ->
+         |    CASE WHEN ((v >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+         |  THEN (1::BIGINT << b) ELSE 0 END))::BIGINT""".stripMargin
+    raw"""WITH sh AS (
+      |  SELECT doc_id, $duckSim AS simhash
+      |  FROM (SELECT doc_id, list_transform($duckTokens, t -> ${duck("t")}) AS hs
+      |        FROM documents)
+      |), bands AS (
+      |  SELECT doc_id, simhash, b, (simhash >> (b*15)) & 32767 AS bk
+      |  FROM sh, unnest(generate_series(0, 3)) AS t(b)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sim_a,
+      |                  c.doc_id AS id_b, c.simhash AS sim_b
+      |  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id
+      |)
+      |SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+      |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 5""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- exact dedup: hash-groupBy, keep lowest doc_id ---------------------
@@ -316,32 +370,7 @@ object Dedup {
     // into the per-seed lambda (CollapseProject), i.e. 16 md5s/shingle.
     Q(
       "q_dedup_minhash_lsh",
-      raw"""WITH tok AS (
-        |  SELECT doc_id, $duckTokens AS w FROM documents
-        |), sh AS (
-        |  SELECT doc_id, list_transform($duckShingles, s -> ${duck("s")}) AS hsh
-        |  FROM tok WHERE len(w) >= 3
-        |), mh AS (
-        |  SELECT doc_id, hsh,
-        |    list_transform(
-        |      list_transform(generate_series(0, 15), i -> ${duck("'seed#' || i::VARCHAR")}),
-        |      sd -> list_min(list_transform(hsh, v -> xor(v, sd)))) AS sig
-        |  FROM sh
-        |), bands AS (
-        |  SELECT doc_id, b,
-        |    md5(sig[b*4+1]::VARCHAR || ',' || sig[b*4+2]::VARCHAR || ',' ||
-        |        sig[b*4+3]::VARCHAR || ',' || sig[b*4+4]::VARCHAR) AS bk
-        |  FROM mh, unnest(generate_series(0, 3)) AS t(b)
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-        |  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id
-        |)
-        |SELECT id_a, id_b,
-        |  CAST(len(list_intersect(x.hsh, y.hsh)) AS DOUBLE) /
-        |  len(list_distinct(x.hsh || y.hsh)) AS jaccard
-        |FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
-        |WHERE CAST(len(list_intersect(x.hsh, y.hsh)) AS DOUBLE) /
-        |      len(list_distinct(x.hsh || y.hsh)) >= 0.5""") { (s, dir) =>
+      minhashLshOracle) { (s, dir) =>
       val seeds = (0 until 16).map(i => graft.functions.CrossHash.local(s"seed#$i"))
       // the shingle set feeds three plan branches (signatures + both
       // sides of the candidate verify); persist materializes the
@@ -393,28 +422,8 @@ object Dedup {
 
     // ---- SimHash signatures + band-blocked hamming pairs -------------------
     Q(
-      "q_dedup_simhash", {
-        // token hashes computed once, reused across all 60 bits
-        val duckSim =
-          """list_sum(list_transform(generate_series(0, 59), b ->
-             |  CASE WHEN list_sum(list_transform(hs, v ->
-             |    CASE WHEN ((v >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
-             |  THEN (1::BIGINT << b) ELSE 0 END))::BIGINT""".stripMargin
-        raw"""WITH sh AS (
-          |  SELECT doc_id, $duckSim AS simhash
-          |  FROM (SELECT doc_id, list_transform($duckTokens, t -> ${duck("t")}) AS hs
-          |        FROM documents)
-          |), bands AS (
-          |  SELECT doc_id, simhash, b, (simhash >> (b*15)) & 32767 AS bk
-          |  FROM sh, unnest(generate_series(0, 3)) AS t(b)
-          |), cand AS (
-          |  SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sim_a,
-          |                  c.doc_id AS id_b, c.simhash AS sim_b
-          |  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id
-          |)
-          |SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
-          |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 5""".stripMargin
-      }) { (s, dir) =>
+      "q_dedup_simhash",
+      simhashOracle) { (s, dir) =>
       // explode + ONE typed imperative aggregate: each token is hashed
       // once (flat codegen'd projection) and [[graft.functions.SimHashAgg]]
       // folds all 60 bit-counters in a single int[60] buffer with
@@ -939,5 +948,89 @@ object Dedup {
         .select(col("vec_id"),
           coalesce(col("label"), col("vec_id")).as("cluster_id"))
         .withColumn("is_keeper", col("vec_id") === col("cluster_id"))
+    },
+
+    // ---- dedup recall/precision harness ------------------------------------
+    // "Measure, don't guess" for the near-dup family: ground truth is
+    // the EXACT jaccard >= 0.5 pair set (inverted-index join — exact
+    // because any pair at j > 0 shares a shingle; no lang blocking, to
+    // match the minhash pipeline's pairing rule), and each approximate
+    // method is scored against it. MinHash verifies candidates with the
+    // exact jaccard, so its precision is 1.0 by construction and recall
+    // isolates pure band-miss; SimHash pairs on hamming <= 5, a
+    // DIFFERENT similarity, so both its precision and recall vs the
+    // jaccard truth are informative. The oracle embeds the methods' own
+    // oracle texts as derived tables (the q_ann_recall pattern) — one
+    // formulation per method, nothing to drift.
+    Q(
+      "q_dedup_lsh_recall",
+      raw"""WITH sh0 AS (
+        |  SELECT doc_id, $duckShingles AS shingles
+        |  FROM (SELECT doc_id, $duckTokens AS w FROM documents) WHERE len(w) >= 3
+        |), exx AS (
+        |  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS v FROM sh0
+        |), truth AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b, count(*) AS i
+        |    FROM exx a JOIN exx b ON a.v = b.v AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2)
+        |  WHERE CAST(i AS DOUBLE) / (n_a + n_b - i) >= 0.5
+        |), mh AS (
+        |  SELECT id_a, id_b FROM ($minhashLshOracle)
+        |), sim AS (
+        |  SELECT id_a, id_b FROM ($simhashOracle)
+        |), stats AS (
+        |  SELECT 'minhash_lsh' AS method,
+        |    (SELECT count(*) FROM mh) AS n_found,
+        |    (SELECT count(*) FROM mh JOIN truth USING (id_a, id_b)) AS n_hit
+        |  UNION ALL
+        |  SELECT 'simhash',
+        |    (SELECT count(*) FROM sim),
+        |    (SELECT count(*) FROM sim JOIN truth USING (id_a, id_b))
+        |)
+        |SELECT method, (SELECT count(*) FROM truth) AS n_truth, n_found, n_hit,
+        |  CASE WHEN (SELECT count(*) FROM truth) > 0
+        |       THEN CAST(n_hit AS DOUBLE) / (SELECT count(*) FROM truth) END AS recall,
+        |  CASE WHEN n_found > 0 THEN CAST(n_hit AS DOUBLE) / n_found END AS prec
+        |FROM stats""") { (s, dir) =>
+      val sh = Tables(s, dir, "documents")
+        .select(col("doc_id"), expr(tokens).as("w"))
+        .filter(expr("size(w) >= 3"))
+        .select(col("doc_id"), expr(shingles).as("shingles"))
+      val ex = sh
+        .select(col("doc_id"), expr("size(shingles)").as("n_sh"),
+          explode(col("shingles")).as("s"))
+        .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("v"))
+      // pair set at j >= 0.5 is small; it feeds three branches (count +
+      // two semi-joins), so one scoped persist beats three inverted-
+      // index joins
+      val truth = ex.as("a")
+        .join(ex.as("b"), expr("a.v = b.v and a.doc_id < b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(
+          first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"),
+          count(lit(1)).as("i"))
+        .filter(expr("cast(i as double) / (n_a + n_b - i) >= 0.5"))
+        .select(col("id_a"), col("id_b"))
+        .persistScoped()
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      def statsOf(name: String, qn: String) = {
+        val found = graft.SparkEntry.queries(qn)(s, dir)
+          .select(col("id_a"), col("id_b"))
+        val nf = found.agg(count(lit(1)).as("n_found"))
+        val nh = found.join(truth, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+        nf.crossJoin(nh).select(lit(name).as("method"), col("n_found"), col("n_hit"))
+      }
+      statsOf("minhash_lsh", "q_dedup_minhash_lsh")
+        .unionByName(statsOf("simhash", "q_dedup_simhash"))
+        .crossJoin(broadcast(nTruth))
+        .select(
+          col("method"), col("n_truth"), col("n_found"), col("n_hit"),
+          when(col("n_truth") > 0, col("n_hit").cast("double") / col("n_truth"))
+            .as("recall"),
+          when(col("n_found") > 0, col("n_hit").cast("double") / col("n_found"))
+            .as("prec"))
     })
 }

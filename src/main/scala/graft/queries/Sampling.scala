@@ -67,6 +67,34 @@ object Sampling {
         .agg(count(lit(1)).as("sampled"), min(col("doc_id")).as("min_id"))
     },
 
+    // ---- group-aware (leakage-free) split ----------------------------------
+    // q_train_test_split keys the split on doc_id, which lets two
+    // near-identical docs from the same domain land in train AND test —
+    // the classic eval-leakage path. Keying the hash on the GROUP
+    // (source/domain) puts every doc of a group in the same split BY
+    // CONSTRUCTION: no cross-split leakage via intra-domain duplication,
+    // still a pure map-stage decision reproducible on any engine.
+    Q(
+      "q_group_split",
+      s"""SELECT split, count(DISTINCT source) AS n_sources, count(*) AS n_docs
+        |FROM (SELECT source,
+        |        CASE WHEN ${duck("'g#' || source")} % 100 < 80 THEN 'train'
+        |             WHEN ${duck("'g#' || source")} % 100 < 90 THEN 'val'
+        |             ELSE 'test' END AS split
+        |      FROM documents)
+        |GROUP BY split""") { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(
+          col("source"),
+          expr(s"""CASE WHEN ${h("concat('g#', source)")} % 100 < 80 THEN 'train'
+                  |     WHEN ${h("concat('g#', source)")} % 100 < 90 THEN 'val'
+                  |     ELSE 'test' END""".stripMargin).as("split"))
+        .groupBy(col("split"))
+        .agg(
+          countDistinct(col("source")).as("n_sources"),
+          count(lit(1)).as("n_docs"))
+    },
+
     // ---- data mixing: exact per-source quotas ------------------------------
     // The mixture-recipe operator: take EXACTLY n docs from each source,
     // chosen by content-hash rank so the pick is reproducible across

@@ -279,6 +279,63 @@ object Streams {
     }
   }
 
+  final case class HotToken(shard: Int, t: String, lb: Long)
+
+  /** Sharded streaming Misra–Gries: each shard (token-hash bucket) keeps
+    * ONE O(k) summary in a `ValueState` cell, updated per micro-batch —
+    * the streaming twin of `q_heavy_hitters`, same algorithm object
+    * ([[graft.functions.MisraGries]]). A token lives in exactly one
+    * shard, so each summary covers its shard's full substream and the
+    * per-shard guarantee holds across any batch boundaries: after any
+    * batch, a token with substream frequency > n_shard/(k+1) is present.
+    * Shards bound state at `shards × k` counters TOTAL regardless of
+    * vocabulary size — contrast a per-token counter stream, whose state
+    * grows with the vocabulary. Union-with-prune of the shard summaries
+    * (mergeable summaries) yields the global candidate set. */
+  class MgShardProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Int, (Int, String), HotToken] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[Array[Byte]] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[Array[Byte]](
+        "mg",
+        org.apache.spark.sql.Encoders.BINARY,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Int,
+        rows: Iterator[(Int, String)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[HotToken] = {
+      val buf =
+        if (state.exists()) graft.functions.MisraGries.deserialize(state.get())
+        else new java.util.HashMap[String, Long]()
+      rows.foreach(r => graft.functions.MisraGries.ingest(buf, r._2, k))
+      state.update(graft.functions.MisraGries.serialize(buf))
+      graft.functions.MisraGries.sorted(buf).iterator
+        .map { case (t, lb) => HotToken(key, t, lb) }
+    }
+  }
+
+  /** Streaming heavy-hitter candidates over a text-document stream
+    * (Update mode: each batch re-emits the updated shard summaries). */
+  def hotTokens(docs: DataFrame, k: Int = 16, shards: Int = 8): Dataset[HotToken] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(explode(expr("split(trim(text), '\\\\s+')")).as("t"))
+      .select(
+        (((xxhash64(col("t")) % shards) + shards) % shards).cast("int").as("shard"),
+        col("t"))
+      .as[(Int, String)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new MgShardProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Running per-user stats stream (Update mode). Needs the RocksDB
     * state store provider (set by [[graft.io.Sessions]] for streaming
     * workloads or per query). */

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, max, struct}
+import org.apache.spark.sql.functions.{col, explode, max, split, struct, trim, xxhash64}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.Streams
@@ -293,6 +293,68 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
       assert(last(1L) == ((3L, 7.0)))
       assert(last(2L) == ((1L, 10.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("hotTokens: sharded streaming MG keeps the per-shard guarantee across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val k = 4
+    val mem = MemoryStream[String]
+    // foreachBatch collector: the memory sink in Update mode accumulates
+    // every batch's re-emission, which would let a token evicted by the
+    // final batch pass the "final summary" assertions on its stale row
+    val perBatch = new java.util.concurrent.ConcurrentHashMap[Long, Array[Streams.HotToken]]()
+    val q = Streams.hotTokens(mem.toDF().withColumnRenamed("value", "text"), k = k)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Streams.HotToken], id: Long) =>
+        perBatch.put(id, df.collect()); ()
+      }
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // two batches; the hot token repeats far past any shard's n/(k+1)
+      val batch1 = Seq("hot hot hot cold t1 t2 t3", "hot hot t4 t5 t6 t7")
+      val batch2 = Seq("hot hot hot hot t8 t9 t10 t11 t12", "hot cold t13")
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val lastId = perBatch.keySet().toArray(Array.empty[java.lang.Long]).map(_.longValue).max
+      val finalRows = perBatch.get(lastId)
+      // exact shard assignment + counts over the WHOLE stream, computed
+      // with the same xxhash64 expression the operator uses
+      val exact = (batch1 ++ batch2).toDF("text")
+        .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+        .select((((xxhash64(col("t")) % 8) + 8) % 8).cast("int").as("shard"), col("t"))
+        .groupBy("shard", "t").count()
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      val shardTotals = exact.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+      // per-shard MG guarantee on the cumulative stream: freq > n_s/(k+1)
+      // must be present in that shard's FINAL summary. A shard silent in
+      // the final batch keeps its previous summary — fall back to its
+      // latest emission.
+      val latestByShard: Map[Int, Array[Streams.HotToken]] =
+        perBatch.entrySet().toArray(Array.empty[java.util.Map.Entry[Long, Array[Streams.HotToken]]])
+          .sortBy(_.getKey)
+          .flatMap(e => e.getValue.groupBy(_.shard).toSeq)
+          .groupBy(_._1).map { case (s, vs) => s -> vs.last._2 }
+      for (((s, t), c) <- exact if c * (k + 1) > shardTotals(s))
+        assert(latestByShard(s).exists(_.t == t), s"hot token $t missing from shard $s")
+      // lower-bound property on the final-batch weights vs true counts
+      for (h <- finalRows)
+        assert(h.lb <= exact((h.shard, h.t)), s"weight ${h.lb} exceeds true count for ${h.t}")
+      // the hot token must be found (sanity: the generator made it hot)
+      assert(latestByShard.values.flatten.exists(_.t == "hot"))
     } finally {
       q.stop()
       prev match {
