@@ -376,7 +376,7 @@ final class HadoopTextOutput extends OutputAdapter {
       if (selected.columns.length == 1) selected.select(col(selected.columns.head).cast("string"))
       else selected.select(concat_ws(
         conf.str("delimiter", "\t"),
-        selected.columns.map(c => col(c).cast("string")): _*))
+        selected.columns.toIndexedSeq.map(c => col(c).cast("string")): _*))
     line.write
       .mode("overwrite")
       .option("compression", conf.str("codec", "none"))

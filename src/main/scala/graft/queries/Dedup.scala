@@ -1016,8 +1016,12 @@ object Dedup {
         .persistScoped()
       val nTruth = truth.agg(count(lit(1)).as("n_truth"))
       def statsOf(name: String, qn: String) = {
+        // the pair frame is tiny but its pipeline is not: without the
+        // scoped persist the count branch and the semi-join branch each
+        // recompute the method's tail beyond its last reusable exchange
         val found = graft.SparkEntry.queries(qn)(s, dir)
           .select(col("id_a"), col("id_b"))
+          .persistScoped()
         val nf = found.agg(count(lit(1)).as("n_found"))
         val nh = found.join(truth, Seq("id_a", "id_b"), "left_semi")
           .agg(count(lit(1)).as("n_hit"))
