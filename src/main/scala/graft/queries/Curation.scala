@@ -14,10 +14,13 @@ import graft.io.Tables
   *    two-pass trick that replaces a full-vocabulary shuffle with an
   *    O(k) map-side summary and a broadcast of ≤ k candidates.
   *  - `q_dedup_incremental`: dedup an INCOMING batch against an EXISTING
-  *    corpus (exact fingerprint + 5-gram Jaccard), the production shape
+  *    corpus (exact fingerprint + 3-gram Jaccard), the production shape
   *    where yesterday's corpus is already deduplicated and only the new
   *    batch needs vetting. Candidates come from an inverted-index join —
   *    never incoming × existing.
+  *  - `q_decontaminate_bloom`: q_decontaminate with the eval set
+  *    collapsed to a bloom filter probed map-side — the decontamination
+  *    shape for reference sets too large to broadcast as a hash relation.
   *  - `q_source_curation`: domain/source-level quality gating (the
   *    CCNet/RefinedWeb move): aggregate per-doc quality up to the source,
   *    drop whole sources below the bar.
@@ -62,16 +65,18 @@ object Curation {
         |)
         |SELECT t, cnt FROM cnts, n WHERE cnt * $K_MG > n_tok""") { (s, dir) =>
       val toks = Tables(s, dir, "documents").select(explode(expr(tokens)).as("t"))
-      val cands = toks
-        .agg(expr(s"mg_agg(t, $K_MG)").as("mg"))
-        .select(explode(col("mg")).as("e"))
-        .select(col("e.t").as("t"))
-      val n = toks.agg(count(lit(1)).as("n_tok"))
+      // ONE aggregate produces the sketch AND the stream length — a
+      // separate count() branch would re-tokenize the whole corpus,
+      // turning the advertised two passes into three
+      val sketch = toks
+        .agg(expr(s"mg_agg(t, $K_MG)").as("mg"), count(lit(1)).as("n_tok"))
+      val cands = sketch
+        .select(col("n_tok"), explode(col("mg")).as("e"))
+        .select(col("e.t").as("t"), col("n_tok"))
       toks
         .join(broadcast(cands), Seq("t"))
         .groupBy(col("t"))
-        .agg(count(lit(1)).as("cnt"))
-        .crossJoin(broadcast(n))
+        .agg(count(lit(1)).as("cnt"), first(col("n_tok")).as("n_tok"))
         .filter(col("cnt") * K_MG > col("n_tok"))
         .select(col("t"), col("cnt"))
     },

@@ -372,6 +372,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"), s"quality rollup must stay hash-based:\n$p")
   }
 
+  test("q_dedup_incremental: hash aggregates only; both postings sides scan-filtered") {
+    val p = planOf("q_dedup_incremental")
+    assert(!p.contains("SortAggregate"), s"pair aggregation must stay hash-based:\n$p")
+    // the incoming/existing split must reach the scans as pushed-down
+    // data filters (each side reads only its slice), not a post-scan split
+    assert("\\(doc_id#\\d+L % 5\\)".r.findAllIn(p).nonEmpty, s"slice filter missing:\n$p")
+  }
+
   test("q_decontaminate_bloom: bloom prefilter sits under the confirm join") {
     val p = planOf("q_decontaminate_bloom")
     // the probe must be a FILTER on the corpus stream (map-side, below
