@@ -575,7 +575,114 @@ object Similarity {
         .select(col("vec_id"), col("cell"))
     },
 
-    )
+    // ---- k-means TRAINING: 3 full Lloyd rounds -----------------------------
+    // q_ann_kmeans is one Lloyd step; this is the training loop an IVF
+    // index build actually runs. Per round: assign every vector to its
+    // nearest current centroid (broadcast fixed-|C| centroids, double
+    // prefilter, exact DECIMAL argmax, ties to lowest cell), then
+    // recompute each nonempty cell's centroid as the element-wise mean
+    // (DECIMAL sums -> DOUBLE -> FLOAT, order-independent, identical
+    // narrowing in both engines). Per-round driver-side loop with the
+    // old assignment unpersisted each round — the bounded-iteration
+    // pattern shared with BPE training and connected components; the
+    // DuckDB oracle unrolls the rounds as MATERIALIZED CTEs (the
+    // q_bpe_merges pattern). Output: per-round convergence telemetry
+    // (vectors that changed cell, nonempty cells).
+    Q(
+      "q_kmeans_train", {
+        val assignTpl = (cents: String) =>
+          s"""SELECT vec_id, embedding, cell FROM (
+             |    SELECT v.vec_id, v.embedding, c.cell,
+             |      row_number() OVER (PARTITION BY v.vec_id
+             |        ORDER BY ${duckDot("v.embedding", "c.c_emb")} DESC, c.cell) AS crn
+             |    FROM embeddings v CROSS JOIN $cents c
+             |  ) WHERE crn = 1""".stripMargin
+        val trainTpl = (assign: String) =>
+          s"""SELECT cell, list_transform(
+             |      list_sort(list(struct_pack(dim := dim, mean := mean))),
+             |      r -> CAST(r.mean AS FLOAT)) AS c_emb
+             |  FROM (
+             |    SELECT cell, i - 1 AS dim,
+             |      CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,8))) AS DECIMAL(28,8)) AS DOUBLE)
+             |        / count(*) AS mean
+             |    FROM (SELECT cell, i, embedding[i] AS x
+             |          FROM $assign, unnest(generate_series(1, len(embedding))) AS t(i))
+             |    GROUP BY cell, i)
+             |  GROUP BY cell""".stripMargin
+        val rounds = (1 to 3).map { r =>
+          s"""t$r AS MATERIALIZED (
+             |  ${trainTpl(s"a${r - 1}")}
+             |), a$r AS MATERIALIZED (
+             |  ${assignTpl(s"t$r")}
+             |)""".stripMargin
+        }.mkString(", ")
+        val summaries = (1 to 3).map { r =>
+          s"""SELECT $r AS round,
+             |  (SELECT CAST(sum(CASE WHEN p.cell <> q.cell THEN 1 ELSE 0 END) AS BIGINT)
+             |   FROM a${r - 1} p JOIN a$r q USING (vec_id)) AS moved,
+             |  (SELECT count(DISTINCT cell) FROM a$r) AS n_cells""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH cents0 AS MATERIALIZED (
+           |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+           |  ORDER BY $duckCHash, vec_id LIMIT $NC
+           |), a0 AS MATERIALIZED (
+           |  ${assignTpl("cents0")}
+           |), $rounds
+           |$summaries""".stripMargin
+      }) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      // assignment vs a (cell, c_emb) centroid frame: double prefilter,
+      // exact DECIMAL argmax on the survivors — the q_ann_kmeans shape
+      def assign(cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val dd = e.select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("cell"), col("c_emb"),
+            expr("dot_f(embedding, c_emb)").as("dd"))
+        dd
+          .withColumn("mx", max(col("dd")).over(Window.partitionBy(col("vec_id"))))
+          .filter(col("dd") >= col("mx") - 1e-9)
+          .select(col("vec_id"), col("embedding"), col("cell"),
+            expr(dot("embedding", "c_emb")).as("cd"))
+          .withColumn("crn", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("cd").desc, col("cell"))))
+          .filter(col("crn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cell"))
+      }
+      def train(a: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = a
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg((sum(expr("dec_cast(cast(x as double), 18, 8)")).cast("decimal(28,8)").cast("double")
+          / count(lit(1))).as("mean"))
+        .groupBy(col("cell"))
+        // list agg keyed on cell: |C| keys, the bounded-subset exception
+        .agg(expr("transform(array_sort(collect_list(struct(dim, mean))), r -> cast(r.mean as float))")
+          .as("c_emb"))
+      val seeds = e.select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
+          expr(cHash).as("ch"))
+        .orderBy(col("ch"), col("cell")).limit(NC)
+        .select(col("cell"), col("c_emb"))
+      // EAGER per-round loop (the BPE pattern: one aggregated telemetry
+      // row collected per round). A lazy formulation would nest four
+      // assignment pipelines into one plan, recompute each round's
+      // assignment once per downstream consumer, and fire the
+      // unpersists before anything materialized.
+      var a = assign(seeds).persistScoped()
+      val telemetry = (1 to 3).map { r =>
+        val a2 = assign(train(a)).persistScoped()
+        val row = a2.select(col("vec_id"), col("cell").as("c2"))
+          .join(a.select(col("vec_id"), col("cell").as("c1")), "vec_id")
+          .agg(
+            sum(when(col("c1") =!= col("c2"), 1).otherwise(0)).cast("long").as("moved"),
+            countDistinct(col("c2")).as("n_cells"))
+          .head()
+        a.unpersist() // keep at most two assignments pinned (loop pattern)
+        a = a2
+        (r, row.getLong(0), row.getLong(1))
+      }
+      a.unpersist()
+      import s.implicits._
+      telemetry.toDF("round", "moved", "n_cells")
+    })
 
   /** The approximate methods the recall harness evaluates (all return
     * ranked rows with an `rn` column, truncated to @3 here). */
