@@ -80,8 +80,9 @@ private[adapters] object HadoopFiles {
     ParamDef("partition_by", "Hive-style partition columns (dir per value)"),
     ParamDef("sort_by", "Sort rows within each write task (encoding + min/max pruning)"),
     ParamDef("zorder_by",
-      "Two BIGINT columns; cluster the layout on their Morton interleave " +
-        "so parquet min/max stats prune on both (overrides sort_by)"),
+      "2-8 BIGINT columns; cluster the layout on their Morton interleave " +
+        "(32 bits each for two, 64/N bits each beyond) so parquet min/max " +
+        "stats prune on all of them (overrides sort_by)"),
     ParamDef("zorder_partitions",
       "Explicit z-range task count for zorder_by (0 = let AQE size the ranges)",
       Some(0)),
@@ -94,12 +95,17 @@ private[adapters] object HadoopFiles {
   def writer(df: DataFrame, conf: AdapterConf): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
     val base = selectColumns(df, conf)
     val sorted = conf.strSeq("zorder_by") match {
-      case Some(Seq(a, b)) =>
+      case Some(cols2to8) if cols2to8.size >= 2 && cols2to8.size <= 8 =>
         // range-partition + sort on the z-value: every output task owns a
-        // compact z-range, i.e. a tile that is narrow in BOTH columns —
-        // the layout Delta/Iceberg "OPTIMIZE ZORDER BY" produces
+        // compact z-range, i.e. a tile that is narrow in ALL keyed
+        // columns — the layout Delta/Iceberg "OPTIMIZE ZORDER BY"
+        // produces. Two columns keep the 32-bit-each zorder2 interleave;
+        // more use the round-robin 64/N-bit zordern generalization.
         graft.functions.GraftRuntime.ensure(df.sparkSession)
-        val z = call_function("zorder2", col(a).cast("long"), col(b).cast("long"))
+        val keys = cols2to8.map(c => col(c).cast("long"))
+        val z =
+          if (keys.size == 2) call_function("zorder2", keys: _*)
+          else call_function("zordern", keys: _*)
         val withZ = base.withColumn("__z", z)
         val n = conf.int("zorder_partitions", 0)
         val ranged =
@@ -108,7 +114,7 @@ private[adapters] object HadoopFiles {
         ranged.sortWithinPartitions(col("__z")).drop("__z")
       case Some(other) =>
         throw new IllegalArgumentException(
-          s"zorder_by needs exactly two columns, got $other")
+          s"zorder_by needs 2 to 8 columns, got $other")
       case None => conf.strSeq("sort_by") match {
         case Some(cs) => base.sortWithinPartitions(cs.map(col): _*)
         case None => base

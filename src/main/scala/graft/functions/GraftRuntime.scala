@@ -99,6 +99,10 @@ object GraftRuntime {
       "zorder2",
       (children: Seq[Expression]) => ZOrder2(children(0), children(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "zordern",
+      (children: Seq[Expression]) => ZOrderN(children),
+      "built-in")
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy

@@ -160,6 +160,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         children(1).eval().asInstanceOf[Number].intValue(),
         children(2).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((
+      new FunctionIdentifier("zordern"),
+      new ExpressionInfo(classOf[ZOrderN].getName, "zordern"),
+      (children: Seq[Expression]) => ZOrderN(children)))
+    ext.injectFunction((
       new FunctionIdentifier("zorder2"),
       new ExpressionInfo(classOf[ZOrder2].getName, "zorder2"),
       (children: Seq[Expression]) => ZOrder2(children(0), children(1))))

@@ -47,6 +47,57 @@ class ZOrderSpec extends SparkSpec {
     assert(zs.sameElements(zs.sorted))
   }
 
+  test("interleaveN: per-bit reference, N=2 equivalence, nulls, codegen") {
+    def naiveN(xs: Array[Long]): Long = {
+      val n = xs.length
+      var z = 0L
+      for (i <- 0 until n; j <- 0 until 64 / n)
+        z |= ((xs(i) >>> j) & 1L) << (j * n + (n - 1 - i))
+      z
+    }
+    val rnd = new scala.util.Random(11)
+    for (n <- 2 to 8; _ <- 1 to 200) {
+      val xs = Array.fill(n)(rnd.nextLong() & ((1L << (64 / n)) - 1))
+      assert(ZOrderUtil.interleaveN(xs) == naiveN(xs), xs.mkString(","))
+    }
+    // N=2 on 32-bit inputs is exactly the magic-mask interleave
+    (1 to 200).foreach { _ =>
+      val a = rnd.nextLong() & 0xFFFFFFFFL
+      val b = rnd.nextLong() & 0xFFFFFFFFL
+      assert(ZOrderUtil.interleaveN(Array(a, b)) == ZOrderUtil.interleave(a, b))
+    }
+    // known placements: bit 0 of key i lands at position (n-1-i)
+    assert(ZOrderUtil.interleaveN(Array(1L, 0L, 0L)) == 4L)
+    assert(ZOrderUtil.interleaveN(Array(0L, 1L, 0L)) == 2L)
+    assert(ZOrderUtil.interleaveN(Array(0L, 0L, 1L)) == 1L)
+    // SQL registration + codegen + null propagation
+    val df = spark.range(50).selectExpr("zordern(id, id + 1, id + 2) z")
+    assert(df.count() == 50)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("zordern") && l.contains("*(")),
+      s"zordern must stay inside WholeStageCodegen:\n$plan")
+    val withNull = spark.sql("SELECT zordern(1L, CAST(NULL AS BIGINT), 3L) z")
+    assert(withNull.collect().head.isNullAt(0))
+  }
+
+  test("3-col z-sorted blocks are narrow in ALL three dimensions") {
+    import spark.implicits._
+    val n = 16 // 16^3 grid, 4096 points, 64 blocks of 64
+    val grid = (0 until n).flatMap(x => (0 until n).flatMap(y => (0 until n)
+      .map(z => (x.toLong, y.toLong, z.toLong)))).toDF("x", "y", "z")
+    val rows = grid.selectExpr("x", "y", "z", "zordern(x, y, z) zz").orderBy("zz")
+      .select($"x", $"y", $"z").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val spans = rows.grouped(64).map { blk =>
+      (blk.map(_._1).max - blk.map(_._1).min,
+        blk.map(_._2).max - blk.map(_._2).min,
+        blk.map(_._3).max - blk.map(_._3).min)
+    }.toSeq
+    // a 64-point block of a 3-d z-curve covers a 4x4x4 tile
+    assert(spans.map(_._1).max <= 4 && spans.map(_._2).max <= 4 && spans.map(_._3).max <= 4,
+      s"spans ${spans.map(_._1).max}, ${spans.map(_._2).max}, ${spans.map(_._3).max}")
+  }
+
   test("z-sorted blocks are narrow in both dimensions; lex sort is not") {
     import spark.implicits._
     val n = 64 // 64x64 grid, 4096 points, 64 blocks of 64
