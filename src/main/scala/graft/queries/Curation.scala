@@ -44,6 +44,12 @@ object Curation {
     * inside the guarantee for any data distribution. */
   private val K_MG = 64
 
+  /** Count-Min geometry: d hash rows × w counters (w deliberately tight
+    * for the harness vocabulary so collisions — est > exact — actually
+    * show up in the output). */
+  private val CM_D = 3
+  private val CM_W = 16
+
   val queries: Seq[Q] = Seq(
 
     // ---- exact heavy hitters: MG candidates + exact join-back --------------
@@ -254,6 +260,68 @@ object Curation {
         |      WHERE doc_id % 29 <> 0 AND might_contain((SELECT b FROM bf), v)) c
         |JOIN ev USING (v)
         |GROUP BY c.doc_id""".stripMargin)
+    },
+
+    // ---- Count-Min sketch: point-frequency estimates at bounded memory -----
+    // The other classic frequency sketch next to Misra-Gries: d=3 hash
+    // rows x w=16 counters, estimate(t) = min over rows of the counter t
+    // hashes into — always >= the true count, overshoot bounded by
+    // collisions (~n/w per row). Because the bucket hash is the shared
+    // CrossHash, the WHOLE sketch is a deterministic function of the
+    // token multiset, so it needs no custom aggregate at all: explode x3
+    // rows -> groupBy(row, bucket) IS the sketch (<= d*w rows whatever
+    // the corpus size, map-side combine collapses everything before the
+    // shuffle), and DuckDB rebuilds the identical sketch from its own
+    // token counts — an EXACTLY oracle-checked approximate structure.
+    // w=64 is deliberately small for the harness corpus so collisions
+    // (est > exact) actually occur; the est >= exact invariant is
+    // visible in the output columns.
+    Q(
+      "q_count_min", {
+        val duckBucket = (row: Int) =>
+          s"${duck(s"'cm$row#' || t")} % $CM_W"
+        val rows = (0 until CM_D).map { r =>
+          s"SELECT $r AS r, ${duckBucket(r)} AS b, cnt FROM exact"
+        }.mkString(" UNION ALL ")
+        raw"""WITH tok AS (
+          |  SELECT unnest($duckTokens) AS t FROM documents
+          |), exact AS (
+          |  SELECT t, count(*) AS cnt FROM tok GROUP BY t
+          |), sketch AS (
+          |  SELECT r, b, CAST(sum(cnt) AS BIGINT) AS counter
+          |  FROM ($rows) GROUP BY r, b
+          |), est AS (
+          |  SELECT t, min(counter) AS est FROM (
+          |    ${(0 until CM_D).map(r =>
+               s"SELECT e.t, s.counter FROM exact e JOIN sketch s ON s.r = $r AND s.b = ${duckBucket(r)}"
+             ).mkString(" UNION ALL ")}
+          |  ) GROUP BY t
+          |)
+          |SELECT exact.t, cnt AS exact_cnt, est, est - cnt AS overcount
+          |FROM exact JOIN est ON exact.t = est.t""".stripMargin
+      }) { (s, dir) =>
+      def bucket(row: Int) = expr(s"${h(s"concat('cm$row#', t)")} % $CM_W")
+      val toks = Tables(s, dir, "documents").select(explode(expr(tokens)).as("t"))
+      // the sketch: one bounded aggregate — d rows per token, then
+      // groupBy (r, b) with <= CM_D*CM_W groups; partial aggregation
+      // collapses the explode map-side, the shuffle moves d*w counters
+      val hashed = toks.select(
+        explode(expr(s"array(${(0 until CM_D).map(r =>
+          s"struct(${r} as r, ${h(s"concat('cm$r#', t)")} % $CM_W as b)").mkString(", ")})")).as("rb"))
+      val sketch = hashed
+        .select(col("rb.r").as("r"), col("rb.b").as("b"))
+        .groupBy(col("r"), col("b"))
+        .agg(count(lit(1)).cast("long").as("counter"))
+      val exact = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      val est = (0 until CM_D).map { r =>
+        exact.select(col("t"), col("cnt"), lit(r).as("r"), bucket(r).as("b"))
+      }.reduce(_.unionByName(_))
+        .join(broadcast(sketch), Seq("r", "b"))
+        .groupBy(col("t"))
+        .agg(min(col("counter")).as("est"))
+      exact.join(est, Seq("t"))
+        .select(col("t"), col("cnt").as("exact_cnt"), col("est"),
+          (col("est") - col("cnt")).as("overcount"))
     },
 
     // ---- Achlioptas +-1 random projection: 64-d -> 16-d --------------------
