@@ -101,12 +101,50 @@ private[adapters] object HadoopFiles {
         // columns — the layout Delta/Iceberg "OPTIMIZE ZORDER BY"
         // produces. Two columns keep the 32-bit-each zorder2 interleave;
         // more use the round-robin 64/N-bit zordern generalization.
+        //
+        // Each key must FIT its bit budget: the interleave keeps only the
+        // low 64/N bits, so a column whose range exceeds 2^(64/N) would
+        // alias (x and x + 2^(64/N) interleave identically) and its
+        // min/max pruning silently collapse. One stats pass (the price
+        // OPTIMIZE ZORDER also pays) observes each column's range;
+        // columns already in budget pass through untouched (and the
+        // layout stays byte-identical to previous releases), out-of-range
+        // or negative columns are offset by their min and right-shifted
+        // until the span fits — keeping the HIGH bits, which are the
+        // ones range pruning lives on.
         graft.functions.GraftRuntime.ensure(df.sparkSession)
-        val keys = cols2to8.map(c => col(c).cast("long"))
+        val bits = if (cols2to8.size == 2) 32 else 64 / cols2to8.size
+        val aggs = cols2to8.flatMap(c =>
+          Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+        val statRow = base.agg(aggs.head, aggs.tail: _*).head()
+        def stat(i: Int): (Option[Long], Option[Long]) =
+          (Option(statRow.get(2 * i)).map(_.asInstanceOf[Long]),
+            Option(statRow.get(2 * i + 1)).map(_.asInstanceOf[Long]))
+        val keys = cols2to8.zipWithIndex.map { case (c, i) =>
+          val k = col(c).cast("long")
+          stat(i) match {
+            case (Some(mn), Some(mx)) =>
+              val span = mx - mn
+              // span < 0 means the range itself overflowed a signed long
+              val need = if (span < 0) 64 else 64 - java.lang.Long.numberOfLeadingZeros(span)
+              val shift = math.max(0, need - bits)
+              if (mn >= 0 && need <= bits) k // in budget: layout unchanged
+              else shiftright(k - lit(mn), shift)
+            case _ => lit(0L) // empty input: constant z, nothing to order
+          }
+        }
         val z =
           if (keys.size == 2) call_function("zorder2", keys: _*)
           else call_function("zordern", keys: _*)
-        val withZ = base.withColumn("__z", z)
+        // order by the UNSIGNED z: key 0's top budget bit sits at
+        // position 63, so a key filling its full budget flips the sign
+        // and signed range-partitioning would rotate the tile order
+        // (the first half of the curve sorts AFTER the second). XOR
+        // with Long.MinValue is the monotone unsigned->signed map; for
+        // z values that never set bit 63 it shifts everything equally,
+        // leaving legacy layouts byte-identical.
+        val withZ = base.withColumn(
+          "__z", z.bitwiseXOR(lit(Long.MinValue)))
         val n = conf.int("zorder_partitions", 0)
         val ranged =
           if (n > 0) withZ.repartitionByRange(n, col("__z"))

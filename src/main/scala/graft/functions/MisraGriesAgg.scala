@@ -137,9 +137,13 @@ case class MisraGriesAgg(
   override def checkInputDataTypes(): TypeCheckResult =
     (child.dataType, kExpr.dataType) match {
       case (StringType, IntegerType) if kExpr.foldable =>
-        if (kExpr.eval(null).asInstanceOf[Number].intValue() >= 1)
+        // eval before the cast: a foldable NULL literal would otherwise
+        // NPE during analysis instead of failing the type check
+        val kv = kExpr.eval(null)
+        if (kv != null && kv.asInstanceOf[Number].intValue() >= 1)
           TypeCheckResult.TypeCheckSuccess
-        else TypeCheckResult.TypeCheckFailure(s"$prettyName capacity must be >= 1")
+        else TypeCheckResult.TypeCheckFailure(
+          s"$prettyName capacity must be a non-null literal >= 1")
       case _ => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (STRING, foldable INT), got " +
           s"${child.dataType.simpleString}, ${kExpr.dataType.simpleString}")

@@ -18,10 +18,15 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * (zorder).write...`.
   *
   * Semantics: the low 32 bits of each input are interleaved (`a` takes
-  * the odd/high positions) into one non-negative 64-bit value. Inputs
-  * are expected non-negative (keys, days-since-epoch, bucketed values);
-  * offset or hash signed inputs first. No reference-engine counterpart —
-  * the reference has no layout control beyond `part_count`
+  * the odd/high positions) into one 64-bit key. Inputs are expected
+  * non-negative (keys, days-since-epoch, bucketed values); offset or
+  * hash signed inputs first. NOTE the result is a BIT key, not a signed
+  * quantity: if `a` uses its full 32-bit budget, its top bit lands at
+  * position 63 and the long goes negative — consumers that ORDER by the
+  * key must compare unsigned (`z ^ Long.MinValue`, as the `zorder_by`
+  * sink does) or the first half of the curve sorts after the second.
+  * No reference-engine counterpart — the reference has no layout
+  * control beyond `part_count`
   * (`/root/reference/.../S3DirectColumnarInput.java:96-98`).
   */
 object ZOrderUtil {

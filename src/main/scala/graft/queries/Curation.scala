@@ -33,9 +33,8 @@ object Curation {
   private val tokens = "split(trim(text), '\\\\s+')"
   private val duckTokens = raw"regexp_split_to_array(trim(text), '\s+')"
 
-  /** Word-3-gram shingle set (the codegen'd [[graft.functions.Shingles]]
-    * expression; same pair as Dedup.scala). */
-  private val sparkShingles = "shingles(w, 3)"
+  /** DuckDB word-3-gram shingle set (the Spark side goes through
+    * [[Dedup.shingleFrame]]/[[Dedup.postingsOf]]). */
   private val duckShingles =
     "list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
 
@@ -133,14 +132,9 @@ object Curation {
         |LEFT JOIN dup ON d.doc_id = dup.doc_id
         |WHERE d.doc_id % 5 = 0""") { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val ex = docs
-        .select(col("doc_id"), col("lang"), expr(tokens).as("w"))
-        .filter(expr("size(w) >= 3"))
-        .select(col("doc_id"), col("lang"), expr(s"$sparkShingles").as("sh"))
-        .select(
-          col("doc_id"), col("lang"), expr("size(sh)").as("n_sh"),
-          explode(col("sh")).as("s"))
-        .select(col("doc_id"), col("lang"), col("n_sh"), xxhash64(col("s")).as("v"))
+      // the family-shared postings frame (Dedup.shingleFrame/postingsOf):
+      // same tokenization, shingling, and hash as every other 3-gram kernel
+      val ex = Dedup.postingsOf(Dedup.shingleFrame(s, dir))
       val best = ex.filter(col("doc_id") % 5 === 0).as("a")
         .join(
           ex.filter(col("doc_id") % 5 =!= 0).as("b"),
@@ -273,7 +267,7 @@ object Curation {
     // the corpus size, map-side combine collapses everything before the
     // shuffle), and DuckDB rebuilds the identical sketch from its own
     // token counts — an EXACTLY oracle-checked approximate structure.
-    // w=64 is deliberately small for the harness corpus so collisions
+    // w is deliberately tight for the harness corpus so collisions
     // (est > exact) actually occur; the est >= exact invariant is
     // visible in the output columns.
     Q(

@@ -76,25 +76,39 @@ object Dedup {
     *    shingle construction runs once per join side — cached wins
     *    warm 1.15s vs 1.85s at sf0.1. Materialization sites release
     *    via `CacheScope.releaseAll()`. */
+  /** The (doc_id, lang, shingles) frame every word-3-gram kernel starts
+    * from — ONE definition so the pairing rules of the whole dedup
+    * family (jaccard, capped, clusters, incremental, recall truth)
+    * cannot silently drift apart. */
+  private[queries] def shingleFrame(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), expr(tokens).as("w"))
+      .filter(expr("size(w) >= 3"))
+      .select(col("doc_id"), col("lang"), expr(shingles).as("shingles"))
+
+  /** Exploded inverted-index postings (doc_id, lang, n_sh, v). The join
+    * key is xxhash64 of the exploded shingle — a flat codegen'd
+    * expression (HOF-embedded hashes run interpreted), and the 8-byte
+    * key shuffles cheaper than the shingle strings. Distinct shingles
+    * map 1:1 to distinct hashes (64-bit, ~collision-free). */
+  private[queries] def postingsOf(
+      sh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    sh
+      .select(
+        col("doc_id"), col("lang"), expr("size(shingles)").as("n_sh"),
+        explode(col("shingles")).as("s"))
+      .select(col("doc_id"), col("lang"), col("n_sh"), xxhash64(col("s")).as("v"))
+
   def ngramJaccardPairs(
       s: org.apache.spark.sql.SparkSession,
       dir: String,
       minJaccard: Double,
       maxDf: Int = 0): org.apache.spark.sql.DataFrame = {
-    val shBare = Tables(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), expr(tokens).as("w"))
-      .filter(expr("size(w) >= 3"))
-      .select(col("doc_id"), col("lang"), expr(shingles).as("shingles"))
+    val shBare = shingleFrame(s, dir)
     val sh = if (maxDf <= 0) shBare.persistScoped() else shBare
-    // Join key is xxhash64 of the exploded shingle — a flat codegen'd
-    // expression (HOF-embedded hashes run interpreted), and the 8-byte
-    // key shuffles cheaper than the shingle strings. Distinct shingles
-    // map 1:1 to distinct hashes (64-bit, ~collision-free).
-    val ex = sh
-      .select(
-        col("doc_id"), col("lang"), expr("size(shingles)").as("n_sh"),
-        explode(col("shingles")).as("s"))
-      .select(col("doc_id"), col("lang"), col("n_sh"), xxhash64(col("s")).as("v"))
+    val ex = postingsOf(sh)
     if (maxDf <= 0) {
       ex.as("a")
         .join(ex.as("b"), expr("a.v = b.v and a.lang = b.lang and a.doc_id < b.doc_id"))
@@ -871,16 +885,8 @@ object Dedup {
         |FROM (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)""") { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       // persist: the shingle frame feeds both sides of the candidate join
-      val sh = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), expr(tokens).as("w"))
-        .filter(expr("size(w) >= 3"))
-        .select(col("doc_id"), col("lang"), expr(shingles).as("shingles"))
-        .persistScoped()
-      val ex = sh
-        .select(
-          col("doc_id"), col("lang"), expr("size(shingles)").as("n_sh"),
-          explode(col("shingles")).as("s"))
-        .select(col("doc_id"), col("lang"), col("n_sh"), xxhash64(col("s")).as("v"))
+      val sh = shingleFrame(s, dir).persistScoped()
+      val ex = postingsOf(sh)
       val pairs = ex.as("a")
         .join(ex.as("b"), expr("a.v = b.v and a.lang = b.lang and a.doc_id < b.doc_id"))
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -994,14 +1000,7 @@ object Dedup {
         |       THEN CAST(n_hit AS DOUBLE) / (SELECT count(*) FROM truth) END AS recall,
         |  CASE WHEN n_found > 0 THEN CAST(n_hit AS DOUBLE) / n_found END AS prec
         |FROM stats""") { (s, dir) =>
-      val sh = Tables(s, dir, "documents")
-        .select(col("doc_id"), expr(tokens).as("w"))
-        .filter(expr("size(w) >= 3"))
-        .select(col("doc_id"), expr(shingles).as("shingles"))
-      val ex = sh
-        .select(col("doc_id"), expr("size(shingles)").as("n_sh"),
-          explode(col("shingles")).as("s"))
-        .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("v"))
+      val ex = postingsOf(shingleFrame(s, dir))
       // pair set at j >= 0.5 is small; it feeds three branches (count +
       // two semi-joins), so one scoped persist beats three inverted-
       // index joins

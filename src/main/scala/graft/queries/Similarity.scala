@@ -634,13 +634,19 @@ object Similarity {
       // assignment vs a (cell, c_emb) centroid frame: double prefilter,
       // exact DECIMAL argmax on the survivors — the q_ann_kmeans shape
       def assign(cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        // the |V|x|C| prefilter stream carries SCALARS only — shuffling
+        // (vec_id, cell, dd) through the window exchange, not 16 copies
+        // of two 64-float arrays per vector; embeddings and centroids
+        // join back onto the ~1 survivor per vector (q_ann_kmeans shape)
         val dd = e.select(col("vec_id"), col("embedding"))
           .crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("embedding"), col("cell"), col("c_emb"),
-            expr("dot_f(embedding, c_emb)").as("dd"))
-        dd
+          .select(col("vec_id"), col("cell"), expr("dot_f(embedding, c_emb)").as("dd"))
+        val best = dd
           .withColumn("mx", max(col("dd")).over(Window.partitionBy(col("vec_id"))))
           .filter(col("dd") >= col("mx") - 1e-9)
+          .select(col("vec_id").as("b_vec"), col("cell"))
+        e.join(best, col("vec_id") === col("b_vec"))
+          .join(broadcast(cents), "cell")
           .select(col("vec_id"), col("embedding"), col("cell"),
             expr(dot("embedding", "c_emb")).as("cd"))
           .withColumn("crn", row_number().over(

@@ -356,6 +356,37 @@ class DistPipelineSpec extends SparkSpec {
     }
   }
 
+  test("zorder_by normalizes keys whose range exceeds the interleave bit budget") {
+    val base = tmpDir("dist")
+    // wide's low 32 bits are pure noise (the row id); its real structure
+    // lives above 2^32 — exactly the aliasing case where un-normalized
+    // interleaving would order files by noise and leave every file
+    // spanning wide's whole range
+    spark.range(4096)
+      .selectExpr("(id % 64) * 4294967296L + id AS wide", "id % 64 AS y")
+      .write.mode("overwrite").parquet(s"$base/in")
+    val cfg = s"""{
+      "d": [{
+        "source": {"adapter": "hadoopParquet", "path": "file:$base/in"},
+        "dest":   {"adapter": "hadoopParquet", "path": "file:$base/z",
+                   "params": {"zorder_by": ["wide", "y"],
+                              "zorder_partitions": 8}}}]
+    }"""
+    write(s"$base/config.json", cfg)
+    val conf = DistConfig.parse(DistMain.readFile(spark, s"file:$base/config.json"))
+    DistMain.runDirection(spark, conf.direction("d"), "d")
+    val files = new java.io.File(s"$base/z").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length >= 4, s"expected multiple files, got ${files.length}")
+    val fullSpan = 63L * 4294967296L
+    val spans = files.map { f =>
+      val r = spark.read.parquet(s"file:$f").selectExpr("min(wide)", "max(wide)").head()
+      r.getLong(1) - r.getLong(0)
+    }
+    assert(spans.max <= fullSpan / 4,
+      s"zorder files must stay narrow in the wide column: max span ${spans.max} of $fullSpan")
+  }
+
   test("bucket_by sink registers a bucketed table; joins on the key skip exchange") {
     val base = tmpDir("dist")
     val cfg = s"""{

@@ -133,9 +133,15 @@ class PlanShapeSpec extends SparkSpec {
         // construction, and exploding its bounded array output keeps it
         // bounded — the MG candidate set (<= k entries) is this shape;
         // stripTop (not collect) so a corpus-sized frame that merely
-        // CONTAINS a global agg somewhere beneath does not sneak through
+        // CONTAINS a global agg somewhere beneath does not sneak
+        // through, and collect_list/collect_set are rejected: their
+        // single "row" is an array that GROWS with the corpus, which
+        // would re-open the loophole through the Generate above it
         val globalAgg = stripTop(sub) match {
-          case a: Aggregate => a.groupingExpressions.isEmpty
+          case a: Aggregate =>
+            a.groupingExpressions.isEmpty && !a.aggregateExpressions.exists(_.collectFirst {
+              case c: org.apache.spark.sql.catalyst.expressions.aggregate.Collect[_] => c
+            }.isDefined)
           case _ => false
         }
         assert(fixedK || trainedCentroids || globalAgg,
