@@ -27,6 +27,11 @@ import graft.io.Tables
   *  - `q_random_projection`: Achlioptas ±1 random projection 64-d → 16-d,
   *    the cheap deterministic dimensionality reduction before clustering
   *    or coarse ANN; per-row map-only, weights are plan-time constants.
+  *  - `q_pca_power`: top principal component of the embedding covariance
+  *    via power iteration — exact integer Gram accumulation (the only
+  *    corpus-wide reductions, order-free) + a pinned-fold double
+  *    iteration on the tiny d×d matrix, then a map-only per-row
+  *    projection. The data-driven counterpart of the random projection.
   */
 object Curation {
 
@@ -48,6 +53,13 @@ object Curation {
     * show up in the output). */
   private val CM_D = 3
   private val CM_W = 16
+
+  /** PCA geometry: embedding dimension, power-iteration rounds, and the
+    * quantization scale (a POWER OF TWO so float→fixed-point is exact in
+    * binary FP and both engines see identical integers). */
+  private val PCA_D = 64
+  private val PCA_ROUNDS = 8
+  private val PCA_SCALE = 1024
 
   val queries: Seq[Q] = Seq(
 
@@ -348,6 +360,117 @@ object Curation {
       }
       Tables(s, dir, "embeddings")
         .select(col("vec_id") +: cols: _*)
+    },
+
+    // ---- PCA top component: exact integer Gram + pinned power iteration ----
+    // The data-driven complement of the random projection: project every
+    // embedding onto the dominant eigenvector of the (centered)
+    // covariance — the first step of whitening, spectral outlier
+    // scoring, or picking the split axis for balanced partitioning.
+    // Cross-engine strategy: quantize floats to floor(x·2^10) BIGINTs
+    // (power-of-two scaling is exact in binary FP, so both engines see
+    // identical integers), accumulate the scaled centered second-moment
+    // matrix n·G − s·sᵀ with EXACT integer sums — the only corpus-wide
+    // reductions, and integer sums are order-free — then run the
+    // 8 power-iteration rounds on the tiny d×d matrix in IEEE doubles
+    // with every reduction a pinned left fold. Spark iterates in the
+    // driver (d² scalars collected from HashAggregates — the bounded
+    // telemetry pattern of k-means/BPE, not row data); DuckDB iterates
+    // in unrolled MATERIALIZED CTEs; identical operation order makes
+    // the vectors bit-equal, so the per-row scores agree pre-snap
+    // (validated 500/500 exact at sf0.01). The projection itself is one
+    // codegen'd 64-term sum — map-only, zero shuffles, the
+    // q_random_projection plan shape. At 100 TB the Gram pass is one
+    // scan with map-side combine to d² longs per partition; the d×N
+    // explode cost could drop to a single long[d·(d+1)/2] imperative
+    // aggregate (the MinHashAgg pattern) if the constant ever matters.
+    Q(
+      "q_pca_power", {
+        val rounds = (1 to PCA_ROUNDS).map { r =>
+          s"""w$r AS MATERIALIZED (
+             |  SELECT r.i AS i,
+             |    list_reduce(list_transform(generate_series(1, $PCA_D), k -> r.arow[k] * pv.v[k]),
+             |      (x, y) -> x + y) AS w
+             |  FROM arows r, v${r - 1} pv
+             |), v$r AS MATERIALIZED (
+             |  SELECT list_transform(wl, x -> x / nrm) AS v FROM (
+             |    SELECT wl, sqrt(list_reduce(list_transform(wl, x -> x * x), (x, y) -> x + y)) AS nrm
+             |    FROM (SELECT list(w ORDER BY i) AS wl FROM w$r))
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH q AS MATERIALIZED (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $PCA_SCALE) AS BIGINT)) AS q
+           |  FROM embeddings
+           |), n AS (SELECT count(*) AS n FROM q),
+           |s AS MATERIALIZED (
+           |  SELECT i, sum(q[i]) AS s FROM q, generate_series(1, $PCA_D) t(i) GROUP BY i
+           |),
+           |g AS MATERIALIZED (
+           |  SELECT ti.i AS i, tj.j AS j, sum(q.q[ti.i] * q.q[tj.j]) AS g
+           |  FROM q, generate_series(1, $PCA_D) ti(i), generate_series(1, $PCA_D) tj(j)
+           |  GROUP BY 1, 2
+           |),
+           |arows AS MATERIALIZED (
+           |  SELECT i, list(a ORDER BY j) AS arow FROM (
+           |    SELECT g.i, g.j, CAST(n.n * g.g - s1.s * s2.s AS DOUBLE) AS a
+           |    FROM g, n, s s1, s s2 WHERE s1.i = g.i AND s2.i = g.j)
+           |  GROUP BY i
+           |),
+           |v0 AS (SELECT list_transform(generate_series(1, $PCA_D), k -> 0.125) AS v),
+           |$rounds
+           |SELECT q.vec_id,
+           |  CAST(CAST(list_reduce(list_transform(generate_series(1, $PCA_D),
+           |      k -> pv.v[k] * CAST(q.q[k] AS DOUBLE)), (x, y) -> x + y)
+           |    AS DECIMAL(18, 9)) AS DOUBLE) AS score
+           |FROM q, v$PCA_ROUNDS pv""".stripMargin
+      }) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      def quant(x: String) = s"cast(floor(cast($x as double) * $PCA_SCALE) as bigint)"
+      // flat codegen'd quantization AFTER the explode (HOF lambdas run
+      // interpreted); each aggregate collects only d / d² long scalars
+      val ex1 = e
+        .select(col("embedding"), posexplode(col("embedding")).as(Seq("i0", "x")))
+        .select(col("embedding"), (col("i0") + 1).as("i"), expr(quant("x")).as("qi"))
+      val sums = ex1.groupBy(col("i"))
+        .agg(sum(col("qi")).as("s"), count(lit(1)).as("cnt"))
+        .collect()
+      val gram = ex1
+        .select(col("i"), col("qi"), posexplode(col("embedding")).as(Seq("j0", "y")))
+        .select(col("i"), (col("j0") + 1).as("j"), col("qi"), expr(quant("y")).as("qj"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("qi") * col("qj")).as("g"))
+        .collect()
+      val n = sums.head.getAs[Long]("cnt")
+      val sv = Array.ofDim[Long](PCA_D)
+      sums.foreach(r => sv(r.getAs[Int]("i") - 1) = r.getAs[Long]("s"))
+      val a = Array.ofDim[Double](PCA_D, PCA_D)
+      gram.foreach { r =>
+        val i = r.getAs[Int]("i") - 1
+        val j = r.getAs[Int]("j") - 1
+        a(i)(j) = (n * r.getAs[Long]("g") - sv(i) * sv(j)).toDouble
+      }
+      // pinned-order power iteration: product list first, then a strict
+      // left fold — operation-for-operation the DuckDB CTE rounds
+      var v = Array.fill(PCA_D)(0.125)
+      for (_ <- 1 to PCA_ROUNDS) {
+        val w = Array.tabulate(PCA_D) { i =>
+          var acc = a(i)(0) * v(0)
+          var k = 1
+          while (k < PCA_D) { acc = acc + a(i)(k) * v(k); k += 1 }
+          acc
+        }
+        var nacc = w(0) * w(0)
+        var k = 1
+        while (k < PCA_D) { nacc = nacc + w(k) * w(k); k += 1 }
+        val nrm = math.sqrt(nacc)
+        v = w.map(_ / nrm)
+      }
+      val score = (1 to PCA_D).map { k =>
+        lit(v(k - 1)) * expr(quant(s"element_at(embedding, $k)")).cast("double")
+      }.reduceLeft(_ + _)
+      e.select(col("vec_id"),
+        call_function("dec_cast", score, lit(18), lit(9)).cast("double").as("score"))
     })
 
   /** 16×64 ±1 projection matrix, a pure function of [[CrossHash]] — the

@@ -1014,21 +1014,34 @@ object Dedup {
         .select(col("id_a"), col("id_b"))
         .persistScoped()
       val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-      def statsOf(name: String, qn: String) = {
-        // the pair frame is tiny but its pipeline is not: without the
-        // scoped persist the count branch and the semi-join branch each
-        // recompute the method's tail beyond its last reusable exchange
-        val found = graft.SparkEntry.queries(qn)(s, dir)
-          .select(col("id_a"), col("id_b"))
-          .persistScoped()
-        val nf = found.agg(count(lit(1)).as("n_found"))
-        val nh = found.join(truth, Seq("id_a", "id_b"), "left_semi")
-          .agg(count(lit(1)).as("n_hit"))
-        nf.crossJoin(nh).select(lit(name).as("method"), col("n_found"), col("n_hit"))
-      }
-      statsOf("minhash_lsh", "q_dedup_minhash_lsh")
-        .unionByName(statsOf("simhash", "q_dedup_simhash"))
+      // ONE union of both methods' pairs, ONE hit-marking left join
+      // against the tiny persisted truth, ONE per-method aggregate —
+      // the earlier per-method count + semi-join branches cost ~4 AQE
+      // stages per method for frames of a few hundred rows (the
+      // sequential-stage floor, not bytes, priced this query). Each
+      // method pipeline runs once per union leg, unpersisted: its pairs
+      // have exactly one consumer here.
+      def pairsOf(name: String, qn: String) =
+        graft.SparkEntry.queries(qn)(s, dir)
+          .select(lit(name).as("method"), col("id_a"), col("id_b"))
+      val found = pairsOf("minhash_lsh", "q_dedup_minhash_lsh")
+        .unionByName(pairsOf("simhash", "q_dedup_simhash"))
+      val stats = found
+        .join(truth.withColumn("hit", lit(1)), Seq("id_a", "id_b"), "left")
+        .groupBy(col("method"))
+        .agg(
+          count(lit(1)).as("n_found"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      // grid join keeps a method's row alive when it finds zero pairs
+      // (the oracle's UNION ALL always emits both rows)
+      import s.implicits._
+      Seq("minhash_lsh", "simhash").toDF("method")
+        .join(broadcast(stats), Seq("method"), "left")
         .crossJoin(broadcast(nTruth))
+        .select(
+          col("method"), col("n_truth"),
+          coalesce(col("n_found"), lit(0L)).as("n_found"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
         .select(
           col("method"), col("n_truth"), col("n_found"), col("n_hit"),
           when(col("n_truth") > 0, col("n_hit").cast("double") / col("n_truth"))

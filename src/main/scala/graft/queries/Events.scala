@@ -20,6 +20,12 @@ object Events {
 
   private val gapUs = 1800000000L // 30 min in µs
 
+  /** Power-iteration rounds for the stationary distribution (plenty for
+    * a ≤ dozens-of-types chain; both engines run the same count, so
+    * convergence is a quality knob, not a correctness one). Declared
+    * BEFORE `queries`: object vals initialize in declaration order. */
+  private val MARKOV_ROUNDS = 12
+
   val queries: Seq[Q] = Seq(
     Q(
       "q_sessionize",
@@ -304,5 +310,101 @@ object Events {
         .join(ev, purchases, "user_id", "p_user", "tus", "p_tus",
           tolerance = Some(3600000000L)) // 1 hour in microseconds
         .select(col("event_id"), col("user_id"), col("tus"), col("purchase_id"), col("p_tus"))
+    },
+
+    // ---- behavioral Markov chain: stationary distribution ------------------
+    // Which event types dominate long-run user behavior: per-user
+    // transition edges (the sessionize window shape — ONE corpus
+    // shuffle, partitioned on user_id, which scales with users, not a
+    // categorical), aggregated to a k×k transition-count matrix that is
+    // BOUNDED by the event-type vocabulary, then the stationary
+    // distribution by power iteration on the tiny matrix. Cross-engine
+    // determinism is the q_pca_power recipe: transition counts are
+    // exact integers, probabilities one int/int division each, and the
+    // 12 iteration rounds run in IEEE doubles with every reduction a
+    // pinned left fold in lexicographic node order — Spark in the
+    // driver over the collected k² counts (bounded telemetry, the
+    // k-means/BPE pattern), DuckDB in unrolled MATERIALIZED CTEs —
+    // so the vectors are bit-equal pre-snap. Dangling types (no
+    // outgoing edges) get the uniform 1/k row on both engines.
+    Q(
+      "q_markov_stationary", {
+        val rounds = (1 to MARKOV_ROUNDS).map { r =>
+          s"""v$r AS MATERIALIZED (
+             |  SELECT list(u ORDER BY j) AS v FROM (
+             |    SELECT c.ti AS j,
+             |      list_reduce(list_transform(generate_series(1, len(pv.v)), i -> pv.v[i] * c.pcol[i]),
+             |        (x, y) -> x + y) AS u
+             |    FROM cols c, v${r - 1} pv)
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ord AS MATERIALIZED (
+           |  SELECT event_type AS et, row_number() OVER (ORDER BY event_type) AS idx
+           |  FROM (SELECT DISTINCT event_type FROM events)
+           |), seq AS (
+           |  SELECT event_type AS ft,
+           |    lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS tt
+           |  FROM events
+           |), cnts AS (
+           |  SELECT ft, tt, count(*) AS c FROM seq WHERE tt IS NOT NULL GROUP BY ft, tt
+           |), grid AS MATERIALIZED (
+           |  SELECT f.idx AS fi, t.idx AS ti, coalesce(c.c, 0) AS c
+           |  FROM ord f CROSS JOIN ord t
+           |  LEFT JOIN cnts c ON c.ft = f.et AND c.tt = t.et
+           |), probs AS MATERIALIZED (
+           |  SELECT fi, ti, rs,
+           |    CASE WHEN rs > 0 THEN CAST(c AS DOUBLE) / rs
+           |         ELSE 1.0 / (SELECT count(*) FROM ord) END AS p
+           |  FROM (SELECT fi, ti, c, sum(c) OVER (PARTITION BY fi) AS rs FROM grid)
+           |), cols AS MATERIALIZED (
+           |  SELECT ti, list(p ORDER BY fi) AS pcol FROM probs GROUP BY ti
+           |), rsums AS (
+           |  SELECT fi, any_value(rs) AS rs FROM probs GROUP BY fi
+           |),
+           |v0 AS (SELECT list_transform(generate_series(1, kk.k), x -> 1.0 / kk.k) AS v
+           |       FROM (SELECT count(*) AS k FROM ord) kk),
+           |$rounds
+           |SELECT o.et AS event_type, CAST(r.rs AS BIGINT) AS n_out,
+           |  CAST(CAST(pv.v[o.idx] AS DECIMAL(18, 12)) AS DOUBLE) AS p_stat
+           |FROM ord o JOIN rsums r ON r.fi = o.idx CROSS JOIN v$MARKOV_ROUNDS pv""".stripMargin
+      }) { (s, dir) =>
+      val seqW = Window.partitionBy(col("user_id"))
+        .orderBy(expr("ts_ns div 1000"), col("event_id"))
+      val cnts = Tables(s, dir, "events")
+        .select(col("event_type").as("ft"),
+          lead(col("event_type"), 1).over(seqW).as("tt"))
+        .filter(col("tt").isNotNull)
+        .groupBy(col("ft"), col("tt"))
+        .agg(count(lit(1)).as("c"))
+        .collect() // k² rows, bounded by the event-type vocabulary
+      // node set from ALL events (not just transitions): a type whose
+      // occurrences are all session-final must still get its uniform row
+      val nodes = Tables(s, dir, "events").select(col("event_type"))
+        .distinct().collect().map(_.getString(0)).sorted
+      val k = nodes.length
+      val idx = nodes.zipWithIndex.toMap
+      val cm = Array.ofDim[Long](k, k)
+      cnts.foreach(r => cm(idx(r.getString(0)))(idx(r.getString(1))) = r.getLong(2))
+      val rs = cm.map(_.sum)
+      val pm = Array.tabulate(k, k) { (i, j) =>
+        if (rs(i) > 0) cm(i)(j).toDouble / rs(i) else 1.0 / k
+      }
+      // pinned-order iteration: product list, then a strict left fold —
+      // operation-for-operation the DuckDB CTE rounds
+      var v = Array.fill(k)(1.0 / k)
+      for (_ <- 1 to MARKOV_ROUNDS) {
+        v = Array.tabulate(k) { j =>
+          var acc = v(0) * pm(0)(j)
+          var i = 1
+          while (i < k) { acc = acc + v(i) * pm(i)(j); i += 1 }
+          acc
+        }
+      }
+      import s.implicits._
+      nodes.toSeq.map(et => (et, rs(idx(et)), v(idx(et))))
+        .toDF("event_type", "n_out", "p_raw")
+        .select(col("event_type"), col("n_out"),
+          call_function("dec_cast", col("p_raw"), lit(18), lit(12))
+            .cast("double").as("p_stat"))
     })
 }

@@ -122,6 +122,57 @@ object TextAnalysis {
             .as("quality_flag"))
     },
 
+    // ---- adaptive per-language quality floor (FineWeb/CCNet move) ----------
+    // A fixed quality threshold over-filters low-resource slices and
+    // under-filters high-resource ones, so production pipelines floor
+    // each language at its own percentile. Exact-rank quantiles normally
+    // mean a per-group sort — corpus-sized partitions on a 4-value key,
+    // the CLAUDE-rule scale killer. But the cutoff depends only on the
+    // per-(lang, score) COUNTS, and the distinct-score frame is bounded
+    // (scores are ratios of small marker counts, not corpus-cardinality
+    // values): aggregate counts with map-side combine, cumsum over the
+    // BOUNDED distinct frame, take the p25 value, broadcast the 4-row
+    // cutoff table back, filter. The corpus is touched by two map
+    // passes and one count aggregate — no global sort at any scale.
+    // Cross-engine: score is one division of identical integers (no
+    // aggregated floats), and both engines group on bit-identical
+    // doubles.
+    Q(
+      "q_adaptive_quality",
+      raw"""WITH sc AS (
+        |  SELECT doc_id, lang, ${duckStopRatio(duckTokens)} AS score FROM documents
+        |), n AS (
+        |  SELECT lang, count(*) AS n FROM sc GROUP BY lang
+        |), cum AS (
+        |  SELECT lang, score, sum(c) OVER (PARTITION BY lang ORDER BY score) AS cum
+        |  FROM (SELECT lang, score, count(*) AS c FROM sc GROUP BY lang, score)
+        |), cut AS (
+        |  SELECT cum.lang, min(score) AS cutoff
+        |  FROM cum JOIN n ON cum.lang = n.lang
+        |  WHERE cum.cum >= ceil(0.25 * n.n) GROUP BY cum.lang
+        |)
+        |SELECT sc.doc_id, sc.lang, sc.score, cut.cutoff
+        |FROM sc JOIN cut ON sc.lang = cut.lang
+        |WHERE sc.score >= cut.cutoff""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val sc = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), expr(markerCall(tokens)).as("ms"))
+        .select(col("doc_id"), col("lang"),
+          expr("cast(ms.c0 as double) / ms.total").as("score"))
+      val n = sc.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      // the window runs over the DISTINCT (lang, score) frame — bounded,
+      // so 4 window partitions hold dozens of rows, not the corpus
+      val cum = sc.groupBy(col("lang"), col("score")).agg(count(lit(1)).as("c"))
+        .withColumn("cum",
+          sum(col("c")).over(Window.partitionBy(col("lang")).orderBy(col("score"))))
+      val cut = cum.join(n, "lang")
+        .filter(col("cum") >= ceil(lit(0.25) * col("n")))
+        .groupBy(col("lang")).agg(min(col("score")).as("cutoff"))
+      sc.join(broadcast(cut), "lang")
+        .filter(col("score") >= col("cutoff"))
+        .select(col("doc_id"), col("lang"), col("score"), col("cutoff"))
+    },
+
     // ---- language ID: marker-word scoring, fixed precedence ----------------
     Q(
       "q_text_langid", {

@@ -328,6 +328,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), "priority top-k must not windows-sort the corpus")
   }
 
+  test("q_pca_power: the per-row projection is map-only — zero exchanges") {
+    // the Gram matrix and power iteration run as bounded build-time
+    // aggregates (d and d² longs collected, the k-means/BPE pattern);
+    // the RETURNED plan must be a pure per-row projection — an exchange
+    // here would shuffle the corpus for a per-row answer
+    val p = planOf("q_pca_power")
+    assert(!p.contains("Exchange"), s"pca projection must not shuffle:\n$p")
+    assert(!p.contains("Window"), s"pca projection must not sort:\n$p")
+  }
+
+  test("q_adaptive_quality: cutoff cumsum windows the bounded distinct-score frame, not the corpus") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val qe = SparkEntry.queries("q_adaptive_quality")(spark, sf()).queryExecution
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected the cutoff cumsum window")
+    // a Window whose child has no Aggregate beneath would be the scale
+    // killer this query exists to avoid: per-lang sort partitions of
+    // the whole corpus on a 4-value key
+    for (w <- wins)
+      assert(
+        w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"cumsum window must run over the distinct-score aggregate, not the corpus:\n$w")
+    val p = qe.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"the 4-row cutoff table must broadcast back:\n$p")
+  }
+
   test("q_pack_sequences: one shard exchange feeds the packing window") {
     val p = planOf("q_pack_sequences")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
