@@ -630,5 +630,78 @@ object Breadth {
         .limit(100)
         .select(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
           col("totalprice"), col("sum_qty"))
+    },
+
+    // ---- table checksums: copy/replication integrity -----------------------
+    // The operation a dist-copy deployment (the reference's actual job)
+    // needs after every transfer: prove source and destination hold the
+    // same rows WITHOUT moving the data again. Per-row 60-bit CrossHash
+    // of a canonical key serialization, folded with ORDER-FREE
+    // aggregates only (xor + min + max + count) so the fingerprint is
+    // partition- and layout-independent: any engine, any row order, any
+    // file split produces the same line. One map pass per table with
+    // map-side combine — the 100 TB cost is one scan, the shuffle is
+    // four longs per partition. Float/decimal/timestamp columns stay
+    // OUT of the canonical string (their text renderings are
+    // engine-specific); integer epochs stand in for timestamps.
+    Q(
+      "q_table_checksum", {
+        def leg(tbl: String, expr: String) =
+          s"""SELECT '$tbl' AS tbl, count(*) AS n_rows,
+             |  bit_xor(fp) AS xor_fp, min(fp) AS min_fp, max(fp) AS max_fp
+             |FROM (SELECT ${graft.functions.CrossHash.duck(expr)} AS fp FROM $tbl)""".stripMargin
+        Seq(
+          leg("documents", "concat(doc_id::VARCHAR, '|', lang, '|', text)"),
+          leg("events",
+            "concat(event_id::VARCHAR, '|', event_type, '|', user_id::VARCHAR, '|', epoch_us(ts)::VARCHAR)"),
+          leg("orders", "concat(o_orderkey::VARCHAR, '|', o_custkey::VARCHAR, '|', o_orderstatus)"))
+          .mkString("\nUNION ALL\n")
+      }) { (s, dir) =>
+      def leg(tbl: String, serial: String) =
+        Tables(s, dir, tbl)
+          .select(expr(graft.functions.CrossHash.h(serial)).as("fp"))
+          .agg(
+            count(lit(1)).as("n_rows"), expr("bit_xor(fp)").as("xor_fp"),
+            min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+          .select(lit(tbl).as("tbl"), col("n_rows"), col("xor_fp"),
+            col("min_fp"), col("max_fp"))
+      leg("documents", "concat(cast(doc_id as string), '|', lang, '|', text)")
+        .unionByName(leg("events",
+          "concat(cast(event_id as string), '|', event_type, '|', cast(user_id as string), '|', cast(ts_ns div 1000 as string))"))
+        .unionByName(leg("orders",
+          "concat(cast(o_orderkey as string), '|', cast(o_custkey as string), '|', o_orderstatus)"))
+    },
+
+    // ---- join-key skew profile ---------------------------------------------
+    // The pre-flight diagnostic before any big join at 100 TB: the
+    // frequency histogram of a join key in power-of-two buckets, which
+    // is exactly the information that decides broadcast vs shuffle vs
+    // salting (CLAUDE.md's skew rules). Per-key counts are one
+    // HashAggregate with map-side combine; the bucket roll-up runs on
+    // the BOUNDED key-count frame. The bucket index is
+    // length(bin(cnt)) - 1 — integer floor(log2) on both engines, no
+    // float log whose last-ulp could flip a 2^k boundary.
+    Q(
+      "q_skew_profile", {
+        def leg(tbl: String, key: String) =
+          s"""SELECT '$tbl' AS tbl, length(bin(cnt)) - 1 AS bucket,
+             |  count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows, min(k) AS min_key
+             |FROM (SELECT $key AS k, count(*) AS cnt FROM $tbl GROUP BY $key)
+             |GROUP BY 2""".stripMargin
+        Seq(
+          leg("lineitem", "l_orderkey"),
+          leg("events", "user_id")).mkString("\nUNION ALL\n")
+      }) { (s, dir) =>
+      def leg(tbl: String, key: String) =
+        Tables(s, dir, tbl)
+          .groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+          .select(col("k"), col("cnt"),
+            (length(expr("bin(cnt)")) - 1).cast("long").as("bucket"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+            min(col("k")).as("min_key"))
+          .select(lit(tbl).as("tbl"), col("bucket"), col("n_keys"),
+            col("n_rows"), col("min_key"))
+      leg("lineitem", "l_orderkey").unionByName(leg("events", "user_id"))
     })
 }

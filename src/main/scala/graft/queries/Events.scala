@@ -19,6 +19,7 @@ import graft.io.Tables
 object Events {
 
   private val gapUs = 1800000000L // 30 min in µs
+  private val weekUs = 604800000000L // 7 days in µs
 
   /** Power-iteration rounds for the stationary distribution (plenty for
     * a ≤ dozens-of-types chain; both engines run the same count, so
@@ -406,5 +407,101 @@ object Events {
         .select(col("event_type"), col("n_out"),
           call_function("dec_cast", col("p_raw"), lit(18), lit(12))
             .cast("double").as("p_stat"))
+    },
+
+    // ---- ordered funnel: view -> click -> purchase --------------------------
+    // The product-analytics staple: how many users progress through the
+    // step sequence IN ORDER (first view, first click strictly after
+    // it, first purchase strictly after that). Three user_id-keyed
+    // stage aggregates — each a HashAggregate joined on the same key,
+    // so AQE reuses the user partitioning; counts are exact integers
+    // and the conversion ratios one int/int division each.
+    Q(
+      "q_event_funnel",
+      s"""WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+        |), v AS (
+        |  SELECT user_id, min(tus) AS tv FROM ev WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT ev.user_id, min(tus) AS tc FROM ev JOIN v ON ev.user_id = v.user_id
+        |  WHERE event_type = 'click' AND tus > tv GROUP BY ev.user_id
+        |), p AS (
+        |  SELECT ev.user_id, min(tus) AS tp FROM ev JOIN c ON ev.user_id = c.user_id
+        |  WHERE event_type = 'purchase' AND tus > tc GROUP BY ev.user_id
+        |), f AS (
+        |  SELECT 1 AS step_idx, 'view' AS step, (SELECT count(*) FROM v) AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p)
+        |)
+        |SELECT step_idx, step, n_users,
+        |  CASE WHEN lag(n_users) OVER (ORDER BY step_idx) > 0
+        |       THEN CAST(n_users AS DOUBLE) / lag(n_users) OVER (ORDER BY step_idx) END AS conv_prev,
+        |  CASE WHEN (SELECT n_users FROM f WHERE step_idx = 1) > 0
+        |       THEN CAST(n_users AS DOUBLE) / (SELECT n_users FROM f WHERE step_idx = 1) END AS conv_first
+        |FROM f""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), expr("ts_ns div 1000").as("tus"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("tus")).as("tv"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("tus") > col("tv"))
+        .groupBy(col("user_id")).agg(min(col("tus")).as("tc"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("tus") > col("tc"))
+        .groupBy(col("user_id")).agg(min(col("tus")).as("tp"))
+      def cnt(df: org.apache.spark.sql.DataFrame, i: Int, n: String) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i).as("step_idx"), lit(n).as("step"), col("n_users"))
+      val f = cnt(v, 1, "view").unionByName(cnt(c, 2, "click"))
+        .unionByName(cnt(p, 3, "purchase"))
+      // the funnel frame is 3 rows: the unpartitioned window and the
+      // first-step rejoin run on a bounded frame, not the corpus
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("step_idx"))
+      f.withColumn("prev", lag(col("n_users"), 1).over(w))
+        .crossJoin(broadcast(
+          f.filter(col("step_idx") === 1).select(col("n_users").as("first_n"))))
+        .select(
+          col("step_idx"), col("step"), col("n_users"),
+          when(col("prev") > 0, col("n_users").cast("double") / col("prev"))
+            .as("conv_prev"),
+          when(col("first_n") > 0, col("n_users").cast("double") / col("first_n"))
+            .as("conv_first"))
+    },
+
+    // ---- weekly cohort retention -------------------------------------------
+    // Cohort = the ISO-epoch week of a user's first event (exact BIGINT
+    // µs division — no calendar arithmetic to disagree on); retention =
+    // distinct active users per (cohort, week offset) over the cohort
+    // size. One groupBy(user) for cohorts, one distinct user-week
+    // frame, one bounded roll-up — every ratio an int/int division.
+    Q(
+      "q_cohort_retention",
+      s"""WITH uw AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // $weekUs AS wk FROM events
+        |), coh AS (
+        |  SELECT user_id, min(wk) AS cwk FROM uw GROUP BY user_id
+        |), size_ AS (
+        |  SELECT cwk, count(*) AS n_cohort FROM coh GROUP BY cwk
+        |)
+        |SELECT uw.wk - coh.cwk AS week_offset, coh.cwk AS cohort_week,
+        |  count(*) AS n_active, any_value(size_.n_cohort) AS n_cohort,
+        |  CAST(count(*) AS DOUBLE) / any_value(size_.n_cohort) AS retention
+        |FROM uw JOIN coh ON uw.user_id = coh.user_id
+        |JOIN size_ ON coh.cwk = size_.cwk
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val uw = Tables(s, dir, "events")
+        .select(col("user_id"), expr(s"(ts_ns div 1000) div $weekUs").as("wk"))
+        .distinct()
+      val coh = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cwk"))
+      val size = coh.groupBy(col("cwk")).agg(count(lit(1)).as("n_cohort"))
+      uw.join(coh, "user_id")
+        .join(broadcast(size), "cwk")
+        .groupBy((col("wk") - col("cwk")).as("week_offset"),
+          col("cwk").as("cohort_week"))
+        .agg(count(lit(1)).as("n_active"), first(col("n_cohort")).as("n_cohort"))
+        .select(col("week_offset"), col("cohort_week"), col("n_active"),
+          col("n_cohort"),
+          (col("n_active").cast("double") / col("n_cohort")).as("retention"))
     })
 }

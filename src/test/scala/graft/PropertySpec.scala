@@ -78,4 +78,27 @@ class PropertySpec extends SparkSpec {
     assert(onDisk == rendered,
       "docs/queries.md is stale - run `sbt \"runMain graft.runner.QueryCatalog\"`")
   }
+
+  test("table-checksum folds are order- and partition-independent, and row-sensitive") {
+    // the q_table_checksum contract: count/xor/min/max over per-row
+    // hashes must not care how the data is split or ordered (that is
+    // what makes the fingerprint comparable across engines and
+    // layouts), and any single-row change must move it
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftRuntime.ensure(spark)
+    val base = spark.range(0, 1000)
+      .selectExpr("id", "concat('v', id) AS s")
+    def fp(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr(
+        s"${graft.functions.CrossHash.h("concat(cast(id as string), '|', s)")} AS fp")
+      .agg(count(lit(1)).as("n"), expr("bit_xor(fp)").as("x"),
+        min(col("fp")).as("mn"), max(col("fp")).as("mx"))
+      .head()
+    val a = fp(base)
+    assert(fp(base.repartition(17)) == a, "repartition changed the fingerprint")
+    assert(fp(base.orderBy(desc("s"))) == a, "row order changed the fingerprint")
+    assert(fp(base.filter("id <> 500")) != a, "a dropped row went undetected")
+    assert(fp(base.selectExpr("id", "concat('w', id) AS s")) != a,
+      "a changed cell went undetected")
+  }
 }
