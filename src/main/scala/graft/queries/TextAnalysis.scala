@@ -173,6 +173,67 @@ object TextAnalysis {
         .select(col("doc_id"), col("lang"), col("score"), col("cutoff"))
     },
 
+    // ---- per-doc quality percentile rank (same frames as the floor) --------
+    // Score NORMALIZATION for cross-corpus mixing: each doc's quality
+    // as its within-language percentile (count of docs at or below its
+    // score / language size). Reuses the adaptive-floor machinery —
+    // cumsum over the bounded distinct-score frame, broadcast back —
+    // so the corpus again sees only map passes and one count aggregate;
+    // the join key is a double BOTH sides computed as the identical
+    // int/int division, so equality is exact.
+    Q(
+      "q_quality_percentile",
+      raw"""WITH sc AS (
+        |  SELECT doc_id, lang, ${duckStopRatio(duckTokens)} AS score FROM documents
+        |), n AS (
+        |  SELECT lang, count(*) AS n FROM sc GROUP BY lang
+        |), cum AS (
+        |  SELECT lang, score, sum(c) OVER (PARTITION BY lang ORDER BY score) AS cum
+        |  FROM (SELECT lang, score, count(*) AS c FROM sc GROUP BY lang, score)
+        |)
+        |SELECT sc.doc_id, sc.lang, sc.score,
+        |  CAST(cum.cum AS DOUBLE) / n.n AS pct_rank
+        |FROM sc JOIN cum ON sc.lang = cum.lang AND sc.score = cum.score
+        |JOIN n ON sc.lang = n.lang""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val sc = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), expr(markerCall(tokens)).as("ms"))
+        .select(col("doc_id"), col("lang"),
+          expr("cast(ms.c0 as double) / ms.total").as("score"))
+      val n = sc.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val cum = sc.groupBy(col("lang"), col("score")).agg(count(lit(1)).as("c"))
+        .withColumn("cum",
+          sum(col("c")).over(Window.partitionBy(col("lang")).orderBy(col("score"))))
+        .select(col("lang"), col("score"), col("cum"))
+      sc.join(broadcast(cum), Seq("lang", "score"))
+        .join(broadcast(n), "lang")
+        .select(col("doc_id"), col("lang"), col("score"),
+          (col("cum").cast("double") / col("n")).as("pct_rank"))
+    },
+
+    // ---- intra-document token dedup (map-only cleaning) --------------------
+    // The within-page counterpart of corpus dedup: keep each token's
+    // FIRST occurrence, drop repeats (the cheap cleanup for
+    // boilerplate-repeating pages before token counting). Pure per-row
+    // work — Spark's array_distinct keeps first-occurrence order and is
+    // a codegen'd collection op, so the plan is map-only with zero
+    // exchanges; DuckDB mirrors with the index-lambda first-occurrence
+    // filter.
+    Q(
+      "q_intradoc_dedup",
+      raw"""SELECT doc_id, len(w) AS n_tokens, len(u) AS n_unique,
+        |  array_to_string(u, ' ') AS cleaned
+        |FROM (SELECT doc_id, w, list_filter(w, (x, i) -> list_position(w, x) = i) AS u
+        |      FROM (SELECT doc_id, $duckTokens AS w FROM documents))""") { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), expr(tokens).as("w"))
+        .select(col("doc_id"), col("w"), expr("array_distinct(w)").as("u"))
+        .select(col("doc_id"),
+          expr("size(w)").cast("long").as("n_tokens"),
+          expr("size(u)").cast("long").as("n_unique"),
+          expr("array_join(u, ' ')").as("cleaned"))
+    },
+
     // ---- language ID: marker-word scoring, fixed precedence ----------------
     Q(
       "q_text_langid", {

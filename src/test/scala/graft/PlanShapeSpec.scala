@@ -328,6 +328,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), "priority top-k must not windows-sort the corpus")
   }
 
+  test("q_intradoc_dedup: per-row cleaning is map-only, zero exchanges") {
+    val p = planOf("q_intradoc_dedup")
+    assert(!p.contains("Exchange"), s"intra-doc dedup must not shuffle:\n$p")
+  }
+
   test("q_pca_power: the per-row projection is map-only — zero exchanges") {
     // the Gram matrix and power iteration run as bounded build-time
     // aggregates (d and d² longs collected, the k-means/BPE pattern);
