@@ -32,12 +32,20 @@ final case class DistLocation(
   * the temp view `_input` (applied per stream on multi-stream loads).
   * The reference delegates SQL processing to its sibling ETL tool
   * (README.md:1 "to supplement Data Cooker ETL"); this engine carries
-  * the SQL surface natively, so the pipeline can use it in place. */
+  * the SQL surface natively, so the pipeline can use it in place.
+  *
+  * `"verify": true` turns the task into a post-copy integrity check
+  * instead of a copy: BOTH locations are loaded and their order-free
+  * row fingerprints compared; a mismatch fails the direction.
+  * `verify_columns` restricts the fingerprint to named columns
+  * (default: every column the two sides share, in source order). */
 final case class DistTask(
     source: DistLocation,
     dest: DistLocation,
     transform: Option[String] = None,
-    streaming: Boolean = false)
+    streaming: Boolean = false,
+    verify: Boolean = false,
+    verifyColumns: Seq[String] = Seq.empty)
 
 final case class DistConfig(directions: Map[String, Seq[DistTask]]) {
   def direction(name: String): Seq[DistTask] =
@@ -59,7 +67,11 @@ object DistConfig {
           location(t, "source"),
           location(t, "dest"),
           Option(t.get("transform")).map(_.asText()),
-          Option(t.get("streaming")).exists(_.asBoolean()))
+          Option(t.get("streaming")).exists(_.asBoolean()),
+          Option(t.get("verify")).exists(_.asBoolean()),
+          Option(t.get("verify_columns"))
+            .map(_.elements().asScala.map(_.asText()).toSeq)
+            .getOrElse(Seq.empty))
       }.toSeq
       e.getKey -> tasks
     }.toMap

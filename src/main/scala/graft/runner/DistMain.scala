@@ -71,9 +71,71 @@ object DistMain {
     * destination subdirectory, optionally prefixed by dest.name. */
   def runDirection(spark: SparkSession, tasks: Seq[DistTask], direction: String): Unit =
     tasks.zipWithIndex.foreach { case (task, i) =>
-      if (task.streaming) runStreamingTask(spark, task)
+      if (task.verify) runVerifyTask(spark, task, direction, i)
+      else if (task.streaming) runStreamingTask(spark, task)
       else runBatchTask(spark, task, direction, i)
     }
+
+  /** `"verify": true` task — post-copy integrity check (the distcp
+    * `-diff` of this tool): load BOTH locations through their adapters,
+    * fingerprint each with ORDER-FREE folds over a per-row hash
+    * (count + xor + exact decimal sum + min + max — layout, partition
+    * count, and row order cannot affect it; a duplicated-row/dropped-row
+    * pair that fools xor alone still moves the sum), and fail the
+    * direction on mismatch. Both sides are Spark, so the canonical
+    * serialization uses plain string casts and codegen'd xxhash64 — no
+    * cross-engine caveats, one scan per side, five scalars of output.
+    * Columns: `verify_columns` if given, else every column the two
+    * sides share, in source-schema order. */
+  private def runVerifyTask(
+      spark: SparkSession, task: DistTask, direction: String, i: Int): Unit = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    def loadOne(loc: graft.config.DistLocation, role: String): DataFrame = {
+      val a = Adapters.input(loc.adapter)
+      val streams = a.load(
+        spark, loc.path, loc.subName.getOrElse(s"$direction#$i"),
+        loc.partCount, AdapterConf(a.meta, loc.params))
+      require(streams.size == 1,
+        s"verify task: $role produced ${streams.size} streams; point it at one")
+      streams.head._2.asInstanceOf[DataFrame]
+    }
+    val src = loadOne(task.source, "source")
+    val dst = loadOne(task.dest, "dest")
+    val cols =
+      if (task.verifyColumns.nonEmpty) task.verifyColumns
+      else src.columns.filter(dst.columns.contains(_)).toSeq
+    require(cols.nonEmpty, "verify task: no common columns to fingerprint")
+    cols.foreach { c =>
+      require(src.columns.contains(c) && dst.columns.contains(c),
+        s"verify task: column '$c' missing (source: ${src.columns.mkString(",")}; " +
+          s"dest: ${dst.columns.mkString(",")})")
+    }
+    def fingerprint(df: DataFrame): (Long, Long, String, Long, Long) = {
+      // control-char separator + NULL sentinel: unambiguous for any
+      // data whose cells avoid raw U+0001 / U+0000 bytes
+      val serial = concat_ws("\u0001",
+        cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+      val r = df.select(xxhash64(serial).as("fp"))
+        .agg(
+          count(lit(1)).as("n"), expr("bit_xor(fp)").as("x"),
+          sum(col("fp").cast("decimal(38,0)")).as("s"),
+          min(col("fp")).as("mn"), max(col("fp")).as("mx"))
+        .head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+        Option(r.get(2)).map(_.toString).getOrElse("0"),
+        if (r.isNullAt(3)) 0L else r.getLong(3),
+        if (r.isNullAt(4)) 0L else r.getLong(4))
+    }
+    val (fs, fd) = (fingerprint(src), fingerprint(dst))
+    if (fs != fd)
+      throw new IllegalStateException(
+        s"verify task: checksum MISMATCH over columns [${cols.mkString(", ")}]\n" +
+          s"  source ${task.source.path}: rows=${fs._1} xor=${fs._2} sum=${fs._3}\n" +
+          s"  dest   ${task.dest.path}: rows=${fd._1} xor=${fd._2} sum=${fd._3}")
+    println(s"[dist] verify OK: ${task.source.path} == ${task.dest.path} " +
+      s"(rows=${fs._1}, ${cols.size} columns)")
+  }
 
   private def runBatchTask(
       spark: SparkSession, task: DistTask, direction: String, i: Int): Unit = {

@@ -387,6 +387,49 @@ class DistPipelineSpec extends SparkSpec {
       s"zorder files must stay narrow in the wide column: max span ${spans.max} of $fullSpan")
   }
 
+  test("verify task: faithful copy passes, corrupted copy fails the direction") {
+    val base = tmpDir("dist")
+    spark.range(500)
+      .selectExpr("id", "concat('row', id) AS s", "CASE WHEN id % 7 = 0 THEN NULL ELSE id * 2 END AS v")
+      .write.mode("overwrite").parquet(s"$base/src")
+    // copy + verify in one direction: the verify task runs AFTER the copy
+    val cfg = s"""{
+      "d": [
+        {"source": {"adapter": "hadoopParquet", "path": "file:$base/src"},
+         "dest":   {"adapter": "hadoopParquet", "path": "file:$base/dst"}},
+        {"verify": true,
+         "source": {"adapter": "hadoopParquet", "path": "file:$base/src"},
+         "dest":   {"adapter": "hadoopParquet", "path": "file:$base/dst"}}]
+    }"""
+    write(s"$base/config.json", cfg)
+    val conf = DistConfig.parse(DistMain.readFile(spark, s"file:$base/config.json"))
+    DistMain.runDirection(spark, conf.direction("d"), "d") // must not throw
+    // corrupt the copy: one changed cell (same row count)
+    spark.read.parquet(s"$base/dst")
+      .selectExpr("id", "CASE WHEN id = 123 THEN 'tampered' ELSE s END AS s", "v")
+      .write.mode("overwrite").parquet(s"$base/dst2")
+    val cfg2 = s"""{
+      "d": [{"verify": true,
+             "source": {"adapter": "hadoopParquet", "path": "file:$base/src"},
+             "dest":   {"adapter": "hadoopParquet", "path": "file:$base/dst2"}}]
+    }"""
+    write(s"$base/config2.json", cfg2)
+    val conf2 = DistConfig.parse(DistMain.readFile(spark, s"file:$base/config2.json"))
+    val e = intercept[IllegalStateException] {
+      DistMain.runDirection(spark, conf2.direction("d"), "d")
+    }
+    assert(e.getMessage.contains("MISMATCH"), e.getMessage)
+    // restricting the fingerprint to untouched columns passes again
+    val cfg3 = s"""{
+      "d": [{"verify": true, "verify_columns": ["id", "v"],
+             "source": {"adapter": "hadoopParquet", "path": "file:$base/src"},
+             "dest":   {"adapter": "hadoopParquet", "path": "file:$base/dst2"}}]
+    }"""
+    write(s"$base/config3.json", cfg3)
+    val conf3 = DistConfig.parse(DistMain.readFile(spark, s"file:$base/config3.json"))
+    DistMain.runDirection(spark, conf3.direction("d"), "d") // must not throw
+  }
+
   test("bucket_by sink registers a bucketed table; joins on the key skip exchange") {
     val base = tmpDir("dist")
     val cfg = s"""{
