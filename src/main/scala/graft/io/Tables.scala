@@ -32,9 +32,27 @@ object Tables {
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
       name match {
         case "events" =>
-          raw
-            .withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", expr("cast(timestamp_micros(ts_ns div 1000) as timestamp_ntz)"))
+          // The harness has shipped `ts` two ways across data drops:
+          // parquet TIMESTAMP(NANOS) (read as a ns-epoch long under the
+          // nanosAsLong flag) and parquet TIMESTAMP(MICROS) (read as
+          // TIMESTAMP_NTZ / TIMESTAMP). Surface BOTH the same: a raw
+          // `ts_ns` ns-epoch long plus a µs-precision TIMESTAMP_NTZ
+          // `ts`, so every downstream query and oracle is agnostic to
+          // which representation this data drop used. Sessions run UTC
+          // ([[Sessions]] / GraftRuntime.ensure), so the NTZ→instant
+          // cast below is the identity on the wall clock.
+          raw.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType =>
+              raw
+                .withColumnRenamed("ts", "ts_ns")
+                .withColumn("ts", expr("cast(timestamp_micros(ts_ns div 1000) as timestamp_ntz)"))
+            case _ =>
+              raw
+                .withColumnRenamed("ts", "ts_raw")
+                .withColumn("ts_ns", expr("unix_micros(cast(ts_raw as timestamp)) * 1000"))
+                .withColumn("ts", expr("cast(ts_raw as timestamp_ntz)"))
+                .drop("ts_raw")
+          }
         case _ => raw
       }
     })
