@@ -101,14 +101,22 @@ object Dedup {
         explode(col("shingles")).as("s"))
       .select(col("doc_id"), col("lang"), col("n_sh"), xxhash64(col("s")).as("v"))
 
+  /** `blockByLang = false` collapses the language blocking to a single
+    * block (postings keyed on the shingle hash alone) — the pairing
+    * rule of the minhash pipeline and of the recall harness's ground
+    * truth, which must be able to pair across languages. Implemented
+    * by constant-folding the lang column so both kernel branches keep
+    * one shape. */
   def ngramJaccardPairs(
       s: org.apache.spark.sql.SparkSession,
       dir: String,
       minJaccard: Double,
-      maxDf: Int = 0): org.apache.spark.sql.DataFrame = {
+      maxDf: Int = 0,
+      blockByLang: Boolean = true): org.apache.spark.sql.DataFrame = {
     val shBare = shingleFrame(s, dir)
     val sh = if (maxDf <= 0) shBare.persistScoped() else shBare
-    val ex = postingsOf(sh)
+    val exB = postingsOf(sh)
+    val ex = if (blockByLang) exB else exB.withColumn("lang", lit(""))
     if (maxDf <= 0) {
       ex.as("a")
         .join(ex.as("b"), expr("a.v = b.v and a.lang = b.lang and a.doc_id < b.doc_id"))
@@ -1042,17 +1050,17 @@ object Dedup {
         |       THEN CAST(n_hit AS DOUBLE) / (SELECT count(*) FROM truth) END AS recall,
         |  CASE WHEN n_found > 0 THEN CAST(n_hit AS DOUBLE) / n_found END AS prec
         |FROM stats""") { (s, dir) =>
-      val ex = postingsOf(shingleFrame(s, dir))
-      // pair set at j >= 0.5 is small; it feeds three branches (count +
-      // two semi-joins), so one scoped persist beats three inverted-
-      // index joins
-      val truth = ex.as("a")
-        .join(ex.as("b"), expr("a.v = b.v and a.doc_id < b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .agg(
-          first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"),
-          count(lit(1)).as("i"))
-        .filter(expr("cast(i as double) / (n_a + n_b - i) >= 0.5"))
+      // truth through the CAPPED kernel (no lang blocking, to match the
+      // minhash pipeline's pairing rule): the uncapped postings
+      // self-join is exact but a corpus-hot shingle contributes df²
+      // candidate pairs — the precise explosion the maxDf kernel
+      // exists to prevent, and DedupCapSpec proves the capped kernel's
+      // pair set identical (lang-blocked AND unblocked variants). The
+      // pair set at j >= 0.5 is small and feeds three branches (count +
+      // hit join + grid), so one scoped persist beats recomputing the
+      // inverted-index joins
+      val truth = ngramJaccardPairs(s, dir, minJaccard = 0.5, maxDf = 4,
+          blockByLang = false)
         .select(col("id_a"), col("id_b"))
         .persistScoped()
       val nTruth = truth.agg(count(lit(1)).as("n_truth"))

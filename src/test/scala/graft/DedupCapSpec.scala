@@ -24,6 +24,22 @@ class DedupCapSpec extends SparkSpec {
     assert(capped == uncapped)
   }
 
+  test("no-lang capped truth matches the uncapped inverted-index truth") {
+    // the recall harness's ground truth pairs ACROSS languages at
+    // j >= 0.5 through the capped kernel — identity vs the uncapped
+    // join must hold for that variant too
+    def noLang(maxDf: Int): Set[(Long, Long)] =
+      Dedup.ngramJaccardPairs(
+          spark, sf(), minJaccard = 0.5, maxDf = maxDf, blockByLang = false)
+        .select("id_a", "id_b")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+    val uncapped = noLang(0)
+    assert(uncapped.nonEmpty, "corpus must contain j >= 0.5 pairs")
+    assert(noLang(4) == uncapped)
+  }
+
   test("the cap is non-vacuous: hot shingles exist and are dropped") {
     val df = graft.io.Tables(spark, sf(), "documents")
       .select(expr("split(trim(text), '\\\\s+')").as("w"), col("lang"))

@@ -191,6 +191,20 @@ class PlanShapeSpec extends SparkSpec {
       s"no runtime exchange reuse in the capped dedup plan:\n$p")
   }
 
+  test("q_dedup_lsh_recall: truth side runs through the capped kernel") {
+    val p = planOf("q_dedup_lsh_recall")
+    // the ground-truth pair join must be the maxDf kernel — its
+    // kept-vocab (df between 2 and cap) and hot-vocab (df > cap)
+    // slices both show up as df filters; an uncapped postings
+    // self-join has neither and explodes df-squared on hot shingles
+    assert("df#\\d+L? >= 2".r.findFirstIn(p).isDefined,
+      s"kept-vocab cap filter missing from the recall truth plan:\n$p")
+    assert("df#\\d+L? <= 4".r.findFirstIn(p).isDefined,
+      s"cap threshold filter missing from the recall truth plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"recall plan regressed to all-pairs or a window sort:\n$p")
+  }
+
   test("q_dedup_substring: bucketed window-fingerprint join — no window sort, hash aggregates only") {
     val p = planOf("q_dedup_substring")
     // candidates must come from the inverted index on the window hash,
