@@ -68,6 +68,10 @@ object GraftRuntime {
         }),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gram_agg",
+      (children: Seq[Expression]) => GramAgg(children(0), children(1), children(2)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mg_agg",
       (children: Seq[Expression]) => MisraGriesAgg(children(0), children(1)),
       "built-in")

@@ -115,6 +115,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
       (children: Seq[Expression]) => MinHashAgg(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("gram_agg"),
+      new ExpressionInfo(classOf[GramAgg].getName, "gram_agg"),
+      (children: Seq[Expression]) => GramAgg(children(0), children(1), children(2))))
+    ext.injectFunction((
       new FunctionIdentifier("mg_agg"),
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "mg_agg"),
       (children: Seq[Expression]) => MisraGriesAgg(children(0), children(1))))

@@ -427,28 +427,25 @@ object Curation {
       }) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
       def quant(x: String) = s"cast(floor(cast($x as double) * $PCA_SCALE) as bigint)"
-      // flat codegen'd quantization AFTER the explode (HOF lambdas run
-      // interpreted); each aggregate collects only d / d² long scalars
-      val ex1 = e
-        .select(col("embedding"), posexplode(col("embedding")).as(Seq("i0", "x")))
-        .select(col("embedding"), (col("i0") + 1).as("i"), expr(quant("x")).as("qi"))
-      val sums = ex1.groupBy(col("i"))
-        .agg(sum(col("qi")).as("s"), count(lit(1)).as("cnt"))
-        .collect()
-      val gram = ex1
-        .select(col("i"), col("qi"), posexplode(col("embedding")).as(Seq("j0", "y")))
-        .select(col("i"), (col("j0") + 1).as("j"), col("qi"), expr(quant("y")).as("qj"))
-        .groupBy(col("i"), col("j"))
-        .agg(sum(col("qi") * col("qj")).as("g"))
-        .collect()
-      val n = sums.head.getAs[Long]("cnt")
-      val sv = Array.ofDim[Long](PCA_D)
-      sums.foreach(r => sv(r.getAs[Int]("i") - 1) = r.getAs[Long]("s"))
+      // ONE pass, ONE buffer: gram_agg folds count, per-dim sums and
+      // the Gram upper triangle into a single long[2145] imperative
+      // aggregate (graft.functions.GramAgg) — replacing the former
+      // double-posexplode formulation, which fanned every vector to
+      // d² = 4096 rows before aggregation. Same exact integers (the
+      // quantization is bit-identical), so the oracle and hashes are
+      // unchanged; the collect is one row of bounded telemetry.
+      val row = e
+        .agg(expr(s"gram_agg(embedding, $PCA_D, $PCA_SCALE)").as("b"))
+        .head().getSeq[Long](0)
+      val n = row(0)
+      val sv = row.slice(1, 1 + PCA_D).toArray
       val a = Array.ofDim[Double](PCA_D, PCA_D)
-      gram.foreach { r =>
-        val i = r.getAs[Int]("i") - 1
-        val j = r.getAs[Int]("j") - 1
-        a(i)(j) = (n * r.getAs[Long]("g") - sv(i) * sv(j)).toDouble
+      var idx = 1 + PCA_D
+      for (i <- 0 until PCA_D; j <- i until PCA_D) {
+        val v = (n * row(idx) - sv(i) * sv(j)).toDouble
+        a(i)(j) = v
+        a(j)(i) = v
+        idx += 1
       }
       // pinned-order power iteration: product list first, then a strict
       // left fold — operation-for-operation the DuckDB CTE rounds
