@@ -20,6 +20,10 @@ object GraftRuntime {
 
   def ensure(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the engine's cross-engine determinism contract is UTC wall-clock
+    // arithmetic (docs/determinism.md); a host session left on a local
+    // timezone would silently shift every instant↔NTZ cast
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_f",
       (children: Seq[Expression]) => DotProductF(children(0), children(1)),

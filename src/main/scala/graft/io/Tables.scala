@@ -7,9 +7,15 @@ import org.apache.spark.sql.functions._
   *
   * Everything is plain `spark.read.parquet` — vectorized scan, column
   * pruning and predicate pushdown come free — except `events`, whose `ts`
-  * column is parquet TIMESTAMP(NANOS): Spark reads it as a ns-epoch long
-  * (see [[Sessions]]) and we surface it as a µs-precision TIMESTAMP_NTZ
-  * (truncation, matching DuckDB's ns→µs cast) plus the raw `ts_ns` long.
+  * column has shipped two ways across data drops: parquet
+  * TIMESTAMP(NANOS) (read as a ns-epoch long under the nanosAsLong
+  * flag) or TIMESTAMP(MICROS). Both are normalized to the same contract:
+  * the original columns in their original order with `ts` a µs-precision
+  * TIMESTAMP_NTZ (truncation, matching DuckDB's ns→µs cast) in its
+  * original slot, plus the raw ns-epoch long `ts_ns` appended last.
+  * Engine sessions are pinned to UTC ([[Sessions]] and
+  * [[graft.functions.GraftRuntime.ensure]]), which makes the
+  * instant↔NTZ casts below timezone-independent.
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -32,27 +38,38 @@ object Tables {
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
       name match {
         case "events" =>
-          // The harness has shipped `ts` two ways across data drops:
-          // parquet TIMESTAMP(NANOS) (read as a ns-epoch long under the
-          // nanosAsLong flag) and parquet TIMESTAMP(MICROS) (read as
-          // TIMESTAMP_NTZ / TIMESTAMP). Surface BOTH the same: a raw
-          // `ts_ns` ns-epoch long plus a µs-precision TIMESTAMP_NTZ
-          // `ts`, so every downstream query and oracle is agnostic to
-          // which representation this data drop used. Sessions run UTC
-          // ([[Sessions]] / GraftRuntime.ensure), so the NTZ→instant
-          // cast below is the identity on the wall clock.
-          raw.schema("ts").dataType match {
+          // Normalize either ts representation to the contract in the
+          // object scaladoc. The NTZ branch derives ts_ns with
+          // timestampdiff against the NTZ epoch — pure wall-clock
+          // arithmetic, correct in ANY session timezone (an NTZ→instant
+          // cast would silently shift ts_ns, the cross-engine hash
+          // input, on a non-UTC host session; UTC pinning makes that
+          // moot for engine-built sessions, but ts_ns must not depend
+          // on it).
+          val widened = raw.schema("ts").dataType match {
             case org.apache.spark.sql.types.LongType =>
               raw
                 .withColumnRenamed("ts", "ts_ns")
                 .withColumn("ts", expr("cast(timestamp_micros(ts_ns div 1000) as timestamp_ntz)"))
-            case _ =>
+            case org.apache.spark.sql.types.TimestampNTZType =>
               raw
                 .withColumnRenamed("ts", "ts_raw")
-                .withColumn("ts_ns", expr("unix_micros(cast(ts_raw as timestamp)) * 1000"))
+                .withColumn("ts_ns", expr(
+                  "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts_raw) * 1000"))
+                .withColumn("ts", col("ts_raw"))
+                .drop("ts_raw")
+            case _ => // instant TIMESTAMP: unix_micros is tz-independent
+              raw
+                .withColumnRenamed("ts", "ts_raw")
+                .withColumn("ts_ns", expr("unix_micros(ts_raw) * 1000"))
                 .withColumn("ts", expr("cast(ts_raw as timestamp_ntz)"))
                 .drop("ts_raw")
           }
+          // both branches surface the SAME column order: original slots
+          // (ts in place), ts_ns appended — positional consumers see one
+          // schema regardless of which representation the drop used
+          val ordered = raw.schema.fieldNames.toSeq.map(col) :+ col("ts_ns")
+          widened.select(ordered: _*)
         case _ => raw
       }
     })
