@@ -94,7 +94,17 @@ object Adapters {
     // with the reference's per-task credentials/endpoint/region params
     // (mapped to per-bucket fs.s3a.bucket.<name>.* conf):
     "s3directColumnar" -> new S3DirectInputAdapter("s3directColumnar", new HadoopColumnarInput),
-    "s3directText" -> new S3DirectInputAdapter("s3directText", new HadoopTextInput))
+    "s3directText" -> new S3DirectInputAdapter("s3directText", new HadoopTextInput),
+    // The reference's columnar input transparently reads .parquet objects
+    // under the same prefix (S3DirectColumnarInputFunction.java:60-76).
+    // Deliberate divergence: parquet gets its OWN verb instead of
+    // extension sniffing inside the columnar scan — Spark's vectorized
+    // parquet source and the line-based CSV source cannot share one scan,
+    // and a silent per-object format switch hides exactly the schema
+    // drift per_file_schema exists to surface. A mixed prefix is served
+    // by two tasks over the same path (each source prunes to its format
+    // via path_filter/suffix); docs/adapters.md states the recipe.
+    "s3directParquet" -> new S3DirectInputAdapter("s3directParquet", new HadoopParquetInput))
 
   val outputs: Map[String, OutputAdapter] = ListMap(
     "hadoopColumnar" -> new HadoopColumnarOutput,

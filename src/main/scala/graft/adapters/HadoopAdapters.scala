@@ -62,6 +62,23 @@ private[adapters] object HadoopFiles {
     } else ListMap(name -> part(read(path)))
   }
 
+  /** Shared `path_filter` param: a name glob over the objects under the
+    * path. This is also the supported recipe for a prefix mixing
+    * formats (the reference's columnar input sniffs `.parquet` objects
+    * per-extension, S3DirectColumnarInputFunction.java:60-76): one task
+    * per format over the same path, each filtered to its suffix. */
+  val pathFilterParam: ParamDef = ParamDef(
+    "path_filter",
+    "Glob over file names; only matching objects are read (e.g. '*.parquet' — " +
+      "serve a mixed-format prefix with one task per format)")
+
+  /** Apply `path_filter` to a reader (Spark's pathGlobFilter matches the
+    * file NAME, like the reference's per-object suffix check). */
+  def filtered(
+      r: org.apache.spark.sql.DataFrameReader,
+      conf: AdapterConf): org.apache.spark.sql.DataFrameReader =
+    conf.str("path_filter").map(g => r.option("pathGlobFilter", g)).getOrElse(r)
+
   /** Resolve an output `columns` list against the frame: `_` entries skip
     * the column (JdbcColumnarOutput.java:100-118 semantics). */
   def selectColumns(df: DataFrame, conf: AdapterConf): DataFrame =
@@ -181,7 +198,8 @@ final class HadoopColumnarInput extends InputAdapter {
       ParamDef("partitioning", "Row partitioning with part_count: hashcode (co-locate equal rows) or random", Some("hashcode")),
       ParamDef("per_file_schema",
         "Read each file's own header (files may order/name columns differently; " +
-          "union by name)", Some(false))))
+          "union by name)", Some(false)),
+      HadoopFiles.pathFilterParam))
 
   def load(
       spark: SparkSession,
@@ -192,10 +210,12 @@ final class HadoopColumnarInput extends InputAdapter {
     HadoopFiles.loadStreams(spark, path, name, partCount, conf) { p =>
       val delim = conf.str("delimiter", "\t")
       val fromHeader = conf.bool("schema_from_file", dflt = true)
-      val reader = spark.read
-        .option("recursiveFileLookup", conf.bool("recursive", dflt = false))
-        .option("sep", delim)
-        .option("header", fromHeader && conf.strSeq("schema_default").isEmpty)
+      val reader = HadoopFiles.filtered(
+        spark.read
+          .option("recursiveFileLookup", conf.bool("recursive", dflt = false))
+          .option("sep", delim)
+          .option("header", fromHeader && conf.strSeq("schema_default").isEmpty),
+        conf)
       // Reference semantics edge case (S3DirectColumnarInputStream.java:33-42):
       // the header of EACH object is honored, so files under one prefix may
       // order (or subset) their columns differently. Spark's CSV source
@@ -206,9 +226,16 @@ final class HadoopColumnarInput extends InputAdapter {
         if (fromHeader && conf.bool("per_file_schema", dflt = false)) {
           val fsPath = new Path(p)
           val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val nameOk: Path => Boolean = conf.str("path_filter") match {
+            case Some(g) =>
+              val gf = new org.apache.hadoop.fs.GlobFilter(g)
+              pp => gf.accept(pp)
+            case None => _ => true
+          }
           val files =
             if (fs.getFileStatus(fsPath).isDirectory)
               fs.listStatus(fsPath).toSeq.filter(_.isFile)
+                .filter(st => nameOk(st.getPath))
                 .map(_.getPath.toString).sorted
             else Seq(p)
           files.map(reader.csv(_))
@@ -244,7 +271,8 @@ final class HadoopTextInput extends InputAdapter {
     Seq("file:/data/in", "hdfs:///data/in", "s3a://bucket/prefix"),
     Seq(ParamDef("sub_dirs", "Each first-level subdirectory becomes its own stream", Some(false)),
       ParamDef("recursive", "Recurse into nested directories (the reference's S3 prefix listing is recursive)", Some(false)),
-      ParamDef("partitioning", "Row partitioning with part_count: hashcode (co-locate equal rows) or random", Some("hashcode"))))
+      ParamDef("partitioning", "Row partitioning with part_count: hashcode (co-locate equal rows) or random", Some("hashcode")),
+      HadoopFiles.pathFilterParam))
 
   def load(
       spark: SparkSession,
@@ -253,7 +281,9 @@ final class HadoopTextInput extends InputAdapter {
       partCount: Int,
       conf: AdapterConf): ListMap[String, DataFrame] =
     HadoopFiles.loadStreams(spark, path, name, partCount, conf)(
-      spark.read.option("recursiveFileLookup", conf.bool("recursive", dflt = false)).text(_))
+      HadoopFiles.filtered(
+        spark.read.option("recursiveFileLookup", conf.bool("recursive", dflt = false)),
+        conf).text(_))
 }
 
 final class HadoopParquetInput extends InputAdapter {
@@ -268,7 +298,8 @@ final class HadoopParquetInput extends InputAdapter {
       ParamDef("merge_schema",
         "Union the schemas of all files (schema evolution; columns absent in a file read as null)",
         Some(false)),
-      ParamDef("partitioning", "Row partitioning with part_count: hashcode (co-locate equal rows) or random", Some("hashcode"))))
+      ParamDef("partitioning", "Row partitioning with part_count: hashcode (co-locate equal rows) or random", Some("hashcode")),
+      HadoopFiles.pathFilterParam))
 
   def load(
       spark: SparkSession,
@@ -277,9 +308,11 @@ final class HadoopParquetInput extends InputAdapter {
       partCount: Int,
       conf: AdapterConf): ListMap[String, DataFrame] =
     HadoopFiles.loadStreams(spark, path, name, partCount, conf) { p =>
-      val df = spark.read
-        .option("recursiveFileLookup", conf.bool("recursive", dflt = false))
-        .option("mergeSchema", conf.bool("merge_schema", dflt = false))
+      val df = HadoopFiles.filtered(
+        spark.read
+          .option("recursiveFileLookup", conf.bool("recursive", dflt = false))
+          .option("mergeSchema", conf.bool("merge_schema", dflt = false)),
+        conf)
         .parquet(p)
       conf.strSeq("columns") match {
         case Some(cols) => df.select(cols.map(col): _*)
@@ -297,7 +330,8 @@ final class HadoopJsonInput extends InputAdapter {
       ParamDef("columns", "Columns to select (subset, any order)"),
       ParamDef("sub_dirs", "Each first-level subdirectory becomes its own stream", Some(false)),
       ParamDef("recursive", "Recurse into nested directories (the reference's S3 prefix listing is recursive)", Some(false)),
-      ParamDef("partitioning", "Row partitioning with part_count: hashcode (co-locate equal rows) or random", Some("hashcode"))))
+      ParamDef("partitioning", "Row partitioning with part_count: hashcode (co-locate equal rows) or random", Some("hashcode")),
+      HadoopFiles.pathFilterParam))
 
   def load(
       spark: SparkSession,
@@ -306,8 +340,10 @@ final class HadoopJsonInput extends InputAdapter {
       partCount: Int,
       conf: AdapterConf): ListMap[String, DataFrame] =
     HadoopFiles.loadStreams(spark, path, name, partCount, conf) { p =>
-      val df = spark.read
-        .option("recursiveFileLookup", conf.bool("recursive", dflt = false)).json(p)
+      val df = HadoopFiles.filtered(
+        spark.read
+          .option("recursiveFileLookup", conf.bool("recursive", dflt = false)),
+        conf).json(p)
       conf.strSeq("columns") match {
         case Some(cols) => df.select(cols.map(col): _*)
         case None => df
@@ -343,7 +379,8 @@ final class HadoopOrcInput extends InputAdapter {
       ParamDef("merge_schema",
         "Union the schemas of all files (schema evolution; columns absent in a file read as null)",
         Some(false)),
-      ParamDef("partitioning", "Row partitioning with part_count: hashcode (co-locate equal rows) or random", Some("hashcode"))))
+      ParamDef("partitioning", "Row partitioning with part_count: hashcode (co-locate equal rows) or random", Some("hashcode")),
+      HadoopFiles.pathFilterParam))
 
   def load(
       spark: SparkSession,
@@ -352,9 +389,11 @@ final class HadoopOrcInput extends InputAdapter {
       partCount: Int,
       conf: AdapterConf): ListMap[String, DataFrame] =
     HadoopFiles.loadStreams(spark, path, name, partCount, conf) { p =>
-      val df = spark.read
-        .option("recursiveFileLookup", conf.bool("recursive", dflt = false))
-        .option("mergeSchema", conf.bool("merge_schema", dflt = false))
+      val df = HadoopFiles.filtered(
+        spark.read
+          .option("recursiveFileLookup", conf.bool("recursive", dflt = false))
+          .option("mergeSchema", conf.bool("merge_schema", dflt = false)),
+        conf)
         .orc(p)
       conf.strSeq("columns") match {
         case Some(cols) => df.select(cols.map(col): _*)

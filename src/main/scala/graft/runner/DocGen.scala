@@ -12,11 +12,72 @@ import graft.adapters.{AdapterMeta, Adapters}
   */
 object DocGen {
 
+  /** Example value for a param: its declared default when present, else
+    * a plausible value keyed by the param's (shared-by-convention) name.
+    * These examples are load-bearing: PropertySpec parses every verb's
+    * generated config and validates it against the adapter's ParamDefs,
+    * so an adapter adding a param without docs coverage fails the build
+    * (the reference's DocGen.java:209-227 generates its example configs
+    * from adapter meta the same way). */
+  private def exampleValue(p: graft.adapters.ParamDef): Any =
+    p.default.getOrElse(p.name match {
+      case "columns" | "sort_by" | "partition_by" | "schema_default" |
+          "zorder_by" => Seq("col_a", "col_b")
+      case "upsert_keys" => Seq("id")
+      case "delimiter" => ","
+      case "header" => true
+      case "url" => "jdbc:postgresql://db.example:5432/app"
+      case "driver" => "org.postgresql.Driver"
+      case "user" => "app"
+      case "password" => "secret"
+      case "query" => "SELECT * FROM t WHERE part BETWEEN ? AND ?"
+      case "table" => "t"
+      case "partition_column" => "id"
+      case "lower_bound" => 0
+      case "upper_bound" => 1000000
+      case "access_key" => "AKEXAMPLE"
+      case "secret_key" => "wJalrExampleKey"
+      case "endpoint" => "https://s3.example.com"
+      case "region" => "us-east-1"
+      case "content_type" => "text/csv"
+      case "path_filter" => "*.parquet"
+      case _ => "value"
+    })
+
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def toJava(v: Any): AnyRef = v match {
+    case s: Seq[_] =>
+      val l = new java.util.ArrayList[AnyRef]()
+      s.foreach(x => l.add(toJava(x)))
+      l
+    case other => other.asInstanceOf[AnyRef]
+  }
+
+  /** One runnable task config exercising the verb: inputs pair with a
+    * `hadoopParquet` dest, outputs with a `hadoopParquet` source. Every
+    * declared param appears with its default or an example value. */
+  def exampleTask(meta: AdapterMeta, isInput: Boolean): String = {
+    val params = new java.util.LinkedHashMap[String, AnyRef]()
+    meta.params.foreach(p => params.put(p.name, toJava(exampleValue(p))))
+    val loc =
+      s"""{"adapter": "${meta.verb}", "path": "${meta.pathExamples.head}",
+         |               "params": ${om.writeValueAsString(params)}}""".stripMargin
+    if (isInput)
+      s"""{"example": [{
+         |  "source": $loc,
+         |  "dest":   {"adapter": "hadoopParquet", "path": "file:/data/out"}}]}""".stripMargin
+    else
+      s"""{"example": [{
+         |  "source": {"adapter": "hadoopParquet", "path": "file:/data/in"},
+         |  "dest":   $loc}]}""".stripMargin
+  }
+
   def render(): String = {
     val sb = new StringBuilder
     sb ++= "# Adapter reference\n\nGenerated from the adapter registry"
     sb ++= " (`graft.adapters.Adapters`); regenerate with `sbt \"runMain graft.runner.DocGen\"`.\n"
-    def section(title: String, metas: Seq[AdapterMeta]): Unit = {
+    def section(title: String, metas: Seq[AdapterMeta], isInput: Boolean): Unit = {
       sb ++= s"\n## $title\n"
       metas.foreach { m =>
         sb ++= s"\n### `${m.verb}`\n\n${m.descr}\n\n"
@@ -27,12 +88,14 @@ object DocGen {
             sb ++= s"| `${p.name}` | ${p.descr} | ${p.default.map(d => s"`$d`").getOrElse("—")} | ${if (p.required) "yes" else "no"} |\n"
           }
         }
+        sb ++= s"\nExample config (every param shown with its default or an example):\n\n"
+        sb ++= s"```json\n${exampleTask(m, isInput)}\n```\n"
       }
     }
     def distinctMetas(ms: Iterable[AdapterMeta]): Seq[AdapterMeta] =
       ms.toSeq.distinctBy(_.verb)
-    section("Input adapters", distinctMetas(Adapters.inputs.values.map(_.meta)))
-    section("Output adapters", distinctMetas(Adapters.outputs.values.map(_.meta)))
+    section("Input adapters", distinctMetas(Adapters.inputs.values.map(_.meta)), isInput = true)
+    section("Output adapters", distinctMetas(Adapters.outputs.values.map(_.meta)), isInput = false)
     sb ++= s"""
       |## Accepted parity gaps
       |

@@ -269,6 +269,56 @@ class DistPipelineSpec extends SparkSpec {
     assert(back.columns.toSet == Set("r_regionkey", "r_name"))
   }
 
+  test("s3directParquet input: reads back, and a mixed-format prefix splits by path_filter") {
+    import graft.adapters._
+    val base = tmpDir("dist")
+    // build a prefix holding BOTH parquet and csv objects — the
+    // reference's columnar input sniffs these per-extension; our recipe
+    // is one task per format over the same path, each path_filter'd
+    val mixed = new java.io.File(s"$base/mixed"); mixed.mkdirs()
+    spark.read.parquet(s"file:${sf()}/region.parquet")
+      .write.mode("overwrite").parquet(s"file:$base/pq")
+    spark.read.parquet(s"file:${sf()}/region.parquet")
+      .selectExpr("cast(r_regionkey as string) r_regionkey", "r_name")
+      .write.mode("overwrite").option("header", true).csv(s"file:$base/csv")
+    for (d <- Seq("pq", "csv"); f <- new java.io.File(s"$base/$d").listFiles()
+         if f.getName.startsWith("part-"))
+      java.nio.file.Files.copy(f.toPath, new java.io.File(mixed, f.getName).toPath)
+    assert(mixed.listFiles().exists(_.getName.endsWith(".parquet")))
+    assert(mixed.listFiles().exists(_.getName.endsWith(".csv")))
+
+    val pq = Adapters.input("s3directParquet").load(
+      spark, s"file:$base/mixed", "t", 0,
+      AdapterConf(Adapters.input("s3directParquet").meta, Map(
+        "path_filter" -> "*.parquet",
+        "access_key" -> "AK", "secret_key" -> "SK")))("t")
+    assert(pq.count() == 5)
+    assert(pq.columns.contains("r_regionkey"))
+    val csvS = Adapters.input("s3directColumnar").load(
+      spark, s"file:$base/mixed", "t", 0,
+      AdapterConf(Adapters.input("s3directColumnar").meta, Map(
+        "delimiter" -> ",", "path_filter" -> "*.csv",
+        "access_key" -> "AK", "secret_key" -> "SK")))("t")
+    assert(csvS.count() == 5)
+    assert(csvS.columns.toSet == Set("r_regionkey", "r_name"))
+
+    // and end-to-end through the pipeline: parquet in via the new verb,
+    // csv out
+    val conf = DistConfig.parse(s"""{
+      "d": [{
+        "source": {"adapter": "s3directParquet", "path": "file:$base/mixed",
+                   "params": {"path_filter": "*.parquet",
+                              "columns": ["r_regionkey", "r_name"],
+                              "access_key": "AK", "secret_key": "SK"}},
+        "dest":   {"adapter": "hadoopColumnar", "path": "file:$base/out",
+                   "params": {"delimiter": ",", "header": true}}}]
+    }""")
+    DistMain.runDirection(spark, conf.direction("d"), "d")
+    val back = spark.read.option("header", true).option("sep", ",").csv(s"file:$base/out")
+    assert(back.count() == 5)
+    assert(back.columns.toSet == Set("r_regionkey", "r_name"))
+  }
+
   test("orc adapter round trip") {
     val base = tmpDir("dist")
     val conf = DistConfig.parse(s"""{

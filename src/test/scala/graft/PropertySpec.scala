@@ -67,6 +67,23 @@ class PropertySpec extends SparkSpec {
       assert(doc.contains(s"`${p.name}`"), s"missing param ${p.name}"))
   }
 
+  test("every adapter verb has a runnable generated example config") {
+    import graft.adapters.{AdapterConf, Adapters}
+    for ((v, a) <- Adapters.inputs) {
+      val cfg = graft.config.DistConfig.parse(DocGen.exampleTask(a.meta, isInput = true))
+      val task = cfg.direction("example").head
+      assert(task.source.adapter == v)
+      // constructing AdapterConf validates names + required params
+      AdapterConf(a.meta, task.source.params)
+    }
+    for ((v, a) <- Adapters.outputs) {
+      val cfg = graft.config.DistConfig.parse(DocGen.exampleTask(a.meta, isInput = false))
+      val task = cfg.direction("example").head
+      assert(task.dest.adapter == v)
+      AdapterConf(a.meta, task.dest.params)
+    }
+  }
+
   test("docs/queries.md matches the live query registry (QueryCatalog render)") {
     // loads QueryCatalog, whose own require() refuses an out-of-sync
     // module list; comparing against the committed file then catches the
