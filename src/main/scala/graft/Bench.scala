@@ -32,9 +32,15 @@ object Bench {
     val spark = Sessions.local("graft-bench", cpus)
     val sc = spark.sparkContext
 
-    // one cheap warmup to absorb JVM/codegen first-run cost
-    SparkEntry.queries("q_filter_pushdown")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
+    // cheap warmups to absorb JVM/codegen first-run cost — one per
+    // executor-path family (scan/filter, broadcast join + agg, window),
+    // because a scan-only warmup leaves the window and join operators
+    // cold and the first multi-stage query then pays ~2x in JIT (the
+    // kmeans 12.6s-cold vs 5.3s-warm spread that kept tripping the
+    // pass-3 retry rule)
+    for (w <- Seq("q_filter_pushdown", "q_join_nation_revenue", "q_window_orders"))
+      SparkEntry.queries(w)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
 
     // min-of-n de-noising, INTERLEAVED: back-to-back runs of the same
     // query share any sustained load storm (GC/compile/IO burst lasting
@@ -90,10 +96,15 @@ object Bench {
       // another full cap
       for (q <- picked if { val v = raw(q.name).head; v >= 0.5 || v == -1.0 })
         raw(q.name) += once(q)
-      // pass 3: queries whose two clean samples disagree by > 2x
+      // pass 3: queries whose samples disagree by > 2x AND whose latest
+      // sample is not the min. A multi-stage query's OWN first run pays
+      // its codegen (generic warmups can't cover every plan shape), so
+      // "cold pass 1, clean pass 2" is the expected profile and min()
+      // already recovers it; a retry adds signal only for the storm
+      // profile — a LATER sample slower than an earlier one.
       val retry = picked.filter { q =>
         val ok = raw(q.name).filter(_ >= 0)
-        ok.size >= 2 && ok.max > 2 * ok.min
+        ok.size >= 2 && ok.max > 2 * ok.min && ok.last != ok.min
       }
       for (q <- retry) raw(q.name) += once(q)
     } catch {
