@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.CrossHash.{duck, h}
+import graft.io.CacheScope.Persisted
 import graft.io.Tables
 
 /** Corpus-curation operators a production training-data pipeline runs
@@ -468,6 +469,152 @@ object Curation {
       }.reduceLeft(_ + _)
       e.select(col("vec_id"),
         call_function("dec_cast", score, lit(18), lit(9)).cast("double").as("score"))
+    },
+
+    // ---- embedding-space spectrum diagnostics ------------------------------
+    // Effective rank of the embedding cloud (participation ratio,
+    // Roy & Vetterli 2007): PR = tr(A)² / tr(A²) of the centered
+    // scatter matrix — 1.0 when all variance lives on one axis, d when
+    // isotropic. The one-number anisotropy check run before trusting
+    // cosine similarity or picking an IVF cell count. Reuses the PCA
+    // quantization and the one-pass gram_agg reduction (the ONLY
+    // corpus-wide work — one long[2145] buffer per partition); both
+    // traces are then pinned left folds over the exact-integer matrix
+    // in IEEE doubles, identical operation order in both engines.
+    Q(
+      "q_embedding_spectrum", {
+        s"""WITH q AS MATERIALIZED (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $PCA_SCALE) AS BIGINT)) AS q
+           |  FROM embeddings
+           |), n AS (SELECT count(*) AS n FROM q),
+           |s AS MATERIALIZED (
+           |  SELECT i, sum(q[i]) AS s FROM q, generate_series(1, $PCA_D) t(i) GROUP BY i
+           |),
+           |g AS MATERIALIZED (
+           |  SELECT ti.i AS i, tj.j AS j, sum(q.q[ti.i] * q.q[tj.j]) AS g
+           |  FROM q, generate_series(1, $PCA_D) ti(i), generate_series(1, $PCA_D) tj(j)
+           |  GROUP BY 1, 2
+           |),
+           |arows AS MATERIALIZED (
+           |  SELECT i, list(a ORDER BY j) AS arow FROM (
+           |    SELECT g.i, g.j, CAST(n.n * g.g - s1.s * s2.s AS DOUBLE) AS a
+           |    FROM g, n, s s1, s s2 WHERE s1.i = g.i AND s2.i = g.j)
+           |  GROUP BY i
+           |), am AS (SELECT list(arow ORDER BY i) AS rows FROM arows),
+           |tr AS (
+           |  SELECT
+           |    list_reduce(list_transform(generate_series(1, $PCA_D),
+           |      i -> rows[i][i]), (x, y) -> x + y) AS trace,
+           |    list_reduce(list_transform(generate_series(1, ${PCA_D * PCA_D}),
+           |      k -> rows[((k - 1) // $PCA_D) + 1][((k - 1) % $PCA_D) + 1]
+           |           * rows[((k - 1) // $PCA_D) + 1][((k - 1) % $PCA_D) + 1]),
+           |      (x, y) -> x + y) AS trace_sq
+           |  FROM am
+           |)
+           |SELECT $PCA_D AS d, n.n AS n_vectors,
+           |  CAST(CAST(trace / (CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE) * ${PCA_SCALE.toDouble * PCA_SCALE})
+           |    AS DECIMAL(18, 9)) AS DOUBLE) AS total_variance,
+           |  CAST(CAST(trace * trace / trace_sq AS DECIMAL(18, 9)) AS DOUBLE) AS participation_ratio,
+           |  CAST(CAST(trace * trace / trace_sq / $PCA_D AS DECIMAL(18, 12)) AS DOUBLE) AS effective_rank_frac
+           |FROM tr, n""".stripMargin
+      }) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val row = e
+        .agg(expr(s"gram_agg(embedding, $PCA_D, $PCA_SCALE)").as("b"))
+        .head().getSeq[Long](0)
+      val n = row(0)
+      val sv = row.slice(1, 1 + PCA_D).toArray
+      val a = Array.ofDim[Double](PCA_D, PCA_D)
+      var idx = 1 + PCA_D
+      for (i <- 0 until PCA_D; j <- i until PCA_D) {
+        val v = (n * row(idx) - sv(i) * sv(j)).toDouble
+        a(i)(j) = v
+        a(j)(i) = v
+        idx += 1
+      }
+      // pinned left folds, operation-for-operation the DuckDB
+      // list_reduce rounds: seed with the first term, add in index order
+      var trace = a(0)(0)
+      var i2 = 1
+      while (i2 < PCA_D) { trace = trace + a(i2)(i2); i2 += 1 }
+      var traceSq = a(0)(0) * a(0)(0)
+      var k = 1
+      while (k < PCA_D * PCA_D) {
+        val v = a(k / PCA_D)(k % PCA_D)
+        traceSq = traceSq + v * v
+        k += 1
+      }
+      val nd = n.toDouble
+      val totalVar = trace / (nd * nd * (PCA_SCALE.toDouble * PCA_SCALE))
+      val pr = trace * trace / traceSq
+      import s.implicits._
+      Seq((PCA_D, n, totalVar, pr, pr / PCA_D))
+        .toDF("d", "n_vectors", "total_variance", "participation_ratio", "effective_rank_frac")
+        .select(col("d"), col("n_vectors"),
+          call_function("dec_cast", col("total_variance"), lit(18), lit(9)).cast("double").as("total_variance"),
+          call_function("dec_cast", col("participation_ratio"), lit(18), lit(9)).cast("double").as("participation_ratio"),
+          call_function("dec_cast", col("effective_rank_frac"), lit(18), lit(12)).cast("double").as("effective_rank_frac"))
+    },
+
+    // ---- cross-source corpus overlap ---------------------------------------
+    // Pairwise shingle-set overlap between sources — the planning pass
+    // before a cross-source dedup or mixing decision: which domains
+    // duplicate each other, and is one contained in another (mirror
+    // sites, syndication)? Exact distinct-set semantics: one distinct
+    // over (source, shingle-hash) — the only corpus-wide shuffle — then
+    // an inverted self-join whose per-key fan-out is bounded by the
+    // SOURCE COUNT (≤ |S| postings per shingle after the distinct, vs
+    // df² for doc-level pairing), aggregated map-side into the tiny
+    // |S|² grid. Zero-overlap pairs survive via the broadcast
+    // count-grid left join (the q_dedup_lsh_recall pattern). Jaccard
+    // and containment are single int/int divisions — exact and
+    // identical cross-engine.
+    Q(
+      "q_source_overlap",
+      raw"""WITH tok AS (
+        |  SELECT source, $duckTokens AS w FROM documents
+        |), ex AS (
+        |  SELECT DISTINCT source, unnest($duckShingles) AS sh
+        |  FROM tok WHERE len(w) >= 3
+        |), cnt AS (
+        |  SELECT source, count(*) AS n_sh FROM ex GROUP BY source
+        |), inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT ca.source AS source_a, cb.source AS source_b,
+        |  ca.n_sh AS n_a, cb.n_sh AS n_b,
+        |  COALESCE(i.inter, 0) AS inter,
+        |  CAST(COALESCE(i.inter, 0) AS DOUBLE) / (ca.n_sh + cb.n_sh - COALESCE(i.inter, 0)) AS jaccard,
+        |  CAST(COALESCE(i.inter, 0) AS DOUBLE) / least(ca.n_sh, cb.n_sh) AS containment
+        |FROM cnt ca JOIN cnt cb ON ca.source < cb.source
+        |LEFT JOIN inter i ON i.source_a = ca.source AND i.source_b = cb.source""".stripMargin) { (s, dir) =>
+      val ss = Tables(s, dir, "documents")
+        .select(col("source"), expr(tokens).as("w"))
+        .filter(expr("size(w) >= 3"))
+        .select(col("source"), explode(expr("shingles(w, 3)")).as("sh"))
+        .select(col("source"), xxhash64(col("sh")).as("v"))
+        .distinct()
+        .persistScoped() // feeds the count grid and the pair join
+      val counts = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+      val inter = ss.as("a")
+        .join(ss.as("b"), expr("a.v = b.v and a.source < b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("inter"))
+      counts.as("ca").select(col("source").as("source_a"), col("n_sh").as("n_a"))
+        .join(broadcast(
+          counts.as("cb").select(col("source").as("source_b"), col("n_sh").as("n_b"))),
+          col("source_a") < col("source_b"))
+        .join(broadcast(inter), Seq("source_a", "source_b"), "left")
+        .select(
+          col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          coalesce(col("inter"), lit(0L)).as("inter"))
+        .select(
+          col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("inter"),
+          (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"),
+          (col("inter").cast("double") / least(col("n_a"), col("n_b"))).as("containment"))
     })
 
   /** 16×64 ±1 projection matrix, a pure function of [[CrossHash]] — the
