@@ -615,6 +615,69 @@ object Curation {
           col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("inter"),
           (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"),
           (col("inter").cast("double") / least(col("n_a"), col("n_b"))).as("containment"))
+    },
+
+    // ---- per-source data card ----------------------------------------------
+    // The summary table a dataset release publishes per source: volume
+    // (docs, tokens, chars), mean document length, and language-mix
+    // entropy (how monolingual a source is — the signal for per-source
+    // language routing). All volume aggregates are exact integers;
+    // mean_chars is one int/int division (identical IEEE op in both
+    // engines); entropy follows the q_tfidf/q_lm_score log recipe —
+    // each p·ln(p) term's ln is snapped to DECIMAL before the product,
+    // the term snapped again, and the sum runs in exact DECIMAL (the
+    // per-source lang set is tiny, so the decimal sum is bounded).
+    Q(
+      "q_data_card",
+      raw"""WITH base AS (
+        |  SELECT source, lang, n_chars,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+        |  FROM documents
+        |), per_source AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |    count(DISTINCT lang) AS n_langs
+        |  FROM base GROUP BY source
+        |), lang_p AS (
+        |  SELECT b.source, b.lang, count(*) AS cnt, any_value(ps.n_docs) AS tot
+        |  FROM base b JOIN per_source ps ON ps.source = b.source
+        |  GROUP BY b.source, b.lang
+        |), ent AS (
+        |  SELECT source,
+        |    CAST(sum(CAST(-(CAST(cnt AS DOUBLE) / tot) *
+        |      CAST(CAST(ln(CAST(cnt AS DOUBLE) / tot) AS DECIMAL(18, 9)) AS DOUBLE)
+        |      AS DECIMAL(28, 12))) AS DECIMAL(28, 12)) AS h
+        |  FROM lang_p GROUP BY source
+        |)
+        |SELECT ps.source, ps.n_docs, ps.n_tokens, ps.n_chars,
+        |  CAST(ps.n_chars AS DOUBLE) / ps.n_docs AS mean_chars,
+        |  ps.n_langs,
+        |  CAST(ent.h AS DOUBLE) AS lang_entropy
+        |FROM per_source ps JOIN ent ON ent.source = ps.source""".stripMargin) { (s, dir) =>
+      val base = Tables(s, dir, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          expr(s"size($tokens)").as("n_tok"))
+        .persistScoped() // feeds the per-source and per-(source,lang) aggs
+      val perSource = base.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"), countDistinct(col("lang")).as("n_langs"))
+      val ent = base.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("cnt"))
+        .join(broadcast(perSource.select(col("source"), col("n_docs").as("tot"))), "source")
+        .select(col("source"),
+          expr("cast(-(cast(cnt as double) / tot) * " +
+            "cast(dec_cast(ln(cast(cnt as double) / tot), 18, 9) as double) " +
+            "as decimal(28,12))").as("term"))
+        .groupBy(col("source"))
+        .agg(sum(col("term")).cast("decimal(28,12)").as("h"))
+      perSource.join(ent, "source")
+        .select(
+          col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+          (col("n_chars").cast("double") / col("n_docs")).as("mean_chars"),
+          col("n_langs"),
+          col("h").cast("double").as("lang_entropy"))
     })
 
   /** 16×64 ±1 projection matrix, a pure function of [[CrossHash]] — the

@@ -357,6 +357,34 @@ object Dedup {
     labels
   }
 
+  /** q_dedup_clusters oracle, shared verbatim with
+    * `q_dedup_cluster_sizes` (which embeds it as a derived table — one
+    * formulation, no drift). */
+  private[queries] val clustersOracle: String =
+    raw"""WITH RECURSIVE sh AS (
+      |  SELECT doc_id, lang, $duckShingles AS shingles
+      |  FROM (SELECT doc_id, lang, $duckTokens AS w FROM documents) WHERE len(w) >= 3
+      |), ex AS (
+      |  SELECT doc_id, lang, len(shingles) AS n_sh, unnest(shingles) AS v FROM sh
+      |), inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b, count(*) AS i
+      |  FROM ex a JOIN ex b ON a.v = b.v AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |), pairs AS (
+      |  SELECT id_a, id_b FROM inter WHERE CAST(i AS DOUBLE) / (n_a + n_b - i) >= 0.3
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM pairs
+      |), reach(a, b) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+      |)
+      |SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS n_members
+      |FROM (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)""".stripMargin
+
   /** Oracle texts shared with `q_dedup_lsh_recall`, which embeds them as
     * derived tables — one formulation, no drift (the q_ann_recall
     * pattern). */
@@ -908,31 +936,7 @@ object Dedup {
     // have tiny diameters at any corpus size. The fixpoint is unique, so
     // the result is deterministic regardless of execution order; the
     // oracle computes the same components with a recursive CTE.
-    Q(
-      "q_dedup_clusters",
-      raw"""WITH RECURSIVE sh AS (
-        |  SELECT doc_id, lang, $duckShingles AS shingles
-        |  FROM (SELECT doc_id, lang, $duckTokens AS w FROM documents) WHERE len(w) >= 3
-        |), ex AS (
-        |  SELECT doc_id, lang, len(shingles) AS n_sh, unnest(shingles) AS v FROM sh
-        |), inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b, count(*) AS i
-        |  FROM ex a JOIN ex b ON a.v = b.v AND a.lang = b.lang AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id
-        |), pairs AS (
-        |  SELECT id_a, id_b FROM inter WHERE CAST(i AS DOUBLE) / (n_a + n_b - i) >= 0.3
-        |), edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION ALL
-        |  SELECT id_b, id_a FROM pairs
-        |), reach(a, b) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
-        |)
-        |SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS n_members
-        |FROM (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)""") { (s, dir) =>
+    Q("q_dedup_clusters", clustersOracle) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       // persist: the shingle frame feeds both sides of the candidate join
       val sh = shingleFrame(s, dir).persistScoped()
@@ -953,6 +957,31 @@ object Dedup {
         .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
         .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("label"))))
         .select(col("doc_id"), col("label").as("cluster_id"), col("n_members"))
+    },
+
+    // ---- near-dup impact report (component size histogram) -----------------
+    // The dedup DATA CARD number: how much of the corpus sits in
+    // near-dup groups of what size, and how many docs a one-per-cluster
+    // keep rule removes. Composes the REGISTERED clusters query (the
+    // recall-harness pattern — one formulation, nothing to drift) into
+    // a bounded histogram: distinct cluster count per size. All
+    // aggregates integer-exact; the frame after the clusters query is
+    // |distinct sizes|, trivially bounded.
+    Q(
+      "q_dedup_cluster_sizes",
+      s"""SELECT n_members AS cluster_size,
+        |  count(DISTINCT cluster_id) AS n_clusters,
+        |  n_members * count(DISTINCT cluster_id) AS n_docs,
+        |  (n_members - 1) * count(DISTINCT cluster_id) AS removable
+        |FROM ($clustersOracle)
+        |GROUP BY n_members""".stripMargin) { (s, dir) =>
+      graft.SparkEntry.queries("q_dedup_clusters")(s, dir)
+        .groupBy(col("n_members").as("cluster_size"))
+        .agg(countDistinct(col("cluster_id")).as("n_clusters"))
+        .select(
+          col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"),
+          ((col("cluster_size") - 1) * col("n_clusters")).as("removable"))
     },
 
     // ---- semantic dedup with GROUP semantics (SemDeDup, one per cluster) ---
