@@ -40,6 +40,12 @@ object Similarity {
   private val NQ = 8
   private val NC = 16
 
+  /** Product-quantization geometry: M subspaces of DS dims (M·DS = 64),
+    * K codebook entries per subspace — a vector compresses to M codes. */
+  private val PQ_M = 8
+  private val PQ_DS = 8
+  private val PQ_K = 16
+
   private def qHash = h("concat('q#', cast(vec_id as string))")
   private def cHash = h("concat('c#', cast(vec_id as string))")
   private def duckQHash = duck("'q#' || vec_id::VARCHAR")
@@ -463,6 +469,116 @@ object Similarity {
         .select(col("query_id"), col("cand_id"), col("rn"), col("dot").cast("double").as("dot"))
     },
 
+    // ---- product quantization with ADC scoring (the IVF-PQ memory path) ----
+    // PQ is what makes billion-vector ANN fit in memory: each 64-float
+    // vector compresses to M=8 one-byte codes (a 32x reduction) by
+    // quantizing each 8-dim subvector to its nearest codebook entry,
+    // and queries score candidates with Asymmetric Distance Computation
+    // — a per-query lookup table of (subspace, code) partial dots, so a
+    // candidate's approximate score is 8 table lookups instead of a
+    // 64-term float dot (Jégou et al. 2011, public method). Determinism:
+    // training-free codebooks (the m-subvectors of a fixed hash-ordered
+    // seed set — the cents0 pattern), all partial dots exact DECIMAL,
+    // ADC = exact DECIMAL sum of 8 LUT terms, ties to the lowest
+    // code/candidate. Output carries the exact full dot per hit so the
+    // approximation error is visible. At scale: codebooks and LUTs are
+    // bounded broadcasts, encoding is a per-row stream against the
+    // broadcast codebook (the IVF assignment shape), and ADC scoring
+    // shuffles only (query, cand, 8 scalars).
+    Q(
+      "q_ann_pq",
+      s"""WITH seeds AS (
+        |  SELECT row_number() OVER (ORDER BY ph, vec_id) - 1 AS k, embedding
+        |  FROM (SELECT vec_id, embedding, ${duck("'pq#' || vec_id::VARCHAR")} AS ph
+        |        FROM embeddings ORDER BY ph, vec_id LIMIT $PQ_K)
+        |), cb AS (
+        |  SELECT t.m, s.k,
+        |    list_transform(generate_series(1, $PQ_DS), i -> s.embedding[t.m * $PQ_DS + i]) AS cb
+        |  FROM seeds s, generate_series(0, ${PQ_M - 1}) t(m)
+        |), codes AS (
+        |  SELECT vec_id, m, k AS code FROM (
+        |    SELECT v.vec_id, c.m, c.k,
+        |      row_number() OVER (PARTITION BY v.vec_id, c.m
+        |        ORDER BY list_sum(list_transform(generate_series(1, $PQ_DS),
+        |          i -> CAST(CAST(v.embedding[c.m * $PQ_DS + i] AS DOUBLE)
+        |               * CAST(c.cb[i] AS DOUBLE) AS DECIMAL(28,12)))) DESC, c.k) AS rn
+        |    FROM embeddings v CROSS JOIN cb c
+        |  ) WHERE rn = 1
+        |), q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+        |  ORDER BY $duckQHash, vec_id LIMIT $NQ
+        |), lut AS (
+        |  SELECT q.query_id, c.m, c.k AS code,
+        |    list_sum(list_transform(generate_series(1, $PQ_DS),
+        |      i -> CAST(CAST(q.q_emb[c.m * $PQ_DS + i] AS DOUBLE)
+        |           * CAST(c.cb[i] AS DOUBLE) AS DECIMAL(28,12)))) AS ldot
+        |  FROM q CROSS JOIN cb c
+        |), adc AS (
+        |  SELECT l.query_id, cd.vec_id AS cand_id,
+        |    sum(CAST(l.ldot AS DECIMAL(28,12))) AS adc
+        |  FROM codes cd JOIN lut l ON l.m = cd.m AND l.code = cd.code
+        |  WHERE l.query_id <> cd.vec_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT t.query_id, t.cand_id, t.rn,
+        |  CAST(CAST(t.adc AS DECIMAL(18,12)) AS DOUBLE) AS adc,
+        |  CAST(${duckDot("q.q_emb", "v.embedding")} AS DOUBLE) AS exact_dot
+        |FROM (
+        |  SELECT query_id, cand_id, adc,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, cand_id) AS rn
+        |  FROM adc) t
+        |JOIN q ON q.query_id = t.query_id
+        |JOIN embeddings v ON v.vec_id = t.cand_id
+        |WHERE t.rn <= 3""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val seeds = e
+        .select(col("vec_id"), col("embedding"),
+          expr(h("concat('pq#', cast(vec_id as string))")).as("ph"))
+        .orderBy(col("ph"), col("vec_id")).limit(PQ_K)
+        .withColumn("k",
+          row_number().over(Window.orderBy(col("ph"), col("vec_id"))) - 1)
+      // codebook: M x K rows of 8-float subvectors — bounded, broadcast
+      val cb = seeds
+        .select(col("k"), explode(expr(s"sequence(0, ${PQ_M - 1})")).as("m"), col("embedding"))
+        .select(col("m"), col("k"), expr(s"slice(embedding, m * $PQ_DS + 1, $PQ_DS)").as("cb"))
+      // encode: per-(vector, subspace) argmax over the broadcast
+      // codebook — a scalar stream of M*K rows per vector (the IVF
+      // assignment shape), exact DECIMAL on 8-term dots is cheap enough
+      // to skip the double prefilter
+      val codes = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cb))
+        .select(col("vec_id"), col("m"), col("k"),
+          expr(s"dot_dec(slice(embedding, m * $PQ_DS + 1, $PQ_DS), cb)").as("d8"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d8").desc, col("k"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("k").as("code"))
+      val q = e
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          expr(qHash).as("qh"))
+        .orderBy(col("qh"), col("query_id")).limit(NQ)
+        .select(col("query_id"), col("q_emb"))
+      // per-query LUT: |Q| x M x K partial dots — tiny, broadcast
+      val lut = q.crossJoin(cb)
+        .select(col("query_id"), col("m"), col("k").as("code"),
+          expr(s"dot_dec(slice(q_emb, m * $PQ_DS + 1, $PQ_DS), cb)").as("ldot"))
+      val adc = codes.join(broadcast(lut), Seq("m", "code"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .groupBy(col("query_id"), col("vec_id").as("cand_id"))
+        .agg(sum(col("ldot").cast("decimal(28,12)")).as("adc"))
+      val top = adc
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("cand_id"))))
+        .filter(col("rn") <= 3)
+      // exact full dot for the <= |Q|*3 surviving pairs only
+      e.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+        .join(broadcast(top), "cand_id")
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("cand_id"), col("rn"),
+          col("adc").cast("decimal(18,12)").cast("double").as("adc"),
+          expr(dot("q_emb", "c_emb")).cast("double").as("exact_dot"))
+    },
+
     // ---- per-label embedding centroids (element-wise DECIMAL sums) ---------
     // vector aggregation without float-sum nondeterminism: posexplode
     // the vectors, sum each (label, dim) in DECIMAL — one shuffle on
@@ -693,7 +809,7 @@ object Similarity {
   /** The approximate methods the recall harness evaluates (all return
     * ranked rows with an `rn` column, truncated to @3 here). */
   private val recallMethods = Seq("lsh" -> "q_ann_lsh", "ivf" -> "q_ann_ivf",
-    "ivf_multiprobe" -> "q_ann_ivf_multiprobe")
+    "ivf_multiprobe" -> "q_ann_ivf_multiprobe", "pq" -> "q_ann_pq")
 
   /** ANN recall evaluation: every approximate method vs the brute-force
     * ground truth. The evaluation loop an ANN deployment actually needs:
@@ -725,7 +841,7 @@ object Similarity {
         |  CAST(coalesce(n_hit, 0) AS DOUBLE) / 3 AS recall_at_3
         |FROM (SELECT method, query_id
         |      FROM (SELECT DISTINCT query_id FROM ex)
-        |      CROSS JOIN (VALUES ('lsh'), ('ivf'), ('ivf_multiprobe')) m(method)) g
+        |      CROSS JOIN (VALUES ${recallMethods.map(m => s"('${m._1}')").mkString(", ")}) m(method)) g
         |LEFT JOIN hits ON g.method = hits.method AND g.query_id = hits.query_id""".stripMargin) {
       (s, dir) =>
         val ex = graft.SparkEntry.queries("q_ann_topk")(s, dir)
