@@ -46,6 +46,55 @@ object Similarity {
   private val PQ_DS = 8
   private val PQ_K = 16
 
+  /** Shared PQ oracle CTEs (seeds → codebook → per-vector codes), used
+    * verbatim by q_ann_pq and q_pq_distortion — one formulation. */
+  private lazy val pqBaseCtes: String =
+    s"""seeds AS (
+       |  SELECT row_number() OVER (ORDER BY ph, vec_id) - 1 AS k, embedding
+       |  FROM (SELECT vec_id, embedding, ${duck("'pq#' || vec_id::VARCHAR")} AS ph
+       |        FROM embeddings ORDER BY ph, vec_id LIMIT $PQ_K)
+       |), cb AS (
+       |  SELECT t.m, s.k,
+       |    list_transform(generate_series(1, $PQ_DS), i -> s.embedding[t.m * $PQ_DS + i]) AS cb
+       |  FROM seeds s, generate_series(0, ${PQ_M - 1}) t(m)
+       |), codes AS (
+       |  SELECT vec_id, m, k AS code FROM (
+       |    SELECT v.vec_id, c.m, c.k,
+       |      row_number() OVER (PARTITION BY v.vec_id, c.m
+       |        ORDER BY list_sum(list_transform(generate_series(1, $PQ_DS),
+       |          i -> CAST(CAST(v.embedding[c.m * $PQ_DS + i] AS DOUBLE)
+       |               * CAST(c.cb[i] AS DOUBLE) AS DECIMAL(28,12)))) DESC, c.k) AS rn
+       |    FROM embeddings v CROSS JOIN cb c
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+
+  /** Shared PQ Spark frames: (codebook, per-vector codes) — the Spark
+    * twins of [[pqBaseCtes]]. The codebook is bounded (M·K rows of
+    * DS-float subvectors) and broadcast at every use site. */
+  private def pqCodebookAndCodes(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val e = Tables(s, dir, "embeddings")
+    val seeds = e
+      .select(col("vec_id"), col("embedding"),
+        expr(h("concat('pq#', cast(vec_id as string))")).as("ph"))
+      .orderBy(col("ph"), col("vec_id")).limit(PQ_K)
+      .withColumn("k",
+        row_number().over(Window.orderBy(col("ph"), col("vec_id"))) - 1)
+    val cb = seeds
+      .select(col("k"), explode(expr(s"sequence(0, ${PQ_M - 1})")).as("m"), col("embedding"))
+      .select(col("m"), col("k"), expr(s"slice(embedding, m * $PQ_DS + 1, $PQ_DS)").as("cb"))
+    val codes = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("m"), col("k"),
+        expr(s"dot_dec(slice(embedding, m * $PQ_DS + 1, $PQ_DS), cb)").as("d8"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d8").desc, col("k"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("k").as("code"))
+    (cb, codes)
+  }
+
   private def qHash = h("concat('q#', cast(vec_id as string))")
   private def cHash = h("concat('c#', cast(vec_id as string))")
   private def duckQHash = duck("'q#' || vec_id::VARCHAR")
@@ -487,24 +536,7 @@ object Similarity {
     // shuffles only (query, cand, 8 scalars).
     Q(
       "q_ann_pq",
-      s"""WITH seeds AS (
-        |  SELECT row_number() OVER (ORDER BY ph, vec_id) - 1 AS k, embedding
-        |  FROM (SELECT vec_id, embedding, ${duck("'pq#' || vec_id::VARCHAR")} AS ph
-        |        FROM embeddings ORDER BY ph, vec_id LIMIT $PQ_K)
-        |), cb AS (
-        |  SELECT t.m, s.k,
-        |    list_transform(generate_series(1, $PQ_DS), i -> s.embedding[t.m * $PQ_DS + i]) AS cb
-        |  FROM seeds s, generate_series(0, ${PQ_M - 1}) t(m)
-        |), codes AS (
-        |  SELECT vec_id, m, k AS code FROM (
-        |    SELECT v.vec_id, c.m, c.k,
-        |      row_number() OVER (PARTITION BY v.vec_id, c.m
-        |        ORDER BY list_sum(list_transform(generate_series(1, $PQ_DS),
-        |          i -> CAST(CAST(v.embedding[c.m * $PQ_DS + i] AS DOUBLE)
-        |               * CAST(c.cb[i] AS DOUBLE) AS DECIMAL(28,12)))) DESC, c.k) AS rn
-        |    FROM embeddings v CROSS JOIN cb c
-        |  ) WHERE rn = 1
-        |), q AS (
+      s"""WITH $pqBaseCtes, q AS (
         |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
         |  ORDER BY $duckQHash, vec_id LIMIT $NQ
         |), lut AS (
@@ -531,28 +563,11 @@ object Similarity {
         |JOIN embeddings v ON v.vec_id = t.cand_id
         |WHERE t.rn <= 3""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
-      val seeds = e
-        .select(col("vec_id"), col("embedding"),
-          expr(h("concat('pq#', cast(vec_id as string))")).as("ph"))
-        .orderBy(col("ph"), col("vec_id")).limit(PQ_K)
-        .withColumn("k",
-          row_number().over(Window.orderBy(col("ph"), col("vec_id"))) - 1)
-      // codebook: M x K rows of 8-float subvectors — bounded, broadcast
-      val cb = seeds
-        .select(col("k"), explode(expr(s"sequence(0, ${PQ_M - 1})")).as("m"), col("embedding"))
-        .select(col("m"), col("k"), expr(s"slice(embedding, m * $PQ_DS + 1, $PQ_DS)").as("cb"))
       // encode: per-(vector, subspace) argmax over the broadcast
       // codebook — a scalar stream of M*K rows per vector (the IVF
       // assignment shape), exact DECIMAL on 8-term dots is cheap enough
       // to skip the double prefilter
-      val codes = e.select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(cb))
-        .select(col("vec_id"), col("m"), col("k"),
-          expr(s"dot_dec(slice(embedding, m * $PQ_DS + 1, $PQ_DS), cb)").as("d8"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d8").desc, col("k"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("m"), col("k").as("code"))
+      val (cb, codes) = pqCodebookAndCodes(s, dir)
       val q = e
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
           expr(qHash).as("qh"))
@@ -577,6 +592,54 @@ object Similarity {
         .select(col("query_id"), col("cand_id"), col("rn"),
           col("adc").cast("decimal(18,12)").cast("double").as("adc"),
           expr(dot("q_emb", "c_emb")).cast("double").as("exact_dot"))
+    },
+
+    // ---- PQ quantization distortion (per-subspace QA) ----------------------
+    // The QA pass that decides whether a PQ geometry is usable: per
+    // subspace, the mean and max squared reconstruction error
+    // ‖v_m − c_{m,code}‖². Expanded as v·v − 2·v·c + c·c with each dot
+    // the exact-DECIMAL kernel — one algebraic formulation shared with
+    // the oracle, all sums exact, order-free. The corpus-wide work is
+    // the shared encode stream plus one bounded (M-row) aggregate;
+    // means divide AFTER the snap, a single identical IEEE op.
+    Q(
+      "q_pq_distortion",
+      s"""WITH $pqBaseCtes, dist AS (
+        |  SELECT cd.m,
+        |    CAST(list_sum(list_transform(generate_series(1, $PQ_DS),
+        |        i -> CAST(CAST(v.embedding[cd.m * $PQ_DS + i] AS DOUBLE)
+        |             * CAST(v.embedding[cd.m * $PQ_DS + i] AS DOUBLE) AS DECIMAL(28,12))))
+        |      - 2 * list_sum(list_transform(generate_series(1, $PQ_DS),
+        |        i -> CAST(CAST(v.embedding[cd.m * $PQ_DS + i] AS DOUBLE)
+        |             * CAST(c.cb[i] AS DOUBLE) AS DECIMAL(28,12))))
+        |      + list_sum(list_transform(generate_series(1, $PQ_DS),
+        |        i -> CAST(CAST(c.cb[i] AS DOUBLE)
+        |             * CAST(c.cb[i] AS DOUBLE) AS DECIMAL(28,12))))
+        |      AS DECIMAL(28,12)) AS d2
+        |  FROM codes cd
+        |  JOIN embeddings v ON v.vec_id = cd.vec_id
+        |  JOIN cb c ON c.m = cd.m AND c.k = cd.code
+        |)
+        |SELECT m, count(*) AS n,
+        |  CAST(CAST(CAST(sum(d2) AS DECIMAL(18,12)) AS DOUBLE) / count(*) AS DOUBLE) AS mean_d2,
+        |  CAST(CAST(max(d2) AS DECIMAL(18,12)) AS DOUBLE) AS max_d2
+        |FROM dist GROUP BY m""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val (cb, codes) = pqCodebookAndCodes(s, dir)
+      val dist = codes
+        .join(e, "vec_id")
+        .join(broadcast(cb.withColumnRenamed("k", "code")), Seq("m", "code"))
+        .select(col("m"),
+          expr(s"""cast(
+            dot_dec(slice(embedding, m * $PQ_DS + 1, $PQ_DS), slice(embedding, m * $PQ_DS + 1, $PQ_DS))
+            - 2 * dot_dec(slice(embedding, m * $PQ_DS + 1, $PQ_DS), cb)
+            + dot_dec(cb, cb) as decimal(28,12))""").as("d2"))
+      dist.groupBy(col("m"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("d2")).as("sum_d2"), max(col("d2")).as("max_d2"))
+        .select(col("m"), col("n"),
+          (col("sum_d2").cast("decimal(18,12)").cast("double") / col("n")).as("mean_d2"),
+          col("max_d2").cast("decimal(18,12)").cast("double").as("max_d2"))
     },
 
     // ---- per-label embedding centroids (element-wise DECIMAL sums) ---------
