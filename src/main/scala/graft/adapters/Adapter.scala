@@ -104,7 +104,9 @@ object Adapters {
     // drift per_file_schema exists to surface. A mixed prefix is served
     // by two tasks over the same path (each source prunes to its format
     // via path_filter/suffix); docs/adapters.md states the recipe.
-    "s3directParquet" -> new S3DirectInputAdapter("s3directParquet", new HadoopParquetInput))
+    "s3directParquet" -> new S3DirectInputAdapter("s3directParquet", new HadoopParquetInput),
+    // the operator library as a source: any registered query → any sink
+    "graftQuery" -> new GraftQueryInput)
 
   val outputs: Map[String, OutputAdapter] = ListMap(
     "hadoopColumnar" -> new HadoopColumnarOutput,

@@ -41,6 +41,7 @@ object DocGen {
       case "region" => "us-east-1"
       case "content_type" => "text/csv"
       case "path_filter" => "*.parquet"
+      case "query_name" => "q_agg_pricing"
       case _ => "value"
     })
 

@@ -319,6 +319,36 @@ class DistPipelineSpec extends SparkSpec {
     assert(back.columns.toSet == Set("r_regionkey", "r_name"))
   }
 
+  test("graftQuery source: a registered operator materializes through the pipeline") {
+    val base = tmpDir("dist")
+    val conf = DistConfig.parse(s"""{
+      "export": [{
+        "source": {"adapter": "graftQuery", "path": "${sf()}",
+                   "params": {"query_name": "q_agg_pricing"}},
+        "dest":   {"adapter": "hadoopParquet", "path": "file:$base/out"}},
+       {
+        "source": {"adapter": "graftQuery", "path": "${sf()}",
+                   "params": {"query_name": "q_data_card"}},
+        "transform": "SELECT source, n_docs FROM _input WHERE n_docs > 0",
+        "dest":   {"adapter": "hadoopColumnar", "path": "file:$base/card",
+                   "params": {"delimiter": ",", "header": true}}}]
+    }""")
+    DistMain.runDirection(spark, conf.direction("export"), "export")
+    val agg = spark.read.parquet(s"file:$base/out")
+    assert(agg.count() > 0 && agg.columns.contains("l_returnflag"))
+    val card = spark.read.option("header", true).option("sep", ",").csv(s"file:$base/card")
+    assert(card.count() > 0 && card.columns.toSet == Set("source", "n_docs"))
+    // a typo'd query name fails loudly with the known-name list
+    val bad = intercept[IllegalArgumentException] {
+      graft.adapters.Adapters.input("graftQuery").load(
+        spark, sf(), "x", 0,
+        graft.adapters.AdapterConf(
+          graft.adapters.Adapters.input("graftQuery").meta,
+          Map("query_name" -> "q_nope")))
+    }
+    assert(bad.getMessage.contains("unknown query"))
+  }
+
   test("orc adapter round trip") {
     val base = tmpDir("dist")
     val conf = DistConfig.parse(s"""{
