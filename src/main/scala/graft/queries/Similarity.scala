@@ -212,6 +212,59 @@ object Similarity {
         .select(col("query_id"), col("cand_id"), col("rn"), col("dot").cast("double").as("dot"))
     },
 
+    // ---- hard-negative mining (contrastive training prep) ------------------
+    // For each anchor, the most-similar vectors with a DIFFERENT label —
+    // the negatives that actually move a contrastive loss (near the
+    // decision boundary, not random). Same two-phase brute-force shape
+    // as q_ann_topk with the label-disequality folded into the broadcast
+    // join, so the |Q|×|V| stream only ever carries cross-label pairs;
+    // exact DECIMAL rank on the ~3/query survivors. At 100 TB this is
+    // the same scan-parallel plan as the top-k baseline.
+    Q(
+      "q_hard_negatives",
+      s"""WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+        |  FROM embeddings ORDER BY $duckQHash, vec_id LIMIT $NQ
+        |)
+        |SELECT query_id, q_label, cand_id, c_label, rn, CAST(dot AS DOUBLE) AS dot FROM (
+        |  SELECT q.query_id, q.q_label, v.vec_id AS cand_id, v.label AS c_label,
+        |    ${duckDot("q.q_emb", "v.embedding")} AS dot,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY ${duckDot("q.q_emb", "v.embedding")} DESC, v.vec_id) AS rn
+        |  FROM q JOIN embeddings v ON v.label <> q.q_label
+        |) WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val q = e.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label"), expr(qHash).as("qh"))
+        .orderBy(col("qh"), col("query_id")).limit(NQ)
+        .select(col("query_id"), col("q_emb"), col("q_label"))
+      val scored = e.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+          col("label").as("c_label"))
+        .join(broadcast(q), col("q_label") =!= col("c_label"))
+        .select(col("query_id"), col("cand_id"), expr("dot_f(q_emb, c_emb)").as("ddot"))
+      val topk3 = udaf(
+        new graft.functions.Aggregators.TopK(3),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      val th = scored.groupBy(col("query_id").as("t_qid"))
+        .agg(topk3(col("ddot"), col("cand_id")).as("tk"))
+        .select(col("t_qid"), expr("element_at(tk, 3)._1").as("th"))
+      val surv = scored
+        .join(th, col("query_id") === col("t_qid"))
+        .filter(col("th").isNull || col("ddot") >= col("th") - 1e-9)
+        .select(col("query_id"), col("cand_id"))
+      e.join(surv, col("vec_id") === col("cand_id"))
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("q_label"), col("cand_id"),
+          col("label").as("c_label"), expr(dot("q_emb", "embedding")).as("dot"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("cand_id"))))
+        .filter(col("rn") <= 3)
+        .select(col("query_id"), col("q_label"), col("cand_id"), col("c_label"),
+          col("rn"), col("dot").cast("double").as("dot"))
+    },
+
     // ---- LSH-bucketed top-3 (the scale path) -------------------------------
     Q(
       "q_ann_lsh",

@@ -205,6 +205,16 @@ class PlanShapeSpec extends SparkSpec {
       s"recall plan regressed to all-pairs or a window sort:\n$p")
   }
 
+  test("q_ann_pq: bounded codebook/LUT broadcast; Tungsten ADC aggregate") {
+    val p = planOf("q_ann_pq")
+    // the codebook and per-query LUT must reach the corpus via
+    // broadcast (they are bounded M*K / |Q|*M*K frames); the ADC sum
+    // is a plain decimal HashAggregate
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"PQ codebook/LUT not broadcast:\n$p")
+    assert(!p.contains("SortAggregate"), s"ADC aggregate fell off Tungsten:\n$p")
+  }
+
   test("q_dedup_substring: bucketed window-fingerprint join — no window sort, hash aggregates only") {
     val p = planOf("q_dedup_substring")
     // candidates must come from the inverted index on the window hash,
