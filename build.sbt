@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // one JVM runs hundreds of codegen'd query executions back-to-back
+  // (Bench: 169 queries x 2-3 passes); default 240m JIT code cache and
+  // tight GC headroom degrade the tail of long runs
+  "-XX:ReservedCodeCacheSize=512m",
 )

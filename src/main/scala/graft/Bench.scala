@@ -59,6 +59,10 @@ object Bench {
     def once(q: graft.queries.Q): Double = {
       graft.io.CacheScope.releaseAll()
       spark.catalog.clearCache()
+      // also drop raw persisted RDD blocks (localCheckpoint debris from
+      // iterative queries — not in the catalog cache, not scope-tracked,
+      // and otherwise only freed when the ContextCleaner notices a GC)
+      sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       val group = "bench-" + q.name
       @volatile var done = false
       @volatile var capped = false
@@ -89,22 +93,39 @@ object Bench {
     val picked = SparkEntry.allQueries.filter(q => only.forall(_.contains(q.name)))
     val raw = collection.mutable.LinkedHashMap(
       picked.map(q => q.name -> collection.mutable.ArrayBuffer.empty[Double]): _*)
+    // Spark's ContextCleaner releases broadcasts, shuffle files and
+    // localCheckpoint blocks only when their owners are GC'd — over a
+    // ~350-execution run the backlog becomes tail-of-suite degradation
+    // (r10: late queries ran 5-20x slower than solo). Nudge a full GC
+    // at pass boundaries so every pass starts from a drained JVM.
+    def drain(): Unit = { System.gc(); Thread.sleep(500) }
     try {
       for (q <- picked) raw(q.name) += once(q)
-      // pass 2: expensive queries only; one -1.0 retry for failures;
-      // capped queries (-2.0) are never re-run — they'd just burn
-      // another full cap
-      for (q <- picked if { val v = raw(q.name).head; v >= 0.5 || v == -1.0 })
+      drain()
+      // pass 2: expensive queries only; one retry each for failures
+      // (-1.0) and capped queries (-2.0). The single capped retry
+      // matters: an ambient load storm (observed 60s+ windows on this
+      // box) can cap an innocent query in pass 1, and without a second
+      // sample it would report as dead; a genuinely pathological query
+      // still costs at most 2x the cap — bounded, never
+      // bench-blanking.
+      for (q <- picked if { val v = raw(q.name).head; v >= 0.5 || v < 0 })
         raw(q.name) += once(q)
+      drain()
       // pass 3: queries whose samples disagree by > 2x AND whose latest
       // sample is not the min. A multi-stage query's OWN first run pays
       // its codegen (generic warmups can't cover every plan shape), so
       // "cold pass 1, clean pass 2" is the expected profile and min()
       // already recovers it; a retry adds signal only for the storm
-      // profile — a LATER sample slower than an earlier one.
+      // profile — a LATER sample slower than an earlier one. Queries
+      // that recovered from a pass-1 cap also get one more sample:
+      // their single success ran right after a storm window and is
+      // usually inflated.
       val retry = picked.filter { q =>
-        val ok = raw(q.name).filter(_ >= 0)
-        ok.size >= 2 && ok.max > 2 * ok.min && ok.last != ok.min
+        val vs = raw(q.name)
+        val ok = vs.filter(_ >= 0)
+        (ok.size >= 2 && ok.max > 2 * ok.min && ok.last != ok.min) ||
+        (ok.size == 1 && vs.contains(-2.0))
       }
       for (q <- retry) raw(q.name) += once(q)
     } catch {

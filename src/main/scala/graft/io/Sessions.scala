@@ -36,6 +36,18 @@ object Sessions {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", sys.props.getOrElse("spark.ui.enabled", "false"))
+      // long-lived sessions (the 169-query bench runs ~350 query
+      // executions in one JVM): the SQL status store retains 1000
+      // executions of plan/metric graphs by default even with the UI
+      // off — that accumulation, plus per-execution listener state, is
+      // driver memory that never helps a headless run. Keep a small
+      // window so late-suite queries see the same JVM the early ones
+      // did (r10: tail-of-suite queries degraded 5-20x in long runs).
+      .config("spark.sql.ui.retainedExecutions", "25")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.worker.ui.retainedExecutors", "10")
+      .config("spark.appStateStore.asyncTracking.enable", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
