@@ -180,5 +180,39 @@ object Bpe {
           count(lit(1)).as("n_words"),
           sum(col("n_sub")).cast("long").as("n_tokens"),
           sum(length(col("word"))).cast("long").as("n_chars"))
+    },
+
+    // ---- tokenizer fertility by language -----------------------------------
+    // THE standard tokenizer-evaluation metric: how many subword tokens
+    // the trained BPE spends per word and per character in each
+    // language. High fertility on a language means its text is
+    // expensive to train on and under-served by the vocab — the number
+    // that drives vocab-size and data-mix decisions in multilingual
+    // setups. Composes the REGISTERED encode query (one formulation)
+    // with the documents' lang column; all aggregates exact integers,
+    // ratios single int/int divisions.
+    Q(
+      "q_tokenizer_fertility",
+      s"""SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(e.n_words) AS BIGINT) AS n_words,
+        |  CAST(sum(e.n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(e.n_chars) AS BIGINT) AS n_chars,
+        |  CAST(sum(e.n_tokens) AS DOUBLE) / CAST(sum(e.n_words) AS BIGINT) AS tokens_per_word,
+        |  CAST(sum(e.n_chars) AS DOUBLE) / CAST(sum(e.n_tokens) AS BIGINT) AS chars_per_token
+        |FROM ($duckEncodeOracle) e
+        |JOIN documents d USING (doc_id)
+        |GROUP BY lang""".stripMargin) { (s, dir) =>
+      val enc = graft.SparkEntry.queries("q_bpe_encode")(s, dir)
+      enc
+        .join(Tables(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words")).cast("long").as("n_words"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"),
+          sum(col("n_chars")).cast("long").as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"), col("n_chars"),
+          (col("n_tokens").cast("double") / col("n_words")).as("tokens_per_word"),
+          (col("n_chars").cast("double") / col("n_tokens")).as("chars_per_token"))
     })
 }
