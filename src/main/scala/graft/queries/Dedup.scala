@@ -322,9 +322,14 @@ object Dedup {
     // same); a lost block just re-runs the query.
     // eager=false throughout: the convergence count is the round's one
     // and only action — it materializes the checkpoint as a side
-    // effect, so a round costs no extra job.
-    var labels = edges.select(col("src").as("doc_id"), col("src").as("label"))
-      .distinct()
+    // effect, so a round costs no extra job. Labels seed at the
+    // NEIGHBOURHOOD min (one groupBy over the symmetric edge list —
+    // exactly what the loop's first round would compute, minus its
+    // label join, checkpoint and convergence action): one round of the
+    // loop bought for one aggregation.
+    var labels = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("doc_id"), least(col("mn"), col("src")).as("label"))
       .localCheckpoint(eager = false)
     var changed = 1L
     var round = 0
