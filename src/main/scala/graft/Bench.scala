@@ -70,8 +70,11 @@ object Bench {
       val watchdog = new Thread(() => {
         try {
           Thread.sleep((capSec * 1000).toLong)
-          capped = true
-          while (!done) { sc.cancelJobGroup(group); Thread.sleep(250) }
+          // `capped` flips only AFTER a cancel has actually been
+          // issued: a genuine query failure that merely happens later
+          // than capSec must not be misfiled as a cap (it would get
+          // the capped retry path and a -2.0 instead of -1.0)
+          while (!done) { sc.cancelJobGroup(group); capped = true; Thread.sleep(250) }
         } catch { case _: InterruptedException => () }
       }, s"cap-$group")
       watchdog.setDaemon(true)
@@ -80,7 +83,16 @@ object Bench {
       try {
         q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => if (capped) -2.0 else -1.0 }
+      } catch {
+        case t: Throwable =>
+          // classify as capped only when a cancel was issued AND the
+          // exception chain looks like a job-group cancellation; a
+          // non-cancellation error racing the watchdog is a failure
+          def cancellation(e: Throwable): Boolean =
+            e != null && (Option(e.getMessage).exists(
+              _.toLowerCase.contains("cancel")) || cancellation(e.getCause))
+          if (capped && cancellation(t)) -2.0 else -1.0
+      }
       finally {
         done = true
         watchdog.interrupt()
@@ -144,7 +156,20 @@ object Bench {
     val cappedJson = results.collect { case (k, v) if v == -2.0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$rawJson,"capped":$cappedJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$rawJson,"capped":$cappedJson,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO persist the line: the driver captures only a ~2 KB stdout
+    // tail, which truncates a 170-query JSON line — every BENCH_r*.json
+    // through r10 had `parsed: null` and per-round comparisons needed
+    // log archaeology. Best-effort: never fail the bench on IO.
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] could not write target/bench.json: $t")
+    }
     spark.stop()
   }
 }

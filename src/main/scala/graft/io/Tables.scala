@@ -78,4 +78,18 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     if (registered.put(System.identityHashCode(spark), sfDir) != sfDir)
       all.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+
+  // Memoized table cardinality: corpus-derived operator parameters (IVF
+  // cell counts, SemDeDup hyperplane bits) need |table| at PLAN time.
+  // count() over parquet is metadata-only (row-group counts, no data
+  // pages) and the test tables are immutable, so one count per
+  // (session, dir, table) amortizes to nothing across the 170-query
+  // suite. The matching DuckDB oracles derive the same value with a
+  // scalar `(SELECT count(*) FROM t)` subquery.
+  private val counts =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), java.lang.Long]()
+
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long =
+    counts.computeIfAbsent((System.identityHashCode(spark), sfDir, name),
+      _ => java.lang.Long.valueOf(apply(spark, sfDir, name).count())).longValue()
 }

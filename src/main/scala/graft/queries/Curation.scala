@@ -238,7 +238,7 @@ object Curation {
     Q(
       "q_decontaminate_bloom",
       raw"""WITH tok AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |  SELECT doc_id, $duckTokens AS w FROM documents
         |), sh AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w)-4),
         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS s
@@ -443,7 +443,13 @@ object Curation {
       val a = Array.ofDim[Double](PCA_D, PCA_D)
       var idx = 1 + PCA_D
       for (i <- 0 until PCA_D; j <- i until PCA_D) {
-        val v = (n * row(idx) - sv(i) * sv(j)).toDouble
+        // BigInt centering (ADVICE r10): with scale=1024 and |x| ≤ 1,
+        // n·g_ij approaches Long.MaxValue near n ~ 3e6 vectors and
+        // Long arithmetic would WRAP silently (DuckDB raises instead).
+        // The exact wide product is O(d²) driver-side work — free —
+        // and .toDouble of the wide value matches a HUGEINT→DOUBLE
+        // round-to-nearest on the oracle side.
+        val v = (BigInt(n) * row(idx) - BigInt(sv(i)) * sv(j)).toDouble
         a(i)(j) = v
         a(j)(i) = v
         idx += 1
@@ -528,7 +534,13 @@ object Curation {
       val a = Array.ofDim[Double](PCA_D, PCA_D)
       var idx = 1 + PCA_D
       for (i <- 0 until PCA_D; j <- i until PCA_D) {
-        val v = (n * row(idx) - sv(i) * sv(j)).toDouble
+        // BigInt centering (ADVICE r10): with scale=1024 and |x| ≤ 1,
+        // n·g_ij approaches Long.MaxValue near n ~ 3e6 vectors and
+        // Long arithmetic would WRAP silently (DuckDB raises instead).
+        // The exact wide product is O(d²) driver-side work — free —
+        // and .toDouble of the wide value matches a HUGEINT→DOUBLE
+        // round-to-nearest on the oracle side.
+        val v = (BigInt(n) * row(idx) - BigInt(sv(i)) * sv(j)).toDouble
         a(i)(j) = v
         a(j)(i) = v
         idx += 1
@@ -631,7 +643,7 @@ object Curation {
       "q_data_card",
       raw"""WITH base AS (
         |  SELECT source, lang, n_chars,
-        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+        |    len($duckTokens) AS n_tok
         |  FROM documents
         |), per_source AS (
         |  SELECT source, count(*) AS n_docs,

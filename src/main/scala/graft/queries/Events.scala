@@ -371,18 +371,30 @@ object Events {
       }) { (s, dir) =>
       val seqW = Window.partitionBy(col("user_id"))
         .orderBy(expr("ts_ns div 1000"), col("event_id"))
+      // node set from ALL events (not just transitions): a type whose
+      // occurrences are all session-final must still get its uniform row
+      val nodes = Tables(s, dir, "events").select(col("event_type"))
+        .distinct().collect().map(_.getString(0)).sorted
+      val k = nodes.length
+      // LOUD driver-matrix guard (the minLabelComponents maxRounds
+      // pattern), checked BEFORE the k² collect below: the k×k
+      // transition matrix and its power iteration are driver-side by
+      // design — bounded by the event-type VOCABULARY, not the corpus —
+      // but an unexpectedly wide vocabulary (a misparsed type column,
+      // an id leaking into event_type) would OOM the driver silently at
+      // k². Fail with the actual k instead.
+      val maxK = 4096
+      require(k <= maxK,
+        s"q_markov_stationary: event-type vocabulary k=$k exceeds $maxK — " +
+          "the k×k driver-side transition matrix is only sound for a bounded " +
+          "type vocabulary; widen maxK deliberately or pre-bucket event_type")
       val cnts = Tables(s, dir, "events")
         .select(col("event_type").as("ft"),
           lead(col("event_type"), 1).over(seqW).as("tt"))
         .filter(col("tt").isNotNull)
         .groupBy(col("ft"), col("tt"))
         .agg(count(lit(1)).as("c"))
-        .collect() // k² rows, bounded by the event-type vocabulary
-      // node set from ALL events (not just transitions): a type whose
-      // occurrences are all session-final must still get its uniform row
-      val nodes = Tables(s, dir, "events").select(col("event_type"))
-        .distinct().collect().map(_.getString(0)).sorted
-      val k = nodes.length
+        .collect() // k² rows, bounded by the guarded vocabulary above
       val idx = nodes.zipWithIndex.toMap
       val cm = Array.ofDim[Long](k, k)
       cnts.foreach(r => cm(idx(r.getString(0)))(idx(r.getString(1))) = r.getLong(2))

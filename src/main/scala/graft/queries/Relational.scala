@@ -478,31 +478,72 @@ object Relational {
     },
 
     // ---- sketch aggregation: HLL approximate distinct -----------------------
-    // sketches are engine-specific (no cross-engine hash possible), so
-    // this gets the driver's rows-only check; AggregatorSpec-style error
-    // bounds are asserted in SketchSpec
-    Q.noOracle("q_approx_distinct") { (s, dir) =>
+    // Sketch VALUES are engine-specific (DuckDB cannot reproduce Spark's
+    // HLL registers), but the sketch's CONTRACT is cross-engine: the
+    // estimate must sit within the configured error bound of the exact
+    // count. So the query surfaces the exact counts plus per-sketch
+    // within-bound BOOLEANS (rsd = 0.02, asserted at 5σ = 10% — Spark's
+    // HLL is deterministic on fixed data, so the booleans are stable),
+    // and the oracle states the bound as literal TRUE — the full row
+    // hash-gates in DuckDB (round-11; previously a rows-only check).
+    // Tighter empirical bounds live in SketchSpec.
+    Q(
+      "q_approx_distinct",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_suppkey) AS exact_supps,
+        |  TRUE AS parts_ok, TRUE AS supps_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_suppkey")).as("exact_supps"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("asu"))
+        .select(
+          col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+          (abs(col("ap") - col("exact_parts"))
+            <= col("exact_parts") * 0.10).as("parts_ok"),
+          (abs(col("asu") - col("exact_supps"))
+            <= col("exact_supps") * 0.10).as("supps_ok"))
     },
 
     // ---- sketch aggregation: approximate percentiles (KLL-style) ------------
-    // engine-specific sketch internals → rows-only driver check; the
-    // error bound vs the exact rank formulation is asserted in SketchSpec
-    Q.noOracle("q_approx_percentile") { (s, dir) =>
-      t(s, dir, "orders")
+    // Same contract-not-value oracle shape as q_approx_distinct: the
+    // approx_percentile(accuracy=1000) result is an actual data value
+    // whose RANK must be within 1/accuracy of the target quantile. The
+    // query joins the (bounded, one row per group) sketch output back to
+    // the stream, counts rows ≤ the approximate percentile, and asserts
+    // |rank − q| ≤ 0.02 (20× the sketch's guaranteed 0.001 rank error —
+    // plus tie slack; deterministic on fixed data). Exact group sizes
+    // hash-gate alongside the booleans.
+    Q(
+      "q_approx_percentile",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val ap = t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(
           expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.95), 1000)")
             .as("pcts"))
+      t(s, dir, "orders")
+        .join(broadcast(ap), "o_orderpriority") // one row per group
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("o_totalprice") <= element_at(col("pcts"), 1), 1L)
+            .otherwise(0L)).as("le25"),
+          sum(when(col("o_totalprice") <= element_at(col("pcts"), 2), 1L)
+            .otherwise(0L)).as("le50"),
+          sum(when(col("o_totalprice") <= element_at(col("pcts"), 3), 1L)
+            .otherwise(0L)).as("le95"))
         .select(
-          col("o_orderpriority"),
-          element_at(col("pcts"), 1).as("p25"),
-          element_at(col("pcts"), 2).as("p50"),
-          element_at(col("pcts"), 3).as("p95"))
+          col("o_orderpriority"), col("n"),
+          (abs(col("le25").cast("double") / col("n") - 0.25) <= 0.02).as("p25_ok"),
+          (abs(col("le50").cast("double") / col("n") - 0.50) <= 0.02).as("p50_ok"),
+          (abs(col("le95").cast("double") / col("n") - 0.95) <= 0.02).as("p95_ok"))
     },
 
     // ---- SQL-text interface: one dialect-shared string, both engines --------

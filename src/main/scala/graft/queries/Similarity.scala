@@ -38,7 +38,24 @@ object Similarity {
     * construction at any corpus size (and is what a real workload does:
     * k and |Q| are chosen, not derived from data volume). */
   private val NQ = 8
-  private val NC = 16
+
+  /** IVF cell count — CORPUS-DERIVED, not a literal (round-11): with a
+    * fixed |C| the per-cell inverted lists grow O(N/|C|), so in-cell
+    * probe work is O(N) per query and the whole family degrades to a
+    * scan at scale. The classical IVF balance point is |C| = ceil(√N)
+    * (√N cells of ~√N vectors: assignment flops O(N·√N), probe work
+    * O(√N) per query — the FAISS IVF-Flat recipe). Both engines derive
+    * the SAME value from the corpus itself: Spark from a memoized
+    * metadata-only parquet count ([[Tables.rowCount]]), DuckDB from a
+    * scalar subquery inlined into the seed LIMIT. ceil(sqrt(n)) is one
+    * IEEE double sqrt on an exactly-representable integer — identical
+    * in java.lang.Math and DuckDB's C sqrt. */
+  private[queries] def ncIvf(n: Long): Int =
+    math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+  private def ncIvf(s: org.apache.spark.sql.SparkSession, dir: String): Int =
+    ncIvf(Tables.rowCount(s, dir, "embeddings"))
+  private val duckNcIvf =
+    "(SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
 
   /** Product-quantization geometry: M subspaces of DS dims (M·DS = 64),
     * K codebook entries per subspace — a vector compresses to M codes. */
@@ -301,7 +318,7 @@ object Similarity {
       "q_ann_ivf",
       s"""WITH cents AS (
         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
-        |  ORDER BY $duckCHash, vec_id LIMIT $NC
+        |  ORDER BY $duckCHash, vec_id LIMIT $duckNcIvf
         |), assign AS (
         |  SELECT vec_id, embedding, c_id AS cell FROM (
         |    SELECT v.vec_id, v.embedding, c.c_id,
@@ -324,7 +341,7 @@ object Similarity {
       val e = Tables(s, dir, "embeddings")
       val cents = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
           expr(cHash).as("ch"))
-        .orderBy(col("ch"), col("c_id")).limit(NC)
+        .orderBy(col("ch"), col("c_id")).limit(ncIvf(s, dir))
         .select(col("c_id"), col("c_emb"))
       // two-phase assignment: |V| x |C| double dots in one codegen'd map
       // stage, per-vector argmax as a WINDOW over the flat 20-byte score
@@ -385,7 +402,7 @@ object Similarity {
       "q_ann_kmeans",
       s"""WITH cents AS (
         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
-        |  ORDER BY $duckCHash, vec_id LIMIT $NC
+        |  ORDER BY $duckCHash, vec_id LIMIT $duckNcIvf
         |), assign1 AS (
         |  SELECT vec_id, embedding, c_id AS cell FROM (
         |    SELECT v.vec_id, v.embedding, c.c_id,
@@ -420,7 +437,7 @@ object Similarity {
       val e = Tables(s, dir, "embeddings")
       val cents = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
           expr(cHash).as("ch"))
-        .orderBy(col("ch"), col("c_id")).limit(NC)
+        .orderBy(col("ch"), col("c_id")).limit(ncIvf(s, dir))
         .select(col("c_id"), col("c_emb"))
       // phase 1: nearest seed (double prefilter + exact decimal on the
       // surviving ~1 candidate per vector — same two-phase shape as ivf).
@@ -492,7 +509,7 @@ object Similarity {
       "q_ann_ivf_multiprobe",
       s"""WITH cents AS (
         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
-        |  ORDER BY $duckCHash, vec_id LIMIT $NC
+        |  ORDER BY $duckCHash, vec_id LIMIT $duckNcIvf
         |), ranked AS (
         |  SELECT vec_id, embedding, c_id, crn FROM (
         |    SELECT v.vec_id, v.embedding, c.c_id,
@@ -519,7 +536,7 @@ object Similarity {
       val e = Tables(s, dir, "embeddings")
       val cents = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
           expr(cHash).as("ch"))
-        .orderBy(col("ch"), col("c_id")).limit(NC)
+        .orderBy(col("ch"), col("c_id")).limit(ncIvf(s, dir))
         .select(col("c_id"), col("c_emb"))
       // double scores once; top-2-per-vector via the bounded-heap TopK
       // (map-side partials — the |V| x |C| stream is never shuffled),
@@ -770,36 +787,21 @@ object Similarity {
           countDistinct(col("q")).as("n_levels"))
     },
 
-    // ---- SemDeDup-style semantic dedup (k-means cells + in-cell near-dup) --
+    // ---- SemDeDup-style semantic dedup (LSH cells + in-cell near-dup) ------
     // Abbas et al. 2023 ("SemDeDup: Data-efficient learning at web-scale
-    // through semantic deduplication"): cluster the embedding space,
-    // then search for near-duplicates only WITHIN each cluster — the
-    // cell assignment turns the quadratic all-pairs scan into per-cell
-    // blocks with zero cross-cell pairs by construction. Composes the
-    // IVF cell assignment above with the q_dedup_embedding verify
-    // kernel: nearest-centroid cells (fixed-|C| hash-ordered seed set,
-    // two-phase double-prefilter + exact-DECIMAL argmax), then a SALTED
-    // in-cell self-join (|C|=16 cells would cap parallelism at 16
-    // unsalted) keeping the lowest vec_id of every near-dup pair.
+    // through semantic deduplication"): partition the embedding space,
+    // then search for near-duplicates only WITHIN each cell — the cell
+    // assignment turns the quadratic all-pairs scan into per-cell
+    // blocks with zero cross-cell pairs by construction. Cells are
+    // CORPUS-SCALED hyperplane-sign buckets (semBits(n) planes ⇒ cell
+    // count ∝ N, expected cell size ≤ SEM_CELL_TARGET — SemDeDup's own
+    // k ∝ N recipe with a zero-shuffle assignment); the in-cell SALTED
+    // self-join keeps the lowest vec_id of every near-dup pair.
     Q(
       "q_dedup_semantic",
-      s"""WITH cents AS (
-        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
-        |  ORDER BY $duckCHash, vec_id LIMIT $NC
-        |), assign AS (
-        |  SELECT vec_id, embedding, c_id AS cell FROM (
-        |    SELECT v.vec_id, v.embedding, c.c_id,
-        |      row_number() OVER (PARTITION BY v.vec_id
-        |        ORDER BY ${duckDot("v.embedding", "c.c_emb")} DESC, c.c_id) AS crn
-        |    FROM embeddings v CROSS JOIN cents c
-        |  ) WHERE crn = 1
-        |), pairs AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |  WHERE ${duckDot("a.embedding", "b.embedding")} >= 0.35
-        |)
-        |SELECT vec_id, cell FROM assign
-        |WHERE vec_id NOT IN (SELECT id_b FROM pairs)""".stripMargin) { (s, dir) =>
+      s"""WITH $semOracleCtes
+        |SELECT vec_id, cell FROM semassign
+        |WHERE vec_id NOT IN (SELECT id_b FROM sempairs)""".stripMargin) { (s, dir) =>
       val (assign, pairs) = semanticCellsAndPairs(s, dir)
       val dropped = pairs.select(col("id_b")).distinct()
       assign
@@ -856,7 +858,7 @@ object Similarity {
         }.mkString("\nUNION ALL\n")
         s"""WITH cents0 AS MATERIALIZED (
            |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
-           |  ORDER BY $duckCHash, vec_id LIMIT $NC
+           |  ORDER BY $duckCHash, vec_id LIMIT $duckNcIvf
            |), a0 AS MATERIALIZED (
            |  ${assignTpl("cents0")}
            |), $rounds
@@ -897,7 +899,7 @@ object Similarity {
           .as("c_emb"))
       val seeds = e.select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
           expr(cHash).as("ch"))
-        .orderBy(col("ch"), col("cell")).limit(NC)
+        .orderBy(col("ch"), col("cell")).limit(ncIvf(s, dir))
         .select(col("cell"), col("c_emb"))
       // EAGER per-round loop (the BPE pattern: one aggregated telemetry
       // row collected per round). A lazy formulation would nest four
@@ -984,45 +986,110 @@ object Similarity {
 
   val queries: Seq[Q] = baseQueries :+ recallQuery
 
+  /** SemDeDup cell geometry — CORPUS-DERIVED hyperplane cells
+    * (round-11; replaces the fixed-16 nearest-centroid cells, the last
+    * O(N²) candidate generator in the engine). The in-cell all-pairs
+    * scan is O(Σ cell²), so cell SIZE must stay bounded as the corpus
+    * grows: we partition by the sign pattern of `semBits(n)` random
+    * hyperplanes, the smallest b ≥ 4 with 2^b · SEM_CELL_TARGET ≥ n —
+    * cell count ∝ N, expected cell size ≤ SEM_CELL_TARGET at ANY corpus
+    * size, so candidate volume is O(N · SEM_CELL_TARGET), linear.
+    * Assignment is a pure per-row codegen'd projection: zero shuffles,
+    * zero broadcasts, nothing that grows with N (nearest-centroid
+    * assignment with k ∝ N would have needed an O(N·k) scan against a
+    * linearly-growing broadcast). Hyperplane cells are cones around the
+    * origin, so near-dup pairs (dot ≥ 0.35 on ~unit vectors) land in
+    * the same cell with the usual SRP-LSH probability — same recall
+    * geometry as `q_ann_lsh`, whose 4-bit buckets this generalizes.
+    *
+    * The bit count is derived with PURE INTEGER arithmetic: a float
+    * log2 would let the engines disagree by one plane at exact powers
+    * of two (ln-ratio rounding). DuckDB derives the identical value by
+    * scanning generate_series for the first qualifying shift. */
+  // final constant + defs/lazy vals throughout this block: baseQueries
+  // (a strict val declared ABOVE) interpolates semOracleCtes at object
+  // init, so everything it pulls in must be initialization-order-proof
+  private[queries] final val SEM_CELL_TARGET = 64L
+  private[queries] def semBits(n: Long): Int = {
+    var b = 4
+    while ((1L << b) * SEM_CELL_TARGET < n && b < 40) b += 1
+    b
+  }
+  private[queries] def semBits(s: org.apache.spark.sql.SparkSession, dir: String): Int =
+    semBits(Tables.rowCount(s, dir, "embeddings"))
+  private def duckSemBits: String =
+    s"""(SELECT greatest(4, CAST(min(j) AS INT)) FROM generate_series(1, 40) t(j)
+       | WHERE (1::BIGINT << j) * $SEM_CELL_TARGET >= (SELECT count(*) FROM embeddings))""".stripMargin
+
+  /** Hyperplane-sign cell id as one flat codegen'd column (the
+    * `bucketCol` pattern, distinct `sem#` seed family): plane j's
+    * weights w(j,i) = ((CrossHash("sem#j#i") % 2001) - 1000)/1000 are
+    * plan-time constants; each plane sum folds dims 1..64 left-to-right
+    * — the same order as DuckDB's list_reduce, so the sign (and the
+    * cell) is bit-identical cross-engine. */
+  private[queries] def semCellCol(v: String, bits: Int): org.apache.spark.sql.Column = {
+    def planeSum(j: Int) = (1 to 64).map { i =>
+      val w = ((graft.functions.CrossHash.local(s"sem#$j#$i") % 2001) - 1000) / 1000.0
+      lit(w) * element_at(col(v), i).cast("double")
+    }.reduceLeft(_ + _)
+    if (bits <= 0) lit(0)
+    else (0 until bits)
+      .map(j => when(planeSum(j) >= 0, lit(1 << j)).otherwise(lit(0)))
+      .reduceLeft(_ + _)
+  }
+
+  private def duckSemCell(v: String): String =
+    s"""CAST(list_sum(list_transform(generate_series(0, $duckSemBits - 1), j ->
+       |  CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+       |      i -> (((${duck("'sem#' || j::VARCHAR || '#' || i::VARCHAR")} % 2001) - 1000) / 1000.0)
+       |        * CAST($v[i] AS DOUBLE)), (x, y) -> x + y) >= 0
+       |  THEN (1 << j) ELSE 0 END)) AS INT)""".stripMargin
+
+  /** Shared oracle CTEs for the semantic-dedup family (assignment +
+    * in-cell near-dup pairs) — used verbatim by q_dedup_semantic,
+    * q_dedup_semantic_clusters and q_dedup_embedding: one formulation,
+    * nothing to drift. */
+  private[queries] lazy val semOracleCtes: String =
+    s"""semassign AS (
+       |  SELECT vec_id, embedding, label, ${duckSemCell("embedding")} AS cell
+       |  FROM embeddings
+       |), sempairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM semassign a JOIN semassign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${duckDot("a.embedding", "b.embedding")} >= 0.35
+       |)""".stripMargin
+
+  /** Per-vector cell assignment (vec_id, embedding, label, cell) — a
+    * single zero-exchange projection over the corpus scan. */
+  private[queries] def semanticAssign(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      bits: Int): org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"),
+        semCellCol("embedding", bits).cast("int").as("cell"))
+
   /** Shared SemDeDup machinery: the per-vector cell assignment (scoped-
     * persisted — it feeds both pair sides and the caller's final join)
     * and the in-cell near-dup pair frame (id_a, id_b). Used by
     * q_dedup_semantic (local-minima keeps) and
-    * q_dedup_semantic_clusters (connected-component keeps). */
+    * q_dedup_semantic_clusters (connected-component keeps). `bits` is
+    * overridable so DedupSemSpec can prove the blocking identity
+    * (bits = 0 → one cell → the pair set IS the exhaustive dot ≥ 0.35
+    * set). */
   private[queries] def semanticCellsAndPairs(
       s: org.apache.spark.sql.SparkSession,
-      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val e = Tables(s, dir, "embeddings")
-    val cents = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-        expr(cHash).as("ch"))
-      .orderBy(col("ch"), col("c_id")).limit(NC)
-      .select(col("c_id"), col("c_emb"))
-    // cell assignment — same two-phase shape as q_ann_ivf (double
-    // prefilter over broadcast fixed-|C| centroids, window argmax,
-    // exact DECIMAL tie-break)
-    val ddots = e.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("c_id"), expr("dot_f(embedding, c_emb)").as("cdd"))
-    val best = ddots
-      .withColumn("mx", max(col("cdd")).over(Window.partitionBy(col("vec_id"))))
-      .filter(col("cdd") >= col("mx") - 1e-9)
-      .select(col("vec_id").as("b_vec"), col("c_id"))
-    val assign = e
-      .join(best, col("vec_id") === col("b_vec"))
-      .join(broadcast(cents), "c_id")
-      .select(col("vec_id"), col("embedding"), col("c_id"),
-        expr(dot("embedding", "c_emb")).as("cdot"))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cdot").desc, col("c_id"))))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
-      // feeds both pair sides AND the caller's final join; the salted
-      // sides differ structurally, so AQE exchange reuse cannot serve
-      // them — a scoped cache is the right tool here (unlike the
-      // ngram kernel, whose branches DO canonicalize equal)
-      .persistScoped()
-    // in-cell near-dup pairs, salted like q_dedup_embedding (16 cells
-    // would otherwise bound the shuffle at 16 tasks); cheap double
+      dir: String,
+      bitsOverride: Option[Int] = None)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val bits = bitsOverride.getOrElse(semBits(s, dir))
+    // feeds both pair sides AND the caller's final join; the salted
+    // sides differ structurally, so AQE exchange reuse cannot serve
+    // them — a scoped cache is the right tool here (unlike the
+    // ngram kernel, whose branches DO canonicalize equal)
+    val assign = semanticAssign(s, dir, bits).persistScoped()
+    // in-cell near-dup pairs, salted (hyperplane cells are uneven on
+    // clustered data — duplicate clusters concentrate in one cell —
+    // and the salt keeps a hot cell spread over 8 tasks); cheap double
     // prefilter, exact DECIMAL dot on survivors only
     val salts = 8
     val pa = assign.withColumn("salt", pmod(hash(col("vec_id")), lit(salts)))
