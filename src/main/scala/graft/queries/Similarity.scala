@@ -1009,13 +1009,13 @@ object Similarity {
   // final constant + defs/lazy vals throughout this block: baseQueries
   // (a strict val declared ABOVE) interpolates semOracleCtes at object
   // init, so everything it pulls in must be initialization-order-proof
-  private[queries] final val SEM_CELL_TARGET = 64L
-  private[queries] def semBits(n: Long): Int = {
+  private[graft] final val SEM_CELL_TARGET = 64L
+  private[graft] def semBits(n: Long): Int = {
     var b = 4
     while ((1L << b) * SEM_CELL_TARGET < n && b < 40) b += 1
     b
   }
-  private[queries] def semBits(s: org.apache.spark.sql.SparkSession, dir: String): Int =
+  private[graft] def semBits(s: org.apache.spark.sql.SparkSession, dir: String): Int =
     semBits(Tables.rowCount(s, dir, "embeddings"))
   private def duckSemBits: String =
     s"""(SELECT greatest(4, CAST(min(j) AS INT)) FROM generate_series(1, 40) t(j)
@@ -1027,7 +1027,7 @@ object Similarity {
     * plan-time constants; each plane sum folds dims 1..64 left-to-right
     * — the same order as DuckDB's list_reduce, so the sign (and the
     * cell) is bit-identical cross-engine. */
-  private[queries] def semCellCol(v: String, bits: Int): org.apache.spark.sql.Column = {
+  private[graft] def semCellCol(v: String, bits: Int): org.apache.spark.sql.Column = {
     def planeSum(j: Int) = (1 to 64).map { i =>
       val w = ((graft.functions.CrossHash.local(s"sem#$j#$i") % 2001) - 1000) / 1000.0
       lit(w) * element_at(col(v), i).cast("double")
@@ -1061,7 +1061,7 @@ object Similarity {
 
   /** Per-vector cell assignment (vec_id, embedding, label, cell) — a
     * single zero-exchange projection over the corpus scan. */
-  private[queries] def semanticAssign(
+  private[graft] def semanticAssign(
       s: org.apache.spark.sql.SparkSession, dir: String,
       bits: Int): org.apache.spark.sql.DataFrame =
     Tables(s, dir, "embeddings")
@@ -1076,7 +1076,7 @@ object Similarity {
     * overridable so DedupSemSpec can prove the blocking identity
     * (bits = 0 → one cell → the pair set IS the exhaustive dot ≥ 0.35
     * set). */
-  private[queries] def semanticCellsAndPairs(
+  private[graft] def semanticCellsAndPairs(
       s: org.apache.spark.sql.SparkSession,
       dir: String,
       bitsOverride: Option[Int] = None)

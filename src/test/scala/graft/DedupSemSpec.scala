@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Similarity
+
+/** Round-11 scale fix for the semantic/embedding dedup family
+  * (VERDICT r10 top item): candidate pairs come from corpus-scaled
+  * hyperplane cells instead of fixed-count blocks. These tests prove
+  * the DedupCapSpec-style identities:
+  *   - with blocking DISABLED (bits = 0 → one cell) the kernel's pair
+  *     set IS the exhaustive dot ≥ 0.35 set — the salted join, double
+  *     prefilter and exact-DECIMAL verify machinery lose nothing;
+  *   - at the real bit count the kernel equals a naive unsalted
+  *     unprefixed in-cell formulation — the performance machinery is
+  *     semantics-free;
+  *   - blocking actually bounds candidate volume (non-vacuous);
+  *   - the bit-count derivation is the minimal b ≥ 4 with
+  *     2^b · SEM_CELL_TARGET ≥ n, matching the DuckDB integer scan.
+  */
+class DedupSemSpec extends SparkSpec {
+
+  private def pairSet(bits: Option[Int]): Set[(Long, Long)] =
+    Similarity.semanticCellsAndPairs(spark, sf(), bits)._2
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** Exhaustive dot ≥ 0.35 ground truth: unblocked self-join with the
+    * exact DECIMAL dot only (no prefilter, no salt, no cells). */
+  private lazy val exhaustive: Set[(Long, Long)] = {
+    val e = graft.io.Tables(spark, sf(), "embeddings")
+    e.as("a").join(e.as("b"), expr("a.vec_id < b.vec_id"))
+      .filter(expr("dot_dec(a.embedding, b.embedding) >= 0.35"))
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("bits = 0 (one cell) recovers the exhaustive near-dup pair set") {
+    assert(exhaustive.nonEmpty, "corpus must contain dot >= 0.35 pairs")
+    assert(pairSet(Some(0)) == exhaustive)
+  }
+
+  test("kernel equals the naive in-cell formulation at the real bit count") {
+    val bits = Similarity.semBits(spark, sf())
+    val naive = {
+      val a = Similarity.semanticAssign(spark, sf(), bits)
+      a.as("a").join(a.as("b"),
+          expr("a.cell = b.cell and a.vec_id < b.vec_id"))
+        .filter(expr("dot_dec(a.embedding, b.embedding) >= 0.35"))
+        .select(col("a.vec_id"), col("b.vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val kernel = pairSet(None)
+    assert(kernel == naive)
+    // and blocked pairs are a subset of the exhaustive truth: cells
+    // only ever REMOVE candidates, never invent pairs
+    assert(kernel.subsetOf(exhaustive))
+  }
+
+  test("cell blocking bounds candidate volume (non-vacuous at this corpus)") {
+    val bits = Similarity.semBits(spark, sf())
+    val sizes = Similarity.semanticAssign(spark, sf(), bits)
+      .groupBy(col("cell")).count().collect().map(_.getLong(1))
+    val n = sizes.sum
+    val candidates = sizes.map(s => s * (s - 1) / 2).sum
+    val allPairs = n * (n - 1) / 2
+    assert(sizes.length > 1, "blocking must produce more than one cell")
+    // hyperplane cells are uneven on clustered data, but the candidate
+    // volume must still be far below quadratic for the fix to be real
+    assert(candidates * 4 <= allPairs,
+      s"candidate volume $candidates vs all-pairs $allPairs — blocking vacuous")
+  }
+
+  test("semBits is the minimal b >= 4 with 2^b * target >= n, and monotone") {
+    val t = Similarity.SEM_CELL_TARGET
+    for (n <- Seq(1L, 64L, 1024L, 1025L, 65536L, 1000000L, 123456789L)) {
+      val b = Similarity.semBits(n)
+      assert(b >= 4)
+      assert((1L << b) * t >= n, s"n=$n b=$b does not cover the corpus")
+      if (b > 4) assert((1L << (b - 1)) * t < n, s"n=$n b=$b is not minimal")
+    }
+    // expected cell size stays bounded as the corpus grows 1000x
+    for (n <- Seq(1000L, 1000000L, 1000000000L)) {
+      val cells = 1L << Similarity.semBits(n)
+      assert(n.toDouble / cells <= t.toDouble,
+        s"expected cell size ${n.toDouble / cells} exceeds target $t at n=$n")
+    }
+  }
+}

@@ -455,4 +455,34 @@ class PlanShapeSpec extends SparkSpec {
     // the bloom itself is a scalar subquery over the DISTINCT eval set
     assert(p.contains("bloom_filter_agg"), s"bloom build missing:\n$p")
   }
+
+  test("semantic dedup: zero-exchange cell assignment, corpus-scaled plane count") {
+    val bits = graft.queries.Similarity.semBits(spark, sf())
+    val assign = graft.queries.Similarity.semanticAssign(spark, sf(), bits)
+    // assignment is a pure per-row projection over the scan: nothing to
+    // shuffle, nothing to broadcast, nothing that grows with the corpus
+    val ap = assign.queryExecution.executedPlan.toString
+    assert(!ap.contains("Exchange"), s"cell assignment must be map-only:\n$ap")
+    // exactly one sign test per hyperplane, and the plane count is the
+    // corpus-derived semBits(n) — the round-11 cap that replaced the
+    // fixed-16-cell all-pairs generator
+    val caseCount = assign.queryExecution.analyzed.expressions.map(e =>
+      e.collect {
+        case c: org.apache.spark.sql.catalyst.expressions.CaseWhen => c
+      }.size).sum
+    assert(caseCount == bits, s"expected $bits hyperplane sign tests, saw $caseCount")
+    val p = planOf("q_dedup_semantic")
+    assert(!p.contains("GlobalLimit"),
+      "a fixed-cardinality centroid seed set crept back into the semantic kernel")
+    assert(!p.contains("BroadcastNestedLoop"), "pair join must stay an equi-join")
+  }
+
+  test("q_dedup_embedding: candidates are a (label, cell, salt) equi-join") {
+    val p = planOf("q_dedup_embedding")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
+    // the cell blocking key must be part of the join, not a residual
+    // filter: join key lists print as [label#n, cell#n, salt#n]
+    assert("\\[label#\\d+, cell#\\d+, salt#\\d+".r.findAllIn(p).nonEmpty,
+      s"(label, cell, salt) join keys missing:\n$p")
+  }
 }
