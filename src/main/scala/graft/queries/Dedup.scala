@@ -165,7 +165,9 @@ object Dedup {
       // and no safer at 100 TB).
       val docHot = ex.join(hotV, Seq("lang", "v"))
         .groupBy(col("doc_id").as("h_doc"))
-        .agg(collect_list(col("v")).as("hot_arr"))
+        .agg(collect_list(col("v")).as("hot_arr"), first(col("n_sh")).as("h_n"),
+          first(col("lang")).as("h_lang"))
+        .persistScoped() // feeds two pair-attach joins + the cap escape
       // kept candidate self-join: every postings list on the join key
       // is bounded at maxDf rows (≤ maxDf² fan-out per key); a pair
       // sharing k kept shingles appears k times, so ONE groupBy both
@@ -183,7 +185,7 @@ object Dedup {
       // hot sets attach per pair END, after the aggregate — two joins
       // against the per-doc frame (AQE broadcasts it at small scale;
       // at 100 TB both are high-cardinality id equi-joins)
-      pairs
+      val main = pairs
         .join(docHot.select(col("h_doc"), col("hot_arr").as("hot_a")),
           col("id_a") === col("h_doc"), "left")
         .drop("h_doc")
@@ -199,6 +201,38 @@ object Dedup {
         .select(col("id_a"), col("id_b"),
           expr("cast(i as double) / (n_a + n_b - i)").as("jaccard"))
         .filter(col("jaccard") >= minJaccard)
+      // CAP ESCAPE (ADVICE r10): the kept path can only find a pair
+      // that shares at least one 2 ≤ df ≤ maxDf shingle — a cluster of
+      // > maxDf near-identical docs pushes its ENTIRE shared shingle
+      // set hot and silently vanishes from the pair set (exactly the
+      // pairs a dedup truth needs most). Escape: also pair docs on
+      // their MINIMUM hot shingle hash. Each doc posts exactly ONE
+      // escape key, so the escape join's fan-out per key is (docs whose
+      // hot-min is v)² — for a duplicate cluster that is the cluster's
+      // own true pair volume, never the df² of a raw hot posting list.
+      // An escape-only pair shares NO kept shingle (any shared shingle
+      // has df ≥ 2, so it is kept or hot; sharing a kept one puts the
+      // pair in the kept path, and the anti-join below removes those
+      // duplicates), hence its full intersection is exactly the hot
+      // intersection — the jaccard verify stays EXACT. The escape can
+      // therefore only ADD true pairs the cap dropped: on corpora where
+      // capped == uncapped it is a no-op (DedupCapSpec), and on
+      // heavier-duplication corpora it restores the all-hot-overlap
+      // pairs (DedupCapSpec "all-hot cluster" test).
+      val minHot = docHot.select(
+        col("h_doc"), col("h_lang"), col("h_n"), col("hot_arr"),
+        array_min(col("hot_arr")).as("minv"))
+      val escape = minHot.as("a")
+        .join(minHot.as("b"),
+          expr("a.minv = b.minv and a.h_lang = b.h_lang and a.h_doc < b.h_doc"))
+        .select(col("a.h_doc").as("id_a"), col("b.h_doc").as("id_b"),
+          expr("size(array_intersect(a.hot_arr, b.hot_arr))").as("i"),
+          col("a.h_n").as("n_a"), col("b.h_n").as("n_b"))
+        .join(pairs.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_anti")
+        .select(col("id_a"), col("id_b"),
+          expr("cast(i as double) / (n_a + n_b - i)").as("jaccard"))
+        .filter(col("jaccard") >= minJaccard)
+      main.unionByName(escape)
     }
   }
 

@@ -40,6 +40,31 @@ class DedupCapSpec extends SparkSpec {
     assert(noLang(4) == uncapped)
   }
 
+  test("cap escape: all-hot-overlap clusters survive the cap") {
+    // ADVICE r10: a cluster of > maxDf near-identical docs pushes its
+    // ENTIRE shared shingle set over the df cap — pre-escape, the
+    // capped kernel produced ZERO truth pairs for exactly the pairs a
+    // dedup recall harness needs most. Build that corpus: 8 docs
+    // sharing a 31-token core (every shared shingle df = 8 > cap) plus
+    // a decoy, and require capped == uncapped identity to still hold.
+    import spark.implicits._
+    val core = (1 to 31).map(i => s"w$i").mkString(" ")
+    val docs = (1 to 8).map(i => (i.toLong, "en", s"$core uniq$i")) ++
+      Seq((100L, "en", (1 to 40).map(i => s"x${i}a").mkString(" ")))
+    val dir = tmpDir("capesc")
+    docs.toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def run(maxDf: Int): Set[(Long, Long)] =
+      Dedup.ngramJaccardPairs(spark, dir, minJaccard = 0.5, maxDf = maxDf,
+          blockByLang = false)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = run(0)
+    assert(uncapped.size == 28, s"expected the 8-doc cluster's 28 pairs, got ${uncapped.size}")
+    assert(run(4) == uncapped,
+      "capped kernel dropped all-hot-overlap pairs — the cap escape is broken")
+  }
+
   test("the cap is non-vacuous: hot shingles exist and are dropped") {
     val df = graft.io.Tables(spark, sf(), "documents")
       .select(expr("split(trim(text), '\\\\s+')").as("w"), col("lang"))
