@@ -38,8 +38,11 @@ object S3Direct {
     ParamDef("endpoint", "Per-task S3 endpoint (heterogeneous endpoints in one run)"),
     ParamDef("region", "Per-task S3 region"),
     ParamDef("content_type",
-      "Accepted for reference parity (S3DirectStorage.java:18); the S3A " +
-        "committer does not set a per-object Content-Type — documented gap"))
+      "Content-Type set on every object written to this task's bucket " +
+        "(S3DirectStorage.java:18, applied per object in " +
+        "S3DirectTextOutputFunction.java:63). Mapped to S3A's create-time " +
+        "object headers (fs.s3a.bucket.<bucket>.create.header.Content-Type, " +
+        "Hadoop 3.3.5+), so the multipart committer stamps it on upload"))
 
   private[adapters] val paramNames: Set[String] = params.map(_.name).toSet
 
@@ -71,6 +74,13 @@ object S3Direct {
     set("secret.key", "secret_key")
     set("endpoint", "endpoint")
     set("endpoint.region", "region")
+    // per-object Content-Type on upload (reference
+    // S3DirectTextOutputFunction.java:63): S3A applies
+    // `create.header.<Name>` headers to every object it creates in the
+    // bucket — the committer's MPU completion carries them, so copied
+    // objects served over HTTP get the configured type instead of
+    // binary/octet-stream. Harmless on input tasks (no creates).
+    set("create.header.Content-Type", "content_type")
   }
 
   private[adapters] def scopedMeta(verb: String, inner: AdapterMeta): AdapterMeta =

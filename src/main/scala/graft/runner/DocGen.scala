@@ -103,13 +103,6 @@ object DocGen {
       |Knobs of the reference consciously dropped or reinterpreted, so the
       |parity claim stays auditable:
       |
-      |- **`content_type` on S3 output** (S3DirectStorage.java:18,
-      |  S3DirectTextOutputFunction.java:60-66): the reference sets a
-      |  per-object Content-Type header on its hand-rolled multipart
-      |  uploads. The S3A committer owns object creation here and exposes
-      |  no per-object header hook; the param is accepted and validated on
-      |  the s3direct verbs but has no effect. Affects only how browsers
-      |  render objects fetched over HTTP, not any data semantics.
       |- **Exact `HASHCODE` record placement** (Partitioning.HASHCODE,
       |  reference DataStream partitioning): the reference keys every
       |  record by its Java `hashCode()` and partitions on that value;
@@ -146,11 +139,68 @@ object DocGen {
     sb.result()
   }
 
+  /** Standalone HTML rendering of the same registry metadata — format
+    * parity with the reference's Velocity-templated HTML DocGen
+    * (DocGen.java:42-207). Single source of truth stays the ParamDef
+    * registry; the HTML is a second VIEW, not a second model: verbs,
+    * descriptions, params, defaults, path examples and the runnable
+    * example config all come from the same meta objects the Markdown
+    * render and run-time validation use. */
+  def renderHtml(): String = {
+    def esc(s: String): String = s
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val sb = new StringBuilder
+    sb ++= "<!DOCTYPE html>\n<html lang=\"en\">\n<head>\n<meta charset=\"utf-8\">\n"
+    sb ++= "<title>graft adapter reference</title>\n"
+    sb ++= """<style>
+      |body { font-family: sans-serif; max-width: 60em; margin: 2em auto; }
+      |table { border-collapse: collapse; }
+      |th, td { border: 1px solid #999; padding: 0.3em 0.6em; text-align: left; }
+      |code, pre { background: #f4f4f4; }
+      |pre { padding: 0.6em; overflow-x: auto; }
+      |</style>
+      |""".stripMargin
+    sb ++= "</head>\n<body>\n<h1>Adapter reference</h1>\n"
+    sb ++= "<p>Generated from the adapter registry (<code>graft.adapters.Adapters</code>); "
+    sb ++= "regenerate with <code>sbt \"runMain graft.runner.DocGen\"</code>.</p>\n"
+    def section(title: String, metas: Seq[AdapterMeta], isInput: Boolean): Unit = {
+      sb ++= s"<h2>${esc(title)}</h2>\n"
+      metas.foreach { m =>
+        sb ++= s"""<h3 id="${esc(m.verb)}"><code>${esc(m.verb)}</code></h3>\n"""
+        sb ++= s"<p>${esc(m.descr)}</p>\n"
+        sb ++= "<p>Path examples: " +
+          m.pathExamples.map(p => s"<code>${esc(p)}</code>").mkString(", ") + "</p>\n"
+        if (m.params.nonEmpty) {
+          sb ++= "<table>\n<tr><th>param</th><th>description</th><th>default</th><th>required</th></tr>\n"
+          m.params.foreach { p =>
+            sb ++= s"<tr><td><code>${esc(p.name)}</code></td><td>${esc(p.descr)}</td>" +
+              s"<td>${p.default.map(d => s"<code>${esc(d.toString)}</code>").getOrElse("—")}</td>" +
+              s"<td>${if (p.required) "yes" else "no"}</td></tr>\n"
+          }
+          sb ++= "</table>\n"
+        }
+        sb ++= "<p>Example config:</p>\n"
+        sb ++= s"<pre>${esc(exampleTask(m, isInput))}</pre>\n"
+      }
+    }
+    def distinctMetas(ms: Iterable[AdapterMeta]): Seq[AdapterMeta] =
+      ms.toSeq.distinctBy(_.verb)
+    section("Input adapters", distinctMetas(Adapters.inputs.values.map(_.meta)), isInput = true)
+    section("Output adapters", distinctMetas(Adapters.outputs.values.map(_.meta)), isInput = false)
+    sb ++= "</body>\n</html>\n"
+    sb.result()
+  }
+
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "docs/adapters.md"
     val p = java.nio.file.Paths.get(out)
     Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(p, render())
     println(s"[docgen] wrote $out")
+    // HTML sibling (reference DocGen emits HTML): same basename, .html
+    val htmlOut = out.replaceAll("\\.md$", "") + ".html"
+    val hp = java.nio.file.Paths.get(htmlOut)
+    java.nio.file.Files.writeString(hp, renderHtml())
+    println(s"[docgen] wrote $htmlOut")
   }
 }

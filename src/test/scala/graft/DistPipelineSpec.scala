@@ -220,7 +220,8 @@ class DistPipelineSpec extends SparkSpec {
       "endpoint" -> "https://s3.eu-src.example", "region" -> "eu-src")))
     S3Direct.applyConf(spark, "bkt-dst", AdapterConf(in.meta, Map(
       "access_key" -> "AK2", "secret_key" -> "SK2",
-      "endpoint" -> "https://minio.dst.example:9000")))
+      "endpoint" -> "https://minio.dst.example:9000",
+      "content_type" -> "text/tab-separated-values")))
     val hc = spark.sparkContext.hadoopConfiguration
     // both scopes coexist — neither task clobbered the other's settings
     assert(hc.get("fs.s3a.bucket.bkt-src.access.key") == "AK1")
@@ -231,6 +232,13 @@ class DistPipelineSpec extends SparkSpec {
     assert(hc.get("fs.s3a.bucket.bkt-dst.endpoint") == "https://minio.dst.example:9000")
     // region left unset for bkt-dst stays unset (no default bleed-through)
     assert(hc.get("fs.s3a.bucket.bkt-dst.endpoint.region") == null)
+    // content_type maps to S3A's create-time object header, scoped to
+    // the task's bucket — every object the committer uploads to bkt-dst
+    // carries it (reference S3DirectTextOutputFunction.java:63); a task
+    // that does not set it leaves other buckets untouched
+    assert(hc.get("fs.s3a.bucket.bkt-dst.create.header.Content-Type")
+      == "text/tab-separated-values")
+    assert(hc.get("fs.s3a.bucket.bkt-src.create.header.Content-Type") == null)
     // plain s3a:// paths still yield the bucket scope (credentials must
     // not be validated-then-ignored), and a bare s3d://bucket resolves
     val (aPath, aBucket) = S3Direct.rewrite("s3a://bkt-plain/some/key")

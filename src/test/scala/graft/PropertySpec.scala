@@ -67,6 +67,23 @@ class PropertySpec extends SparkSpec {
       assert(doc.contains(s"`${p.name}`"), s"missing param ${p.name}"))
   }
 
+  test("DocGen HTML render covers every verb and param, and is well-formed") {
+    val html = DocGen.renderHtml()
+    val verbs = graft.adapters.Adapters.inputs.values.map(_.meta.verb).toSet ++
+      graft.adapters.Adapters.outputs.values.map(_.meta.verb)
+    verbs.foreach(v =>
+      assert(html.contains(s"""<h3 id="$v"><code>$v</code></h3>"""), s"missing verb $v"))
+    (graft.adapters.Adapters.inputs.values.map(_.meta) ++
+        graft.adapters.Adapters.outputs.values.map(_.meta))
+      .flatMap(_.params).foreach(p =>
+        assert(html.contains(s"<code>${p.name}</code>"), s"missing param ${p.name}"))
+    // structural sanity: balanced document, no raw angle brackets leaked
+    // from descriptions (everything user-visible goes through esc)
+    assert(html.startsWith("<!DOCTYPE html>") && html.endsWith("</html>\n"))
+    assert(html.sliding(7).count(_ == "<table>") ==
+      html.sliding(8).count(_ == "</table>"))
+  }
+
   test("every adapter verb has a runnable generated example config") {
     import graft.adapters.{AdapterConf, Adapters}
     for ((v, a) <- Adapters.inputs) {
