@@ -963,33 +963,44 @@ object Dedup {
           expr(h("concat_ws(' ', kept)")).as("remediated_fp"))
     },
 
-    // ---- embedding cosine near-dup (label + LSH-cell blocked) --------------
+    // ---- embedding cosine near-dup (label + multi-probe LSH cells) ---------
     // Round-11: the label alone has ~10 distinct values, so label-only
     // blocking left O((N/10)²) candidate pairs — quadratic at any
     // corpus. Candidates are now blocked on (label, cell) where cell is
     // the corpus-scaled hyperplane bucket shared with the SemDeDup
     // family ([[Similarity.semanticAssign]]): cell count ∝ N keeps the
-    // expected block size bounded, so candidate volume is O(N) — the
-    // same bounded-candidates-then-exact-verify shape as the capped
-    // n-gram kernel. Survivors are verified with the exact DECIMAL dot.
+    // expected block size bounded, so candidate volume is O(N·bits) —
+    // the same bounded-candidates-then-exact-verify shape as the capped
+    // n-gram kernel. MULTI-PROBE recovers most of the recall blocking
+    // costs: each vector also probes its hamming-1 neighbour cells (one
+    // flipped plane), so a near-dup pair split by a single hyperplane —
+    // the dominant miss mode for dot ≥ 0.35 — still pairs. Exactly one
+    // probe can match a partner's home cell, so no duplicate pairs are
+    // emitted. Survivors are verified with the exact DECIMAL dot.
     Q(
       "q_dedup_embedding",
-      s"""WITH ${Similarity.semOracleCtes}
+      s"""WITH ${Similarity.semOracleCtes},
+        |${Similarity.semProbesCte}
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  CAST(list_sum(list_transform(generate_series(1, 64),
         |    i -> CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
         |         AS DECIMAL(28,12)))) AS DOUBLE) AS dot
-        |FROM semassign a JOIN semassign b
-        |  ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
+        |FROM semprobes a JOIN semassign b
+        |  ON a.label = b.label AND a.probe = b.cell AND a.vec_id < b.vec_id
         |WHERE list_sum(list_transform(generate_series(1, 64),
         |    i -> CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
         |         AS DECIMAL(28,12)))) >= 0.35""".stripMargin) { (s, dir) =>
       // still salted: hyperplane cells are uneven on clustered data and
       // a hot (label, cell) block would otherwise pin one task
       val salts = 8
-      val e = Similarity.semanticAssign(s, dir, Similarity.semBits(s, dir))
-        .persistScoped() // both self-join sides
-      val ea = e.withColumn("salt", pmod(hash(col("vec_id")), lit(salts)))
+      val bits = Similarity.semBits(s, dir)
+      val e = Similarity.semanticAssign(s, dir, bits)
+        .persistScoped() // probe side and home side
+      val probeArr =
+        (s"cell" +: (0 until bits).map(j => s"cell ^ ${1 << j}")).mkString("array(", ", ", ")")
+      val ea = e
+        .withColumn("probe", explode(expr(probeArr)))
+        .withColumn("salt", pmod(hash(col("vec_id")), lit(salts)))
       val eb = e.withColumn("salt", explode(expr(s"sequence(0, ${salts - 1})")))
       val dot = "dot_dec(a.embedding, b.embedding)"
       // cheap double prefilter with a conservative margin (64-term double
@@ -999,7 +1010,7 @@ object Dedup {
       val ddot = "dot_f(a.embedding, b.embedding)"
       ea.as("a")
         .join(eb.as("b"), expr(
-          "a.label = b.label and a.cell = b.cell and a.salt = b.salt and a.vec_id < b.vec_id"))
+          "a.label = b.label and a.probe = b.cell and a.salt = b.salt and a.vec_id < b.vec_id"))
         .filter(expr(s"$ddot >= 0.3499999"))
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), expr(dot).as("ddot"))
         .filter(col("ddot") >= 0.35)

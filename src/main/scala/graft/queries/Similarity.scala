@@ -1059,6 +1059,20 @@ object Similarity {
        |  WHERE ${duckDot("a.embedding", "b.embedding")} >= 0.35
        |)""".stripMargin
 
+  /** Multi-probe CTE over `semassign` (requires [[semOracleCtes]] in the
+    * same WITH): each vector probes its own cell plus every hamming-1
+    * neighbour (one bit flipped per plane). A pair within hamming ≤ 1
+    * matches on EXACTLY one probe (the probe list has distinct values
+    * and at most one can equal the partner's home cell), so the probe
+    * join emits no duplicates. Used by q_dedup_embedding. */
+  private[queries] lazy val semProbesCte: String =
+    s"""semprobes AS (
+       |  SELECT vec_id, embedding, label,
+       |    unnest(list_prepend(cell, list_transform(generate_series(0, $duckSemBits - 1),
+       |      j -> xor(cell, (1 << j))))) AS probe
+       |  FROM semassign
+       |)""".stripMargin
+
   /** Per-vector cell assignment (vec_id, embedding, label, cell) — a
     * single zero-exchange projection over the corpus scan. */
   private[graft] def semanticAssign(

@@ -70,6 +70,35 @@ class DedupSemSpec extends SparkSpec {
       s"candidate volume $candidates vs all-pairs $allPairs — blocking vacuous")
   }
 
+  test("q_dedup_embedding multi-probe equals label-blocked exhaustive ∩ hamming ≤ 1") {
+    // the multi-probe join's EXACT semantics: a pair is emitted iff the
+    // docs share a label, their cells differ in at most one hyperplane
+    // sign, and the exact DECIMAL dot clears 0.35 — computed here from
+    // first principles (unblocked self-join + bit_count) against the
+    // salted probe-join kernel
+    val bits = Similarity.semBits(spark, sf())
+    val a = Similarity.semanticAssign(spark, sf(), bits)
+    val expected = a.as("a")
+      .join(a.as("b"), expr("a.label = b.label and a.vec_id < b.vec_id"))
+      .filter(expr("bit_count(a.cell ^ b.cell) <= 1"))
+      .filter(expr("dot_dec(a.embedding, b.embedding) >= 0.35"))
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kernel = SparkEntry.queries("q_dedup_embedding")(spark, sf())
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "corpus must contain hamming <= 1 near-dup pairs")
+    assert(kernel == expected)
+    // multi-probe must strictly beat single-cell blocking on this
+    // corpus (the recall the probes exist to recover), while staying a
+    // subset of the unblocked label-wide truth
+    val home = a.as("a")
+      .join(a.as("b"), expr("a.label = b.label and a.cell = b.cell and a.vec_id < b.vec_id"))
+      .filter(expr("dot_dec(a.embedding, b.embedding) >= 0.35"))
+      .collect().length
+    assert(kernel.size >= home, "probes lost home-cell pairs")
+  }
+
   test("semBits is the minimal b >= 4 with 2^b * target >= n, and monotone") {
     val t = Similarity.SEM_CELL_TARGET
     for (n <- Seq(1L, 64L, 1024L, 1025L, 65536L, 1000000L, 123456789L)) {
