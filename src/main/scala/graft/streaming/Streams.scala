@@ -245,6 +245,64 @@ object Streams {
       }
   }
 
+  final case class CellClaim(cell: Int, vec_id: Long, keeper_id: Long, dot: Double)
+
+  /** Streaming SEMANTIC dedup — the incremental twin of the batch
+    * SemDeDup pipeline (`q_dedup_semantic`): each arriving embedding is
+    * assigned to a hyperplane-sign cell by the SAME plane family as the
+    * batch kernel ([[graft.queries.Similarity.semCellCol]], `sem#` seed
+    * space), and per cell the state holds the EXEMPLARS kept so far. A
+    * new arrival is compared (exact per-row double dot, index order)
+    * against its cell's exemplars: the first match at dot ≥ 0.35 claims
+    * it (`keeper_id` = that exemplar, `dot` = the matching similarity);
+    * otherwise the vector becomes a new exemplar and claims itself.
+    *
+    * Scale accounting: state per cell is the cell's EXEMPLAR list,
+    * which the corpus-scaled cell geometry bounds by design (expected
+    * cell occupancy ≈ SEM_CELL_TARGET when `bits` is sized to the
+    * expected corpus — a streaming deployment picks `bits` for its
+    * dedup horizon, since an unbounded stream has no corpus count to
+    * derive it from). The state store shards by cell; per-arrival work
+    * is |exemplars-in-cell| dots, never corpus-wide. Within a
+    * micro-batch rows process in vec_id order, so the exemplar choice
+    * is deterministic for any batch arrangement of one arrival order.
+    *
+    * Input schema: (vec_id LONG, embedding ARRAY<FLOAT> of 64). */
+  def semanticDedup(vecs: DataFrame, bits: Int = 8): Dataset[CellClaim] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    graft.functions.GraftRuntime.ensure(spark)
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var s = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    vecs
+      .select(col("vec_id"), col("embedding"),
+        graft.queries.Similarity.semCellCol("embedding", bits).cast("int").as("cell"))
+      .as[(Long, Seq[Float], Int)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[List[(Long, Seq[Float])], CellClaim](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (cell, rows, state: GroupState[List[(Long, Seq[Float])]]) =>
+          var kept = state.getOption.getOrElse(Nil)
+          val out = rows.toSeq.sortBy(_._1).map { case (id, emb, _) =>
+            kept.iterator
+              .map(k => (k._1, dot(k._2, emb)))
+              .find(_._2 >= 0.35) match {
+              case Some((keeper, d)) => CellClaim(cell, id, keeper, d)
+              case None =>
+                kept = kept :+ ((id, emb))
+                CellClaim(cell, id, id, dot(emb, emb))
+            }
+          }
+          state.update(kept)
+          out.iterator
+      }
+  }
+
   final case class UserStats(user_id: Long, n_events: Long, sum_value: Double)
 
   /** Per-user running counters on the Spark 4 `transformWithState`

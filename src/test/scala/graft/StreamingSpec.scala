@@ -413,6 +413,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("semanticDedup: cell exemplars flag embedding near-dups across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def vec(hot: Int, eps: Float = 0f): Seq[Float] = {
+      val a = Array.fill(64)(0f)
+      a(hot) = 1f
+      if (eps != 0f) a((hot + 1) % 64) = eps
+      a.toSeq
+    }
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.semanticDedup(mem.toDF().toDF("vec_id", "embedding"), bits = 4)
+      .writeStream.format("memory").queryName("semdedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: an exemplar and an orthogonal vector (dot = 0 < 0.35)
+      mem.addData((1L, vec(0)), (3L, vec(7)))
+      q.processAllAvailable()
+      // batch 2: a light perturbation of vec 1 — dot ≈ 1 ≥ 0.35, and the
+      // tiny epsilon cannot flip any 64-term plane sum's sign, so it
+      // lands in exemplar 1's cell and must claim it ACROSS batches
+      mem.addData((7L, vec(0, eps = 0.01f)))
+      q.processAllAvailable()
+      val claims = spark.table("semdedup_out").as[Streams.CellClaim].collect()
+      val byId = claims.map(c => c.vec_id -> c).toMap
+      assert(byId(1L).keeper_id == 1L, "first arrival is its cell's exemplar")
+      assert(byId(3L).keeper_id == 3L, "dissimilar vector must become its own exemplar")
+      assert(byId(7L).keeper_id == 1L, "near-dup must claim the cross-batch exemplar")
+      assert(byId(7L).dot >= 0.35 && byId(7L).dot <= 1.01)
+    } finally q.stop()
+  }
+
   test("runOnce: AvailableNow catch-up is incremental across invocations") {
     import spark.implicits._
     val base = tmpDir("stream_once")
