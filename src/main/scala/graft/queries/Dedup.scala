@@ -716,6 +716,51 @@ object Dedup {
       ngramJaccardPairs(s, dir, minJaccard = 0.3, maxDf = 4)
     },
 
+    // ---- containment near-dup (asymmetric: subset documents) ---------------
+    // Jaccard dilutes when a short document is embedded verbatim in a
+    // much longer one (quote farms, aggregator pages, doc+appendix
+    // re-publications): |A∩B|/|A∪B| stays small however completely A is
+    // contained. Containment |A∩B|/min(|A|,|B|) (Broder 1997's other
+    // resemblance measure) is the signal CCNet/Lee-et-al-style pipelines
+    // gate on for subset-duplication; `contained_id` names the smaller
+    // (= swallowed) document — the one a containment dedup drops. Same
+    // inverted-index shape as q_dedup_ngram_jaccard (equi-join postings
+    // on the shingle hash, count per pair — never all-pairs), only the
+    // final per-pair expression differs: i / least(n_a, n_b), a single
+    // int/int division, deterministic cross-engine.
+    Q(
+      "q_dedup_containment",
+      raw"""WITH sh AS (
+        |  SELECT doc_id, lang, $duckShingles AS shingles
+        |  FROM (SELECT doc_id, lang, $duckTokens AS w FROM documents) WHERE len(w) >= 3
+        |), ex AS (
+        |  SELECT doc_id, lang, len(shingles) AS n_sh, unnest(shingles) AS v FROM sh
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b, count(*) AS i
+        |  FROM ex a JOIN ex b ON a.v = b.v AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT id_a, id_b,
+        |  CAST(i AS DOUBLE) / least(n_a, n_b) AS containment,
+        |  CASE WHEN n_a <= n_b THEN id_a ELSE id_b END AS contained_id,
+        |  i = least(n_a, n_b) AS full_subset
+        |FROM inter WHERE CAST(i AS DOUBLE) / least(n_a, n_b) >= 0.6""") { (s, dir) =>
+      val ex = postingsOf(shingleFrame(s, dir).persistScoped())
+      ex.as("a")
+        .join(ex.as("b"), expr("a.v = b.v and a.lang = b.lang and a.doc_id < b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(
+          first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"),
+          count(lit(1)).as("i"))
+        .select(
+          col("id_a"), col("id_b"),
+          expr("cast(i as double) / least(n_a, n_b)").as("containment"),
+          expr("case when n_a <= n_b then id_a else id_b end").as("contained_id"),
+          expr("i = least(n_a, n_b)").as("full_subset"))
+        .filter(col("containment") >= 0.6)
+    },
+
     // ---- substring-level exact dedup (fingerprint windows) -----------------
     // The dedup family 5-gram Jaccard dilutes: documents sharing LONG
     // verbatim spans (boilerplate, licenses, syndicated paragraphs) whose

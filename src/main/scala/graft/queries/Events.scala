@@ -515,5 +515,43 @@ object Events {
         .select(col("week_offset"), col("cohort_week"), col("n_active"),
           col("n_cohort"),
           (col("n_active").cast("double") / col("n_cohort")).as("retention"))
-    })
+    },
+
+    // ---- recursive CTE: order-sensitive event-sequence fingerprint ---------
+    // ONE dialect-shared WITH RECURSIVE text executed verbatim by both
+    // engines (Spark 4.1 UnionLoop / DuckDB native recursion) — the SQL
+    // surface the reference's TDL exposes nowhere and plain aggregation
+    // cannot express: a NON-commutative fold. Each user's first 8 events
+    // (by ts, event_id) fold into a Lehmer-style hash chain
+    // fp' = (fp*48271 + id) mod (2^31-1) — an order-SENSITIVE sequence
+    // fingerprint (two users with the same event multiset in different
+    // order differ), the per-entity sequence checksum an event-log
+    // replication audit wants, where q_table_checksum's order-free folds
+    // are blind. All arithmetic is exact BIGINT (max fp*48271 ≈ 1.04e14),
+    // so the hash gate never touches a float. Depth is CAPPED at 8 rows
+    // per user: Spark executes one join round per recursion level, so
+    // the iteration count is a schema constant, never data-driven
+    // (the CC/BPE loop rule); the ORDER BY is safe to share because the
+    // events table carries no sub-µs components and no per-user µs ties
+    // (checked at both sf0.01 and sf0.1), and event_id breaks any future
+    // ones deterministically. Scale shape: one user_id window shuffle,
+    // then 8 bounded equi-join rounds on (user_id, rn) — each round's
+    // frontier is ≤ |users| rows, and the final join is user_id-keyed.
+    Q.sqlShared(
+      "q_recursive_cte",
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS rn
+        |  FROM events
+        |), capped AS (
+        |  SELECT user_id, event_id, rn FROM ev WHERE rn <= 8
+        |), nmax AS (SELECT user_id, max(rn) AS mx FROM capped GROUP BY user_id),
+        |chain(user_id, rn, fp) AS (
+        |  SELECT user_id, rn, (event_id % 1000003) % 2147483647 FROM capped WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.user_id, e.rn, (c.fp * 48271 + e.event_id % 1000003) % 2147483647
+        |  FROM chain c JOIN capped e ON e.user_id = c.user_id AND e.rn = c.rn + 1
+        |)
+        |SELECT c.user_id, c.rn AS chain_len, c.fp AS seq_fingerprint
+        |FROM chain c JOIN nmax m ON m.user_id = c.user_id AND m.mx = c.rn""".stripMargin))
 }

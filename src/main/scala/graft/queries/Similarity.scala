@@ -984,7 +984,46 @@ object Similarity {
     }
   }
 
-  val queries: Seq[Q] = baseQueries :+ recallQuery
+  /** Diversity-stratified downsampling over the SemDeDup cell geometry:
+    * keep ceil(sqrt(|cell|)) vectors per hyperplane cell, chosen by a
+    * deterministic content-hash rank. Dedup REMOVES redundancy above a
+    * similarity threshold; this is the complementary curation knob —
+    * SUBSAMPLE dense regions of embedding space sublinearly while rare
+    * regions (cells of size 1) survive intact, the coverage-preserving
+    * shrink a training-data mixer reaches for when a corpus over-serves
+    * one mode (DoReMi/D4-style semantic rebalancing, here with the
+    * stratum = the same corpus-scaled cells the dedup family uses, so
+    * density is measured in the geometry the dedup already trusts).
+    * Scale shape: the cell id is a zero-shuffle per-row projection;
+    * the rank is ONE window shuffle on the cell key (cells are bounded
+    * at ~SEM_CELL_TARGET rows by construction, so no per-cell skew),
+    * and the keep rule is a per-row integer comparison — nothing is
+    * collected, nothing grows with N but the output (Σ √cell ≈
+    * N/√target). ceil(sqrt(n)) on an exact integer double is the same
+    * IEEE value in both engines (the ncIvf rule). */
+  private lazy val diversityQuery: Q = Q(
+    "q_semantic_diversity",
+    s"""WITH $semOracleCtes, r AS (
+      |  SELECT cell, vec_id,
+      |    CAST(row_number() OVER (PARTITION BY cell
+      |      ORDER BY ${duck("'divs#' || vec_id::VARCHAR")}, vec_id) AS INT) AS rk,
+      |    count(*) OVER (PARTITION BY cell) AS n_cell
+      |  FROM semassign
+      |)
+      |SELECT cell, vec_id, n_cell, rk FROM r
+      |WHERE rk <= CAST(ceil(sqrt(CAST(n_cell AS DOUBLE))) AS INT)""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("rh"), col("vec_id"))
+    semanticAssign(s, dir, semBits(s, dir))
+      .select(col("cell"), col("vec_id"),
+        expr(h("concat('divs#', cast(vec_id as string))")).as("rh"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .withColumn("n_cell", count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .filter(col("rk") <= expr("cast(ceil(sqrt(cast(n_cell as double))) as int)"))
+      .select(col("cell"), col("vec_id"), col("n_cell"), col("rk"))
+  }
+
+  val queries: Seq[Q] = baseQueries :+ recallQuery :+ diversityQuery
 
   /** SemDeDup cell geometry — CORPUS-DERIVED hyperplane cells
     * (round-11; replaces the fixed-16 nearest-centroid cells, the last

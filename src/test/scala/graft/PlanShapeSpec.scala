@@ -488,4 +488,30 @@ class PlanShapeSpec extends SparkSpec {
     assert("\\[label#\\d+, cell#\\d+, salt#\\d+".r.findAllIn(p).nonEmpty,
       s"(label, cell, salt) join keys missing:\n$p")
   }
+
+  test("q_semantic_diversity: map-only cell assignment, ONE window exchange") {
+    val p = planOf("q_semantic_diversity")
+    // the whole query is: per-row cell projection -> one shuffle on the
+    // cell key -> window rank -> per-row keep filter. A second exchange
+    // means the rank and the cell-size count stopped sharing the window
+    // partitioning; a join means the count got computed separately.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"diversity sampling must shuffle exactly once (the cell window):\n$p")
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
+  }
+
+  test("q_dedup_containment: inverted-index equi-join, never all-pairs") {
+    val p = planOf("q_dedup_containment")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"containment pairs must come from the postings equi-join:\n$p")
+    // pair aggregation is a plain HashAggregate (count + two firsts of
+    // scalars) — an array-typed buffer would demote it to SortAggregate
+    assert(!p.contains("SortAggregate"), s"pair aggregate fell back to sort:\n$p")
+  }
+
+  test("q_recursive_cte executes through Spark's native recursion operator") {
+    val p = planOf("q_recursive_cte")
+    assert(p.contains("UnionLoop") || p.contains("CTERecursion") || p.contains("Recursion"),
+      s"recursive CTE should lower to the native loop operator:\n$p")
+  }
 }
