@@ -1023,7 +1023,82 @@ object Similarity {
       .select(col("cell"), col("vec_id"), col("n_cell"), col("rk"))
   }
 
-  val queries: Seq[Q] = baseQueries :+ recallQuery :+ diversityQuery
+  /** Clustering-quality evaluation: label purity of the SemDeDup cell
+    * geometry. Before trusting any cell-blocked operator (dedup
+    * candidates, diversity strata, IVF-style probes) one measures
+    * whether the geometry respects the labels the corpus already has —
+    * purity = n_majority/|cell| per cell is the classical external
+    * clustering metric (Manning et al., IIR §16.3). Majority ties break
+    * to the LOWEST label (packed into the ordering, the arg_max rule).
+    * Scale shape: one (cell, label) hash aggregate over the zero-shuffle
+    * assignment projection, then a window on the BOUNDED (cell, label)
+    * frame — the corpus is touched by exactly one map+agg pass. */
+  private lazy val purityQuery: Q = Q(
+    "q_cluster_purity",
+    s"""WITH $semOracleCtes, cl AS (
+      |  SELECT cell, label, count(*) AS n_cl FROM semassign GROUP BY cell, label
+      |), rk AS (
+      |  SELECT cell, label, n_cl,
+      |    CAST(row_number() OVER (PARTITION BY cell ORDER BY n_cl DESC, label) AS INT) AS r,
+      |    CAST(sum(n_cl) OVER (PARTITION BY cell) AS BIGINT) AS n_cell
+      |  FROM cl
+      |)
+      |SELECT cell, label AS major_label, n_cl AS n_major, n_cell,
+      |  CAST(n_cl AS DOUBLE) / n_cell AS purity
+      |FROM rk WHERE r = 1""".stripMargin) { (s, dir) =>
+    val cl = semanticAssign(s, dir, semBits(s, dir))
+      .groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("n_cl"))
+    cl
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("n_cl").desc, col("label"))).cast("int"))
+      .withColumn("n_cell", sum(col("n_cl")).over(Window.partitionBy(col("cell"))).cast("bigint"))
+      .filter(col("r") === 1)
+      .select(col("cell"), col("label").as("major_label"), col("n_cl").as("n_major"),
+        col("n_cell"),
+        (col("n_cl").cast("double") / col("n_cell")).as("purity"))
+  }
+
+  /** Embedding-norm QA: per-label L2-norm distribution plus degenerate-
+    * vector counters. Every cosine-similarity operator in this file
+    * assumes ~unit vectors; an upstream encoder regression (fp16
+    * underflow, a zeroed adapter, missing normalization) shows up here
+    * first. Per-row: ||v||² through the exact-DECIMAL dot kernel (the
+    * same formulation as every other dot in the family), norm = one
+    * IEEE sqrt of its double image — deterministic cross-engine. The
+    * mean follows the q_ann_kmeans recipe exactly (per-row dec_cast
+    * snap → DECIMAL(28,8) sum → double), min/max are order-free picks
+    * of identical per-row doubles, and the outlier counters are exact
+    * integers. One map pass + one ~|labels|-group aggregate. */
+  private lazy val normsQuery: Q = Q(
+    "q_embedding_norms",
+    s"""WITH n AS (
+      |  SELECT label,
+      |    sqrt(CAST(${duckDot("embedding", "embedding")} AS DOUBLE)) AS nrm
+      |  FROM embeddings
+      |)
+      |SELECT label, count(*) AS n, min(nrm) AS min_norm, max(nrm) AS max_norm,
+      |  CAST(CAST(sum(CAST(nrm AS DECIMAL(18,8))) AS DECIMAL(28,8)) AS DOUBLE)
+      |    / count(*) AS mean_norm,
+      |  CAST(sum(CASE WHEN nrm < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate,
+      |  CAST(sum(CASE WHEN nrm > 1.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversized
+      |FROM n GROUP BY label""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "embeddings")
+      .select(col("label"),
+        expr(s"sqrt(cast(${dot("embedding", "embedding")} as double))").as("nrm"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"),
+        (sum(expr("dec_cast(nrm, 18, 8)")).cast("decimal(28,8)").cast("double")
+          / count(lit(1))).as("mean_norm"),
+        sum(when(col("nrm") < 0.5, 1).otherwise(0)).cast("bigint").as("n_degenerate"),
+        sum(when(col("nrm") > 1.5, 1).otherwise(0)).cast("bigint").as("n_oversized"))
+  }
+
+  val queries: Seq[Q] =
+    baseQueries :+ recallQuery :+ diversityQuery :+ purityQuery :+ normsQuery
 
   /** SemDeDup cell geometry — CORPUS-DERIVED hyperplane cells
     * (round-11; replaces the fixed-16 nearest-centroid cells, the last
