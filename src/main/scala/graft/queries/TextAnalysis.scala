@@ -1055,5 +1055,79 @@ object TextAnalysis {
           struct(3L as stage, 'exact_dedup' as stage_name, n3 as n_docs),
           struct(4L as stage, 'near_dedup' as stage_name, n4 as n_docs),
           struct(5L as stage, 'decontaminated' as stage_name, n5 as n_docs)))""")
+    },
+
+    // ---- dedup impact per source: which domains are the offenders ----------
+    // The data-card row a curation pass acts on: per-source exact- and
+    // near-dup LOSER counts plus the combined droppable rate. A corpus
+    // where one crawl source carries 30% duplicates gets re-weighted or
+    // re-crawled; the global funnel (q_corpus_funnel) can't see WHERE
+    // the duplication lives. Composes the same registered loser kernels
+    // (Dedup.exactLosers window, Dedup.lshNearDupLosers verified-LSH
+    // pipeline) — two left joins against small loser sets, one
+    // per-source conditional aggregate; fan-out bounded by the source
+    // count, nothing new touches the corpus beyond the shared kernels.
+    Q(
+      "q_dup_rate_by_source",
+      raw"""WITH tok AS (
+        |  SELECT doc_id, $duckTokens AS w FROM documents
+        |), exact_losers AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS keep_id
+        |    FROM (SELECT doc_id, ${duck("lower(text)")} AS fp FROM documents))
+        |  WHERE doc_id <> keep_id
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_transform(list_distinct(list_transform(generate_series(1, len(w)-2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])), s -> ${duck("s")}) AS hsh
+        |  FROM tok WHERE len(w) >= 3
+        |), mh AS (
+        |  SELECT doc_id, hsh,
+        |    list_transform(
+        |      list_transform(generate_series(0, 15), i -> ${duck("'seed#' || i::VARCHAR")}),
+        |      sd -> list_min(list_transform(hsh, v -> xor(v, sd)))) AS sig
+        |  FROM sh
+        |), bands AS (
+        |  SELECT doc_id, b,
+        |    md5(sig[b*4+1]::VARCHAR || ',' || sig[b*4+2]::VARCHAR || ',' ||
+        |        sig[b*4+3]::VARCHAR || ',' || sig[b*4+4]::VARCHAR) AS bk
+        |  FROM mh, unnest(generate_series(0, 3)) AS t(b)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id
+        |), neardups AS (
+        |  SELECT DISTINCT id_b FROM cand
+        |  JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+        |  WHERE CAST(len(list_intersect(x.hsh, y.hsh)) AS DOUBLE) /
+        |        len(list_distinct(x.hsh || y.hsh)) >= 0.5
+        |), f AS (
+        |  SELECT d.source, d.doc_id,
+        |    d.doc_id IN (SELECT doc_id FROM exact_losers) AS ex,
+        |    d.doc_id IN (SELECT id_b FROM neardups) AS nd
+        |  FROM documents d
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN ex THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_losers,
+        |  CAST(sum(CASE WHEN nd THEN 1 ELSE 0 END) AS BIGINT) AS n_near_losers,
+        |  CAST(sum(CASE WHEN ex OR nd THEN 1 ELSE 0 END) AS BIGINT) AS n_droppable,
+        |  CAST(sum(CASE WHEN ex OR nd THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS drop_rate
+        |FROM f GROUP BY source""") { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val ex = Dedup.exactLosers(docs).withColumn("ex", lit(true))
+      val nd = Dedup.lshNearDupLosers(s, dir).withColumn("nd", lit(true))
+      docs.select(col("doc_id"), col("source"))
+        .join(ex, col("doc_id") === col("loser_id"), "left").drop("loser_id")
+        .join(nd, col("doc_id") === col("id_b"), "left").drop("id_b")
+        .select(col("source"),
+          coalesce(col("ex"), lit(false)).as("ex"),
+          coalesce(col("nd"), lit(false)).as("nd"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("ex"), 1L).otherwise(0L)).cast("bigint").as("n_exact_losers"),
+          sum(when(col("nd"), 1L).otherwise(0L)).cast("bigint").as("n_near_losers"),
+          sum(when(col("ex") || col("nd"), 1L).otherwise(0L)).cast("bigint").as("n_droppable"),
+          (sum(when(col("ex") || col("nd"), 1L).otherwise(0L)).cast("double")
+            / count(lit(1))).as("drop_rate"))
     })
 }
