@@ -80,7 +80,7 @@ object Dedup {
     * from — ONE definition so the pairing rules of the whole dedup
     * family (jaccard, capped, clusters, incremental, recall truth)
     * cannot silently drift apart. */
-  private[queries] def shingleFrame(
+  private[graft] def shingleFrame(
       s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     Tables(s, dir, "documents")
@@ -246,6 +246,52 @@ object Dedup {
         .groupBy(col("id_a"), col("id_b"))
         .agg(max(col("jaccard")).as("jaccard"))
     }
+  }
+
+  /** Prefix-filtered Jaccard pairs (q_dedup_prefix_join's kernel,
+    * separated so PrefixFilterSpec can drive it at any threshold).
+    * Candidate generation touches only each doc's (n − ⌈θn⌉ + 1)-prefix
+    * under the global (df asc, hash asc) order — recall GUARANTEED by
+    * the prefix-filter theorem for any total order — then the exact
+    * full-set verify. Posting keys use [[graft.functions.CrossHash]]
+    * (not xxhash64) because the ORDER itself must mirror cross-engine,
+    * not just equality. θ must satisfy ⌈θn⌉ == (n+1) div 2, i.e. this
+    * kernel is specialized to θ = 0.5 prefixes; the verify threshold
+    * `minJaccard` ≥ 0.5 stays exact for any such value. */
+  def prefixJoinPairs(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      minJaccard: Double): org.apache.spark.sql.DataFrame = {
+    require(minJaccard >= 0.5, "prefix length is derived for theta = 0.5")
+    // feeds the postings explode AND both verify sides
+    val sh = shingleFrame(s, dir).persistScoped()
+    val ex = sh
+      .select(
+        col("doc_id"), col("lang"), expr("size(shingles)").as("n_sh"),
+        explode(col("shingles")).as("s"))
+      .select(col("doc_id"), col("lang"), col("n_sh"), expr(h("s")).as("v"))
+    val dfTab = ex.groupBy(col("lang"), col("v")).agg(count(lit(1)).as("c"))
+    val pre = ex
+      .join(dfTab, Seq("lang", "v"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("c"), col("v"))))
+      .filter(col("rk") <= expr("n_sh - ((n_sh + 1) div 2) + 1"))
+      .select(col("doc_id"), col("lang"), col("v"))
+    val cand = pre.as("a")
+      .join(pre.as("b"), expr("a.v = b.v and a.lang = b.lang and a.doc_id < b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id"), col("shingles").as("sh_a")), col("doc_id") === col("id_a"))
+      .drop("doc_id")
+      .join(sh.select(col("doc_id"), col("shingles").as("sh_b")), col("doc_id") === col("id_b"))
+      .drop("doc_id")
+      .select(
+        col("id_a"), col("id_b"),
+        expr("cast(size(array_intersect(sh_a, sh_b)) as double) / size(array_union(sh_a, sh_b))")
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
   }
 
   /** Substring-fingerprint window parameters (SURVEY §8.3): 30-token
@@ -759,6 +805,58 @@ object Dedup {
           expr("case when n_a <= n_b then id_a else id_b end").as("contained_id"),
           expr("i = least(n_a, n_b)").as("full_subset"))
         .filter(col("containment") >= 0.6)
+    },
+
+    // ---- prefix-filtered set-similarity join (guaranteed recall) -----------
+    // The df cap (q_dedup_ngram_capped) bounds postings EMPIRICALLY —
+    // recall-neutral on real corpora, proven per-corpus by DedupCapSpec.
+    // Prefix filtering (Chaudhuri et al. 2006 SSJoin / Xiao et al. 2008
+    // PPJoin) bounds candidate generation with a THEOREM: under any
+    // global token order, a pair with Jaccard ≥ θ must share a token in
+    // each side's first n − ⌈θn⌉ + 1 rarest tokens, because
+    // j ≥ θ ⇒ |A∩B| ≥ ⌈θ·|A|⌉ (and symmetric), and two sets that
+    // overlap in ≥ t elements cannot avoid each other's (n−t+1)-prefixes.
+    // So only PREFIX postings enter the self-join — with rarest-first
+    // ordering the hot boilerplate shingles sit at the END of every
+    // prefix and almost never generate candidates — and the exact
+    // full-set verify restores precision. Candidate volume drops by
+    // ~(1−θ)² per doc pair with ZERO recall loss at any corpus —
+    // PrefixFilterSpec asserts pair-set identity against the uncapped
+    // kernel (a guarantee, unlike the cap's corpus-dependent identity).
+    // The global order is (df asc, CrossHash asc) — both engines derive
+    // it identically, so even the intermediate candidate sets mirror.
+    // Scale shape: one df aggregate, one per-doc window (bounded by the
+    // doc's own shingle count), prefix self-join on the shingle hash,
+    // verify joins on doc ids. ⌈θn⌉ is pure integer arithmetic
+    // ((n+1) div 2 at θ=0.5): no float boundary to disagree on.
+    Q(
+      "q_dedup_prefix_join",
+      raw"""WITH tok AS (
+        |  SELECT doc_id, lang, $duckTokens AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id, lang, $duckShingles AS shingles FROM tok WHERE len(w) >= 3
+        |), ex AS (
+        |  SELECT doc_id, lang, n_sh, ${duck("s")} AS v FROM (
+        |    SELECT doc_id, lang, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh)
+        |), df AS (
+        |  SELECT lang, v, count(*) AS c FROM ex GROUP BY lang, v
+        |), ord AS (
+        |  SELECT ex.doc_id, ex.lang, ex.n_sh, ex.v,
+        |    row_number() OVER (PARTITION BY ex.doc_id ORDER BY df.c, ex.v) AS rk
+        |  FROM ex JOIN df USING (lang, v)
+        |), pre AS (
+        |  SELECT * FROM ord WHERE rk <= n_sh - ((n_sh + 1) // 2) + 1
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM pre a JOIN pre b ON a.v = b.v AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b,
+        |  CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+        |    / len(list_distinct(x.shingles || y.shingles)) AS jaccard
+        |FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+        |WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+        |    / len(list_distinct(x.shingles || y.shingles)) >= 0.5""") { (s, dir) =>
+      prefixJoinPairs(s, dir, minJaccard = 0.5)
     },
 
     // ---- substring-level exact dedup (fingerprint windows) -----------------
