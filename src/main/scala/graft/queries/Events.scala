@@ -19,6 +19,7 @@ import graft.io.Tables
 object Events {
 
   private val gapUs = 1800000000L // 30 min in µs
+  private val hourUs = 3600000000L // 1 hour in µs (interval-join bucket)
   private val weekUs = 604800000000L // 7 days in µs
 
   /** Power-iteration rounds for the stationary distribution (plenty for
@@ -515,6 +516,83 @@ object Events {
         .select(col("week_offset"), col("cohort_week"), col("n_active"),
           col("n_cohort"),
           (col("n_active").cast("double") / col("n_cohort")).as("retention"))
+    },
+
+    // ---- interval join: cross-user session co-activity ---------------------
+    // WHO is active at the same time — the temporal join a plain
+    // equi-join cannot express. The naive formulation is a quadratic
+    // range self-join (a.t0 <= b.t1 AND b.t0 <= a.t1); the scale shape
+    // here is the classical BUCKETIZED interval join: every session
+    // explodes into the hour buckets it spans (sessions are gap-bounded,
+    // so the span — and the explode factor — is small), overlap
+    // candidates come from an EQUI-join on the bucket, the exact
+    // interval predicate filters, and a distinct collapses pairs that
+    // share several buckets (their overlap value is identical in every
+    // copy). Per-bucket fan-out is bounded by CONCURRENCY (sessions
+    // live per hour), not corpus size; at a hotter scale the bucket
+    // width is the knob (and AQE's skew split handles a flash-crowd
+    // hour). Output is the per-user co-activity profile: distinct
+    // partners, overlapping session pairs, total overlapped µs — all
+    // exact integers. Directed (a != b), so each user's row counts its
+    // own perspective and no union-of-orientations is needed.
+    Q(
+      "q_session_overlap",
+      s"""WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $gapUs
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |), s AS (
+        |  SELECT user_id, tus, event_id,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM e
+        |), sess AS (
+        |  SELECT user_id, sid, min(tus) AS t0, max(tus) AS t1 FROM s GROUP BY user_id, sid
+        |), hb AS (
+        |  SELECT user_id, sid, t0, t1,
+        |    unnest(generate_series(t0 // $hourUs, t1 // $hourUs)) AS h
+        |  FROM sess
+        |), pairs AS (
+        |  SELECT DISTINCT a.user_id AS ua, a.sid AS sa, b.user_id AS ub, b.sid AS sb,
+        |    least(a.t1, b.t1) - greatest(a.t0, b.t0) AS overlap_us
+        |  FROM hb a JOIN hb b ON a.h = b.h AND a.user_id <> b.user_id
+        |  WHERE a.t0 <= b.t1 AND b.t0 <= a.t1
+        |)
+        |SELECT ua AS user_id,
+        |  CAST(count(DISTINCT ub) AS BIGINT) AS n_partners,
+        |  count(*) AS n_session_overlaps,
+        |  CAST(sum(overlap_us) AS BIGINT) AS total_overlap_us
+        |FROM pairs GROUP BY ua""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      val sess = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("tus"))
+        .withColumn(
+          "new_s",
+          when(lag(col("tus"), 1).over(w).isNull ||
+            col("tus") - lag(col("tus"), 1).over(w) > gapUs, 1).otherwise(0))
+        .withColumn(
+          "sid",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("tus")).as("t0"), max(col("tus")).as("t1"))
+      val hb = sess.select(col("user_id"), col("sid"), col("t0"), col("t1"),
+        explode(expr(s"sequence(t0 div $hourUs, t1 div $hourUs)")).as("h"))
+      val pairs = hb.as("a")
+        .join(hb.as("b"),
+          expr("a.h = b.h and a.user_id <> b.user_id " +
+            "and a.t0 <= b.t1 and b.t0 <= a.t1"))
+        .select(
+          col("a.user_id").as("ua"), col("a.sid").as("sa"),
+          col("b.user_id").as("ub"), col("b.sid").as("sb"),
+          expr("least(a.t1, b.t1) - greatest(a.t0, b.t0)").as("overlap_us"))
+        .distinct()
+      pairs.groupBy(col("ua").as("user_id"))
+        .agg(
+          countDistinct(col("ub")).cast("bigint").as("n_partners"),
+          count(lit(1)).as("n_session_overlaps"),
+          sum(col("overlap_us")).cast("bigint").as("total_overlap_us"))
     },
 
     // ---- recursive CTE: order-sensitive event-sequence fingerprint ---------

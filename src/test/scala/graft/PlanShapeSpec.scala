@@ -509,6 +509,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"), s"pair aggregate fell back to sort:\n$p")
   }
 
+  test("q_session_overlap: interval candidates come from the bucket equi-join") {
+    val p = planOf("q_session_overlap")
+    // the whole point of bucketizing: the interval predicate must be a
+    // post-join filter on an EQUI-join keyed by the hour bucket, never
+    // a nested-loop range join
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"interval join degenerated to a range nested-loop:\n$p")
+    assert("\\[h#\\d+".r.findAllIn(p).nonEmpty, s"bucket key missing from join:\n$p")
+  }
+
   test("q_recursive_cte executes through Spark's native recursion operator") {
     val p = planOf("q_recursive_cte")
     assert(p.contains("UnionLoop") || p.contains("CTERecursion") || p.contains("Recursion"),
