@@ -546,6 +546,34 @@ object Dedup {
       |SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS n_members
       |FROM (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)""".stripMargin
 
+  /** Oracle of the capped n-gram kernel — shared by
+    * `q_dedup_ngram_capped` and (as a derived table) the near-dup graph
+    * degree diagnostic, one formulation. The escape path adds pairs only
+    * on corpora where a whole cluster's shared shingles go hot; on this
+    * corpus DedupCapSpec proves capped == uncapped, so the df-filtered
+    * formulation below is the exact mirror. */
+  private[queries] val ngramCappedOracle: String =
+    raw"""WITH tok AS (
+      |  SELECT doc_id, lang, $duckTokens AS w FROM documents
+      |), sh AS (
+      |  SELECT doc_id, lang, $duckShingles AS shingles FROM tok WHERE len(w) >= 3
+      |), ex AS (
+      |  SELECT doc_id, lang, unnest(shingles) AS v FROM sh
+      |), df AS (
+      |  SELECT lang, v, count(*) AS c FROM ex GROUP BY lang, v
+      |), kept AS (
+      |  SELECT ex.doc_id, ex.lang, ex.v FROM ex JOIN df USING (lang, v) WHERE df.c <= 4
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM kept a JOIN kept b ON a.v = b.v AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |)
+      |SELECT id_a, id_b,
+      |  CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+      |    / len(list_distinct(x.shingles || y.shingles)) AS jaccard
+      |FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+      |WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+      |    / len(list_distinct(x.shingles || y.shingles)) >= 0.3""".stripMargin
+
   /** Oracle texts shared with `q_dedup_lsh_recall`, which embeds them as
     * derived tables — one formulation, no drift (the q_ann_recall
     * pattern). */
@@ -739,27 +767,40 @@ object Dedup {
     // is).
     Q(
       "q_dedup_ngram_capped",
-      raw"""WITH tok AS (
-        |  SELECT doc_id, lang, $duckTokens AS w FROM documents
-        |), sh AS (
-        |  SELECT doc_id, lang, $duckShingles AS shingles FROM tok WHERE len(w) >= 3
-        |), ex AS (
-        |  SELECT doc_id, lang, unnest(shingles) AS v FROM sh
-        |), df AS (
-        |  SELECT lang, v, count(*) AS c FROM ex GROUP BY lang, v
-        |), kept AS (
-        |  SELECT ex.doc_id, ex.lang, ex.v FROM ex JOIN df USING (lang, v) WHERE df.c <= 4
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM kept a JOIN kept b ON a.v = b.v AND a.lang = b.lang AND a.doc_id < b.doc_id
-        |)
-        |SELECT id_a, id_b,
-        |  CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-        |    / len(list_distinct(x.shingles || y.shingles)) AS jaccard
-        |FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
-        |WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-        |    / len(list_distinct(x.shingles || y.shingles)) >= 0.3""") { (s, dir) =>
+      ngramCappedOracle) { (s, dir) =>
       ngramJaccardPairs(s, dir, minJaccard = 0.3, maxDf = 4)
+    },
+
+    // ---- near-dup graph degree profile (pre-CC diagnostic) -----------------
+    // The sanity check run BEFORE the connected-components loop: the
+    // degree distribution of the pair graph in power-of-two buckets
+    // (the q_skew_profile formula — integer floor(log2), no float
+    // boundary). A fat tail here is what makes CC rounds explode (one
+    // hub doc touching thousands of near-dups concentrates a partition
+    // and deepens the doubling), and it is also the template-detection
+    // signal: degree >> cluster sizes means boilerplate stitching
+    // unrelated docs together — fix the shingling (or the df cap)
+    // before trusting the components. Pair source is the REGISTERED
+    // capped kernel; both aggregates run on bounded frames (nodes,
+    // then buckets).
+    Q(
+      "q_dedup_graph_degree",
+      s"""SELECT length(bin(degree)) - 1 AS bucket, count(*) AS n_nodes,
+        |  min(degree) AS min_deg, max(degree) AS max_deg, min(node) AS min_node
+        |FROM (
+        |  SELECT node, count(*) AS degree FROM (
+        |    SELECT unnest([id_a, id_b]) AS node FROM ($ngramCappedOracle)
+        |  ) GROUP BY node)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      ngramJaccardPairs(s, dir, minJaccard = 0.3, maxDf = 4)
+        .select(explode(array(col("id_a"), col("id_b"))).as("node"))
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("degree"))
+        .select(col("node"), col("degree"),
+          (length(expr("bin(degree)")) - 1).cast("long").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("degree")).as("min_deg"),
+          max(col("degree")).as("max_deg"), min(col("node")).as("min_node"))
     },
 
     // ---- containment near-dup (asymmetric: subset documents) ---------------
