@@ -680,6 +680,33 @@ class DistPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"file:$base/out").count() == 15)
   }
 
+  test("worked example: curation pipeline config end-to-end") {
+    // examples/curation_pipeline.json is the shipped user-facing story:
+    // four graftQuery-sourced artifacts plus a verify-task audit. The
+    // test runs the ACTUAL example file (token substitution only, as
+    // examples/README.md documents), so the docs can never drift from a
+    // config that parses and runs.
+    val base = tmpDir("dist")
+    val raw = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("examples/curation_pipeline.json")), "UTF-8")
+    val conf = DistConfig.parse(
+      raw.replace("{SF_DIR}", sf()).replace("{OUT}", base))
+    DistMain.runDirection(spark, conf.direction("curate"), "curate")
+    val surv = spark.read.parquet(s"file:$base/survivors")
+    assert(surv.count() > 0 && surv.columns.toSet == Set("doc_id", "lang"))
+    // partition_by landed as a hive layout
+    assert(new java.io.File(s"$base/survivors").listFiles()
+      .exists(_.getName.startsWith("lang=")))
+    val rate = spark.read.option("header", true).csv(s"file:$base/dup_rate")
+    assert(rate.columns.toSet == Set("source", "n_docs", "n_droppable", "drop_rate"))
+    val funnel = spark.read.option("header", true).csv(s"file:$base/funnel")
+    assert(funnel.count() == 5)
+    // the audit direction re-runs the survivor query and fingerprints it
+    // against the parquet written above — must pass on a faithful copy
+    DistMain.runDirection(spark, conf.direction("audit"), "audit")
+  }
+
   test("unknown adapter and unknown param fail fast") {
     val conf = DistConfig.parse(
       """{"d": [{"source": {"adapter": "nope", "path": "/x"},
