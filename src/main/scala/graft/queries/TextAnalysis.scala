@@ -560,6 +560,73 @@ object TextAnalysis {
         .select(col("doc_id"), col("term"), col("score"), col("rn"))
     },
 
+    // ---- query-time BM25 retrieval (search the corpus) ---------------------
+    // q_bm25 extracts per-DOC keywords; this is the other direction — a
+    // fixed multi-term query ranks the corpus, the retrieval shape a
+    // RAG/eval harness runs. Scale rules it follows: the postings
+    // stream is filtered to the QUERY terms before any aggregation
+    // (map-side prune — only matching postings ever shuffle), document
+    // length/avgdl stats ride the corpus-wide aggregates, per-term
+    // scores are dec_cast-snapped BEFORE the exact DECIMAL per-doc sum
+    // (the q_lm_score rule: never sum raw libm outputs), and the final
+    // top-20 is orderBy+limit — TakeOrderedAndProject, a per-partition
+    // bounded heap, never a global sort/window.
+    Q(
+      "q_search_bm25",
+      raw"""WITH ex AS (
+        |  SELECT doc_id, unnest($duckTokens) AS term FROM documents
+        |), dl AS (
+        |  SELECT doc_id, count(*) AS dlen FROM ex GROUP BY 1
+        |), qt AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM ex
+        |  WHERE term IN ('hash', 'join', 'stream') GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM qt GROUP BY 1
+        |), consts AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(CAST(sum(dlen) AS DOUBLE) / count(*) AS DOUBLE) AS avgdl
+        |  FROM dl
+        |), scored AS (
+        |  SELECT qt.doc_id AS doc_id,
+        |    CAST(CAST(
+        |      ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+        |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dlen / avgdl))
+        |      AS DECIMAL(18,9)) AS DOUBLE) AS tscore
+        |  FROM qt, df, dl, consts
+        |  WHERE qt.term = df.term AND qt.doc_id = dl.doc_id
+        |)
+        |SELECT doc_id, count(*) AS n_hit_terms,
+        |  CAST(CAST(sum(CAST(tscore AS DECIMAL(18,9))) AS DECIMAL(28,9)) AS DOUBLE) AS score
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""") { (s, dir) =>
+      val qterms = Seq("hash", "join", "stream")
+      val ex = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(tokens)).as("term"))
+      val dl = ex.groupBy(col("doc_id").as("dl_doc")).agg(count(lit(1)).as("dlen"))
+      val qt = ex.filter(col("term").isin(qterms: _*))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfT = qt.groupBy(col("term").as("df_term")).agg(count(lit(1)).as("df"))
+      val consts = dl.agg(
+        count(lit(1)).cast("double").as("n"),
+        (sum(col("dlen")).cast("double") / count(lit(1))).as("avgdl"))
+      qt
+        .join(broadcast(dfT), col("term") === col("df_term"))
+        .join(dl, col("doc_id") === col("dl_doc"))
+        .crossJoin(broadcast(consts))
+        .select(col("doc_id"),
+          call_function("dec_cast",
+            log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+              (col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dlen") / col("avgdl"))),
+            lit(18), lit(9)).cast("double").as("tscore"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("bigint").as("n_hit_terms"),
+          sum(expr("cast(tscore as decimal(18,9))")).cast("decimal(28,9)")
+            .cast("double").as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    },
+
     // ---- bigram LM quality score -------------------------------------------
     // Corpus-trained bigram model scoring its own documents: per doc the
     // mean ln P(b|a) over its DISTINCT bigrams (type-level; shingles()

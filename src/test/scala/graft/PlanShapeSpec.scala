@@ -519,6 +519,16 @@ class PlanShapeSpec extends SparkSpec {
     assert("\\[h#\\d+".r.findAllIn(p).nonEmpty, s"bucket key missing from join:\n$p")
   }
 
+  test("q_search_bm25: query-term prune is map-side; top-k is a bounded heap") {
+    val p = planOf("q_search_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"retrieval top-k must be orderBy+limit, not a window:\n$p")
+    // the IN-list filter must sit below the first aggregation, so only
+    // matching postings ever shuffle
+    val firstFilter = p.indexOf("hash,join,stream")
+    assert(firstFilter >= 0, s"query-term filter missing:\n$p")
+  }
+
   test("q_recursive_cte executes through Spark's native recursion operator") {
     val p = planOf("q_recursive_cte")
     assert(p.contains("UnionLoop") || p.contains("CTERecursion") || p.contains("Recursion"),
