@@ -258,26 +258,43 @@ object Dedup {
     * not just equality. θ must satisfy ⌈θn⌉ == (n+1) div 2, i.e. this
     * kernel is specialized to θ = 0.5 prefixes; the verify threshold
     * `minJaccard` ≥ 0.5 stays exact for any such value. */
-  def prefixJoinPairs(
-      s: org.apache.spark.sql.SparkSession,
-      dir: String,
-      minJaccard: Double): org.apache.spark.sql.DataFrame = {
-    require(minJaccard >= 0.5, "prefix length is derived for theta = 0.5")
-    // feeds the postings explode AND both verify sides
-    val sh = shingleFrame(s, dir).persistScoped()
+  /** The prefix postings frame (doc_id, lang, v) — each doc's
+    * (n − ⌈n/2⌉ + 1) rarest shingle hashes under the (df asc, hash asc)
+    * global order. Exposed so PrefixFilterSpec can count the ACTUAL
+    * pruned postings (a re-derived arithmetic bound would be a
+    * tautology). */
+  private[graft] def prefixPostings(
+      sh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val ex = sh
       .select(
         col("doc_id"), col("lang"), expr("size(shingles)").as("n_sh"),
         explode(col("shingles")).as("s"))
       .select(col("doc_id"), col("lang"), col("n_sh"), expr(h("s")).as("v"))
     val dfTab = ex.groupBy(col("lang"), col("v")).agg(count(lit(1)).as("c"))
-    val pre = ex
+    ex
       .join(dfTab, Seq("lang", "v"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("c"), col("v"))))
       .filter(col("rk") <= expr("n_sh - ((n_sh + 1) div 2) + 1"))
       .select(col("doc_id"), col("lang"), col("v"))
+  }
+
+  def prefixJoinPairs(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      minJaccard: Double): org.apache.spark.sql.DataFrame = {
+    require(minJaccard >= 0.5, "prefix length is derived for theta = 0.5")
+    // deliberately UNCACHED, decided by measurement (the capped-kernel
+    // rule): the shingle frame's consumers (postings explode + two
+    // verify joins) and the postings' (df aggregate + join-back + both
+    // self-join sides) sit above exchanges that canonicalize equal, so
+    // AQE ReuseExchange serves them from one shuffle write — a cache
+    // would wrap each branch in its own TableCacheQueryStage and block
+    // that (measured at sf0.1: uncached 5.44s cold / 3.00s warm vs
+    // persistScoped 6.46s / 3.29s)
+    val sh = shingleFrame(s, dir)
+    val pre = prefixPostings(sh)
     val cand = pre.as("a")
       .join(pre.as("b"), expr("a.v = b.v and a.lang = b.lang and a.doc_id < b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

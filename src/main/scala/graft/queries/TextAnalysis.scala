@@ -25,6 +25,12 @@ object TextAnalysis {
   private val tokens = "split(trim(text), '\\\\s+')"
   private val duckTokens = raw"regexp_split_to_array(trim(text), '\s+')"
 
+  /** q_search_bm25's fixed retrieval query — ONE constant interpolated
+    * into the oracle IN-list and read by the PlanShapeSpec gate, so the
+    * three consumers can never drift. */
+  private[graft] val searchTerms = Seq("hash", "join", "stream")
+  private val duckSearchTerms = searchTerms.map(t => s"'$t'").mkString(", ")
+
   // language marker stopword sets (n-gram heuristic: most-frequent
   // function words per language; deterministic argmax with fixed
   // precedence en > de > fr > es)
@@ -518,7 +524,7 @@ object TextAnalysis {
         |  SELECT tf.doc_id AS doc_id, tf.term AS term,
         |    CAST(CAST(
         |      ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
-        |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dlen / avgdl))
+        |      (CAST(tf AS DOUBLE) * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dlen / avgdl))
         |      AS DECIMAL(18,9)) AS DOUBLE) AS score
         |  FROM tf, df, dl, consts
         |  WHERE tf.term = df.term AND tf.doc_id = dl.doc_id
@@ -566,20 +572,25 @@ object TextAnalysis {
     // RAG/eval harness runs. Scale rules it follows: the postings
     // stream is filtered to the QUERY terms before any aggregation
     // (map-side prune — only matching postings ever shuffle), document
-    // length/avgdl stats ride the corpus-wide aggregates, per-term
-    // scores are dec_cast-snapped BEFORE the exact DECIMAL per-doc sum
-    // (the q_lm_score rule: never sum raw libm outputs), and the final
-    // top-20 is orderBy+limit — TakeOrderedAndProject, a per-partition
-    // bounded heap, never a global sort/window.
+    // length is size(w) — a ZERO-exchange per-row projection, never an
+    // explode+groupBy of the full token stream (the per-row-statistic
+    // rule) — with avgdl one scalar aggregate over it, per-term scores
+    // are dec_cast-snapped BEFORE the exact DECIMAL per-doc sum (the
+    // q_lm_score rule: never sum raw libm outputs; and the oracle's tf
+    // is CAST to DOUBLE before the 2.2 product — a bare BIGINT × 2.2 is
+    // exact DECIMAL arithmetic in DuckDB, 1 ulp off Spark's double
+    // tree, see docs/determinism.md), and the final top-20 is
+    // orderBy+limit — TakeOrderedAndProject, a per-partition bounded
+    // heap, never a global sort/window. The term list is ONE constant
+    // interpolated into the oracle and read by the plan gate.
     Q(
       "q_search_bm25",
-      raw"""WITH ex AS (
-        |  SELECT doc_id, unnest($duckTokens) AS term FROM documents
-        |), dl AS (
-        |  SELECT doc_id, count(*) AS dlen FROM ex GROUP BY 1
+      raw"""WITH dl AS (
+        |  SELECT doc_id, len($duckTokens) AS dlen FROM documents
         |), qt AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM ex
-        |  WHERE term IN ('hash', 'join', 'stream') GROUP BY 1, 2
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest($duckTokens) AS term FROM documents)
+        |  WHERE term IN ($duckSearchTerms) GROUP BY 1, 2
         |), df AS (
         |  SELECT term, count(*) AS df FROM qt GROUP BY 1
         |), consts AS (
@@ -590,7 +601,7 @@ object TextAnalysis {
         |  SELECT qt.doc_id AS doc_id,
         |    CAST(CAST(
         |      ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
-        |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dlen / avgdl))
+        |      (CAST(tf AS DOUBLE) * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dlen / avgdl))
         |      AS DECIMAL(18,9)) AS DOUBLE) AS tscore
         |  FROM qt, df, dl, consts
         |  WHERE qt.term = df.term AND qt.doc_id = dl.doc_id
@@ -599,11 +610,12 @@ object TextAnalysis {
         |  CAST(CAST(sum(CAST(tscore AS DECIMAL(18,9))) AS DECIMAL(28,9)) AS DOUBLE) AS score
         |FROM scored GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""") { (s, dir) =>
-      val qterms = Seq("hash", "join", "stream")
-      val ex = Tables(s, dir, "documents")
+      val docs = Tables(s, dir, "documents")
+      val dl = docs.select(col("doc_id").as("dl_doc"),
+        expr(s"size($tokens)").cast("long").as("dlen"))
+      val qt = docs
         .select(col("doc_id"), explode(expr(tokens)).as("term"))
-      val dl = ex.groupBy(col("doc_id").as("dl_doc")).agg(count(lit(1)).as("dlen"))
-      val qt = ex.filter(col("term").isin(qterms: _*))
+        .filter(col("term").isin(searchTerms: _*))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val dfT = qt.groupBy(col("term").as("df_term")).agg(count(lit(1)).as("df"))
       val consts = dl.agg(
@@ -1136,37 +1148,13 @@ object TextAnalysis {
     // count, nothing new touches the corpus beyond the shared kernels.
     Q(
       "q_dup_rate_by_source",
-      raw"""WITH tok AS (
-        |  SELECT doc_id, $duckTokens AS w FROM documents
-        |), exact_losers AS (
+      raw"""WITH exact_losers AS (
         |  SELECT doc_id FROM (
         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS keep_id
         |    FROM (SELECT doc_id, ${duck("lower(text)")} AS fp FROM documents))
         |  WHERE doc_id <> keep_id
-        |), sh AS (
-        |  SELECT doc_id,
-        |    list_transform(list_distinct(list_transform(generate_series(1, len(w)-2),
-        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])), s -> ${duck("s")}) AS hsh
-        |  FROM tok WHERE len(w) >= 3
-        |), mh AS (
-        |  SELECT doc_id, hsh,
-        |    list_transform(
-        |      list_transform(generate_series(0, 15), i -> ${duck("'seed#' || i::VARCHAR")}),
-        |      sd -> list_min(list_transform(hsh, v -> xor(v, sd)))) AS sig
-        |  FROM sh
-        |), bands AS (
-        |  SELECT doc_id, b,
-        |    md5(sig[b*4+1]::VARCHAR || ',' || sig[b*4+2]::VARCHAR || ',' ||
-        |        sig[b*4+3]::VARCHAR || ',' || sig[b*4+4]::VARCHAR) AS bk
-        |  FROM mh, unnest(generate_series(0, 3)) AS t(b)
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-        |  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id
         |), neardups AS (
-        |  SELECT DISTINCT id_b FROM cand
-        |  JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
-        |  WHERE CAST(len(list_intersect(x.hsh, y.hsh)) AS DOUBLE) /
-        |        len(list_distinct(x.hsh || y.hsh)) >= 0.5
+        |  SELECT DISTINCT id_b FROM (${Dedup.minhashLshOracle})
         |), f AS (
         |  SELECT d.source, d.doc_id,
         |    d.doc_id IN (SELECT doc_id FROM exact_losers) AS ex,

@@ -523,10 +523,17 @@ class PlanShapeSpec extends SparkSpec {
     val p = planOf("q_search_bm25")
     assert(p.contains("TakeOrderedAndProject"),
       s"retrieval top-k must be orderBy+limit, not a window:\n$p")
-    // the IN-list filter must sit below the first aggregation, so only
+    // the IN-list filter (rendered from the ONE shared term constant)
+    // must sit in the scan's map stage: between the filter and the
+    // parquet scan below it there can be no exchange — i.e. only
     // matching postings ever shuffle
-    val firstFilter = p.indexOf("hash,join,stream")
-    assert(firstFilter >= 0, s"query-term filter missing:\n$p")
+    val inList = graft.queries.TextAnalysis.searchTerms.mkString(",")
+    val fi = p.indexOf(inList)
+    assert(fi >= 0, s"query-term filter missing:\n$p")
+    val scanAfter = p.indexOf("Scan parquet", fi)
+    assert(scanAfter > fi, s"no scan below the query-term filter:\n$p")
+    assert(!p.substring(fi, scanAfter).contains("Exchange"),
+      s"query-term filter is above an exchange — full postings shuffle:\n$p")
   }
 
   test("q_recursive_cte executes through Spark's native recursion operator") {

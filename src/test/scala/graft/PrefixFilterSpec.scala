@@ -40,15 +40,18 @@ class PrefixFilterSpec extends SparkSpec {
     assert(prefix == truth)
   }
 
-  test("the prefix really prunes: prefix postings < half of full postings") {
+  test("the prefix really prunes: the kernel's ACTUAL prefix postings are ~half") {
     import org.apache.spark.sql.functions._
     val sh = Dedup.shingleFrame(spark, sf())
     val full = sh.select(explode(col("shingles"))).count()
-    // re-derive the prefix length bound: sum over docs of n - ceil(n/2) + 1
-    val prefixBound = sh
-      .select(expr("size(shingles) - ((size(shingles) + 1) div 2) + 1").as("p"))
-      .agg(sum(col("p"))).collect()(0).getLong(0)
-    assert(prefixBound <= full / 2 + sh.count(),
-      s"prefix bound $prefixBound should be ~half of $full")
+    val nDocs = sh.count()
+    // count the rows the kernel's own prefix frame emits — a regression
+    // that widens (or disables) the rk filter fails HERE, where the
+    // pair-set identity tests cannot catch it (longer prefixes only add
+    // candidates, never pairs)
+    val actual = Dedup.prefixPostings(sh).count()
+    assert(actual <= full / 2 + nDocs,
+      s"prefix frame has $actual of $full postings — filter not pruning")
+    assert(actual > 0)
   }
 }
