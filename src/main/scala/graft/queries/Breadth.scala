@@ -176,6 +176,59 @@ object Breadth {
           .as("corr_qty_price"))
     },
 
+    // ---- higher statistical moments: skewness + excess kurtosis ------------
+    // The distribution-shape diagnostics (is this column symmetric? fat-
+    // tailed?) that decide whether a mean/stddev summary is even
+    // meaningful — from the SAME single-pass exact-power-sum recipe as
+    // q_stats_moments, extended to 3rd/4th powers. l_quantity is
+    // integral (1..50), so every power sum is an exact BIGINT (max
+    // Σq⁴ ≈ 3.8e12 ≪ 2⁵³ — the double image is exact in both engines),
+    // the closed forms run the identical double tree (m2^1.5 via
+    // m2·sqrt(m2), never libm pow), and outputs snap through
+    // dec_cast(18,9) for the FMA-contraction ulp. One map-side-
+    // combinable aggregation — no second pass, no Welford ordering
+    // dependence.
+    Q(
+      "q_stats_higher_moments",
+      """SELECT l_returnflag, n,
+        |  CAST(CAST(
+        |    ((sx3 - 3.0*(sx/n)*sx2 + 2.0*n*(sx/n)*(sx/n)*(sx/n)) / n)
+        |      / (((sx2 - sx*(sx/n)) / n) * sqrt((sx2 - sx*(sx/n)) / n))
+        |    AS DECIMAL(18,9)) AS DOUBLE) AS skewness,
+        |  CAST(CAST(
+        |    ((sx4 - 4.0*(sx/n)*sx3 + 6.0*(sx/n)*(sx/n)*sx2 - 3.0*n*(sx/n)*(sx/n)*(sx/n)*(sx/n)) / n)
+        |      / (((sx2 - sx*(sx/n)) / n) * ((sx2 - sx*(sx/n)) / n)) - 3.0
+        |    AS DECIMAL(18,9)) AS DOUBLE) AS kurtosis_excess
+        |FROM (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(q*q) AS BIGINT) AS DOUBLE) AS sx2,
+        |    CAST(CAST(sum(q*q*q) AS BIGINT) AS DOUBLE) AS sx3,
+        |    CAST(CAST(sum(q*q*q*q) AS BIGINT) AS DOUBLE) AS sx4
+        |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+        |  GROUP BY l_returnflag)""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("bigint").as("q"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("q")).cast("double").as("sx"),
+          sum(col("q") * col("q")).cast("double").as("sx2"),
+          sum(col("q") * col("q") * col("q")).cast("double").as("sx3"),
+          sum(col("q") * col("q") * col("q") * col("q")).cast("double").as("sx4"))
+        .selectExpr(
+          "l_returnflag", "n",
+          """cast(dec_cast(
+            ((sx3 - 3.0*(sx/n)*sx2 + 2.0*n*(sx/n)*(sx/n)*(sx/n)) / n)
+              / (((sx2 - sx*(sx/n)) / n) * sqrt((sx2 - sx*(sx/n)) / n)), 18, 9)
+            as double) as skewness""",
+          """cast(dec_cast(
+            ((sx4 - 4.0*(sx/n)*sx3 + 6.0*(sx/n)*(sx/n)*sx2 - 3.0*n*(sx/n)*(sx/n)*(sx/n)*(sx/n)) / n)
+              / (((sx2 - sx*(sx/n)) / n) * ((sx2 - sx*(sx/n)) / n)) - 3.0, 18, 9)
+            as double) as kurtosis_excess""")
+    },
+
     // ---- RANGE window frame (value-based, not row-based) --------------------
     // 30-day trailing spend per customer: RANGE frames group peers by
     // ordering value, so the result is order-independent — the frame that

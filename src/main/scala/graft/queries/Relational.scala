@@ -596,6 +596,29 @@ object Relational {
         |         FROM orders WHERE o_custkey = c_custkey) t
         |WHERE t.cnt > 0""".stripMargin),
 
+    // ---- modern SQL sugar: GROUP BY ALL + lateral column aliases ------------
+    // One dialect-shared text through both parsers: the inner aggregate
+    // infers its grouping keys from the projection (GROUP BY ALL,
+    // Spark 3.4+/DuckDB), the outer projection chains lateral column
+    // aliases (cnt → cnt_x2 → cnt_x2p1) — each alias referenced by the
+    // NEXT expression in the same SELECT, the post-2023 convenience
+    // surface users coming from DuckDB/BigQuery expect. (Spark does not
+    // yet allow lateral aliases inside a GROUP BY ALL query itself —
+    // hence the two layers.) avg_price is one double/int division of
+    // already-snapped values, deterministic cross-engine.
+    Q.sqlShared(
+      "q_sql_modern",
+      """SELECT o_orderstatus, o_orderpriority, cnt,
+        |  cnt * 2 AS cnt_x2,
+        |  cnt_x2 + 1 AS cnt_x2p1,
+        |  sum_price / cnt AS avg_price
+        |FROM (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_price
+        |  FROM orders
+        |  GROUP BY ALL
+        |)""".stripMargin),
+
     // ---- null-handling functions --------------------------------------------
     Q.sqlShared(
       "q_null_funcs",
