@@ -131,6 +131,34 @@ object Streams {
       .select(col("click_id"), col("user_id"), col("click_ts"), col("purchase_id"), col("purchase_ts"))
   }
 
+  /** LEFT OUTER stream-stream join — the conversion-FAILURE feed.
+    * [[clickToPurchase]] emits matches; an attribution pipeline equally
+    * needs the clicks that DIDN'T convert, and only a watermarked outer
+    * join can say so correctly in streaming: an unmatched click is
+    * emitted (purchase columns null) exactly when the GLOBAL watermark
+    * passes the end of its match window — i.e. when no future purchase
+    * could still pair with it — which is the state-eviction point, so
+    * join state stays bounded by the time-range condition. `watermark`
+    * is the lateness horizon on both sides (the eviction delay knob);
+    * the join condition is identical to the inner variant. */
+  def clickToPurchaseOuter(
+      clicks: DataFrame, purchases: DataFrame,
+      watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    c.join(
+      p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"))
+  }
+
   /** Stream-static enrichment join: each micro-batch joins the static
     * dimension (re-read per batch from its source, broadcast when small)
     * with NO streaming state — stream-static equi-joins are stateless by

@@ -222,6 +222,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("outer stream-stream join emits non-converting clicks after eviction") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = Streams.clickToPurchaseOuter(clicks.toDF(), purchases.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("ss_outer")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(Event(1, ts(0), 1, "click", 0), Event(2, ts(10), 2, "click", 0))
+      purchases.addData(Event(10, ts(30), 1, "purchase", 9.99)) // matches click 1
+      q.processAllAvailable()
+      // push the GLOBAL watermark (min of both inputs) past click 2's
+      // match-window end (t+70min) + the 10-min horizon: only then can
+      // the engine PROVE no purchase will ever pair with it and emit
+      // the null row from evicted state
+      clicks.addData(Event(3, ts(300), 9, "click", 0))
+      purchases.addData(Event(11, ts(300), 9, "noise", 0))
+      q.processAllAvailable()
+      val rows = spark.table("ss_outer")
+        .selectExpr("click_id", "coalesce(purchase_id, -1)").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows.contains((1L, 10L)), s"converting click lost: $rows")
+      assert(rows.contains((2L, -1L)), s"non-converting click never emitted: $rows")
+    } finally q.stop()
+  }
+
   test("enrichStatic: stream-static broadcast join, stateless, batch-equivalent") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
