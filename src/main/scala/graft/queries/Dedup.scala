@@ -591,11 +591,12 @@ object Dedup {
       |WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
       |    / len(list_distinct(x.shingles || y.shingles)) >= 0.3""".stripMargin
 
-  /** Oracle texts shared with `q_dedup_lsh_recall`, which embeds them as
-    * derived tables — one formulation, no drift (the q_ann_recall
-    * pattern). */
-  private[queries] val minhashLshOracle: String =
-    raw"""WITH tok AS (
+  /** The MinHash pipeline's shared CTE prefix (tok → hashed shingle
+    * sets → 16-slot signatures → band keys → distinct band-blocked
+    * candidates) — composed into [[minhashLshOracle]] and the estimator
+    * oracle (`q_minhash_estimate`), one formulation. */
+  private[queries] val minhashCandCtes: String =
+    raw"""tok AS (
       |  SELECT doc_id, $duckTokens AS w FROM documents
       |), sh AS (
       |  SELECT doc_id, list_transform($duckShingles, s -> ${duck("s")}) AS hsh
@@ -614,7 +615,13 @@ object Dedup {
       |), cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
       |  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id
-      |)
+      |)""".stripMargin
+
+  /** Oracle texts shared with `q_dedup_lsh_recall`, which embeds them as
+    * derived tables — one formulation, no drift (the q_ann_recall
+    * pattern). */
+  private[queries] val minhashLshOracle: String =
+    raw"""WITH $minhashCandCtes
       |SELECT id_a, id_b,
       |  CAST(len(list_intersect(x.hsh, y.hsh)) AS DOUBLE) /
       |  len(list_distinct(x.hsh || y.hsh)) AS jaccard
@@ -716,6 +723,80 @@ object Dedup {
           expr("cast(size(array_intersect(sh_a, sh_b)) as double) / size(array_union(sh_a, sh_b))")
             .as("jaccard"))
         .filter(col("jaccard") >= 0.5)
+    },
+
+    // ---- MinHash estimator quality (est vs exact Jaccard) ------------------
+    // THE calibration check on a MinHash deployment: for every band-
+    // blocked candidate pair, the signature ESTIMATE (matching slots /
+    // 16 — an unbiased estimator of Jaccard, Broder 1997) next to the
+    // exact full-set value and the absolute error. This is how the
+    // permutation count is budgeted: if |err| at 16 slots is too wide
+    // for the dedup threshold, you pay for more slots — measured on
+    // real data, not the 1/√k rule of thumb. Estimates are DETERMINISTIC
+    // here (XOR-mixes of the shared CrossHash), so the whole evaluation
+    // hash-gates cross-engine; both est and exact are single int/int
+    // divisions, the error one subtraction of agreed doubles. Runs on
+    // CANDIDATES only (bounded by the band join, never all pairs); the
+    // signature stage is the same one map-stage minhash_agg pipeline.
+    Q(
+      "q_minhash_estimate",
+      raw"""WITH $minhashCandCtes
+        |SELECT id_a, id_b, est_jaccard, exact_jaccard,
+        |  abs(est_jaccard - exact_jaccard) AS abs_err
+        |FROM (
+        |  SELECT c.id_a AS id_a, c.id_b AS id_b,
+        |    CAST(list_sum(list_transform(generate_series(1, 16),
+        |      i -> CASE WHEN ma.sig[i] = mb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16
+        |      AS est_jaccard,
+        |    CAST(len(list_intersect(ma.hsh, mb.hsh)) AS DOUBLE)
+        |      / len(list_distinct(ma.hsh || mb.hsh)) AS exact_jaccard
+        |  FROM cand c JOIN mh ma ON ma.doc_id = c.id_a
+        |              JOIN mh mb ON mb.doc_id = c.id_b)""") { (s, dir) =>
+      val seeds = (0 until 16).map(i => graft.functions.CrossHash.local(s"seed#$i"))
+      // string shingle sets feed the signature explode AND the exact
+      // verify on both pair sides (hash AFTER the explode — the flat
+      // projection is codegen'd, a transform()-embedded md5 is not;
+      // string-set jaccard == hashed-set jaccard, the shared hash is
+      // injective here) — the q_dedup_minhash_lsh recipe exactly
+      val sh = Tables(s, dir, "documents")
+        .select(col("doc_id"), expr(tokens).as("w"))
+        .filter(expr("size(w) >= 3"))
+        .select(col("doc_id"), expr(shingles).as("shingles"))
+        .persistScoped()
+      val seedArr = seeds.map(sd => s"${sd}L").mkString(",")
+      val sigs = sh
+        .select(col("doc_id"), explode(col("shingles")).as("s"))
+        .select(col("doc_id"), expr(h("s")).as("v"))
+        .groupBy(col("doc_id"))
+        .agg(expr(s"minhash_agg(v, array($seedArr))").as("sig"))
+      val bandStructs = (0 until 4).map { b =>
+        val key = (0 until 4)
+          .map(j => s"cast(element_at(sig, ${b * 4 + j + 1}) as string)").mkString(", ',', ")
+        s"struct($b as b, md5(cast(concat_ws('', $key) as binary)) as bk)"
+      }.mkString(", ")
+      val bands = sigs
+        .select(col("doc_id"), explode(expr(s"array($bandStructs)")).as("band"))
+        .select(col("doc_id"), col("band.b").as("b"), col("band.bk").as("bk"))
+      val cand = bands.as("a")
+        .join(bands.as("c"), expr("a.b = c.b and a.bk = c.bk and a.doc_id < c.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("c.doc_id").as("id_b"))
+        .distinct()
+      cand
+        .join(sigs.select(col("doc_id"), col("sig").as("sig_a")),
+          col("doc_id") === col("id_a")).drop("doc_id")
+        .join(sigs.select(col("doc_id"), col("sig").as("sig_b")),
+          col("doc_id") === col("id_b")).drop("doc_id")
+        .join(sh.select(col("doc_id"), col("shingles").as("sh_a")),
+          col("doc_id") === col("id_a")).drop("doc_id")
+        .join(sh.select(col("doc_id"), col("shingles").as("sh_b")),
+          col("doc_id") === col("id_b")).drop("doc_id")
+        .select(col("id_a"), col("id_b"),
+          expr("""cast(aggregate(sequence(1, 16), 0,
+            (acc, i) -> acc + if(element_at(sig_a, i) = element_at(sig_b, i), 1, 0))
+            as double) / 16""").as("est_jaccard"),
+          expr("cast(size(array_intersect(sh_a, sh_b)) as double) / size(array_union(sh_a, sh_b))")
+            .as("exact_jaccard"))
+        .withColumn("abs_err", abs(col("est_jaccard") - col("exact_jaccard")))
     },
 
     // ---- SimHash signatures + band-blocked hamming pairs -------------------
