@@ -595,6 +595,49 @@ object Events {
           sum(col("overlap_us")).cast("bigint").as("total_overlap_us"))
     },
 
+    // ---- temporal anomaly scan: hourly volume z-scores ---------------------
+    // The ingest-monitoring pass an event pipeline runs before trusting
+    // a day's data: per-hour event counts scored against the corpus'
+    // own hourly mean/stddev — a traffic spike (bot burst, replayed
+    // partition) or a silent gap (dropped producer) both surface as
+    // |z| > 2 hours. Counts are one map-side-combinable aggregate to a
+    // BOUNDED frame (hours, not events); mean/std come from exact
+    // integer power sums over that frame (the q_stats_moments recipe —
+    // no Welford float ordering), broadcast back as one row; the
+    // z-score is a per-row double tree snapped through dec_cast.
+    Q(
+      "q_events_anomaly",
+      s"""WITH hc AS (
+        |  SELECT epoch_us(ts) // $hourUs AS hb, count(*) AS cnt FROM events GROUP BY 1
+        |), st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(cnt*cnt) AS BIGINT) AS DOUBLE) AS sx2
+        |  FROM hc
+        |)
+        |SELECT hour_bucket, cnt, zscore FROM (
+        |  SELECT hb AS hour_bucket, cnt,
+        |    CAST(CAST((cnt - sx/n) / sqrt((sx2 - sx*(sx/n)) / n)
+        |      AS DECIMAL(18,9)) AS DOUBLE) AS zscore
+        |  FROM hc, st)
+        |WHERE abs(zscore) > 2.0""".stripMargin) { (s, dir) =>
+      // membership filters on the SNAPPED z, not the raw double: the
+      // sx2 - sx*(sx/n) term is FMA-contractible in DuckDB, and a row
+      // whose raw |z| sits within an ulp of 2.0 must not flip sides
+      val hc = Tables(s, dir, "events")
+        .select(expr(s"(ts_ns div 1000) div $hourUs").as("hb"))
+        .groupBy(col("hb")).agg(count(lit(1)).as("cnt"))
+      val st = hc.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("cnt")).cast("double").as("sx"),
+        sum(col("cnt") * col("cnt")).cast("double").as("sx2"))
+      hc.crossJoin(broadcast(st))
+        .select(col("hb").as("hour_bucket"), col("cnt"),
+          expr("cast(dec_cast((cnt - sx/n) / sqrt((sx2 - sx*(sx/n)) / n), 18, 9) as double)")
+            .as("zscore"))
+        .filter(abs(col("zscore")) > 2.0)
+    },
+
     // ---- recursive CTE: order-sensitive event-sequence fingerprint ---------
     // ONE dialect-shared WITH RECURSIVE text executed verbatim by both
     // engines (Spark 4.1 UnionLoop / DuckDB native recursion) — the SQL
