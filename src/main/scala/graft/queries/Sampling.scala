@@ -17,6 +17,9 @@ import graft.io.Tables
   */
 object Sampling {
 
+  private val tokens = "split(trim(text), '\\\\s+')"
+  private val duckTokens = raw"regexp_split_to_array(trim(text), '\s+')"
+
   val queries: Seq[Q] = Seq(
 
     // ---- 5% deterministic sample (hash-gated filter) -----------------------
@@ -128,6 +131,61 @@ object Sampling {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("picked"),
           min(col("doc_id")).as("first_pick"), max(col("doc_id")).as("last_pick"))
+    },
+
+    // ---- token-budget source mixture ----------------------------------------
+    // q_data_mix fills DOCUMENT quotas; real training mixes are specified
+    // in TOKENS (a 30B-token recipe says "2B from web, 0.5B from code"),
+    // and doc counts are a bad proxy when length distributions differ by
+    // source. Same deterministic content-hash rank order, but the keep
+    // rule is a running token cumsum ≤ the source's token budget: the
+    // first doc that would overflow ends the prefix (budget-sized holes
+    // are never backfilled with later shorter docs — the rank order IS
+    // the reproducibility contract, so the prefix must be contiguous).
+    // One window cumsum per source partition over exact integer token
+    // counts; utilization is a single int/int division.
+    Q(
+      "q_token_budget_mix",
+      s"""WITH ranked AS (
+        |  SELECT source, doc_id, len($duckTokens) AS n_tok,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ${duck("source || '#' || doc_id::VARCHAR")}, doc_id) AS rn
+        |  FROM documents
+        |), cum AS (
+        |  SELECT source, doc_id, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY rn
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ctok
+        |  FROM ranked
+        |), budget AS (
+        |  SELECT * FROM (VALUES ('src0', 2000), ('src1', 500), ('src3', 1500)) b(src, tok_budget)
+        |)
+        |SELECT source, count(*) AS picked_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS picked_tokens,
+        |  any_value(tok_budget) AS tok_budget,
+        |  CAST(CAST(sum(n_tok) AS BIGINT) AS DOUBLE) / any_value(tok_budget) AS utilization,
+        |  min(doc_id) AS first_pick
+        |FROM cum JOIN budget ON source = budget.src AND ctok <= tok_budget
+        |GROUP BY source""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val budgets = Seq(("src0", 2000), ("src1", 500), ("src3", 1500))
+        .toDF("src", "tok_budget")
+      Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          expr(s"size($tokens)").cast("long").as("n_tok"),
+          expr(h("concat(source, '#', cast(doc_id as string))")).as("hv"))
+        .withColumn("ctok", sum(col("n_tok")).over(
+          Window.partitionBy(col("source")).orderBy(col("hv"), col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("bigint"))
+        .join(broadcast(budgets), col("source") === col("src") && col("ctok") <= col("tok_budget"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("picked_docs"),
+          sum(col("n_tok")).cast("bigint").as("picked_tokens"),
+          first(col("tok_budget")).as("tok_budget"),
+          (sum(col("n_tok")).cast("bigint").cast("double") / first(col("tok_budget")))
+            .as("utilization"),
+          min(col("doc_id")).as("first_pick"))
     },
 
     // ---- temperature-scaled source mixture ---------------------------------
