@@ -348,8 +348,18 @@ object Dedup {
     * every banded candidate pair whose full-set Jaccard >= 0.5 — the
     * q_dedup_minhash_lsh pipeline ending in one distinct id column
     * `id_b`. Shared by q_dedup_survivors and q_corpus_funnel. */
-  private[queries] def lshNearDupLosers(
-      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+  /** The MinHash candidate pipeline shared by every consumer — the
+    * Spark twin of [[minhashCandCtes]], stated ONCE (a seed, band-count
+    * or band-key change edits one place on each side): string shingle
+    * sets (scoped-persisted — they feed the signature explode and both
+    * verify sides), 16-slot `minhash_agg` signatures with the hash
+    * computed AFTER the explode (flat codegen'd projection), 4 band
+    * keys, and the distinct band-blocked candidate pairs.
+    * @return (sh(doc_id, shingles), sigs(doc_id, sig), cand(id_a, id_b)) */
+  private[queries] def minhashCandidates(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
     val seeds = (0 until 16).map(i => graft.functions.CrossHash.local(s"seed#$i"))
     val sh = Tables(s, dir, "documents")
       .select(col("doc_id"), expr(tokens).as("w"))
@@ -374,6 +384,12 @@ object Dedup {
       .join(bands.as("c"), expr("a.b = c.b and a.bk = c.bk and a.doc_id < c.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("c.doc_id").as("id_b"))
       .distinct()
+    (sh, sigs, cand)
+  }
+
+  private[queries] def lshNearDupLosers(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val (sh, _, cand) = minhashCandidates(s, dir)
     cand
       .join(sh.select(col("doc_id"), col("shingles").as("sh_a")), col("doc_id") === col("id_a"))
       .drop("doc_id")
@@ -676,43 +692,14 @@ object Dedup {
     Q(
       "q_dedup_minhash_lsh",
       minhashLshOracle) { (s, dir) =>
-      val seeds = (0 until 16).map(i => graft.functions.CrossHash.local(s"seed#$i"))
-      // the shingle set feeds three plan branches (signatures + both
-      // sides of the candidate verify); persist materializes the
-      // HOF-interpreted construction once instead of three times — the
-      // standard move for a diamond dataflow (at cluster scale:
-      // MEMORY_AND_DISK_SER or a checkpoint)
-      val sh = Tables(s, dir, "documents")
-        .select(col("doc_id"), expr(tokens).as("w"))
-        .filter(expr("size(w) >= 3"))
-        .select(col("doc_id"), expr(shingles).as("shingles"))
-        .persistScoped()
-      // hash AFTER the explode: a flat md5 projection is codegen'd,
-      // while the same hash inside a transform() lambda is interpreted.
-      // The 16 XOR-permutation mins fold in ONE long[16] buffer
-      // ([[graft.functions.MinHashAgg]]) — value-identical to 16
-      // separate min(v ^ seed) agg columns, one agg slot instead of 16
-      val seedArr = seeds.map(sd => s"${sd}L").mkString(",")
-      val sigs = sh
-        .select(col("doc_id"), explode(col("shingles")).as("s"))
-        .select(col("doc_id"), expr(h("s")).as("v"))
-        .groupBy(col("doc_id"))
-        .agg(expr(s"minhash_agg(v, array($seedArr))").as("sig"))
-      val bandStructs = (0 until 4).map { b =>
-        val key = (0 until 4)
-          .map(j => s"cast(element_at(sig, ${b * 4 + j + 1}) as string)").mkString(", ',', ")
-        s"struct($b as b, md5(cast(concat_ws('', $key) as binary)) as bk)"
-      }.mkString(", ")
-      val bands = sigs
-        .select(col("doc_id"), explode(expr(s"array($bandStructs)")).as("band"))
-        .select(col("doc_id"), col("band.b").as("b"), col("band.bk").as("bk"))
-      val cand = bands.as("a")
-        .join(bands.as("c"), expr("a.b = c.b and a.bk = c.bk and a.doc_id < c.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("c.doc_id").as("id_b"))
-        .distinct()
-      // verify on the string shingle sets: same jaccard values as the
-      // oracle's hashed sets (the shared hash is injective here), one
-      // less md5 pass
+      // the shared sh → minhash_agg sigs → band → candidate pipeline
+      // ([[minhashCandidates]] — ONE statement of the recipe, with the
+      // scoped persist and the hash-after-explode rationale documented
+      // there); this query is that pipeline plus the exact verify.
+      // Verify runs on the string shingle sets: same jaccard values as
+      // the oracle's hashed sets (the shared hash is injective here),
+      // one less md5 pass
+      val (sh, _, cand) = minhashCandidates(s, dir)
       cand
         .join(sh.select(col("doc_id"), col("shingles").as("sh_a")), col("doc_id") === col("id_a"))
         .drop("doc_id")
@@ -752,35 +739,10 @@ object Dedup {
         |      / len(list_distinct(ma.hsh || mb.hsh)) AS exact_jaccard
         |  FROM cand c JOIN mh ma ON ma.doc_id = c.id_a
         |              JOIN mh mb ON mb.doc_id = c.id_b)""") { (s, dir) =>
-      val seeds = (0 until 16).map(i => graft.functions.CrossHash.local(s"seed#$i"))
-      // string shingle sets feed the signature explode AND the exact
-      // verify on both pair sides (hash AFTER the explode — the flat
-      // projection is codegen'd, a transform()-embedded md5 is not;
-      // string-set jaccard == hashed-set jaccard, the shared hash is
-      // injective here) — the q_dedup_minhash_lsh recipe exactly
-      val sh = Tables(s, dir, "documents")
-        .select(col("doc_id"), expr(tokens).as("w"))
-        .filter(expr("size(w) >= 3"))
-        .select(col("doc_id"), expr(shingles).as("shingles"))
-        .persistScoped()
-      val seedArr = seeds.map(sd => s"${sd}L").mkString(",")
-      val sigs = sh
-        .select(col("doc_id"), explode(col("shingles")).as("s"))
-        .select(col("doc_id"), expr(h("s")).as("v"))
-        .groupBy(col("doc_id"))
-        .agg(expr(s"minhash_agg(v, array($seedArr))").as("sig"))
-      val bandStructs = (0 until 4).map { b =>
-        val key = (0 until 4)
-          .map(j => s"cast(element_at(sig, ${b * 4 + j + 1}) as string)").mkString(", ',', ")
-        s"struct($b as b, md5(cast(concat_ws('', $key) as binary)) as bk)"
-      }.mkString(", ")
-      val bands = sigs
-        .select(col("doc_id"), explode(expr(s"array($bandStructs)")).as("band"))
-        .select(col("doc_id"), col("band.b").as("b"), col("band.bk").as("bk"))
-      val cand = bands.as("a")
-        .join(bands.as("c"), expr("a.b = c.b and a.bk = c.bk and a.doc_id < c.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("c.doc_id").as("id_b"))
-        .distinct()
+      // the same shared candidate pipeline as the dedup kernel — the
+      // calibration MUST measure the estimator on exactly the
+      // candidates the deployment generates
+      val (sh, sigs, cand) = minhashCandidates(s, dir)
       cand
         .join(sigs.select(col("doc_id"), col("sig").as("sig_a")),
           col("doc_id") === col("id_a")).drop("doc_id")

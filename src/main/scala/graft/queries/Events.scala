@@ -619,11 +619,15 @@ object Events {
         |  SELECT hb AS hour_bucket, cnt,
         |    CAST(CAST((cnt - sx/n) / sqrt((sx2 - sx*(sx/n)) / n)
         |      AS DECIMAL(18,9)) AS DOUBLE) AS zscore
-        |  FROM hc, st)
+        |  FROM hc, st WHERE (sx2 - sx*(sx/n)) / n > 0)
         |WHERE abs(zscore) > 2.0""".stripMargin) { (s, dir) =>
       // membership filters on the SNAPPED z, not the raw double: the
       // sx2 - sx*(sx/n) term is FMA-contractible in DuckDB, and a row
-      // whose raw |z| sits within an ulp of 2.0 must not flip sides
+      // whose raw |z| sits within an ulp of 2.0 must not flip sides.
+      // The variance > 0 guard kills the zero-variance degenerate case
+      // BEFORE the snap: 0/0 = NaN, which Spark's cast silently nulls
+      // while DuckDB's CAST(NaN AS DECIMAL) raises — without the guard
+      // a uniform corpus crashes the oracle instead of returning empty
       val hc = Tables(s, dir, "events")
         .select(expr(s"(ts_ns div 1000) div $hourUs").as("hb"))
         .groupBy(col("hb")).agg(count(lit(1)).as("cnt"))
@@ -632,6 +636,7 @@ object Events {
         sum(col("cnt")).cast("double").as("sx"),
         sum(col("cnt") * col("cnt")).cast("double").as("sx2"))
       hc.crossJoin(broadcast(st))
+        .filter(expr("(sx2 - sx*(sx/n)) / n > 0"))
         .select(col("hb").as("hour_bucket"), col("cnt"),
           expr("cast(dec_cast((cnt - sx/n) / sqrt((sx2 - sx*(sx/n)) / n), 18, 9) as double)")
             .as("zscore"))
