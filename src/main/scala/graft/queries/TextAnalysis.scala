@@ -817,6 +817,56 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_overlap"))
     },
 
+    // ---- eval-side contamination report (the inverse direction) ------------
+    // q_decontaminate flags TRAINING docs; the eval owner asks the
+    // opposite question — which of MY benchmark items are compromised,
+    // and how badly (a leaked item must be dropped from the eval or its
+    // score caveated; the training-side gate can't say which). Per eval
+    // doc: distinct training docs sharing any 5-gram + distinct shared
+    // shingles, zero-hit items kept with 0s via the left join.
+    // Inverted-index shape: both sides explode to (doc, shingle-hash)
+    // postings and equi-join on the hash — high-cardinality shuffle
+    // key, never eval × train pairs.
+    Q(
+      "q_eval_contamination",
+      raw"""WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w)-4),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS s
+        |  FROM tok WHERE len(w) >= 5
+        |), hits AS (
+        |  SELECT e.doc_id AS eval_id,
+        |    CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_train_docs,
+        |    CAST(count(DISTINCT e.s) AS BIGINT) AS n_shared_shingles
+        |  FROM sh e JOIN sh t ON e.s = t.s
+        |  WHERE e.doc_id % 29 = 0 AND t.doc_id % 29 <> 0
+        |  GROUP BY e.doc_id
+        |)
+        |SELECT ev.doc_id AS eval_doc_id,
+        |  coalesce(n_train_docs, 0) AS n_train_docs,
+        |  coalesce(n_shared_shingles, 0) AS n_shared_shingles,
+        |  coalesce(n_train_docs, 0) > 0 AS compromised
+        |FROM (SELECT DISTINCT doc_id FROM sh WHERE doc_id % 29 = 0) ev
+        |LEFT JOIN hits ON ev.doc_id = hits.eval_id""") { (s, dir) =>
+      val (sh, _) = evalShingleProbe(s, dir)
+      val evs = sh.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("eval_id"), col("v"))
+      val trs = sh.filter(col("doc_id") % 29 =!= 0)
+        .select(col("doc_id").as("train_id"), col("v"))
+      val hits = evs.join(trs, Seq("v"))
+        .groupBy(col("eval_id"))
+        .agg(
+          countDistinct(col("train_id")).cast("bigint").as("n_train_docs"),
+          countDistinct(col("v")).cast("bigint").as("n_shared_shingles"))
+      evs.select(col("eval_id").as("eval_doc_id")).distinct()
+        .join(hits, col("eval_doc_id") === col("eval_id"), "left")
+        .select(col("eval_doc_id"),
+          coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+          coalesce(col("n_shared_shingles"), lit(0L)).as("n_shared_shingles"),
+          (coalesce(col("n_train_docs"), lit(0L)) > 0).as("compromised"))
+    },
+
     // ---- graded contamination: per-doc eval-overlap FRACTION ---------------
     // The binary gate above drops any overlapping doc; real pipelines
     // threshold a graded score (a 1-in-500 incidental 5-gram is not the
