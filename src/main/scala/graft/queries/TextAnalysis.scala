@@ -817,6 +817,108 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_overlap"))
     },
 
+    // ---- quality × duplication cross-tab (filter-redundancy audit) ---------
+    // Are the quality gate and the dedup pass dropping the SAME docs?
+    // The 2×2 contingency (quality pass/fail × dup loser/clean) is the
+    // redundancy audit run before paying for both filters at 100 TB: if
+    // near-dups are overwhelmingly low-quality anyway, the cheap gate
+    // already removes them and the dedup budget shifts to the surviving
+    // tier (and the converse means dedup is load-bearing). Flags are
+    // the REGISTERED kernels (marker quality, exact + LSH losers), the
+    // cross-tab is one conditional aggregate; fractions are int/int
+    // divisions against the total.
+    Q(
+      "q_quality_dup_crosstab",
+      raw"""WITH tok AS (
+        |  SELECT doc_id, $duckTokens AS w FROM documents
+        |), flags AS (
+        |  SELECT doc_id, (len(w) >= 10 AND ${duckStopRatio("w")} >= 0.01) AS q FROM tok
+        |), exact_losers AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS keep_id
+        |    FROM (SELECT doc_id, ${duck("lower(text)")} AS fp FROM documents))
+        |  WHERE doc_id <> keep_id
+        |), neardups AS (
+        |  SELECT DISTINCT id_b FROM (${Dedup.minhashLshOracle})
+        |), f AS (
+        |  SELECT d.doc_id, flags.q,
+        |    d.doc_id IN (SELECT doc_id FROM exact_losers)
+        |      OR d.doc_id IN (SELECT id_b FROM neardups) AS dup
+        |  FROM documents d JOIN flags USING (doc_id)
+        |)
+        |SELECT q AS quality_pass, dup AS dup_loser, count(*) AS n,
+        |  CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM f) AS frac
+        |FROM f GROUP BY q, dup""") { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val flags = docs
+        .select(col("doc_id"), expr(markerCall(tokens)).as("ms"))
+        .select(col("doc_id"),
+          expr("ms.total >= 10 and cast(ms.c0 as double) / ms.total >= 0.01").as("q"))
+      val ex = Dedup.exactLosers(docs).withColumn("ex", lit(true))
+      val nd = Dedup.lshNearDupLosers(s, dir).withColumn("nd", lit(true))
+      val f = flags
+        .join(ex, col("doc_id") === col("loser_id"), "left").drop("loser_id")
+        .join(nd, col("doc_id") === col("id_b"), "left").drop("id_b")
+        .select(col("q"),
+          (coalesce(col("ex"), lit(false)) || coalesce(col("nd"), lit(false))).as("dup"))
+        .persistScoped() // feeds the cross-tab AND the total subcount
+      val total = f.agg(count(lit(1)).as("n_all"))
+      f.groupBy(col("q").as("quality_pass"), col("dup").as("dup_loser"))
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .select(col("quality_pass"), col("dup_loser"), col("n"),
+          (col("n").cast("double") / col("n_all")).as("frac"))
+    },
+
+    // ---- vocabulary coverage curve (OOV-rate input for vocab sizing) -------
+    // What fraction of token OCCURRENCES does a top-k type vocabulary
+    // cover? The coverage-at-k curve is the out-of-vocabulary-rate
+    // estimate that sizes a word-level vocab (and sanity-checks a BPE
+    // budget) before training anything. Scale shape: one token-count
+    // aggregate to the Heap's-law-bounded type frame, the top-k slice
+    // via orderBy+limit (TakeOrderedAndProject — a bounded heap, never
+    // a global sort of the vocabulary), and the rank/cumsum window runs
+    // on the CONSTANT-k frame (1000 rows at any corpus size). Coverage
+    // is one int/int division; ties rank by (count desc, token asc).
+    Q(
+      "q_vocab_coverage",
+      raw"""WITH tc AS (
+        |  SELECT t, count(*) AS cnt
+        |  FROM (SELECT unnest($duckTokens) AS t FROM documents) GROUP BY t
+        |), total AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n_total, CAST(count(*) AS BIGINT) AS n_types
+        |  FROM tc
+        |), topk AS (
+        |  SELECT t, cnt, row_number() OVER (ORDER BY cnt DESC, t) AS rk
+        |  FROM (SELECT t, cnt FROM tc ORDER BY cnt DESC, t LIMIT 1000)
+        |), cum AS (
+        |  SELECT rk, CAST(sum(cnt) OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ctok
+        |  FROM topk
+        |)
+        |SELECT k, ctok AS covered_tokens, n_total, n_types,
+        |  CAST(ctok AS DOUBLE) / n_total AS coverage
+        |FROM (VALUES (5), (10), (25)) ks(k)
+        |JOIN cum ON cum.rk = ks.k CROSS JOIN total""") { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val tc = Tables(s, dir, "documents")
+        .select(explode(expr(tokens)).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      val total = tc.agg(
+        sum(col("cnt")).cast("bigint").as("n_total"),
+        count(lit(1)).cast("bigint").as("n_types"))
+      val topk = tc.orderBy(col("cnt").desc, col("t")).limit(1000)
+        .withColumn("rk", row_number().over(Window.orderBy(col("cnt").desc, col("t"))))
+      val cum = topk.withColumn("ctok",
+        sum(col("cnt")).over(Window.orderBy(col("rk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("bigint"))
+      val ks = Seq(5, 10, 25).toDF("k")
+      ks.join(cum, col("rk") === col("k"))
+        .crossJoin(broadcast(total))
+        .select(col("k"), col("ctok").as("covered_tokens"), col("n_total"), col("n_types"),
+          (col("ctok").cast("double") / col("n_total")).as("coverage"))
+    },
+
     // ---- eval-side contamination report (the inverse direction) ------------
     // q_decontaminate flags TRAINING docs; the eval owner asks the
     // opposite question — which of MY benchmark items are compromised,
