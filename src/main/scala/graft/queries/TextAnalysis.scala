@@ -25,6 +25,19 @@ object TextAnalysis {
   private val tokens = "split(trim(text), '\\\\s+')"
   private val duckTokens = raw"regexp_split_to_array(trim(text), '\s+')"
 
+  /** The 5-gram shingle postings CTE text (tok -> per-doc distinct
+    * 5-gram strings) shared verbatim by q_decontaminate and
+    * q_eval_contamination — stated once so a shingle-window change
+    * cannot silently desynchronize the gate from the report. */
+  private val duckSh5Ctes: String =
+    raw"""tok AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w)-4),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS s
+      |  FROM tok WHERE len(w) >= 5
+      |)""".stripMargin
+
   /** q_search_bm25's fixed retrieval query — ONE constant interpolated
     * into the oracle IN-list and read by the PlanShapeSpec gate, so the
     * three consumers can never drift. */
@@ -797,13 +810,7 @@ object TextAnalysis {
     // distinct shingles map 1:1 to distinct hashes.
     Q(
       "q_decontaminate",
-      raw"""WITH tok AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
-        |), sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w)-4),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS s
-        |  FROM tok WHERE len(w) >= 5
-        |), ev AS (
+      raw"""WITH $duckSh5Ctes, ev AS (
         |  SELECT DISTINCT s FROM sh WHERE doc_id % 29 = 0
         |)
         |SELECT sh.doc_id, count(*) AS n_overlap
@@ -847,7 +854,7 @@ object TextAnalysis {
         |  FROM documents d JOIN flags USING (doc_id)
         |)
         |SELECT q AS quality_pass, dup AS dup_loser, count(*) AS n,
-        |  CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM f) AS frac
+        |  CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS frac
         |FROM f GROUP BY q, dup""") { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       val flags = docs
@@ -856,18 +863,21 @@ object TextAnalysis {
           expr("ms.total >= 10 and cast(ms.c0 as double) / ms.total >= 0.01").as("q"))
       val ex = Dedup.exactLosers(docs).withColumn("ex", lit(true))
       val nd = Dedup.lshNearDupLosers(s, dir).withColumn("nd", lit(true))
-      val f = flags
+      // the grand total is the sum over the ≤4-row crosstab (every doc
+      // falls in exactly one cell) — derived with a window on the TINY
+      // grouped frame, never by caching or re-counting the O(corpus)
+      // flags frame
+      flags
         .join(ex, col("doc_id") === col("loser_id"), "left").drop("loser_id")
         .join(nd, col("doc_id") === col("id_b"), "left").drop("id_b")
         .select(col("q"),
           (coalesce(col("ex"), lit(false)) || coalesce(col("nd"), lit(false))).as("dup"))
-        .persistScoped() // feeds the cross-tab AND the total subcount
-      val total = f.agg(count(lit(1)).as("n_all"))
-      f.groupBy(col("q").as("quality_pass"), col("dup").as("dup_loser"))
+        .groupBy(col("q").as("quality_pass"), col("dup").as("dup_loser"))
         .agg(count(lit(1)).as("n"))
-        .crossJoin(broadcast(total))
-        .select(col("quality_pass"), col("dup_loser"), col("n"),
-          (col("n").cast("double") / col("n_all")).as("frac"))
+        .withColumn("frac",
+          col("n").cast("double") /
+            sum(col("n")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(lit(1))))
     },
 
     // ---- vocabulary coverage curve (OOV-rate input for vocab sizing) -------
@@ -878,7 +888,7 @@ object TextAnalysis {
     // aggregate to the Heap's-law-bounded type frame, the top-k slice
     // via orderBy+limit (TakeOrderedAndProject — a bounded heap, never
     // a global sort of the vocabulary), and the rank/cumsum window runs
-    // on the CONSTANT-k frame (1000 rows at any corpus size). Coverage
+    // on the CONSTANT-k frame (max probe rank = 25 rows at any corpus). Coverage
     // is one int/int division; ties rank by (count desc, token asc).
     Q(
       "q_vocab_coverage",
@@ -890,7 +900,7 @@ object TextAnalysis {
         |  FROM tc
         |), topk AS (
         |  SELECT t, cnt, row_number() OVER (ORDER BY cnt DESC, t) AS rk
-        |  FROM (SELECT t, cnt FROM tc ORDER BY cnt DESC, t LIMIT 1000)
+        |  FROM (SELECT t, cnt FROM tc ORDER BY cnt DESC, t LIMIT 25)
         |), cum AS (
         |  SELECT rk, CAST(sum(cnt) OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ctok
         |  FROM topk
@@ -907,7 +917,7 @@ object TextAnalysis {
       val total = tc.agg(
         sum(col("cnt")).cast("bigint").as("n_total"),
         count(lit(1)).cast("bigint").as("n_types"))
-      val topk = tc.orderBy(col("cnt").desc, col("t")).limit(1000)
+      val topk = tc.orderBy(col("cnt").desc, col("t")).limit(25)
         .withColumn("rk", row_number().over(Window.orderBy(col("cnt").desc, col("t"))))
       val cum = topk.withColumn("ctok",
         sum(col("cnt")).over(Window.orderBy(col("rk"))
@@ -931,13 +941,7 @@ object TextAnalysis {
     // key, never eval × train pairs.
     Q(
       "q_eval_contamination",
-      raw"""WITH tok AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
-        |), sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w)-4),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS s
-        |  FROM tok WHERE len(w) >= 5
-        |), hits AS (
+      raw"""WITH $duckSh5Ctes, hits AS (
         |  SELECT e.doc_id AS eval_id,
         |    CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_train_docs,
         |    CAST(count(DISTINCT e.s) AS BIGINT) AS n_shared_shingles
@@ -945,12 +949,19 @@ object TextAnalysis {
         |  WHERE e.doc_id % 29 = 0 AND t.doc_id % 29 <> 0
         |  GROUP BY e.doc_id
         |)
-        |SELECT ev.doc_id AS eval_doc_id,
+        |SELECT d.doc_id AS eval_doc_id,
         |  coalesce(n_train_docs, 0) AS n_train_docs,
         |  coalesce(n_shared_shingles, 0) AS n_shared_shingles,
         |  coalesce(n_train_docs, 0) > 0 AS compromised
-        |FROM (SELECT DISTINCT doc_id FROM sh WHERE doc_id % 29 = 0) ev
-        |LEFT JOIN hits ON ev.doc_id = hits.eval_id""") { (s, dir) =>
+        |FROM documents d
+        |LEFT JOIN hits ON d.doc_id = hits.eval_id
+        |WHERE d.doc_id % 29 = 0""") { (s, dir) =>
+      // the eval UNIVERSE comes from the documents table itself (one
+      // key-column scan), NOT from the shingle stream: an eval item too
+      // short to carry any 5-gram cannot be contaminated but must still
+      // appear in the report with 0s — dropping it would read as "not
+      // assessed" (and the postings-derived universe cost a second
+      // shingle pass + a distinct exchange for strictly less coverage)
       val (sh, _) = evalShingleProbe(s, dir)
       val evs = sh.filter(col("doc_id") % 29 === 0)
         .select(col("doc_id").as("eval_id"), col("v"))
@@ -961,7 +972,9 @@ object TextAnalysis {
         .agg(
           countDistinct(col("train_id")).cast("bigint").as("n_train_docs"),
           countDistinct(col("v")).cast("bigint").as("n_shared_shingles"))
-      evs.select(col("eval_id").as("eval_doc_id")).distinct()
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("eval_doc_id"))
         .join(hits, col("eval_doc_id") === col("eval_id"), "left")
         .select(col("eval_doc_id"),
           coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
