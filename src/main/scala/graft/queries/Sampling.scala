@@ -188,6 +188,39 @@ object Sampling {
           min(col("doc_id")).as("first_pick"))
     },
 
+    // ---- output-shard balance audit ----------------------------------------
+    // The pre-write layout check before sharding a corpus into N output
+    // files/partitions: assign every doc its content-hash shard
+    // (deterministic — the same doc lands in the same shard on every
+    // run and engine) and report per-shard doc/token volume plus each
+    // shard's share of the corpus. A skewed share here means the shard
+    // count or the hash key is wrong BEFORE the write pays for it
+    // (uneven output files are the straggler source at 100 TB read
+    // time). One map projection + one 32-group aggregate; the share
+    // derives from a window over the BOUNDED shard frame (the crosstab
+    // rule — never a second corpus pass).
+    Q(
+      "q_shard_balance",
+      s"""WITH s AS (
+        |  SELECT ${duck("'shard#' || doc_id::VARCHAR")} % 32 AS shard,
+        |    len($duckTokens) AS n_tok
+        |  FROM documents
+        |)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS doc_share
+        |FROM s GROUP BY shard""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(
+          (expr(h("concat('shard#', cast(doc_id as string))")) % 32).as("shard"),
+          expr(s"size($tokens)").cast("long").as("n_tok"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("bigint").as("n_tokens"))
+        .withColumn("doc_share",
+          col("n_docs").cast("double") /
+            sum(col("n_docs")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(lit(1))))
+    },
+
     // ---- temperature-scaled source mixture ---------------------------------
     // The multilingual/multi-source rebalancing rule (sample share
     // proportional to count^alpha, here alpha = 0.5): raw proportional
