@@ -207,7 +207,14 @@ object Breadth {
         |    CAST(CAST(sum(q*q*q) AS BIGINT) AS DOUBLE) AS sx3,
         |    CAST(CAST(sum(q*q*q*q) AS BIGINT) AS DOUBLE) AS sx4
         |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
-        |  GROUP BY l_returnflag)""") { (s, dir) =>
+        |  GROUP BY l_returnflag)
+        |WHERE CAST(CAST((sx2 - sx*(sx/n)) / n AS DECIMAL(18,9)) AS DOUBLE) > 0""") { (s, dir) =>
+      // zero-variance guard on the SNAPPED variance (ADVICE r11, the
+      // q_events_anomaly rule): a constant group yields 0/0 = NaN
+      // inside the DECIMAL snap — Spark's dec_cast nulls it while
+      // DuckDB's CAST(NaN AS DECIMAL) raises, so the oracle would
+      // crash rather than mismatch. Safe on real lineitem data, but
+      // the kernel must not be fragile when reused on another column.
       t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_quantity").cast("bigint").as("q"))
         .groupBy(col("l_returnflag"))
@@ -217,6 +224,7 @@ object Breadth {
           sum(col("q") * col("q")).cast("double").as("sx2"),
           sum(col("q") * col("q") * col("q")).cast("double").as("sx3"),
           sum(col("q") * col("q") * col("q") * col("q")).cast("double").as("sx4"))
+        .filter(expr("cast(dec_cast((sx2 - sx*(sx/n)) / n, 18, 9) as double) > 0"))
         .selectExpr(
           "l_returnflag", "n",
           """cast(dec_cast(

@@ -619,7 +619,8 @@ object Events {
         |  SELECT hb AS hour_bucket, cnt,
         |    CAST(CAST((cnt - sx/n) / sqrt((sx2 - sx*(sx/n)) / n)
         |      AS DECIMAL(18,9)) AS DOUBLE) AS zscore
-        |  FROM hc, st WHERE (sx2 - sx*(sx/n)) / n > 0)
+        |  FROM hc, st
+        |  WHERE CAST(CAST((sx2 - sx*(sx/n)) / n AS DECIMAL(18,9)) AS DOUBLE) > 0)
         |WHERE abs(zscore) > 2.0""".stripMargin) { (s, dir) =>
       // membership filters on the SNAPPED z, not the raw double: the
       // sx2 - sx*(sx/n) term is FMA-contractible in DuckDB, and a row
@@ -627,7 +628,12 @@ object Events {
       // The variance > 0 guard kills the zero-variance degenerate case
       // BEFORE the snap: 0/0 = NaN, which Spark's cast silently nulls
       // while DuckDB's CAST(NaN AS DECIMAL) raises — without the guard
-      // a uniform corpus crashes the oracle instead of returning empty
+      // a uniform corpus crashes the oracle instead of returning empty.
+      // The guard itself compares the SNAPPED variance (ADVICE r11):
+      // the raw residual of the contractible a*b - c*d shape can land
+      // on opposite sides of 0 per engine on a near-uniform corpus.
+      // snap > 0 implies raw >= 0.5e-9 > 0 under both rounding modes,
+      // so the raw variance inside sqrt stays strictly positive.
       val hc = Tables(s, dir, "events")
         .select(expr(s"(ts_ns div 1000) div $hourUs").as("hb"))
         .groupBy(col("hb")).agg(count(lit(1)).as("cnt"))
@@ -636,7 +642,7 @@ object Events {
         sum(col("cnt")).cast("double").as("sx"),
         sum(col("cnt") * col("cnt")).cast("double").as("sx2"))
       hc.crossJoin(broadcast(st))
-        .filter(expr("(sx2 - sx*(sx/n)) / n > 0"))
+        .filter(expr("cast(dec_cast((sx2 - sx*(sx/n)) / n, 18, 9) as double) > 0"))
         .select(col("hb").as("hour_bucket"), col("cnt"),
           expr("cast(dec_cast((cnt - sx/n) / sqrt((sx2 - sx*(sx/n)) / n), 18, 9) as double)")
             .as("zscore"))

@@ -43,8 +43,9 @@ def main():
           f"({len(old['queries'])} -> {len(new['queries'])} queries)")
     shared_old = sum(oq[k] for k in both)
     shared_new = sum(nq[k] for k in both)
+    ratio = f"{shared_new / shared_old:.3f}" if shared_old else "n/a"
     print(f"shared {len(both)} uncapped queries: {shared_old:.1f}s -> "
-          f"{shared_new:.1f}s (ratio {shared_new / shared_old:.3f})")
+          f"{shared_new:.1f}s (ratio {ratio})")
     deltas = sorted(((nq[k] - oq[k], k) for k in both), reverse=True)
     print(f"\nbiggest regressions (of {ns.top}):")
     for d, k in deltas[:ns.top]:
