@@ -24,11 +24,33 @@ import graft.io.Sessions
   *     the emit is outside it.
   */
 object Bench {
+  /** 1-minute system loadavg (-1.0 when the platform can't report it). */
+  private def loadAvg(): Double =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val capSec = sys.env.get("SPARK_GRAFT_QCAP_SEC").map(_.toDouble).getOrElse(60.0)
+
+    // idle-box gate (VERDICT r11 #3): ambient load storms on this box
+    // swing pass-to-pass samples 3-9x, large enough to drown most
+    // round-over-round deltas. Before starting the recorded run, wait
+    // (bounded) for the 1-min loadavg to drop below a threshold; if it
+    // never does, proceed anyway and RECORD the load so a noisy run is
+    // distinguishable from a regression after the fact.
+    val loadGate = sys.env.get("SPARK_GRAFT_LOAD_GATE").map(_.toDouble)
+      .getOrElse(Runtime.getRuntime.availableProcessors() * 0.5)
+    val gateWaitSec = sys.env.get("SPARK_GRAFT_LOAD_WAIT_SEC").map(_.toLong).getOrElse(120L)
+    val gateDeadline = System.nanoTime() + gateWaitSec * 1_000_000_000L
+    while (loadAvg() > loadGate && System.nanoTime() < gateDeadline) {
+      System.err.println(f"[bench] loadavg ${loadAvg()}%.1f > gate $loadGate%.1f — waiting")
+      Thread.sleep(5000)
+    }
+    val loadStart = loadAvg()
+
     val spark = Sessions.local("graft-bench", cpus)
     val sc = spark.sparkContext
 
@@ -133,11 +155,17 @@ object Bench {
       // that recovered from a pass-1 cap also get one more sample:
       // their single success ran right after a storm window and is
       // usually inflated.
+      // ...plus a best-of-3 floor for every query whose best sample is
+      // still > 2 s (VERDICT r11 #3): those are the queries whose
+      // regressions the judge reads, and under ambient load two samples
+      // are not enough to trust a delta — a third costs ~the query's
+      // own floor and bounds the noise the min() has to beat.
       val retry = picked.filter { q =>
         val vs = raw(q.name)
         val ok = vs.filter(_ >= 0)
         (ok.size >= 2 && ok.max > 2 * ok.min && ok.last != ok.min) ||
-        (ok.size == 1 && vs.contains(-2.0))
+        (ok.size == 1 && vs.contains(-2.0)) ||
+        (ok.nonEmpty && ok.min > 2.0 && ok.size < 3)
       }
       for (q <- retry) raw(q.name) += once(q)
     } catch {
@@ -156,8 +184,23 @@ object Bench {
     val cappedJson = results.collect { case (k, v) if v == -2.0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // per-pass medians (VERDICT r11 #8): the cold-codegen cost of pass
+    // 1 vs the warmed pass 2 becomes visible per round instead of via
+    // log archaeology; a p1/p2 ratio near 1 on a round where totals
+    // moved says "environment", a big ratio says "codegen/suite tail".
+    def median(xs: Seq[Double]): Double =
+      if (xs.isEmpty) -1.0
+      else { val s = xs.sorted; s((s.size - 1) / 2) }
+    val p1 = raw.values.collect { case vs if vs.nonEmpty && vs.head >= 0 => vs.head }.toSeq
+    val p2 = raw.values.collect { case vs if vs.size >= 2 && vs(1) >= 0 => vs(1) }.toSeq
+    val ratios = raw.values.collect {
+      case vs if vs.size >= 2 && vs.head > 0 && vs(1) > 0 => vs.head / vs(1)
+    }.toSeq
+    val passesJson =
+      s"""{"p1_median":${median(p1)},"p2_median":${median(p2)},"p1_over_p2_median":${median(ratios)}}"""
+    val loadJson = s"""{"start":$loadStart,"end":${loadAvg()},"gate":$loadGate}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$rawJson,"capped":$cappedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$rawJson,"capped":$cappedJson,"passes":$passesJson,"loadavg":$loadJson,"sf":"$sfDir"}"""
     println(line)
     // ALSO persist the line: the driver captures only a ~2 KB stdout
     // tail, which truncates a 170-query JSON line — every BENCH_r*.json

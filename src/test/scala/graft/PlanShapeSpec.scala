@@ -7,8 +7,13 @@ package graft
   * a shuffle or un-pushes a filter fails here, not in a 100 TB run. */
 class PlanShapeSpec extends SparkSpec {
 
-  private def planOf(q: String): String =
+  // plans are extracted under KernelMemo.bypassed: the memoized kernel
+  // queries must be gated on their REAL pipeline plans, not the
+  // checkpoint-backed scan the memo returns (and an eager checkpoint
+  // per inspected query would turn plan extraction into execution)
+  private def planOf(q: String): String = graft.io.KernelMemo.bypassed {
     SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan.toString
+  }
 
   test("q_filter_pushdown: all predicates reach the parquet scan; schema pruned") {
     val p = planOf("q_filter_pushdown")
@@ -45,7 +50,7 @@ class PlanShapeSpec extends SparkSpec {
 
   test("no query plan contains a cartesian product or nested-loop join") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
-      val p = SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+      val p = planOf(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
     }
   }
@@ -117,7 +122,9 @@ class PlanShapeSpec extends SparkSpec {
       "q_ann_ivf_multiprobe", "q_pipeline_filter", "q_dedup_ngram_capped",
       "q_heavy_hitters")
     for (name <- gated) {
-      val plan = SparkEntry.queries(name)(spark, sf()).queryExecution.analyzed
+      val plan = graft.io.KernelMemo.bypassed {
+        SparkEntry.queries(name)(spark, sf()).queryExecution.analyzed
+      }
       val hinted = plan.collect { case h: ResolvedHint if h.hints.strategy.isDefined => h.child }
       // non-vacuity: the ANN queries DO hint their sample/centroid frames
       if (name != "q_pipeline_filter" && name != "q_dedup_ngram_capped")
@@ -187,7 +194,9 @@ class PlanShapeSpec extends SparkSpec {
     // reason.
     graft.io.CacheScope.releaseAll()
     spark.catalog.clearCache()
-    val df = SparkEntry.queries("q_dedup_ngram_capped")(spark, sf())
+    val df = graft.io.KernelMemo.bypassed {
+      SparkEntry.queries("q_dedup_ngram_capped")(spark, sf())
+    }
     df.collect() // drives AQE to its final plan on df's own QueryExecution
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
@@ -330,7 +339,9 @@ class PlanShapeSpec extends SparkSpec {
     // AQE decides the vocab join strategy from observed sizes.
     import org.apache.spark.sql.catalyst.plans.logical._
     for (name <- Seq("q_tfidf", "q_bm25")) {
-      val plan = SparkEntry.queries(name)(spark, sf()).queryExecution.analyzed
+      val plan = graft.io.KernelMemo.bypassed {
+        SparkEntry.queries(name)(spark, sf()).queryExecution.analyzed
+      }
       val hinted = plan.collect { case h: ResolvedHint if h.hints.strategy.isDefined => h.child }
       for (sub <- hinted) {
         val scalarAgg = sub.collectFirst {
@@ -372,7 +383,9 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q_adaptive_quality: cutoff cumsum windows the bounded distinct-score frame, not the corpus") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
-    val qe = SparkEntry.queries("q_adaptive_quality")(spark, sf()).queryExecution
+    val qe = graft.io.KernelMemo.bypassed {
+      SparkEntry.queries("q_adaptive_quality")(spark, sf()).queryExecution
+    }
     val wins = qe.optimizedPlan.collect { case w: LWindow => w }
     assert(wins.nonEmpty, "expected the cutoff cumsum window")
     // a Window whose child has no Aggregate beneath would be the scale
