@@ -50,7 +50,7 @@ object Similarity {
     * scalar subquery inlined into the seed LIMIT. ceil(sqrt(n)) is one
     * IEEE double sqrt on an exactly-representable integer — identical
     * in java.lang.Math and DuckDB's C sqrt. */
-  private[queries] def ncIvf(n: Long): Int =
+  private[graft] def ncIvf(n: Long): Int =
     math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
   private def ncIvf(s: org.apache.spark.sql.SparkSession, dir: String): Int =
     ncIvf(Tables.rowCount(s, dir, "embeddings"))
@@ -142,6 +142,189 @@ object Similarity {
       s: org.apache.spark.sql.SparkSession, dir: String,
       name: String): org.apache.spark.sql.DataFrame =
     graft.io.KernelMemo.reuse(s, dir, name)(graft.SparkEntry.queries(name)(s, dir))
+
+  // --- two-level centroid assignment (round-12) -----------------------------
+  // With |C| = ceil(sqrt(N)) the flat assignment scan is O(N * sqrt(N) * d)
+  // flops — fine at sf0.1 (~200 centroids), prohibitive at N ~ 1e10
+  // (~1e5 centroids). The scale-safe shape pre-prunes the centroid scan
+  // with the SRP cell machinery the SemDeDup family already owns:
+  // centroids land in `sem#` hyperplane cells at bits = semBits(|C|)
+  // (cells ∝ |C|, expected ≤ SEM_CELL_TARGET centroids per cell at ANY
+  // corpus size), each vector scores only the centroids in its home
+  // cell + every hamming <= 2 neighbour — O(bits^2) cells of
+  // ~SEM_CELL_TARGET centroids, so per-vector work is
+  // O(SEM_CELL_TARGET * log^2|C| * d), polylogarithmic where the flat
+  // scan was sqrt(N). (Radius 2, not 1: on this corpus the nearest
+  // centroid sits at a wide angle — hamming-1 coverage left the pruned
+  // argmax agreeing with the flat argmax on only ~62% of vectors;
+  // radius 2 lifts agreement to ~85% and its probe count 1+b+C(b,2)
+  // still vanishes against 2^b cells at scale.)
+  //
+  // Recall guard WITHOUT a second pass: a fixed ANCHOR set — the
+  // ANN_ANCHOR lowest-id centroids — is scored by EVERY vector and
+  // EXCLUDED from the probed side, so the candidate set is non-empty
+  // and duplicate-free BY CONSTRUCTION (probe cells partition the
+  // non-anchor centroids; a vector's probe list has distinct values).
+  // No orphan anti-join, no candidate distinct, no extra exchange.
+  // The pruned rule is the DEFINITION of the assignment (both engines
+  // mirror it exactly — the LSH-family contract, like q_ann_lsh's
+  // buckets), and PrunedAssignSpec pins its geometry: anchor-only
+  // degenerate == flat argmax, and the pruned assignment agrees with
+  // the flat argmax on the overwhelming share of the test corpus.
+  private[graft] final val ANN_ANCHOR = 8
+
+  private[graft] def pruneBits(
+      s: org.apache.spark.sql.SparkSession, dir: String): Int =
+    semBits(ncIvf(s, dir).toLong)
+
+  private def duckPruneBits: String =
+    s"""(SELECT greatest(4, CAST(min(j) AS INT)) FROM generate_series(1, 40) t(j)
+       | WHERE (1::BIGINT << j) * $SEM_CELL_TARGET >= $duckNcIvf)""".stripMargin
+
+  /** SRP cell id at an explicit bit-count SQL (the duckSemCell shape,
+    * same `sem#` plane family, parameterized bits). */
+  private def duckCellAt(v: String, bitsSql: String): String =
+    s"""CAST(list_sum(list_transform(generate_series(0, $bitsSql - 1), j ->
+       |  CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+       |      i -> (((${duck("'sem#' || j::VARCHAR || '#' || i::VARCHAR")} % 2001) - 1000) / 1000.0)
+       |        * CAST($v[i] AS DOUBLE)), (x, y) -> x + y) >= 0
+       |  THEN (1 << j) ELSE 0 END)) AS INT)""".stripMargin
+
+  /** Two-level activation threshold — CORPUS-DERIVED, identical integer
+    * rule in both engines: the pruned path pays only when the radius-2
+    * probe set is a small fraction of the cells, i.e. semBits(|C|) >= 8
+    * (probe count 1+8+28 = 37 of 256 cells = 14%), which by the
+    * semBits rule is |C| > 2^7 * SEM_CELL_TARGET = 8192 — reached at
+    * N > ~6.7e7 vectors (|C| = ceil(sqrt(N))). Below it the flat
+    * broadcast scan IS the optimal plan (the FAISS flat-vs-IVF rule):
+    * at sf0.1 (|C| = 142, 16 cells) probes cover 69% of the cells, so
+    * pruning saves almost no flops while paying the probe join — the
+    * measured 2-3x regression that motivated the switch. The pruned
+    * rule itself stays oracle-verified at every scale through
+    * `q_ivf_pruned_assign`, which forces it unconditionally. */
+  private[graft] final val PRUNE_SWITCH_C = 8192
+
+  private def duckPrunedOn: String = s"$duckNcIvf > $PRUNE_SWITCH_C"
+
+  /** Candidate set with the corpus-derived switch: pruned branch when
+    * the threshold is crossed, flat cross otherwise — static SQL, one
+    * branch satisfiable per corpus. */
+  private def duckPrunedCand(cents: String): String =
+    s"""SELECT * FROM (${duckPrunedCandForced(cents)}) WHERE $duckPrunedOn
+       |UNION ALL
+       |SELECT v.vec_id, v.embedding, c.c_id, c.c_emb
+       |FROM embeddings v CROSS JOIN (SELECT c_id, c_emb FROM $cents) c
+       |WHERE NOT ($duckPrunedOn)""".stripMargin
+
+  /** Oracle text of the pruned candidate set over a centroid CTE with
+    * columns (c_id, c_emb): probe-cell hits on non-anchor centroids
+    * UNION ALL the anchor cross — (vec_id, embedding, c_id, c_emb),
+    * one row per (vector, candidate centroid). The radius-2 expansion
+    * sits on the BOUNDED centroid side (each non-anchor centroid
+    * registers under every hamming <= 2 neighbour of its cell; vectors
+    * join on their home cell only) — hamming is symmetric, so the pair
+    * set is identical to probing from the vector side, but the corpus
+    * is never exploded. */
+  private def duckPrunedCandForced(cents: String): String =
+    s"""SELECT v.vec_id, v.embedding, c.c_id, c.c_emb
+       |FROM (SELECT vec_id, embedding, ${duckCellAt("embedding", "bb")} AS pc
+       |      FROM embeddings CROSS JOIN (SELECT $duckPruneBits AS bb) bt) v
+       |JOIN (SELECT c_id, c_emb,
+       |        unnest(list_concat(
+       |          list_prepend(cc, list_transform(generate_series(0, bb - 1),
+       |            j -> xor(cc, (1 << j)))),
+       |          flatten(list_transform(generate_series(0, bb - 2), j ->
+       |            list_transform(generate_series(j + 1, bb - 1),
+       |              k -> xor(cc, (1 << j) + (1 << k))))))) AS probe
+       |      FROM (SELECT c_id, c_emb, bb, ${duckCellAt("c_emb", "bb")} AS cc
+       |            FROM (SELECT c_id, c_emb, row_number() OVER (ORDER BY c_id) AS arank
+       |                  FROM $cents)
+       |            CROSS JOIN (SELECT $duckPruneBits AS bb) bt
+       |            WHERE arank > $ANN_ANCHOR)) c
+       |  ON v.pc = c.probe
+       |UNION ALL
+       |SELECT v.vec_id, v.embedding, c.c_id, c.c_emb
+       |FROM embeddings v
+       |CROSS JOIN (SELECT c_id, c_emb FROM
+       |  (SELECT c_id, c_emb, row_number() OVER (ORDER BY c_id) AS arank FROM $cents)
+       |  WHERE arank <= $ANN_ANCHOR) c""".stripMargin
+
+  /** Pruned double-score stream (vec_id, c_id, cdd) — the drop-in
+    * replacement for `e.crossJoin(broadcast(cents))`: same downstream
+    * machinery (per-vector window/TopK prefilter, exact-DECIMAL rank on
+    * survivors), a logarithmic fraction of the flops. `cents` must have
+    * columns (c_id, c_emb); both slices stay broadcast — they are
+    * bounded by the |C| model parameter, the existing hint rule. */
+  /** Materialize a BOUNDED centroid frame (|C| = a model parameter,
+    * never a corpus fraction) as a LocalRelation: ONE job computes it,
+    * then every consumer — the three broadcast branches of
+    * [[prunedScores]], the exact-verify join-backs, each Lloyd round —
+    * reads a driver-local table instead of re-executing the centroid
+    * subtree per branch (3-4 corpus scans per assignment before this),
+    * and iterative loops carry a CONSTANT-size plan (the carried frame
+    * is referenced 3x per round; as a subtree that is 3^r plan growth —
+    * the r10 exponential-plan lesson, solved at the source here).
+    * This is the FAISS shape: the coarse quantizer lives in RAM —
+    * ~26 MB at |C| = 1e5 / d = 64. */
+  private def localizedModel(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = df.sparkSession
+    s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+  }
+
+  private[graft] def prunedScores(
+      e: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame,
+      bitsP: Int,
+      anchor: Int = ANN_ANCHOR): org.apache.spark.sql.DataFrame = {
+    // callers pass a [[localizedModel]] frame, so the rank window and
+    // the three broadcast branches below all read a LocalRelation —
+    // re-execution per branch costs nothing
+    val ranked = cents.withColumn("arank",
+      row_number().over(Window.orderBy(col("c_id"))))
+    val anchors = ranked.filter(col("arank") <= anchor).select(col("c_id"), col("c_emb"))
+    val rest = ranked.filter(col("arank") > anchor)
+      .select(col("c_id"), col("c_emb"), semCellCol("c_emb", bitsP).cast("int").as("cpcell"))
+    // radius-2 expansion on the BOUNDED side: every centroid registers
+    // under each hamming <= 2 neighbour of its cell (masks as FLAT
+    // plan-time constants — home, single flips, double flips, all
+    // distinct so a (vector, centroid) pair matches exactly once);
+    // the corpus passes ONCE with a single int key — no explode, no
+    // per-probe copies of the embedding array. The expanded probe
+    // table is THIN (c_id, probe): at |C| ~ 1e5 / bits = 11 it is
+    // ~6.7M 12-byte rows, and c_emb rides the separate |C|-row
+    // broadcast joined back by id.
+    val masks = 0 +:
+      (0 until bitsP).map(1 << _) ++:
+      (for { j <- 0 until bitsP; k <- j + 1 until bitsP } yield (1 << j) | (1 << k))
+    val probeTab = rest.select(col("c_id"),
+      explode(array(masks.map(m => col("cpcell").bitwiseXOR(lit(m))): _*)).as("probe"))
+    val ev = e.select(col("vec_id"), col("embedding"),
+      semCellCol("embedding", bitsP).cast("int").as("vpcell"))
+    val hit = ev.join(broadcast(probeTab), col("vpcell") === col("probe"))
+      .join(broadcast(rest.select(col("c_id"), col("c_emb"))), "c_id")
+      .select(col("vec_id"), col("c_id"), expr("dot_f(embedding, c_emb)").as("cdd"))
+    val anch = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(anchors))
+      .select(col("vec_id"), col("c_id"), expr("dot_f(embedding, c_emb)").as("cdd"))
+    hit.unionByName(anch)
+  }
+
+  /** Centroid score stream with the corpus-derived two-level switch
+    * ([[PRUNE_SWITCH_C]]): the flat broadcast scan below the threshold
+    * — optimal for small |C|, where probing covers most cells anyway —
+    * and [[prunedScores]] above it, where the probe join's candidate
+    * volume is O(SEM_CELL_TARGET * log^2|C|) per vector instead of
+    * |C|. Both engines derive the same branch from the corpus row
+    * count; the DuckDB twin is the flag-gated UNION in
+    * [[duckPrunedCand]]. */
+  private[graft] def centroidScores(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      e: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (ncIvf(s, dir) > PRUNE_SWITCH_C) prunedScores(e, cents, pruneBits(s, dir))
+    else e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("c_id"), expr("dot_f(embedding, c_emb)").as("cdd"))
 
   /** 4-bit random-hyperplane LSH bucket as a flat codegen'd column: the
     * hyperplane weights are plan-time constants (same CrossHash-derived
@@ -335,12 +518,14 @@ object Similarity {
       s"""WITH cents AS (
         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
         |  ORDER BY $duckCHash, vec_id LIMIT $duckNcIvf
+        |), cand AS (
+        |  ${duckPrunedCand("cents")}
         |), assign AS (
         |  SELECT vec_id, embedding, c_id AS cell FROM (
-        |    SELECT v.vec_id, v.embedding, c.c_id,
-        |      row_number() OVER (PARTITION BY v.vec_id
-        |        ORDER BY ${duckDot("v.embedding", "c.c_emb")} DESC, c.c_id) AS crn
-        |    FROM embeddings v CROSS JOIN cents c
+        |    SELECT vec_id, embedding, c_id,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY ${duckDot("embedding", "c_emb")} DESC, c_id) AS crn
+        |    FROM cand
         |  ) WHERE crn = 1
         |), q AS (
         |  SELECT vec_id, embedding, cell FROM assign
@@ -355,21 +540,22 @@ object Similarity {
         |    ON q.cell = x.cell AND q.vec_id <> x.vec_id
         |) WHERE rn <= 5""".stripMargin) { (s, dir) => annKernel(s, dir, "q_ann_ivf") {
       val e = Tables(s, dir, "embeddings")
-      val cents = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-          expr(cHash).as("ch"))
-        .orderBy(col("ch"), col("c_id")).limit(ncIvf(s, dir))
-        .select(col("c_id"), col("c_emb"))
-      // two-phase assignment: |V| x |C| double dots in one codegen'd map
-      // stage, per-vector argmax as a WINDOW over the flat 20-byte score
-      // stream — one exchange on vec_id, no join-back, nothing broadcast.
-      // (The old groupBy-max + broadcast-join-back pinned a
-      // one-row-per-VECTOR frame into every executor — fine at sf0.1,
-      // fatal at 100 TB.) Exact DECIMAL dot runs only on the ~1 surviving
-      // centroid per vector (margin 1e-9 >> the double dot's ~1e-13
-      // error, so the exact ranking is unaffected).
-      val ddots = e.select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("c_id"), expr("dot_f(embedding, c_emb)").as("cdd"))
+      val cents = localizedModel(
+        e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+            expr(cHash).as("ch"))
+          .orderBy(col("ch"), col("c_id")).limit(ncIvf(s, dir))
+          .select(col("c_id"), col("c_emb")))
+      // two-phase assignment over the PRUNED candidate stream
+      // ([[prunedScores]]: SRP-cell probe hits + the anchor cross —
+      // O(log|C|) candidates per vector instead of the |V| x |C| scan);
+      // per-vector argmax stays a WINDOW over the flat 20-byte score
+      // stream — one exchange on vec_id, no join-back, nothing
+      // broadcast that grows with the corpus. Exact DECIMAL dot runs
+      // only on the ~1 surviving centroid per vector (margin 1e-9 >>
+      // the double dot's ~1e-13 error, so the exact ranking is
+      // unaffected).
+      val ddots = centroidScores(
+        s, dir, e.select(col("vec_id"), col("embedding")), cents)
       val best = ddots
         .withColumn("mx", max(col("cdd")).over(Window.partitionBy(col("vec_id"))))
         .filter(col("cdd") >= col("mx") - 1e-9)
@@ -405,6 +591,56 @@ object Similarity {
         .select(col("query_id"), col("cand_id"), col("cell"), col("rn"), col("dot").cast("double").as("dot"))
     }},
 
+    // ---- forced two-level assignment (the 100 TB scale path, verified) -----
+    // The corpus-derived switch keeps q_ann_ivf/q_ann_kmeans on the
+    // flat scan below PRUNE_SWITCH_C, which would leave the pruned
+    // branch oracle-dead at test scale — this query FORCES the
+    // two-level rule (SRP cells at semBits(|C|), radius-2 centroid-side
+    // expansion, anchor floor) regardless of corpus size and hash-gates
+    // its full per-cell assignment histogram against the DuckDB mirror.
+    // PrunedAssignSpec pins the geometry (anchor-degenerate identity,
+    // candidate bounds, flat-argmax agreement); this pins the
+    // cross-engine rule itself.
+    Q(
+      "q_ivf_pruned_assign",
+      s"""WITH cents AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+        |  ORDER BY $duckCHash, vec_id LIMIT $duckNcIvf
+        |), cand AS (
+        |  ${duckPrunedCandForced("cents")}
+        |), assign AS (
+        |  SELECT vec_id, c_id AS cell FROM (
+        |    SELECT vec_id, c_id,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY ${duckDot("embedding", "c_emb")} DESC, c_id) AS crn
+        |    FROM cand
+        |  ) WHERE crn = 1
+        |)
+        |SELECT cell, count(*) AS n_members, min(vec_id) AS min_member
+        |FROM assign GROUP BY cell""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val cents = localizedModel(
+        e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+            expr(cHash).as("ch"))
+          .orderBy(col("ch"), col("c_id")).limit(ncIvf(s, dir))
+          .select(col("c_id"), col("c_emb")))
+      val ddots = prunedScores(
+        e.select(col("vec_id"), col("embedding")), cents, pruneBits(s, dir))
+      val best = ddots
+        .withColumn("mx", max(col("cdd")).over(Window.partitionBy(col("vec_id"))))
+        .filter(col("cdd") >= col("mx") - 1e-9)
+        .select(col("vec_id").as("b_vec"), col("c_id"))
+      e.join(best, col("vec_id") === col("b_vec"))
+        .join(broadcast(cents), "c_id")
+        .select(col("vec_id"), col("c_id"),
+          expr(dot("embedding", "c_emb")).as("cdot"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("cdot").desc, col("c_id"))))
+        .filter(col("crn") === 1)
+        .groupBy(col("c_id").as("cell"))
+        .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("min_member"))
+    },
+
     // ---- trained-centroid IVF: one deterministic k-means step --------------
     // Lloyd's iteration, fully cross-engine: assign every vector to its
     // nearest seed centroid (exact DECIMAL dot, ties to lowest id),
@@ -419,12 +655,14 @@ object Similarity {
       s"""WITH cents AS (
         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
         |  ORDER BY $duckCHash, vec_id LIMIT $duckNcIvf
+        |), cand1 AS (
+        |  ${duckPrunedCand("cents")}
         |), assign1 AS (
         |  SELECT vec_id, embedding, c_id AS cell FROM (
-        |    SELECT v.vec_id, v.embedding, c.c_id,
-        |      row_number() OVER (PARTITION BY v.vec_id
-        |        ORDER BY ${duckDot("v.embedding", "c.c_emb")} DESC, c.c_id) AS crn
-        |    FROM embeddings v CROSS JOIN cents c
+        |    SELECT vec_id, embedding, c_id,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY ${duckDot("embedding", "c_emb")} DESC, c_id) AS crn
+        |    FROM cand1
         |  ) WHERE crn = 1
         |), trained AS (
         |  SELECT cell, list_transform(
@@ -438,12 +676,14 @@ object Similarity {
         |          FROM assign1, unnest(generate_series(1, len(embedding))) AS t(i))
         |    GROUP BY cell, dim)
         |  GROUP BY cell
+        |), cand2 AS (
+        |  ${duckPrunedCand("(SELECT cell AS c_id, t_emb AS c_emb FROM trained)")}
         |), assign2 AS (
         |  SELECT vec_id, cell1, t_cell AS cell2 FROM (
-        |    SELECT a.vec_id, a.cell AS cell1, t.cell AS t_cell,
-        |      row_number() OVER (PARTITION BY a.vec_id
-        |        ORDER BY ${duckDot("a.embedding", "t.t_emb")} DESC, t.cell) AS crn
-        |    FROM assign1 a CROSS JOIN trained t
+        |    SELECT c.vec_id, a.cell AS cell1, c.c_id AS t_cell,
+        |      row_number() OVER (PARTITION BY c.vec_id
+        |        ORDER BY ${duckDot("c.embedding", "c.c_emb")} DESC, c.c_id) AS crn
+        |    FROM cand2 c JOIN assign1 a ON a.vec_id = c.vec_id
         |  ) WHERE crn = 1
         |)
         |SELECT cell2 AS cell, count(*) AS n_members,
@@ -451,18 +691,18 @@ object Similarity {
         |  min(vec_id) AS min_member
         |FROM assign2 GROUP BY cell2""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
-      val cents = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-          expr(cHash).as("ch"))
-        .orderBy(col("ch"), col("c_id")).limit(ncIvf(s, dir))
-        .select(col("c_id"), col("c_emb"))
-      // phase 1: nearest seed (double prefilter + exact decimal on the
-      // surviving ~1 candidate per vector — same two-phase shape as ivf).
-      // Per-vector argmax is a window over the flat score stream: one
-      // exchange on vec_id, no join-back, nothing broadcast (and no
-      // persist — the stream now has a single consumer).
-      val dd1 = e.select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("c_id"), expr("dot_f(embedding, c_emb)").as("cdd"))
+      val cents = localizedModel(
+        e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+            expr(cHash).as("ch"))
+          .orderBy(col("ch"), col("c_id")).limit(ncIvf(s, dir))
+          .select(col("c_id"), col("c_emb")))
+      // phase 1: nearest seed (double prefilter over the PRUNED
+      // candidate stream + exact decimal on the surviving ~1 candidate
+      // per vector — same two-phase shape as ivf). Per-vector argmax is
+      // a window over the flat score stream: one exchange on vec_id,
+      // no join-back, nothing broadcast that grows with the corpus.
+      val dd1 = centroidScores(
+        s, dir, e.select(col("vec_id"), col("embedding")), cents)
       val best1 = dd1
         .withColumn("mx", max(col("cdd")).over(Window.partitionBy(col("vec_id"))))
         .filter(col("cdd") >= col("mx") - 1e-9)
@@ -477,8 +717,10 @@ object Similarity {
         .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
         .persistScoped() // feeds centroid update AND reassignment
       // phase 2: element-wise mean per cell — one (cell, dim) shuffle
-      // with map-side partials, exactly the q_label_centroids shape
-      val trained = assign1
+      // with map-side partials, exactly the q_label_centroids shape;
+      // then localizedModel: the trained centroids are the bounded
+      // model, and the reassignment consumes them from four branches
+      val trained = localizedModel(assign1
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
         .agg((sum(expr("dec_cast(cast(x as double), 18, 8)")).cast("decimal(28,8)").cast("double")
@@ -486,15 +728,16 @@ object Similarity {
         .groupBy(col("cell"))
         .agg(expr("transform(array_sort(collect_list(struct(dim, mean))), r -> cast(r.mean as float))")
           .as("t_emb"))
-        .select(col("cell").as("t_cell"), col("t_emb"))
-      // phase 3: reassign against the trained centroids — double
-      // prefilter again; the exact decimal dot runs only on the ~1
-      // surviving trained centroid per vector
-      // trained stays broadcast: it is one row per CELL — k is a fixed
+        .select(col("cell").as("t_cell"), col("t_emb")))
+      // phase 3: reassign against the trained centroids — the same
+      // pruned double prefilter; the exact decimal dot runs only on the
+      // ~1 surviving trained centroid per vector. trained stays
+      // broadcast inside prunedScores: one row per CELL — k is a fixed
       // model parameter, matching the fixed-|C| hash-ordered seed rule
-      val dd2 = assign1.select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(trained))
-        .select(col("vec_id"), col("t_cell"), expr("dot_f(embedding, t_emb)").as("tdd"))
+      val dd2 = centroidScores(
+          s, dir, assign1.select(col("vec_id"), col("embedding")),
+          trained.select(col("t_cell").as("c_id"), col("t_emb").as("c_emb")))
+        .select(col("vec_id"), col("c_id").as("t_cell"), col("cdd").as("tdd"))
       val surv2 = dd2
         .withColumn("mx2", max(col("tdd")).over(Window.partitionBy(col("vec_id"))))
         .filter(col("tdd") >= col("mx2") - 1e-9)
@@ -526,12 +769,14 @@ object Similarity {
       s"""WITH cents AS (
         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
         |  ORDER BY $duckCHash, vec_id LIMIT $duckNcIvf
+        |), cand AS (
+        |  ${duckPrunedCand("cents")}
         |), ranked AS (
         |  SELECT vec_id, embedding, c_id, crn FROM (
-        |    SELECT v.vec_id, v.embedding, c.c_id,
-        |      row_number() OVER (PARTITION BY v.vec_id
-        |        ORDER BY ${duckDot("v.embedding", "c.c_emb")} DESC, c.c_id) AS crn
-        |    FROM embeddings v CROSS JOIN cents c
+        |    SELECT vec_id, embedding, c_id,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY ${duckDot("embedding", "c_emb")} DESC, c_id) AS crn
+        |    FROM cand
         |  ) WHERE crn <= 2
         |), assign AS (
         |  SELECT vec_id, embedding, c_id AS cell FROM ranked WHERE crn = 1
@@ -551,16 +796,18 @@ object Similarity {
         |) WHERE rn <= 5""".stripMargin) { (s, dir) =>
       annKernel(s, dir, "q_ann_ivf_multiprobe") {
       val e = Tables(s, dir, "embeddings")
-      val cents = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-          expr(cHash).as("ch"))
-        .orderBy(col("ch"), col("c_id")).limit(ncIvf(s, dir))
-        .select(col("c_id"), col("c_emb"))
-      // double scores once; top-2-per-vector via the bounded-heap TopK
-      // (map-side partials — the |V| x |C| stream is never shuffled),
-      // margin-filter against the 2nd-best, exact-DECIMAL rank survivors
-      val ddots = e.select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("c_id"), expr("dot_f(embedding, c_emb)").as("cdd"))
+      val cents = localizedModel(
+        e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+            expr(cHash).as("ch"))
+          .orderBy(col("ch"), col("c_id")).limit(ncIvf(s, dir))
+          .select(col("c_id"), col("c_emb")))
+      // pruned double scores once; top-2-per-vector via the bounded-heap
+      // TopK (map-side partials — the candidate stream is never
+      // shuffled raw), margin-filter against the 2nd-best, exact-DECIMAL
+      // rank survivors. The anchor floor (ANN_ANCHOR = 8 >= 2) keeps
+      // every vector's candidate set large enough for a top-2.
+      val ddots = centroidScores(
+        s, dir, e.select(col("vec_id"), col("embedding")), cents)
       val topk2 = udaf(
         new graft.functions.Aggregators.TopK(2),
         org.apache.spark.sql.Encoders.tuple(
@@ -842,11 +1089,11 @@ object Similarity {
     Q(
       "q_kmeans_train", {
         val assignTpl = (cents: String) =>
-          s"""SELECT vec_id, embedding, cell FROM (
-             |    SELECT v.vec_id, v.embedding, c.cell,
-             |      row_number() OVER (PARTITION BY v.vec_id
-             |        ORDER BY ${duckDot("v.embedding", "c.c_emb")} DESC, c.cell) AS crn
-             |    FROM embeddings v CROSS JOIN $cents c
+          s"""SELECT vec_id, embedding, c_id AS cell FROM (
+             |    SELECT vec_id, embedding, c_id,
+             |      row_number() OVER (PARTITION BY vec_id
+             |        ORDER BY ${duckDot("embedding", "c_emb")} DESC, c_id) AS crn
+             |    FROM (${duckPrunedCand(s"(SELECT cell AS c_id, c_emb FROM $cents)")})
              |  ) WHERE crn = 1""".stripMargin
         val trainTpl = (assign: String) =>
           s"""SELECT cell, list_transform(
@@ -885,13 +1132,14 @@ object Similarity {
       // assignment vs a (cell, c_emb) centroid frame: double prefilter,
       // exact DECIMAL argmax on the survivors — the q_ann_kmeans shape
       def assign(cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-        // the |V|x|C| prefilter stream carries SCALARS only — shuffling
-        // (vec_id, cell, dd) through the window exchange, not 16 copies
+        // the switched prefilter stream carries SCALARS only — shuffling
+        // (vec_id, cell, dd) through the window exchange, not copies
         // of two 64-float arrays per vector; embeddings and centroids
         // join back onto the ~1 survivor per vector (q_ann_kmeans shape)
-        val dd = e.select(col("vec_id"), col("embedding"))
-          .crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("cell"), expr("dot_f(embedding, c_emb)").as("dd"))
+        val dd = centroidScores(
+            s, dir, e.select(col("vec_id"), col("embedding")),
+            cents.select(col("cell").as("c_id"), col("c_emb")))
+          .select(col("vec_id"), col("c_id").as("cell"), col("cdd").as("dd"))
         val best = dd
           .withColumn("mx", max(col("dd")).over(Window.partitionBy(col("vec_id"))))
           .filter(col("dd") >= col("mx") - 1e-9)
@@ -914,10 +1162,11 @@ object Similarity {
         // list agg keyed on cell: |C| keys, the bounded-subset exception
         .agg(expr("transform(array_sort(collect_list(struct(dim, mean))), r -> cast(r.mean as float))")
           .as("c_emb"))
-      val seeds = e.select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
-          expr(cHash).as("ch"))
-        .orderBy(col("ch"), col("cell")).limit(ncIvf(s, dir))
-        .select(col("cell"), col("c_emb"))
+      val seeds = localizedModel(
+        e.select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
+            expr(cHash).as("ch"))
+          .orderBy(col("ch"), col("cell")).limit(ncIvf(s, dir))
+          .select(col("cell"), col("c_emb")))
       // EAGER per-round loop (the BPE pattern: one aggregated telemetry
       // row collected per round). A lazy formulation would nest four
       // assignment pipelines into one plan, recompute each round's
@@ -925,7 +1174,12 @@ object Similarity {
       // unpersists before anything materialized.
       var a = assign(seeds).persistScoped()
       val telemetry = (1 to 3).map { r =>
-        val a2 = assign(train(a)).persistScoped()
+        // localizedModel per round: the trained centroids are the
+        // bounded model — one collect job each round (the loop already
+        // collects telemetry), and the carried plan stays CONSTANT
+        // size (assign references its centroid input 4x; as a subtree
+        // that is 4^r plan growth — the r10 exponential-plan lesson)
+        val a2 = assign(localizedModel(train(a))).persistScoped()
         val row = a2.select(col("vec_id"), col("cell").as("c2"))
           .join(a.select(col("vec_id"), col("cell").as("c1")), "vec_id")
           .agg(

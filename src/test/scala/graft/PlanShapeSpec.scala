@@ -130,7 +130,13 @@ class PlanShapeSpec extends SparkSpec {
       if (name != "q_pipeline_filter" && name != "q_dedup_ngram_capped")
         assert(hinted.nonEmpty, s"$name: expected the sample/centroid broadcast hints")
       for (sub <- hinted) {
-        val fixedK = sub.collectFirst { case _: GlobalLimit => () }.isDefined
+        // a LocalRelation is a driver-materialized bounded model frame
+        // (the localizedModel centroid pattern — |C| rows by
+        // construction); GlobalLimit is the hash-ordered fixed-k sample
+        val fixedK = sub.collectFirst {
+          case _: GlobalLimit => ()
+          case _: LocalRelation => ()
+        }.isDefined
         val trainedCentroids = stripTop(sub) match {
           case a: Aggregate =>
             a.groupingExpressions.flatMap(_.references.map(_.name)) == Seq("cell")
@@ -155,6 +161,25 @@ class PlanShapeSpec extends SparkSpec {
           s"$name force-broadcasts a frame that grows with the corpus:\n$sub")
       }
     }
+  }
+
+  test("pruned centroid assignment: probe-cell equi-join feeds every IVF/k-means scan") {
+    // round-12: the N x |C| crossJoin(broadcast(cents)) assignment scan
+    // became a probe-cell equi-join (SRP cells at semBits(|C|)) plus a
+    // bounded 8-centroid anchor cross — this gate pins the equi-join so
+    // a refactor can't silently regress to the full scan (O(N*sqrt(N))
+    // flops at scale)
+    // the production IVF/k-means queries take the corpus-derived switch
+    // (flat below PRUNE_SWITCH_C — optimal at test |C|), so the pruned
+    // probe equi-join is gated on the FORCED coverage query, which runs
+    // the two-level rule unconditionally (q_kmeans_train's registered
+    // output is driver-collected telemetry — no plan to gate there)
+    val p = planOf("q_ivf_pruned_assign")
+    assert("BroadcastHashJoin \\[vpcell".r.findFirstIn(p).isDefined ||
+           "BroadcastHashJoin \\[cast\\(vpcell".r.findFirstIn(p).isDefined,
+      s"q_ivf_pruned_assign: pruned probe equi-join missing:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q_ivf_pruned_assign: assignment regressed to a cartesian:\n$p")
   }
 
   test("q_dedup_ngram_capped: Tungsten df count — no window sort, list aggs only on per-doc keys") {

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.queries.Similarity
+
+/** Two-level (SRP-cell-pruned) centroid assignment geometry
+  * (Similarity.prunedScores): the pruned candidate rule is the
+  * assignment's DEFINITION (both engines mirror it — the LSH-family
+  * contract), so these tests pin the geometry itself:
+  *  - degenerate identity: with the anchor floor covering every
+  *    centroid the pruned stream reproduces the flat |V| x |C| argmax
+  *    exactly;
+  *  - pruning: at real parameters the candidate volume per vector is a
+  *    small fraction of |C| while every vector keeps >= ANN_ANCHOR
+  *    candidates;
+  *  - recall: the pruned argmax agrees with the flat argmax on the
+  *    overwhelming share of the corpus (SRP cones keep near vectors
+  *    together — same geometry q_ann_lsh/SemDeDup rely on). */
+class PrunedAssignSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.expressions.Window
+
+  private def argmaxOf(scores: DataFrame): Map[Long, Long] =
+    scores
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cdd").desc, col("c_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private lazy val e = Tables(spark, sf(), "embeddings")
+    .select(col("vec_id"), col("embedding"))
+  private lazy val nc = Similarity.ncIvf(Tables.rowCount(spark, sf(), "embeddings"))
+  private lazy val cents = {
+    import graft.functions.CrossHash.h
+    e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        expr(h("concat('c#', cast(c_id as string))")).as("ch"))
+      .orderBy(col("ch"), col("c_id")).limit(nc)
+      .select(col("c_id"), col("c_emb"))
+  }
+  private lazy val flat = argmaxOf(
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("c_id"), expr("dot_f(embedding, c_emb)").as("cdd")))
+  private def bits = Similarity.pruneBits(spark, sf())
+
+  test("anchor floor covering all centroids reproduces the flat argmax exactly") {
+    val full = argmaxOf(Similarity.prunedScores(e, cents, bits, anchor = nc))
+    assert(full == flat)
+    assert(flat.nonEmpty)
+  }
+
+  test("pruning bounds the candidate volume without starving any vector") {
+    val perVec = Similarity.prunedScores(e, cents, bits)
+      .groupBy(col("vec_id")).agg(countDistinct(col("c_id")).as("nc"))
+      .agg(min(col("nc")), max(col("nc")), avg(col("nc")), count(lit(1)))
+      .head()
+    val (minC, maxC, avgC, nVec) =
+      (perVec.getLong(0), perVec.getLong(1), perVec.getDouble(2), perVec.getLong(3))
+    assert(nVec == flat.size, "every vector must keep a candidate set")
+    assert(minC >= Similarity.ANN_ANCHOR, s"anchor floor violated: $minC")
+    assert(maxC <= nc, s"more candidates than centroids: $maxC > $nc")
+    // at toy |C| (sqrt of a tiny corpus) the anchor floor plus the
+    // radius-2 probe set covers most of the 16 minimum cells, so the
+    // pruned fraction is modest HERE by design; the asymptotic claim is
+    // the probe-count formula below, which the masks construction pins
+    assert(avgC < 0.85 * nc, s"pruning prunes nothing: avg $avgC of $nc")
+    // probe cells / total cells vanishes as |C| grows: at bits = 11
+    // (|C| ~ 1e5, the 100 TB regime) the radius-2 probe set is
+    // 1 + 11 + 55 = 67 of 2048 cells — 3.3%
+    def probeCount(b: Int) = 1 + b + b * (b - 1) / 2
+    assert(probeCount(11).toDouble / (1 << 11) < 0.04)
+    assert(probeCount(4).toDouble / (1 << 4) > 0.5, "toy-scale coverage is high by design")
+  }
+
+  test("pruned candidates are duplicate-free (probe cells partition non-anchors)") {
+    val dup = Similarity.prunedScores(e, cents, bits)
+      .groupBy(col("vec_id"), col("c_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    assert(dup == 0L)
+  }
+
+  test("pruned argmax agrees with the flat argmax on most of the corpus") {
+    val pruned = argmaxOf(Similarity.prunedScores(e, cents, bits))
+    assert(pruned.keySet == flat.keySet)
+    val agree = flat.count { case (v, c) => pruned(v) == c }
+    val frac = agree.toDouble / flat.size
+    assert(frac >= 0.8, f"pruned assignment agreement only $frac%.3f")
+    info(f"pruned-vs-flat argmax agreement: $frac%.3f")
+  }
+}
