@@ -11,26 +11,63 @@ package graft.functions
   * engines. md5 of the UTF-8 bytes produces the same lowercase hex on
   * both sides.
   *
-  * At 100 TB scale md5 is not the cheapest hash (xxhash64 is ~5× faster
-  * and is what [[graft.queries]] would switch to on a real cluster where
-  * no cross-engine oracle is needed) — but it is branch-free, codegen'd,
-  * and stays inside WholeStageCodegen, so the plan shape is identical.
+  * CLUSTER PROFILE (round-12): md5 exists for the cross-engine oracle;
+  * on a real cluster, where no DuckDB twin runs, `GRAFT_HASH=xxhash64`
+  * (env var, or `-Dgraft.hash=xxhash64`) swaps every Spark-side call
+  * site to codegen'd xxhash64 masked to the same non-negative 60-bit
+  * range — several times cheaper per row and branch-free inside
+  * WholeStageCodegen, with the identical plan shape. The DuckDB
+  * fragment [[duck]] intentionally keeps md5: the profile is for
+  * production/bench runs ONLY, and the correctness gate must run with
+  * the default profile (hash VALUES differ across profiles by design;
+  * every derived artifact — signatures, bands, buckets, fingerprints —
+  * is internally consistent under either). `docs/hash_profile.md`
+  * records the measured delta.
   */
 object CrossHash {
 
-  /** Spark SQL fragment hashing the string expression `inner`. */
-  def h(inner: String): String =
+  /** 2^60 - 1: keeps both profiles in the same non-negative range. */
+  private final val Mask60 = (1L << 60) - 1
+
+  private def clusterProfile: Boolean =
+    sys.env.get("GRAFT_HASH").orElse(sys.props.get("graft.hash"))
+      .contains("xxhash64")
+
+  /** Spark SQL fragment hashing the string expression `inner` under the
+    * active profile. */
+  def h(inner: String): String = if (clusterProfile) hXx(inner) else hMd5(inner)
+
+  /** The oracle-mirrorable md5 fragment (default profile). */
+  def hMd5(inner: String): String =
     s"cast(conv(substring(md5(cast(($inner) as binary)),1,15),16,10) as bigint)"
 
-  /** DuckDB SQL fragment with identical semantics. */
+  /** The cluster-profile fragment: codegen'd xxhash64 (seed 42, Spark's
+    * builtin) masked to the non-negative 60-bit range. */
+  def hXx(inner: String): String =
+    s"(xxhash64($inner) & $Mask60)"
+
+  /** DuckDB SQL fragment with semantics identical to [[hMd5]] — the
+    * oracle side never switches profile. */
   def duck(inner: String): String =
     s"('0x' || substr(md5($inner), 1, 15))::BIGINT"
 
   /** Same hash evaluated driver-side (for plan-time constants such as
-    * MinHash permutation seeds). */
-  def local(s: String): Long = {
+    * MinHash permutation seeds), following the active profile. */
+  def local(s: String): Long = if (clusterProfile) localXx(s) else localMd5(s)
+
+  def localMd5(s: String): Long = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Driver-side twin of [[hXx]]: Spark's own interpreted XXH64 on the
+    * UTF-8 string with the builtin seed 42, masked to 60 bits —
+    * CrossHashSpec asserts SQL/driver agreement for both profiles. */
+  def localXx(s: String): Long = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType, 42L)
+    h & Mask60
   }
 }
