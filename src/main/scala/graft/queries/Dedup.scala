@@ -356,7 +356,7 @@ object Dedup {
     * computed AFTER the explode (flat codegen'd projection), 4 band
     * keys, and the distinct band-blocked candidate pairs.
     * @return (sh(doc_id, shingles), sigs(doc_id, sig), cand(id_a, id_b)) */
-  private[queries] def minhashCandidates(
+  private[graft] def minhashCandidates(
       s: org.apache.spark.sql.SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          org.apache.spark.sql.DataFrame) = {
