@@ -191,6 +191,29 @@ object DocGen {
     sb.result()
   }
 
+  /** PDF rendering of the same registry metadata — the reference's
+    * final DocGen artifact is a merged PDF of every verb's page
+    * (DocGen.java:178-196, openhtmltopdf); this build is zero-egress,
+    * so the merge is done by [[PdfText]], a minimal pure-JDK PDF 1.4
+    * text renderer. The content is derived line-by-line from the
+    * Markdown render, so PDF coverage can never drift from the
+    * PropertySpec-gated verb/param coverage of [[render]]. */
+  def renderPdf(): Array[Byte] = {
+    val lines = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    var inCode = false
+    def plain(l: String): String = l.replace("`", "").replace("**", "")
+    for (l <- render().linesIterator) {
+      if (l.startsWith("```")) inCode = !inCode
+      else if (inCode) lines += ((4, l))
+      else if (l.startsWith("### ")) lines += ((3, plain(l.drop(4))))
+      else if (l.startsWith("## ")) lines += ((2, plain(l.drop(3))))
+      else if (l.startsWith("# ")) lines += ((1, plain(l.drop(2))))
+      else if (l.startsWith("|")) lines += ((4, l)) // tables render monospace
+      else lines += ((0, plain(l)))
+    }
+    PdfText.render(lines.toSeq)
+  }
+
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "docs/adapters.md"
     val p = java.nio.file.Paths.get(out)
@@ -202,5 +225,9 @@ object DocGen {
     val hp = java.nio.file.Paths.get(htmlOut)
     java.nio.file.Files.writeString(hp, renderHtml())
     println(s"[docgen] wrote $htmlOut")
+    // merged PDF sibling (reference DocGen.java:191-196)
+    val pdfOut = out.replaceAll("\\.md$", "") + ".pdf"
+    java.nio.file.Files.write(java.nio.file.Paths.get(pdfOut), renderPdf())
+    println(s"[docgen] wrote $pdfOut")
   }
 }

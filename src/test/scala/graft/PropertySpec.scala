@@ -84,6 +84,32 @@ class PropertySpec extends SparkSpec {
       html.sliding(8).count(_ == "</table>"))
   }
 
+  test("DocGen PDF merge is a valid PDF covering every verb, and the artifact is fresh") {
+    // closes the last §2.1 parity sliver (reference DocGen.java:178-196
+    // merges per-verb HTML to merged.pdf via openhtmltopdf; this build
+    // renders the same registry metadata through the pure-JDK PdfText)
+    val pdf = DocGen.renderPdf()
+    val txt = new String(pdf, "ISO-8859-1")
+    assert(txt.startsWith("%PDF-1.4"), "PDF header")
+    assert(txt.trim.endsWith("%%EOF"), "PDF trailer")
+    // startxref must point at the xref table (offset integrity — a
+    // malformed table is the classic hand-rolled-PDF failure)
+    val xrefAt = txt.substring(txt.lastIndexOf("startxref") + 9,
+      txt.lastIndexOf("%%EOF")).trim.toInt
+    assert(txt.startsWith("xref", xrefAt), "startxref does not point at the xref table")
+    // content streams are uncompressed, so coverage is directly greppable
+    val verbs = graft.adapters.Adapters.inputs.values.map(_.meta.verb).toSet ++
+      graft.adapters.Adapters.outputs.values.map(_.meta.verb)
+    verbs.foreach(v => assert(txt.contains(v), s"PDF missing verb $v"))
+    val pages = "/Count (\\d+)".r.findFirstMatchIn(txt).get.group(1).toInt
+    assert(pages >= 1)
+    // the checked-in artifact must match the live registry render
+    val onDisk = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("docs/adapters.pdf"))
+    assert(java.util.Arrays.equals(onDisk, pdf),
+      "docs/adapters.pdf is stale - run `sbt \"runMain graft.runner.DocGen\"`")
+  }
+
   test("every adapter verb has a runnable generated example config") {
     import graft.adapters.{AdapterConf, Adapters}
     for ((v, a) <- Adapters.inputs) {
