@@ -86,11 +86,18 @@ object Similarity {
        |)""".stripMargin
 
   /** Shared PQ Spark frames: (codebook, per-vector codes) — the Spark
-    * twins of [[pqBaseCtes]]. The codebook is bounded (M·K rows of
-    * DS-float subvectors) and broadcast at every use site. */
+    * twins of [[pqBaseCtes]]. The codebook is a [[localizedModel]]
+    * (M·K rows of DS-float subvectors — the PQ model in RAM, so its
+    * seed TakeOrdered runs once, not once per consuming branch), and
+    * the encode stream is a [[graft.io.KernelMemo]] kernel: q_ann_pq
+    * is the designated builder, q_pq_distortion reuses the THIN
+    * (vec_id, m, code) frame instead of re-encoding the corpus —
+    * exactly the "materialize the codes once, consume many times"
+    * shape an IVF-PQ index build has at scale. */
   private def pqCodebookAndCodes(
       s: org.apache.spark.sql.SparkSession,
-      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      dir: String,
+      rebuildMemo: Boolean): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val e = Tables(s, dir, "embeddings")
     val seeds = e
       .select(col("vec_id"), col("embedding"),
@@ -98,17 +105,25 @@ object Similarity {
       .orderBy(col("ph"), col("vec_id")).limit(PQ_K)
       .withColumn("k",
         row_number().over(Window.orderBy(col("ph"), col("vec_id"))) - 1)
-    val cb = seeds
+    val cb = localizedModel(seeds
       .select(col("k"), explode(expr(s"sequence(0, ${PQ_M - 1})")).as("m"), col("embedding"))
-      .select(col("m"), col("k"), expr(s"slice(embedding, m * $PQ_DS + 1, $PQ_DS)").as("cb"))
-    val codes = e.select(col("vec_id"), col("embedding"))
+      .select(col("m"), col("k"), expr(s"slice(embedding, m * $PQ_DS + 1, $PQ_DS)").as("cb")))
+    // per-(vector, subspace) argmax as ONE max-of-struct HashAggregate
+    // (fields compare in order: largest exact dot, then largest -k =
+    // lowest code — identical selection to the oracle's
+    // row_number(ORDER BY dot DESC, k) without the window's sort
+    // exchange; map-side combine collapses the M·K stream per vector
+    // before any shuffle)
+    def build = e.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cb))
       .select(col("vec_id"), col("m"), col("k"),
         expr(s"dot_dec(slice(embedding, m * $PQ_DS + 1, $PQ_DS), cb)").as("d8"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d8").desc, col("k"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("k").as("code"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(max(struct(col("d8"), (-col("k")).as("negk"))).as("b"))
+      .select(col("vec_id"), col("m"), (-col("b.negk")).as("code"))
+    val codes =
+      if (rebuildMemo) graft.io.KernelMemo.rebuild(s, dir, "pq_codes")(build)
+      else graft.io.KernelMemo.reuse(s, dir, "pq_codes")(build)
     (cb, codes)
   }
 
@@ -901,7 +916,7 @@ object Similarity {
       // codebook — a scalar stream of M*K rows per vector (the IVF
       // assignment shape), exact DECIMAL on 8-term dots is cheap enough
       // to skip the double prefilter
-      val (cb, codes) = pqCodebookAndCodes(s, dir)
+      val (cb, codes) = pqCodebookAndCodes(s, dir, rebuildMemo = true)
       val q = e
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
           expr(qHash).as("qh"))
@@ -959,7 +974,7 @@ object Similarity {
         |  CAST(CAST(max(d2) AS DECIMAL(18,12)) AS DOUBLE) AS max_d2
         |FROM dist GROUP BY m""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
-      val (cb, codes) = pqCodebookAndCodes(s, dir)
+      val (cb, codes) = pqCodebookAndCodes(s, dir, rebuildMemo = false)
       val dist = codes
         .join(e, "vec_id")
         .join(broadcast(cb.withColumnRenamed("k", "code")), Seq("m", "code"))
