@@ -454,6 +454,33 @@ object Dedup {
       ngramJaccardPairs(s, dir, minJaccard = 0.3, maxDf = 4)
     }
 
+  /** The estimator pair frame (id_a, id_b, est_jaccard, exact_jaccard,
+    * abs_err) under the memo protocol — builder: q_minhash_estimate;
+    * reuser: the band-tuning sweep (which needs the exact jaccard of
+    * every BANDED candidate, below and above the dedup threshold). */
+  private[graft] def minhashEstimates(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      rebuildMemo: Boolean): org.apache.spark.sql.DataFrame =
+    memoKernel(s, dir, "minhash_estimates", rebuildMemo) {
+      val (sh, sigs, cand) = minhashCandidates(s, dir)
+      cand
+        .join(sigs.select(col("doc_id"), col("sig").as("sig_a")),
+          col("doc_id") === col("id_a")).drop("doc_id")
+        .join(sigs.select(col("doc_id"), col("sig").as("sig_b")),
+          col("doc_id") === col("id_b")).drop("doc_id")
+        .join(sh.select(col("doc_id"), col("shingles").as("sh_a")),
+          col("doc_id") === col("id_a")).drop("doc_id")
+        .join(sh.select(col("doc_id"), col("shingles").as("sh_b")),
+          col("doc_id") === col("id_b")).drop("doc_id")
+        .select(col("id_a"), col("id_b"),
+          expr("""cast(aggregate(sequence(1, 16), 0,
+            (acc, i) -> acc + if(element_at(sig_a, i) = element_at(sig_b, i), 1, 0))
+            as double) / 16""").as("est_jaccard"),
+          expr("cast(size(array_intersect(sh_a, sh_b)) as double) / size(array_union(sh_a, sh_b))")
+            .as("exact_jaccard"))
+        .withColumn("abs_err", abs(col("est_jaccard") - col("exact_jaccard")))
+    }
+
   private[graft] def lshNearDupLosers(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     minhashPairs(s, dir, rebuildMemo = false).select(col("id_b")).distinct()
@@ -683,6 +710,24 @@ object Dedup {
       |WHERE CAST(len(list_intersect(x.hsh, y.hsh)) AS DOUBLE) /
       |      len(list_distinct(x.hsh || y.hsh)) >= 0.5""".stripMargin
 
+  /** Oracle of the MinHash estimator pairs (band candidates with the
+    * signature estimate AND the exact full-set jaccard) — shared by
+    * `q_minhash_estimate` and, as a derived table, the band-tuning
+    * sweep. */
+  private[queries] val minhashEstimateOracle: String =
+    raw"""WITH $minhashCandCtes
+      |SELECT id_a, id_b, est_jaccard, exact_jaccard,
+      |  abs(est_jaccard - exact_jaccard) AS abs_err
+      |FROM (
+      |  SELECT c.id_a AS id_a, c.id_b AS id_b,
+      |    CAST(list_sum(list_transform(generate_series(1, 16),
+      |      i -> CASE WHEN ma.sig[i] = mb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16
+      |      AS est_jaccard,
+      |    CAST(len(list_intersect(ma.hsh, mb.hsh)) AS DOUBLE)
+      |      / len(list_distinct(ma.hsh || mb.hsh)) AS exact_jaccard
+      |  FROM cand c JOIN mh ma ON ma.doc_id = c.id_a
+      |              JOIN mh mb ON mb.doc_id = c.id_b)""".stripMargin
+
   private[queries] val simhashOracle: String = {
     // token hashes computed once, reused across all 60 bits
     val duckSim =
@@ -757,38 +802,186 @@ object Dedup {
     // signature stage is the same one map-stage minhash_agg pipeline.
     Q(
       "q_minhash_estimate",
-      raw"""WITH $minhashCandCtes
-        |SELECT id_a, id_b, est_jaccard, exact_jaccard,
-        |  abs(est_jaccard - exact_jaccard) AS abs_err
-        |FROM (
-        |  SELECT c.id_a AS id_a, c.id_b AS id_b,
-        |    CAST(list_sum(list_transform(generate_series(1, 16),
-        |      i -> CASE WHEN ma.sig[i] = mb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16
-        |      AS est_jaccard,
-        |    CAST(len(list_intersect(ma.hsh, mb.hsh)) AS DOUBLE)
-        |      / len(list_distinct(ma.hsh || mb.hsh)) AS exact_jaccard
-        |  FROM cand c JOIN mh ma ON ma.doc_id = c.id_a
-        |              JOIN mh mb ON mb.doc_id = c.id_b)""") { (s, dir) =>
+      minhashEstimateOracle) { (s, dir) =>
       // the same shared candidate pipeline as the dedup kernel — the
       // calibration MUST measure the estimator on exactly the
-      // candidates the deployment generates
-      val (sh, sigs, cand) = minhashCandidates(s, dir)
-      cand
-        .join(sigs.select(col("doc_id"), col("sig").as("sig_a")),
-          col("doc_id") === col("id_a")).drop("doc_id")
-        .join(sigs.select(col("doc_id"), col("sig").as("sig_b")),
-          col("doc_id") === col("id_b")).drop("doc_id")
-        .join(sh.select(col("doc_id"), col("shingles").as("sh_a")),
-          col("doc_id") === col("id_a")).drop("doc_id")
-        .join(sh.select(col("doc_id"), col("shingles").as("sh_b")),
-          col("doc_id") === col("id_b")).drop("doc_id")
-        .select(col("id_a"), col("id_b"),
-          expr("""cast(aggregate(sequence(1, 16), 0,
-            (acc, i) -> acc + if(element_at(sig_a, i) = element_at(sig_b, i), 1, 0))
-            as double) / 16""").as("est_jaccard"),
-          expr("cast(size(array_intersect(sh_a, sh_b)) as double) / size(array_union(sh_a, sh_b))")
-            .as("exact_jaccard"))
-        .withColumn("abs_err", abs(col("est_jaccard") - col("exact_jaccard")))
+      // candidates the deployment generates; stated once in
+      // [[minhashEstimates]], this query is the kernel's BUILDER
+      minhashEstimates(s, dir, rebuildMemo = true)
+    },
+
+    // ---- LSH band-geometry tuning (the (b, r) sweep before deploying) ------
+    // MinHash LSH's only real knob is the band geometry: with 16
+    // signature slots the deployable configs are (bands, rows) in
+    // {(16,1), (8,2), (4,4), (2,8), (1,16)}, and the standard S-curve
+    // P(detect) = 1 - (1 - j^r)^b (Broder/LSH folklore; Leskovec et al.
+    // MMDS ch.3, public method) says what each config would catch. The
+    // sweep evaluates that curve ON THE MEASURED candidate pairs (the
+    // memoized estimator frame with exact full-set jaccard per banded
+    // pair): per config, the expected recall over true pairs (j >= 0.5)
+    // and the expected catch rate over false candidates (j < 0.5) —
+    // the two numbers that pick a config. Determinism: powers are
+    // explicit left-associated multiply chains (identical IEEE trees in
+    // both engines — the dialect-shared text comes from ONE generator),
+    // each per-pair P snaps through DECIMAL(18,9) before the DECIMAL
+    // accumulator (no aggregated floats), and the divisions are
+    // double/int. Bounded: five one-row aggregates over the
+    // checkpointed estimator pair frame — no new corpus work.
+    Q(
+      "q_lsh_band_tuning",
+      raw"""WITH est AS ($minhashEstimateOracle)
+        |SELECT 16 AS bands, 1 AS rows_per_band,
+        |  CAST(sum(CASE WHEN exact_jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |  CAST(sum(CASE WHEN exact_jaccard < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_false,
+        |  CASE WHEN sum(CASE WHEN exact_jaccard >= 0.5 THEN 1 ELSE 0 END) > 0 THEN
+        |    CAST(CAST(sum(CASE WHEN exact_jaccard >= 0.5
+        |        THEN CAST((1.0 - ((((((((((((((((1.0 - exact_jaccard) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard))) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END)
+        |      AS DECIMAL(28,9)) AS DOUBLE)
+        |      / sum(CASE WHEN exact_jaccard >= 0.5 THEN 1 ELSE 0 END) END AS exp_recall_true,
+        |  CASE WHEN sum(CASE WHEN exact_jaccard < 0.5 THEN 1 ELSE 0 END) > 0 THEN
+        |    CAST(CAST(sum(CASE WHEN exact_jaccard < 0.5
+        |        THEN CAST((1.0 - ((((((((((((((((1.0 - exact_jaccard) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard))) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END)
+        |      AS DECIMAL(28,9)) AS DOUBLE)
+        |      / sum(CASE WHEN exact_jaccard < 0.5 THEN 1 ELSE 0 END) END AS exp_catch_false
+        |FROM est
+        |UNION ALL
+        |SELECT 8 AS bands, 2 AS rows_per_band,
+        |  CAST(sum(CASE WHEN exact_jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |  CAST(sum(CASE WHEN exact_jaccard < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_false,
+        |  CASE WHEN sum(CASE WHEN exact_jaccard >= 0.5 THEN 1 ELSE 0 END) > 0 THEN
+        |    CAST(CAST(sum(CASE WHEN exact_jaccard >= 0.5
+        |        THEN CAST((1.0 - ((((((((1.0 - (exact_jaccard * exact_jaccard)) * (1.0 - (exact_jaccard * exact_jaccard))) * (1.0 - (exact_jaccard * exact_jaccard))) * (1.0 - (exact_jaccard * exact_jaccard))) * (1.0 - (exact_jaccard * exact_jaccard))) * (1.0 - (exact_jaccard * exact_jaccard))) * (1.0 - (exact_jaccard * exact_jaccard))) * (1.0 - (exact_jaccard * exact_jaccard)))) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END)
+        |      AS DECIMAL(28,9)) AS DOUBLE)
+        |      / sum(CASE WHEN exact_jaccard >= 0.5 THEN 1 ELSE 0 END) END AS exp_recall_true,
+        |  CASE WHEN sum(CASE WHEN exact_jaccard < 0.5 THEN 1 ELSE 0 END) > 0 THEN
+        |    CAST(CAST(sum(CASE WHEN exact_jaccard < 0.5
+        |        THEN CAST((1.0 - ((((((((1.0 - (exact_jaccard * exact_jaccard)) * (1.0 - (exact_jaccard * exact_jaccard))) * (1.0 - (exact_jaccard * exact_jaccard))) * (1.0 - (exact_jaccard * exact_jaccard))) * (1.0 - (exact_jaccard * exact_jaccard))) * (1.0 - (exact_jaccard * exact_jaccard))) * (1.0 - (exact_jaccard * exact_jaccard))) * (1.0 - (exact_jaccard * exact_jaccard)))) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END)
+        |      AS DECIMAL(28,9)) AS DOUBLE)
+        |      / sum(CASE WHEN exact_jaccard < 0.5 THEN 1 ELSE 0 END) END AS exp_catch_false
+        |FROM est
+        |UNION ALL
+        |SELECT 4 AS bands, 4 AS rows_per_band,
+        |  CAST(sum(CASE WHEN exact_jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |  CAST(sum(CASE WHEN exact_jaccard < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_false,
+        |  CASE WHEN sum(CASE WHEN exact_jaccard >= 0.5 THEN 1 ELSE 0 END) > 0 THEN
+        |    CAST(CAST(sum(CASE WHEN exact_jaccard >= 0.5
+        |        THEN CAST((1.0 - ((((1.0 - (((exact_jaccard * exact_jaccard) * exact_jaccard) * exact_jaccard)) * (1.0 - (((exact_jaccard * exact_jaccard) * exact_jaccard) * exact_jaccard))) * (1.0 - (((exact_jaccard * exact_jaccard) * exact_jaccard) * exact_jaccard))) * (1.0 - (((exact_jaccard * exact_jaccard) * exact_jaccard) * exact_jaccard)))) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END)
+        |      AS DECIMAL(28,9)) AS DOUBLE)
+        |      / sum(CASE WHEN exact_jaccard >= 0.5 THEN 1 ELSE 0 END) END AS exp_recall_true,
+        |  CASE WHEN sum(CASE WHEN exact_jaccard < 0.5 THEN 1 ELSE 0 END) > 0 THEN
+        |    CAST(CAST(sum(CASE WHEN exact_jaccard < 0.5
+        |        THEN CAST((1.0 - ((((1.0 - (((exact_jaccard * exact_jaccard) * exact_jaccard) * exact_jaccard)) * (1.0 - (((exact_jaccard * exact_jaccard) * exact_jaccard) * exact_jaccard))) * (1.0 - (((exact_jaccard * exact_jaccard) * exact_jaccard) * exact_jaccard))) * (1.0 - (((exact_jaccard * exact_jaccard) * exact_jaccard) * exact_jaccard)))) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END)
+        |      AS DECIMAL(28,9)) AS DOUBLE)
+        |      / sum(CASE WHEN exact_jaccard < 0.5 THEN 1 ELSE 0 END) END AS exp_catch_false
+        |FROM est
+        |UNION ALL
+        |SELECT 2 AS bands, 8 AS rows_per_band,
+        |  CAST(sum(CASE WHEN exact_jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |  CAST(sum(CASE WHEN exact_jaccard < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_false,
+        |  CASE WHEN sum(CASE WHEN exact_jaccard >= 0.5 THEN 1 ELSE 0 END) > 0 THEN
+        |    CAST(CAST(sum(CASE WHEN exact_jaccard >= 0.5
+        |        THEN CAST((1.0 - ((1.0 - (((((((exact_jaccard * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard)) * (1.0 - (((((((exact_jaccard * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard)))) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END)
+        |      AS DECIMAL(28,9)) AS DOUBLE)
+        |      / sum(CASE WHEN exact_jaccard >= 0.5 THEN 1 ELSE 0 END) END AS exp_recall_true,
+        |  CASE WHEN sum(CASE WHEN exact_jaccard < 0.5 THEN 1 ELSE 0 END) > 0 THEN
+        |    CAST(CAST(sum(CASE WHEN exact_jaccard < 0.5
+        |        THEN CAST((1.0 - ((1.0 - (((((((exact_jaccard * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard)) * (1.0 - (((((((exact_jaccard * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard)))) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END)
+        |      AS DECIMAL(28,9)) AS DOUBLE)
+        |      / sum(CASE WHEN exact_jaccard < 0.5 THEN 1 ELSE 0 END) END AS exp_catch_false
+        |FROM est
+        |UNION ALL
+        |SELECT 1 AS bands, 16 AS rows_per_band,
+        |  CAST(sum(CASE WHEN exact_jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |  CAST(sum(CASE WHEN exact_jaccard < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_false,
+        |  CASE WHEN sum(CASE WHEN exact_jaccard >= 0.5 THEN 1 ELSE 0 END) > 0 THEN
+        |    CAST(CAST(sum(CASE WHEN exact_jaccard >= 0.5
+        |        THEN CAST((1.0 - (1.0 - (((((((((((((((exact_jaccard * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard))) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END)
+        |      AS DECIMAL(28,9)) AS DOUBLE)
+        |      / sum(CASE WHEN exact_jaccard >= 0.5 THEN 1 ELSE 0 END) END AS exp_recall_true,
+        |  CASE WHEN sum(CASE WHEN exact_jaccard < 0.5 THEN 1 ELSE 0 END) > 0 THEN
+        |    CAST(CAST(sum(CASE WHEN exact_jaccard < 0.5
+        |        THEN CAST((1.0 - (1.0 - (((((((((((((((exact_jaccard * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard))) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END)
+        |      AS DECIMAL(28,9)) AS DOUBLE)
+        |      / sum(CASE WHEN exact_jaccard < 0.5 THEN 1 ELSE 0 END) END AS exp_catch_false
+        |FROM est""".stripMargin) { (s, dir) =>
+      val est = minhashEstimates(s, dir, rebuildMemo = false)
+      Seq(
+      est.agg(
+        expr("cast(sum(case when exact_jaccard >= 0.5 then 1 else 0 end) as bigint)").as("n_true"),
+        expr("cast(sum(case when exact_jaccard < 0.5 then 1 else 0 end) as bigint)").as("n_false"),
+        expr("""case when sum(case when exact_jaccard >= 0.5 then 1 else 0 end) > 0 then
+          cast(cast(sum(case when exact_jaccard >= 0.5
+              then dec_cast((1.0 - ((((((((((((((((1.0 - exact_jaccard) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard))), 18, 9) else cast(0 as decimal(18,9)) end)
+            as decimal(28,9)) as double)
+            / sum(case when exact_jaccard >= 0.5 then 1 else 0 end) end""").as("exp_recall_true"),
+        expr("""case when sum(case when exact_jaccard < 0.5 then 1 else 0 end) > 0 then
+          cast(cast(sum(case when exact_jaccard < 0.5
+              then dec_cast((1.0 - ((((((((((((((((1.0 - exact_jaccard) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard)) * (1.0 - exact_jaccard))), 18, 9) else cast(0 as decimal(18,9)) end)
+            as decimal(28,9)) as double)
+            / sum(case when exact_jaccard < 0.5 then 1 else 0 end) end""").as("exp_catch_false"))
+        .select(lit(16).as("bands"), lit(1).as("rows_per_band"),
+          col("n_true"), col("n_false"), col("exp_recall_true"), col("exp_catch_false")),
+      est.agg(
+        expr("cast(sum(case when exact_jaccard >= 0.5 then 1 else 0 end) as bigint)").as("n_true"),
+        expr("cast(sum(case when exact_jaccard < 0.5 then 1 else 0 end) as bigint)").as("n_false"),
+        expr("""case when sum(case when exact_jaccard >= 0.5 then 1 else 0 end) > 0 then
+          cast(cast(sum(case when exact_jaccard >= 0.5
+              then dec_cast((1.0 - ((((((((1.0 - (exact_jaccard * exact_jaccard)) * (1.0 - (exact_jaccard * exact_jaccard))) * (1.0 - (exact_jaccard * exact_jaccard))) * (1.0 - (exact_jaccard * exact_jaccard))) * (1.0 - (exact_jaccard * exact_jaccard))) * (1.0 - (exact_jaccard * exact_jaccard))) * (1.0 - (exact_jaccard * exact_jaccard))) * (1.0 - (exact_jaccard * exact_jaccard)))), 18, 9) else cast(0 as decimal(18,9)) end)
+            as decimal(28,9)) as double)
+            / sum(case when exact_jaccard >= 0.5 then 1 else 0 end) end""").as("exp_recall_true"),
+        expr("""case when sum(case when exact_jaccard < 0.5 then 1 else 0 end) > 0 then
+          cast(cast(sum(case when exact_jaccard < 0.5
+              then dec_cast((1.0 - ((((((((1.0 - (exact_jaccard * exact_jaccard)) * (1.0 - (exact_jaccard * exact_jaccard))) * (1.0 - (exact_jaccard * exact_jaccard))) * (1.0 - (exact_jaccard * exact_jaccard))) * (1.0 - (exact_jaccard * exact_jaccard))) * (1.0 - (exact_jaccard * exact_jaccard))) * (1.0 - (exact_jaccard * exact_jaccard))) * (1.0 - (exact_jaccard * exact_jaccard)))), 18, 9) else cast(0 as decimal(18,9)) end)
+            as decimal(28,9)) as double)
+            / sum(case when exact_jaccard < 0.5 then 1 else 0 end) end""").as("exp_catch_false"))
+        .select(lit(8).as("bands"), lit(2).as("rows_per_band"),
+          col("n_true"), col("n_false"), col("exp_recall_true"), col("exp_catch_false")),
+      est.agg(
+        expr("cast(sum(case when exact_jaccard >= 0.5 then 1 else 0 end) as bigint)").as("n_true"),
+        expr("cast(sum(case when exact_jaccard < 0.5 then 1 else 0 end) as bigint)").as("n_false"),
+        expr("""case when sum(case when exact_jaccard >= 0.5 then 1 else 0 end) > 0 then
+          cast(cast(sum(case when exact_jaccard >= 0.5
+              then dec_cast((1.0 - ((((1.0 - (((exact_jaccard * exact_jaccard) * exact_jaccard) * exact_jaccard)) * (1.0 - (((exact_jaccard * exact_jaccard) * exact_jaccard) * exact_jaccard))) * (1.0 - (((exact_jaccard * exact_jaccard) * exact_jaccard) * exact_jaccard))) * (1.0 - (((exact_jaccard * exact_jaccard) * exact_jaccard) * exact_jaccard)))), 18, 9) else cast(0 as decimal(18,9)) end)
+            as decimal(28,9)) as double)
+            / sum(case when exact_jaccard >= 0.5 then 1 else 0 end) end""").as("exp_recall_true"),
+        expr("""case when sum(case when exact_jaccard < 0.5 then 1 else 0 end) > 0 then
+          cast(cast(sum(case when exact_jaccard < 0.5
+              then dec_cast((1.0 - ((((1.0 - (((exact_jaccard * exact_jaccard) * exact_jaccard) * exact_jaccard)) * (1.0 - (((exact_jaccard * exact_jaccard) * exact_jaccard) * exact_jaccard))) * (1.0 - (((exact_jaccard * exact_jaccard) * exact_jaccard) * exact_jaccard))) * (1.0 - (((exact_jaccard * exact_jaccard) * exact_jaccard) * exact_jaccard)))), 18, 9) else cast(0 as decimal(18,9)) end)
+            as decimal(28,9)) as double)
+            / sum(case when exact_jaccard < 0.5 then 1 else 0 end) end""").as("exp_catch_false"))
+        .select(lit(4).as("bands"), lit(4).as("rows_per_band"),
+          col("n_true"), col("n_false"), col("exp_recall_true"), col("exp_catch_false")),
+      est.agg(
+        expr("cast(sum(case when exact_jaccard >= 0.5 then 1 else 0 end) as bigint)").as("n_true"),
+        expr("cast(sum(case when exact_jaccard < 0.5 then 1 else 0 end) as bigint)").as("n_false"),
+        expr("""case when sum(case when exact_jaccard >= 0.5 then 1 else 0 end) > 0 then
+          cast(cast(sum(case when exact_jaccard >= 0.5
+              then dec_cast((1.0 - ((1.0 - (((((((exact_jaccard * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard)) * (1.0 - (((((((exact_jaccard * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard)))), 18, 9) else cast(0 as decimal(18,9)) end)
+            as decimal(28,9)) as double)
+            / sum(case when exact_jaccard >= 0.5 then 1 else 0 end) end""").as("exp_recall_true"),
+        expr("""case when sum(case when exact_jaccard < 0.5 then 1 else 0 end) > 0 then
+          cast(cast(sum(case when exact_jaccard < 0.5
+              then dec_cast((1.0 - ((1.0 - (((((((exact_jaccard * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard)) * (1.0 - (((((((exact_jaccard * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard)))), 18, 9) else cast(0 as decimal(18,9)) end)
+            as decimal(28,9)) as double)
+            / sum(case when exact_jaccard < 0.5 then 1 else 0 end) end""").as("exp_catch_false"))
+        .select(lit(2).as("bands"), lit(8).as("rows_per_band"),
+          col("n_true"), col("n_false"), col("exp_recall_true"), col("exp_catch_false")),
+      est.agg(
+        expr("cast(sum(case when exact_jaccard >= 0.5 then 1 else 0 end) as bigint)").as("n_true"),
+        expr("cast(sum(case when exact_jaccard < 0.5 then 1 else 0 end) as bigint)").as("n_false"),
+        expr("""case when sum(case when exact_jaccard >= 0.5 then 1 else 0 end) > 0 then
+          cast(cast(sum(case when exact_jaccard >= 0.5
+              then dec_cast((1.0 - (1.0 - (((((((((((((((exact_jaccard * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard))), 18, 9) else cast(0 as decimal(18,9)) end)
+            as decimal(28,9)) as double)
+            / sum(case when exact_jaccard >= 0.5 then 1 else 0 end) end""").as("exp_recall_true"),
+        expr("""case when sum(case when exact_jaccard < 0.5 then 1 else 0 end) > 0 then
+          cast(cast(sum(case when exact_jaccard < 0.5
+              then dec_cast((1.0 - (1.0 - (((((((((((((((exact_jaccard * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard) * exact_jaccard))), 18, 9) else cast(0 as decimal(18,9)) end)
+            as decimal(28,9)) as double)
+            / sum(case when exact_jaccard < 0.5 then 1 else 0 end) end""").as("exp_catch_false"))
+        .select(lit(1).as("bands"), lit(16).as("rows_per_band"),
+          col("n_true"), col("n_false"), col("exp_recall_true"), col("exp_catch_false"))
+      ).reduce(_.unionByName(_))
     },
 
     // ---- SimHash signatures + band-blocked hamming pairs -------------------
@@ -880,6 +1073,42 @@ object Dedup {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_nodes"), min(col("degree")).as("min_deg"),
           max(col("degree")).as("max_deg"), min(col("node")).as("min_node"))
+    },
+
+    // ---- dedup threshold sweep (the curve that picks the threshold) --------
+    // Before a 100 TB dedup pass commits to one Jaccard threshold, the
+    // curation decision needs the COST CURVE: how many pairs fire and
+    // how much corpus survives at each candidate threshold. One pass
+    // over the memoized capped pair kernel (which already carries the
+    // exact full-set jaccard per pair at j >= 0.3) crossed with a
+    // 7-point integer grid — bounded fan-out, no new corpus work; the
+    // loser rule is the family's standard higher-id-drops. Thresholds
+    // are integer percents so the grid itself has no float identity to
+    // disagree on; j >= t/100.0 compares two identically-derived
+    // doubles in both engines.
+    Q(
+      "q_dedup_threshold_curve",
+      s"""WITH pairs AS ($ngramCappedOracle),
+        |g AS (SELECT unnest([30, 40, 50, 60, 70, 80, 90]) AS t_pct),
+        |nd AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT t_pct, count(p.id_a) AS n_pairs,
+        |  count(DISTINCT p.id_b) AS n_losers,
+        |  CAST(any_value(nd.n_docs) - count(DISTINCT p.id_b) AS DOUBLE)
+        |    / any_value(nd.n_docs) AS survivor_frac
+        |FROM g CROSS JOIN nd LEFT JOIN pairs p ON p.jaccard >= g.t_pct / 100.0
+        |GROUP BY t_pct""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val nDocs = graft.io.Tables.rowCount(s, dir, "documents")
+      val pairs = cappedPairs(s, dir, rebuildMemo = false)
+      Seq(30, 40, 50, 60, 70, 80, 90).toDF("t_pct")
+        .join(pairs, expr("jaccard >= t_pct / 100.0"), "left")
+        .groupBy(col("t_pct"))
+        .agg(
+          count(col("id_a")).as("n_pairs"),
+          countDistinct(col("id_b")).as("n_losers"))
+        .select(col("t_pct"), col("n_pairs"), col("n_losers"),
+          ((lit(nDocs) - col("n_losers")).cast("double") / lit(nDocs))
+            .as("survivor_frac"))
     },
 
     // ---- containment near-dup (asymmetric: subset documents) ---------------

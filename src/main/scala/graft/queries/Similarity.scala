@@ -108,19 +108,23 @@ object Similarity {
     val cb = localizedModel(seeds
       .select(col("k"), explode(expr(s"sequence(0, ${PQ_M - 1})")).as("m"), col("embedding"))
       .select(col("m"), col("k"), expr(s"slice(embedding, m * $PQ_DS + 1, $PQ_DS)").as("cb")))
-    // per-(vector, subspace) argmax as ONE max-of-struct HashAggregate
-    // (fields compare in order: largest exact dot, then largest -k =
-    // lowest code — identical selection to the oracle's
-    // row_number(ORDER BY dot DESC, k) without the window's sort
-    // exchange; map-side combine collapses the M·K stream per vector
-    // before any shuffle)
+    // per-(vector, subspace) argmax as ONE max-of-BIGINT HashAggregate
+    // (a struct max demotes to SortAggregate — the CLAUDE rule — so the
+    // ordering value packs the tie-break instead: d8 is an EXACT
+    // DECIMAL(28,12), hence d8·10^12 is an exact integer (~|d8| ≤ 8 on
+    // unit-norm data ⇒ |pack| ≤ ~1.3e14, comfortably BIGINT), and
+    // pack = d8_units·16 + (15−k) orders by (dot desc, code asc) —
+    // identical selection to the oracle's row_number(ORDER BY dot DESC,
+    // k), no margin, no window sort exchange, map-side combine
+    // collapses the M·K stream per vector before any shuffle)
     def build = e.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cb))
-      .select(col("vec_id"), col("m"), col("k"),
-        expr(s"dot_dec(slice(embedding, m * $PQ_DS + 1, $PQ_DS), cb)").as("d8"))
+      .select(col("vec_id"), col("m"),
+        expr(s"""cast(dot_dec(slice(embedding, m * $PQ_DS + 1, $PQ_DS), cb)
+                 * 1000000000000 as bigint) * 16 + (15 - k)""").as("pack"))
       .groupBy(col("vec_id"), col("m"))
-      .agg(max(struct(col("d8"), (-col("k")).as("negk"))).as("b"))
-      .select(col("vec_id"), col("m"), (-col("b.negk")).as("code"))
+      .agg(max(col("pack")).as("mp"))
+      .select(col("vec_id"), col("m"), (lit(15) - pmod(col("mp"), lit(16))).as("code"))
     val codes =
       if (rebuildMemo) graft.io.KernelMemo.rebuild(s, dir, "pq_codes")(build)
       else graft.io.KernelMemo.reuse(s, dir, "pq_codes")(build)
@@ -1386,8 +1390,88 @@ object Similarity {
         sum(when(col("nrm") > 1.5, 1).otherwise(0)).cast("bigint").as("n_oversized"))
   }
 
+  /** Embedding OUTLIER detection — the curation pass that catches
+    * mis-embedded / mislabeled vectors before they poison contrastive
+    * training or ANN index balance: each vector's squared distance to
+    * its own LABEL centroid, z-scored within the label, |z| > 2 rows
+    * emitted. Composes two proven recipes: the exact-DECIMAL distance
+    * expansion d2 = v·v − 2·v·c + c·c (the q_pq_distortion kernel, on
+    * the full 64 dims vs the label centroid), and the exact-integer
+    * moments + snapped-z membership of q_events_anomaly — d2 is
+    * floor-quantized to 1e-4 units (floor of an EXACT decimal: no
+    * rounding mode to disagree on; norms are ~unit so u ≤ ~9e4 and
+    * both Σu and Σu² stay exactly representable in BIGINT and DOUBLE),
+    * so the per-label power sums are exact integers and the z tree is
+    * the identical IEEE double sequence in both engines. Scale shape:
+    * one (label, dim) centroid shuffle (map-side combined), centroids
+    * broadcast back (one row per label — a model parameter), one
+    * per-label moments aggregate, per-row z as a map stage. */
+  private lazy val outliersQuery: Q = Q(
+    "q_embedding_outliers",
+    s"""WITH cent AS (
+      |  SELECT label, list_transform(
+      |      list_sort(list(struct_pack(dim := dim, mean := mean))),
+      |      r -> CAST(r.mean AS FLOAT)) AS c_emb
+      |  FROM (
+      |    SELECT label, i - 1 AS dim,
+      |      CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,8))) AS DECIMAL(28,8)) AS DOUBLE)
+      |        / count(*) AS mean
+      |    FROM (SELECT label, i, embedding[i] AS x
+      |          FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i))
+      |    GROUP BY label, i)
+      |  GROUP BY label
+      |), d AS (
+      |  SELECT v.vec_id, v.label,
+      |    CAST(floor(CAST(
+      |      ${duckDot("v.embedding", "v.embedding")}
+      |      - 2 * ${duckDot("v.embedding", "c.c_emb")}
+      |      + ${duckDot("c.c_emb", "c.c_emb")} AS DECIMAL(28,12)) * 10000) AS BIGINT) AS u
+      |  FROM embeddings v JOIN cent c ON v.label = c.label
+      |), st AS (
+      |  SELECT label, CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(CAST(sum(u) AS BIGINT) AS DOUBLE) AS su,
+      |    CAST(CAST(sum(u*u) AS BIGINT) AS DOUBLE) AS su2
+      |  FROM d GROUP BY label
+      |)
+      |SELECT vec_id, label, d2, zscore FROM (
+      |  SELECT d.vec_id, d.label, CAST(u AS DOUBLE) / 10000 AS d2,
+      |    CAST(CAST((u - su/n) / sqrt((su2 - su*(su/n)) / n)
+      |      AS DECIMAL(18,9)) AS DOUBLE) AS zscore
+      |  FROM d JOIN st ON d.label = st.label
+      |  WHERE CAST(CAST((su2 - su*(su/n)) / n AS DECIMAL(18,9)) AS DOUBLE) > 0)
+      |WHERE abs(zscore) > 2.0""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir, "embeddings")
+    val cent = localizedModel(e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg((sum(expr("dec_cast(cast(x as double), 18, 8)")).cast("decimal(28,8)").cast("double")
+        / count(lit(1))).as("mean"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, mean))), r -> cast(r.mean as float))")
+        .as("c_emb")))
+    val d = e.join(broadcast(cent), "label")
+      .select(col("vec_id"), col("label"),
+        expr(s"""cast(floor(cast(
+          ${dot("embedding", "embedding")}
+          - 2 * ${dot("embedding", "c_emb")}
+          + ${dot("c_emb", "c_emb")} as decimal(28,12)) * 10000) as bigint)""").as("u"))
+    val st = d.groupBy(col("label").as("s_label"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("u")).cast("double").as("su"),
+        sum(col("u") * col("u")).cast("double").as("su2"))
+    d.join(broadcast(st), col("label") === col("s_label"))
+      .filter(expr("cast(dec_cast((su2 - su*(su/n)) / n, 18, 9) as double) > 0"))
+      .select(col("vec_id"), col("label"),
+        (col("u").cast("double") / 10000).as("d2"),
+        expr("cast(dec_cast((u - su/n) / sqrt((su2 - su*(su/n)) / n), 18, 9) as double)")
+          .as("zscore"))
+      .filter(abs(col("zscore")) > 2.0)
+  }
+
   val queries: Seq[Q] =
-    baseQueries :+ recallQuery :+ diversityQuery :+ purityQuery :+ normsQuery
+    baseQueries :+ recallQuery :+ diversityQuery :+ purityQuery :+ normsQuery :+
+      outliersQuery
 
   /** SemDeDup cell geometry — CORPUS-DERIVED hyperplane cells
     * (round-11; replaces the fixed-16 nearest-centroid cells, the last
