@@ -55,9 +55,20 @@ object KernelMemo {
     (System.identityHashCode(s), dir, kernel)
 
   private def checkpointed(s: SparkSession, built: DataFrame): DataFrame = {
-    if (s.sparkContext.getCheckpointDir.isEmpty)
-      s.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    if (s.sparkContext.getCheckpointDir.isEmpty) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+      // reclaim the whole checkpoint tree at JVM exit — rebuilds leave
+      // superseded checkpoint files behind for the session's lifetime
+      // (that is the point: they must survive cache clears), but a
+      // local run must not leak temp dirs across invocations
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          java.nio.file.Files.walk(dir)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        } catch { case _: Throwable => () }))
+      s.sparkContext.setCheckpointDir(dir.toString)
+    }
     built.checkpoint() // eager: one bounded write of the kernel frame
   }
 
