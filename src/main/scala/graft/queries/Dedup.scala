@@ -444,6 +444,17 @@ object Dedup {
         .select(col("id_a"), col("id_b"), expr("cast(bit_count(sim_a ^ sim_b) as int)").as("hamming"))
     }
 
+  /** The UNCAPPED n-gram pair frame (minJaccard 0.3, lang-blocked) —
+    * q_dedup_ngram_jaccard's output under the memo protocol (builder:
+    * that query; reuser: the connected-components build, whose honest
+    * cost is then the CC fixpoint itself). */
+  private[graft] def ngramPairs03(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      rebuildMemo: Boolean): org.apache.spark.sql.DataFrame =
+    memoKernel(s, dir, "ngram_pairs_03", rebuildMemo) {
+      ngramJaccardPairs(s, dir, minJaccard = 0.3)
+    }
+
   /** The capped n-gram pair frame (minJaccard 0.3, maxDf 4, lang-
     * blocked) — q_dedup_ngram_capped's output under the memo protocol
     * (builder: that query; reuser: the pre-CC graph-degree diagnostic). */
@@ -595,19 +606,12 @@ object Dedup {
       s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      // persist: the shingle frame feeds both sides of the candidate join
-      val sh = shingleFrame(s, dir).persistScoped()
-      val ex = postingsOf(sh)
-      val pairs = ex.as("a")
-        .join(ex.as("b"), expr("a.v = b.v and a.lang = b.lang and a.doc_id < b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .agg(
-          first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"),
-          count(lit(1)).as("i"))
-        .filter(expr("cast(i as double) / (n_a + n_b - i) >= 0.3"))
+      // pair set from the uncapped kernel memo (builder:
+      // q_dedup_ngram_jaccard — identical inverted-index join and
+      // threshold); this build's honest cost is the CC fixpoint
+      val pairs = ngramPairs03(s, dir, rebuildMemo = false)
         .select(col("id_a"), col("id_b"))
       val labels = minLabelComponents(pairs)
-      sh.unpersist()
       Tables(s, dir, "documents")
         .join(labels.withColumnRenamed("doc_id", "l_doc"),
           col("doc_id") === col("l_doc"), "left")
@@ -1023,7 +1027,8 @@ object Dedup {
       // Uncapped single-pass formulation (oracle mirrors it 1:1); the
       // hot-shingle cap variant of the same kernel is ngramJaccardPairs
       // with maxDf > 0, proven pair-identical in DedupCapSpec.
-      ngramJaccardPairs(s, dir, minJaccard = 0.3)
+      // BUILDER of the uncapped pair kernel memo
+      ngramPairs03(s, dir, rebuildMemo = true)
     },
 
     // ---- n-gram Jaccard with the hot-shingle cap active --------------------

@@ -1085,7 +1085,10 @@ object Similarity {
       s"""WITH $semOracleCtes
         |SELECT vec_id, cell FROM semassign
         |WHERE vec_id NOT IN (SELECT id_b FROM sempairs)""".stripMargin) { (s, dir) =>
-      val (assign, pairs) = semanticCellsAndPairs(s, dir)
+      // BUILDER of the semantic pair kernel memo; the keep join reads
+      // the cell assignment fresh (a zero-exchange per-row projection)
+      val pairs = semanticPairs(s, dir, rebuildMemo = true)
+      val assign = semanticAssign(s, dir, semBits(s, dir))
       val dropped = pairs.select(col("id_b")).distinct()
       assign
         .join(dropped, col("vec_id") === col("id_b"), "left_anti")
@@ -1577,6 +1580,19 @@ object Similarity {
     * overridable so DedupSemSpec can prove the blocking identity
     * (bits = 0 → one cell → the pair set IS the exhaustive dot ≥ 0.35
     * set). */
+  /** The in-cell semantic near-dup pair frame under the
+    * [[graft.io.KernelMemo]] protocol — builder: q_dedup_semantic
+    * (always re-runs the salted in-cell pair join); reuser:
+    * q_dedup_semantic_clusters, whose own honest cost is then the CC
+    * fixpoint it exists to run, not a second pair generation. */
+  private[graft] def semanticPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      rebuildMemo: Boolean): org.apache.spark.sql.DataFrame = {
+    def build = semanticCellsAndPairs(s, dir)._2
+    if (rebuildMemo) graft.io.KernelMemo.rebuild(s, dir, "sem_pairs")(build)
+    else graft.io.KernelMemo.reuse(s, dir, "sem_pairs")(build)
+  }
+
   private[graft] def semanticCellsAndPairs(
       s: org.apache.spark.sql.SparkSession,
       dir: String,
