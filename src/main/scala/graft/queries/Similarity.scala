@@ -637,6 +637,7 @@ object Similarity {
         |)
         |SELECT cell, count(*) AS n_members, min(vec_id) AS min_member
         |FROM assign GROUP BY cell""".stripMargin) { (s, dir) =>
+      annKernel(s, dir, "q_ivf_pruned_assign") {
       val e = Tables(s, dir, "embeddings")
       val cents = localizedModel(
         e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
@@ -658,6 +659,67 @@ object Similarity {
         .filter(col("crn") === 1)
         .groupBy(col("c_id").as("cell"))
         .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("min_member"))
+    }},
+
+    // ---- IVF index balance (the re-train trigger) --------------------------
+    // The health check an IVF deployment watches: the cell-SIZE
+    // distribution in power-of-two buckets (the q_skew_profile integer
+    // formula) plus the max/mean imbalance factor. A fat cell means
+    // probe latency concentrates (queries landing there scan the big
+    // list) and is the signal that triggers centroid re-training or
+    // cell splitting. One bounded aggregate over the memoized forced
+    // two-level assignment histogram (builder: q_ivf_pruned_assign) —
+    // |C| input rows, nothing touches the corpus. Imbalance =
+    // max/mean cell size: int-derived doubles, one identical division.
+    Q(
+      "q_ivf_cell_balance",
+      s"""WITH cents AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+        |  ORDER BY $duckCHash, vec_id LIMIT $duckNcIvf
+        |), cand AS (
+        |  ${duckPrunedCandForced("cents")}
+        |), assign AS (
+        |  SELECT vec_id, c_id AS cell FROM (
+        |    SELECT vec_id, c_id,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY ${duckDot("embedding", "c_emb")} DESC, c_id) AS crn
+        |    FROM cand
+        |  ) WHERE crn = 1
+        |), cellsz AS (
+        |  SELECT cell, count(*) AS n_members FROM assign GROUP BY cell
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |    CAST(sum(n_members) AS BIGINT) AS n_assigned,
+        |    CAST(max(n_members) AS BIGINT) AS max_cell
+        |  FROM cellsz
+        |)
+        |SELECT length(bin(n_members)) - 1 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_cells_in_bucket,
+        |  min(n_members) AS min_sz, max(n_members) AS max_sz,
+        |  any_value(t.n_cells) AS n_cells,
+        |  CAST(any_value(t.max_cell) AS DOUBLE)
+        |    / (CAST(any_value(t.n_assigned) AS DOUBLE) / any_value(t.n_cells))
+        |    AS imbalance
+        |FROM cellsz CROSS JOIN tot t
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val cellsz = annReuse(s, dir, "q_ivf_pruned_assign")
+        .select(col("cell"), col("n_members"))
+      val tot = cellsz.agg(
+        count(lit(1)).cast("bigint").as("n_cells"),
+        sum(col("n_members")).cast("bigint").as("n_assigned"),
+        max(col("n_members")).cast("bigint").as("max_cell"))
+      cellsz.crossJoin(broadcast(tot))
+        .select(col("n_members"),
+          (length(expr("bin(n_members)")) - 1).cast("long").as("bucket"),
+          col("n_cells"), col("n_assigned"), col("max_cell"))
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).cast("bigint").as("n_cells_in_bucket"),
+          min(col("n_members")).as("min_sz"), max(col("n_members")).as("max_sz"),
+          first(col("n_cells")).as("n_cells"),
+          (first(col("max_cell")).cast("double")
+            / (first(col("n_assigned")).cast("double") / first(col("n_cells"))))
+            .as("imbalance"))
     },
 
     // ---- trained-centroid IVF: one deterministic k-means step --------------
