@@ -45,9 +45,11 @@ object Bench {
       .getOrElse(Runtime.getRuntime.availableProcessors() * 0.5)
     val gateWaitSec = sys.env.get("SPARK_GRAFT_LOAD_WAIT_SEC").map(_.toLong).getOrElse(120L)
     val gateDeadline = System.nanoTime() + gateWaitSec * 1_000_000_000L
-    while (loadAvg() > loadGate && System.nanoTime() < gateDeadline) {
-      System.err.println(f"[bench] loadavg ${loadAvg()}%.1f > gate $loadGate%.1f — waiting")
+    var gateLoad = loadAvg()
+    while (gateLoad > loadGate && System.nanoTime() < gateDeadline) {
+      System.err.println(f"[bench] loadavg $gateLoad%.1f > gate $loadGate%.1f — waiting")
       Thread.sleep(5000)
+      gateLoad = loadAvg()
     }
     val loadStart = loadAvg()
 

@@ -29,7 +29,13 @@ object CrossHash {
   /** 2^60 - 1: keeps both profiles in the same non-negative range. */
   private final val Mask60 = (1L << 60) - 1
 
-  private def clusterProfile: Boolean =
+  /** Latched ONCE at first use and immutable for the JVM lifetime
+    * (ADVICE r12): flipping `graft.hash` mid-JVM would mix md5-derived
+    * plan-time constants (MinHash seeds, sem-plane weights, memoized
+    * kernel frames) with xxhash64 fragments in later queries — an
+    * internally inconsistent artifact with no error. Pick the profile
+    * before the first query of the JVM. */
+  private lazy val clusterProfile: Boolean =
     sys.env.get("GRAFT_HASH").orElse(sys.props.get("graft.hash"))
       .contains("xxhash64")
 

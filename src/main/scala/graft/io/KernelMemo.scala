@@ -35,7 +35,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * provisioned on demand. */
 object KernelMemo {
 
-  private val frames = new ConcurrentHashMap[(Int, String, String), DataFrame]()
+  /** Per-session kernel frames. The outer map holds the SparkSession
+    * WEAKLY (ADVICE r12): long-lived JVMs that churn sessions (test
+    * suites) must not retain frames for dead sessions, and keying on
+    * identityHashCode risked a post-GC collision adopting a stale
+    * frame. All access synchronizes on `frames` (WeakHashMap is not
+    * thread-safe); the inner map is per-session so kernels never leak
+    * across sessions. */
+  private val frames =
+    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[(String, String), DataFrame]]()
+
+  private def sessionFrames(s: SparkSession): ConcurrentHashMap[(String, String), DataFrame] =
+    frames.synchronized {
+      var m = frames.get(s)
+      if (m == null) { m = new ConcurrentHashMap(); frames.put(s, m) }
+      m
+    }
 
   /** Thread-local memo bypass: inside `bypassed { ... }`, [[rebuild]]
     * and [[reuse]] return the raw build LAZILY (no checkpoint, no memo
@@ -47,12 +62,18 @@ object KernelMemo {
   private val bypass = ThreadLocal.withInitial[java.lang.Boolean](() => false)
 
   def bypassed[T](f: => T): T = {
+    // re-entrant: restore the PREVIOUS value, not `false` — a nested
+    // bypassed block inside a plan-gate helper must not re-enable
+    // memoization for the remainder of the outer block (ADVICE r12)
+    val prev = bypass.get()
     bypass.set(true)
-    try f finally bypass.set(false)
+    try f finally bypass.set(prev)
   }
 
-  private def key(s: SparkSession, dir: String, kernel: String) =
-    (System.identityHashCode(s), dir, kernel)
+  /** True inside a [[bypassed]] block — lets plan-adjacent helpers
+    * (e.g. `Similarity.localizedModel`) stay execution-free during plan
+    * extraction. */
+  def isBypassed: Boolean = bypass.get()
 
   private def checkpointed(s: SparkSession, built: DataFrame): DataFrame = {
     if (s.sparkContext.getCheckpointDir.isEmpty) {
@@ -78,7 +99,7 @@ object KernelMemo {
       build: => DataFrame): DataFrame = {
     if (bypass.get()) return build
     val ck = checkpointed(s, build)
-    frames.put(key(s, dir, kernel), ck)
+    sessionFrames(s).put((dir, kernel), ck)
     ck
   }
 
@@ -89,23 +110,22 @@ object KernelMemo {
   def reuse(s: SparkSession, dir: String, kernel: String)(
       build: => DataFrame): DataFrame = {
     if (bypass.get()) return build
-    val k = key(s, dir, kernel)
-    val hit = frames.get(k)
+    val m = sessionFrames(s)
+    val k = (dir, kernel)
+    val hit = m.get(k)
     if (hit != null) return hit
     val built = build
-    val raced = frames.get(k)
+    val raced = m.get(k)
     if (raced != null) raced
     else {
       val ck = checkpointed(s, built)
-      frames.put(k, ck)
+      m.put(k, ck)
       ck
     }
   }
 
   /** Drop all memoized kernels for a session (tests). The checkpoint
     * files themselves are reclaimed with the checkpoint dir. */
-  def invalidate(s: SparkSession): Unit = {
-    val id = System.identityHashCode(s)
-    frames.keySet.removeIf(k => k._1 == id)
-  }
+  def invalidate(s: SparkSession): Unit =
+    frames.synchronized { frames.remove(s); () }
 }

@@ -139,6 +139,21 @@ class PropertySpec extends SparkSpec {
       "docs/queries.md is stale - run `sbt \"runMain graft.runner.QueryCatalog\"`")
   }
 
+  test("every registered query has a SURVEY §8 inventory row") {
+    // VERDICT r12 inventory nit: q_ivf_cell_balance was registered and
+    // oracle-green but invisible to the §8 implementation map — the
+    // judge/builder contract. Gate: every SparkEntry.queries key must
+    // appear BY NAME in SURVEY.md from the "## 8" heading onward, so a
+    // future query can't skip the inventory.
+    val survey = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val map = survey.substring(survey.indexOf("## 8"))
+    val missing = SparkEntry.queries.keySet.filterNot(map.contains)
+    assert(missing.isEmpty,
+      s"queries registered without a SURVEY §8 inventory row: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
   test("table-checksum folds are order- and partition-independent, and row-sensitive") {
     // the q_table_checksum contract: count/xor/min/max over per-row
     // hashes must not care how the data is split or ordered (that is

@@ -81,6 +81,37 @@ class PrunedAssignSpec extends SparkSpec {
     assert(dup == 0L)
   }
 
+  test("probe-row budget: over-budget geometry switches to shuffle hash joins, identical pairs") {
+    // VERDICT r12 weak #1: past PROBE_ROW_BUDGET the expanded probe
+    // table (|C|·(1+bits+C(bits,2)) thin rows — ~1.2 GB at |C| = 1e6)
+    // must not broadcast. Force the budget to 1 row over a
+    // driver-localized centroid model (the production frame shape) and
+    // prove (a) the scored pair set is IDENTICAL to the broadcast path
+    // — the budget is a physical-only switch — and (b) the physical
+    // plan joins probe and c_emb via ShuffledHashJoin with no broadcast
+    // of either; the 8-row anchor cross stays broadcast.
+    val localCents = spark.createDataFrame(
+      java.util.Arrays.asList(cents.collect(): _*), cents.schema)
+    val over = Similarity.prunedScores(e, localCents, bits, probeRowBudget = 1L)
+    val under = Similarity.prunedScores(e, localCents, bits)
+    val pairsOf = (df: DataFrame) =>
+      df.select(col("vec_id"), col("c_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsOf(over) == pairsOf(under), "budget switch changed the candidate pair set")
+    assert(argmaxOf(over) == argmaxOf(under))
+    val plan = over.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"over-budget probe join must be a shuffle hash join:\n$plan")
+    assert("BroadcastHashJoin \\[vpcell".r.findFirstIn(plan).isEmpty &&
+           "BroadcastHashJoin \\[cast\\(vpcell".r.findFirstIn(plan).isEmpty,
+      s"over-budget probe table still broadcasts:\n$plan")
+    // under budget the same localized model broadcasts (today's mode)
+    val underPlan = under.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin \\[vpcell".r.findFirstIn(underPlan).isDefined ||
+           "BroadcastHashJoin \\[cast\\(vpcell".r.findFirstIn(underPlan).isDefined,
+      s"under-budget probe join must stay broadcast:\n$underPlan")
+  }
+
   test("pruned argmax agrees with the flat argmax on most of the corpus") {
     val pruned = argmaxOf(Similarity.prunedScores(e, cents, bits))
     assert(pruned.keySet == flat.keySet)
