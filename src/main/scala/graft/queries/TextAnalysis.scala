@@ -94,6 +94,134 @@ object TextAnalysis {
     (sh, ev)
   }
 
+  /** In-engine training of the hashed linear quality classifier — see
+    * the registration comment at the call site for the full design.
+    * Defined apart because the oracle unrolls 3 training rounds as
+    * generated MATERIALIZED CTEs. */
+  private val classifierTrainQuery: Q = {
+    val B = 4096 // token buckets; bucket B is the bias feature
+    val R = 3    // fixed training rounds (the CC/BPE bounded-loop rule)
+    def zCte(r: Int) =
+      s"""z$r AS MATERIALIZED (
+         |  SELECT l.doc_id, l.y, l.held, CAST(sum(f.c * w.wt) AS BIGINT) AS z
+         |  FROM lab l JOIN feat f USING (doc_id) JOIN w$r w USING (b)
+         |  GROUP BY l.doc_id, l.y, l.held
+         |)""".stripMargin
+    def gwCtes(r: Int) =
+      s"""g$r AS (
+         |  SELECT f.b, CAST(sum(z.y * f.c) AS BIGINT) AS g, CAST(sum(f.c) AS BIGINT) AS tc
+         |  FROM z${r - 1} z JOIN feat f USING (doc_id)
+         |  WHERE NOT z.held AND z.y * z.z <= 0
+         |  GROUP BY f.b
+         |), w$r AS MATERIALIZED (
+         |  SELECT p.b, p.wt + CAST(floor(
+         |      CAST(coalesce(g.g, 0) * ${1000 >> (r - 1)} AS DOUBLE) / coalesce(g.tc, 1)) AS BIGINT) AS wt
+         |  FROM w${r - 1} p LEFT JOIN g$r g ON p.b = g.b
+         |)""".stripMargin
+    def teleSql(r: Int) =
+      s"""SELECT $r AS round,
+         |  (SELECT CAST(sum(CASE WHEN NOT held AND y * z <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |   FROM z$r) AS train_err,
+         |  (SELECT CAST(sum(CASE WHEN held AND y * z <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |   FROM z$r) AS held_err,
+         |  (SELECT CAST(sum(abs(wt)) AS BIGINT) FROM w$r) AS w_l1""".stripMargin
+    val oracle =
+      s"""WITH tok AS (
+         |  SELECT doc_id, $duckTokens AS w FROM documents
+         |), lab AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) >= 10 AND ${duckStopRatio("w")} >= 0.01 THEN 1 ELSE -1 END AS y,
+         |    (${duck("'cv#' || doc_id::VARCHAR")} % 5 = 0) AS held
+         |  FROM tok
+         |), feat AS MATERIALIZED (
+         |  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT doc_id, ${duck("t")} % $B AS b
+         |    FROM (SELECT doc_id, unnest(w) AS t FROM tok))
+         |  GROUP BY doc_id, b
+         |  UNION ALL
+         |  SELECT doc_id, CAST($B AS BIGINT) AS b, CAST(1 AS BIGINT) AS c FROM tok
+         |), w0 AS MATERIALIZED (
+         |  SELECT b, (b * 2654435761) % 2001 - 1000 AS wt
+         |  FROM (SELECT unnest(generate_series(0, $B)) AS b)
+         |), ${(1 to R).map(r => zCte(r - 1) + ", " + gwCtes(r)).mkString(", ")},
+         |${zCte(R)}
+         |${(0 to R).map(teleSql).mkString("\nUNION ALL\n")}""".stripMargin
+    Q("q_classifier_train", oracle) { (s, dir) =>
+      import s.implicits._
+      if (graft.io.KernelMemo.isBypassed) {
+        // plan-extraction bypass (the q_kmeans_train rule): the loop is
+        // eager by design; the registered output is driver-collected
+        // telemetry with no plan to gate
+        Seq.empty[(Int, Long, Long, Long)].toDF("round", "train_err", "held_err", "w_l1")
+      } else {
+        val base = Tables(s, dir, "documents")
+          .select(col("doc_id"), expr(tokens).as("w"))
+          .select(col("doc_id"), col("w"), expr(markerCall("w")).as("ms"))
+          .select(col("doc_id"), col("w"),
+            when(expr("ms.total >= 10 and cast(ms.c0 as double) / ms.total >= 0.01"),
+              lit(1)).otherwise(lit(-1)).as("y"),
+            (expr(s"${h("concat('cv#', cast(doc_id as string))")} % 5") === 0).as("held"))
+        // hashing-trick features: one explode + flat codegen'd hash +
+        // map-side-combinable count per (doc, bucket), plus the bias
+        // row; cached — every round's scoring and gradient pass reads
+        // this frame, never the corpus again
+        val feat = base
+          .select(col("doc_id"), col("y"), col("held"), explode(col("w")).as("t"))
+          .select(col("doc_id"), col("y"), col("held"), expr(s"${h("t")} % $B").as("b"))
+          .groupBy(col("doc_id"), col("y"), col("held"), col("b"))
+          .agg(count(lit(1)).as("c"))
+          .unionByName(base.select(col("doc_id"), col("y"), col("held"),
+            lit(B.toLong).as("b"), lit(1L).as("c")))
+          .persistScoped()
+        var wArr = Array.tabulate(B + 1)(b => (b.toLong * 2654435761L) % 2001L - 1000L)
+        val telemetry = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+        for (r <- 0 to R) {
+          // the weight vector is the bounded model — a LocalRelation
+          // (the localizedModel rule): broadcast-joined, constant plans
+          val wDf = wArr.zipWithIndex.map { case (wt, b) => (b.toLong, wt) }
+            .toSeq.toDF("b", "wt")
+          val scored = feat.join(broadcast(wDf), "b")
+            .groupBy(col("doc_id"), col("y"), col("held"))
+            .agg(sum(col("c") * col("wt")).cast("long").as("z"))
+            .persistScoped()
+          val errRow = scored.agg(
+            sum(when(!col("held") && col("y") * col("z") <= 0, 1L).otherwise(0L))
+              .cast("long").as("te"),
+            sum(when(col("held") && col("y") * col("z") <= 0, 1L).otherwise(0L))
+              .cast("long").as("he")).head()
+          telemetry += ((r, errRow.getLong(0), errRow.getLong(1), wArr.map(math.abs).sum))
+          if (r < R) {
+            // ONE bounded gradient aggregate: ≤ B+1 integer rows
+            val mis = scored
+              .filter(!col("held") && col("y") * col("z") <= 0)
+              .select(col("doc_id"))
+            val grad = feat.join(mis, "doc_id")
+              .groupBy(col("b"))
+              .agg(sum(col("y").cast("long") * col("c")).cast("long").as("g"),
+                sum(col("c")).cast("long").as("tc"))
+              .collect()
+            val wNew = wArr.clone()
+            // step r+1 uses the halving rate 1000 >> r (1000, 500,
+            // 250): the round-2 full-step overshoot oscillated between
+            // two weight states; decay is the standard subgradient fix
+            // and unrolls as a per-round CONSTANT in the oracle CTEs
+            val rate = 1000L >> r
+            for (row <- grad) {
+              val b = row.getLong(0).toInt
+              // identical IEEE division + floor in the oracle's update
+              wNew(b) += math.floor((row.getLong(1) * rate).toDouble /
+                row.getLong(2).toDouble).toLong
+            }
+            wArr = wNew
+          }
+          scored.unpersist()
+        }
+        feat.unpersist()
+        telemetry.toSeq.toDF("round", "train_err", "held_err", "w_l1")
+      }
+    }
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- token counting: whitespace + BPE-ish regex ------------------------
@@ -798,6 +926,30 @@ object TextAnalysis {
           col("doc_id"), col("n_tok"), col("score_milli"),
           expr("case when score_milli > 0 then 'keep' else 'drop' end").as("cls_flag"))
     },
+
+    // ---- in-engine classifier training (FineWeb/CCNet distillation shape) --
+    // q_text_classifier scores with FIXED pseudo-random weights; real
+    // curation pipelines TRAIN the linear scorer on in-corpus labels.
+    // Here the expensive registered quality gate (token count + stopword
+    // ratio — the q_quality_dup_crosstab flag) is distilled into the
+    // cheap hashed linear model: 3 rounds of batch subgradient descent
+    // on hinge loss over the 4097 hashing-trick features (4096 token
+    // buckets + bias), starting FROM the fixed production weights.
+    // Per round the corpus contributes ONE bounded 4097-row integer
+    // gradient aggregate collected driver-side (the BPE/k-means
+    // scalar-collect discipline — row data never reaches the driver);
+    // the weight update floor((1000·Σ y·c) / Σ c) is a per-bucket
+    // majority-direction step bounded to ±1000 (the w0 scale), all in
+    // exact BIGINTs except one IEEE double division that both engines
+    // round identically — NO sigmoid: libm exp is not bit-portable
+    // across engines, hinge keeps training inside the hash gate (see
+    // docs/determinism.md). Split is content-hash 80/20; the output is
+    // per-round train/held-out errors + an L1 weight checksum, so the
+    // oracle verifies the entire training trajectory, and the held-out
+    // row pair (round 0 = fixed weights vs round 3 = trained) IS the
+    // "trained beats fixed" evidence (gated in ClassifierTrainSpec).
+    // The oracle unrolls the 3 rounds as MATERIALIZED CTEs.
+    classifierTrainQuery,
 
     // ---- benchmark decontamination: 5-gram overlap vs a held-out set -------
     // The pre-training hygiene pass: flag training documents sharing any
