@@ -30,7 +30,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * inside the aggregate update, the shuffle is a single 17 KB buffer
   * per partition, and the plan is one ObjectHashAggregate over ONE
   * group — the 128-key sort-fallback hazard of keyed imperative
-  * aggregates (CLAUDE.md) cannot apply to a global aggregate.
+  * aggregates (project notes) cannot apply to a global aggregate.
   *
   * Null vectors are skipped; null ELEMENTS are treated as 0 (the
   * harness embeddings contain neither).

@@ -13,7 +13,7 @@ import graft.io.Tables
   * frames, bitwise/interval scalar breadth, lateral explode, and two more
   * TPC-H-shaped pipelines adapted to the harness schema.
   *
-  * Cross-engine determinism notes follow the project rules (CLAUDE.md):
+  * Cross-engine determinism notes follow the project working notes:
   * decimal accumulators surfaced as DOUBLE, packed-integer tie-breaks for
   * arg extremes, per-row IEEE double arithmetic only.
   */
@@ -431,7 +431,7 @@ object Breadth {
     // ---- higher-order functions over arrays ---------------------------------
     // filter/exists/transform+aggregate lambdas (HOFs run interpreted in
     // Spark — fine for breadth; the hot-path dedup pipelines use native
-    // expressions instead, see CLAUDE.md perf rules)
+    // expressions instead, see the project perf notes)
     Q(
       "q_hof_funcs",
       raw"""SELECT doc_id,
@@ -737,7 +737,7 @@ object Breadth {
     // The pre-flight diagnostic before any big join at 100 TB: the
     // frequency histogram of a join key in power-of-two buckets, which
     // is exactly the information that decides broadcast vs shuffle vs
-    // salting (CLAUDE.md's skew rules). Per-key counts are one
+    // salting (the project skew notes). Per-key counts are one
     // HashAggregate with map-side combine; the bucket roll-up runs on
     // the BOUNDED key-count frame. The bucket index is
     // length(bin(cnt)) - 1 — integer floor(log2) on both engines, no

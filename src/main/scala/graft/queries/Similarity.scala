@@ -109,7 +109,7 @@ object Similarity {
       .select(col("k"), explode(expr(s"sequence(0, ${PQ_M - 1})")).as("m"), col("embedding"))
       .select(col("m"), col("k"), expr(s"slice(embedding, m * $PQ_DS + 1, $PQ_DS)").as("cb")))
     // per-(vector, subspace) argmax as ONE max-of-BIGINT HashAggregate
-    // (a struct max demotes to SortAggregate — the CLAUDE rule — so the
+    // (a struct max demotes to SortAggregate — the project-notes rule — so the
     // ordering value packs the tie-break instead: d8 is an EXACT
     // DECIMAL(28,12), hence d8·10^12 is an exact integer (~|d8| ≤ 8 on
     // unit-norm data ⇒ |pack| ≤ ~1.3e14, comfortably BIGINT), and

@@ -274,7 +274,7 @@ object TextAnalysis {
     // under-filters high-resource ones, so production pipelines floor
     // each language at its own percentile. Exact-rank quantiles normally
     // mean a per-group sort — corpus-sized partitions on a 4-value key,
-    // the CLAUDE-rule scale killer. But the cutoff depends only on the
+    // the project-notes scale killer. But the cutoff depends only on the
     // per-(lang, score) COUNTS, and the distinct-score frame is bounded
     // (scores are ratios of small marker counts, not corpus-cardinality
     // values): aggregate counts with map-side combine, cumsum over the
