@@ -98,26 +98,146 @@ object TextAnalysis {
     * the registration comment at the call site for the full design.
     * Defined apart because the oracle unrolls 3 training rounds as
     * generated MATERIALIZED CTEs. */
+  // ---- hashed linear classifier: shared training machinery -----------------
+  private final val ClsB = 4096 // token buckets; bucket ClsB is the bias
+  private final val ClsR = 3    // fixed training rounds (the CC/BPE bounded-loop rule)
+
+  private def clsZCte(r: Int) =
+    s"""z$r AS MATERIALIZED (
+       |  SELECT l.doc_id, l.y, l.held, CAST(sum(f.c * w.wt) AS BIGINT) AS z
+       |  FROM lab l JOIN feat f USING (doc_id) JOIN w$r w USING (b)
+       |  GROUP BY l.doc_id, l.y, l.held
+       |)""".stripMargin
+  private def clsGwCtes(r: Int) =
+    s"""g$r AS (
+       |  SELECT f.b, CAST(sum(z.y * f.c) AS BIGINT) AS g, CAST(sum(f.c) AS BIGINT) AS tc
+       |  FROM z${r - 1} z JOIN feat f USING (doc_id)
+       |  WHERE NOT z.held AND z.y * z.z <= 0
+       |  GROUP BY f.b
+       |), w$r AS MATERIALIZED (
+       |  SELECT p.b, p.wt + CAST(floor(
+       |      CAST(coalesce(g.g, 0) * ${1000 >> (r - 1)} AS DOUBLE) / coalesce(g.tc, 1)) AS BIGINT) AS wt
+       |  FROM w${r - 1} p LEFT JOIN g$r g ON p.b = g.b
+       |)""".stripMargin
+
+  /** The training CTE chain shared VERBATIM by the telemetry and the
+    * scoring oracle (tok → lab → feat → w0 → z0,g1,w1 … w$ClsR) — one
+    * text, so the two can never train different models. */
+  private def clsTrainCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id, $duckTokens AS w FROM documents
+       |), lab AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(w) >= 10 AND ${duckStopRatio("w")} >= 0.01 THEN 1 ELSE -1 END AS y,
+       |    (${duck("'cv#' || doc_id::VARCHAR")} % 5 = 0) AS held
+       |  FROM tok
+       |), feat AS MATERIALIZED (
+       |  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT doc_id, ${duck("t")} % $ClsB AS b
+       |    FROM (SELECT doc_id, unnest(w) AS t FROM tok))
+       |  GROUP BY doc_id, b
+       |  UNION ALL
+       |  SELECT doc_id, CAST($ClsB AS BIGINT) AS b, CAST(1 AS BIGINT) AS c FROM tok
+       |), w0 AS MATERIALIZED (
+       |  SELECT b, (b * 2654435761) % 2001 - 1000 AS wt
+       |  FROM (SELECT unnest(generate_series(0, $ClsB)) AS b)
+       |), ${(1 to ClsR).map(r => clsZCte(r - 1) + ", " + clsGwCtes(r)).mkString(", ")}""".stripMargin
+
+  private def clsFixedWeights: Array[Long] =
+    Array.tabulate(ClsB + 1)(b => (b.toLong * 2654435761L) % 2001L - 1000L)
+
+  /** Hashing-trick feature frame (doc_id, y, held, b, c): one explode +
+    * flat codegen'd hash + map-side-combinable count per (doc, bucket),
+    * plus the bias row. Callers persist it if they iterate. */
+  private def clsFeat(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "documents")
+      .select(col("doc_id"), expr(tokens).as("w"))
+      .select(col("doc_id"), col("w"), expr(markerCall("w")).as("ms"))
+      .select(col("doc_id"), col("w"),
+        when(expr("ms.total >= 10 and cast(ms.c0 as double) / ms.total >= 0.01"),
+          lit(1)).otherwise(lit(-1)).as("y"),
+        (expr(s"${h("concat('cv#', cast(doc_id as string))")} % 5") === 0).as("held"))
+    base
+      .select(col("doc_id"), col("y"), col("held"), explode(col("w")).as("t"))
+      .select(col("doc_id"), col("y"), col("held"), expr(s"${h("t")} % $ClsB").as("b"))
+      .groupBy(col("doc_id"), col("y"), col("held"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .unionByName(base.select(col("doc_id"), col("y"), col("held"),
+        lit(ClsB.toLong).as("b"), lit(1L).as("c")))
+  }
+
+  /** The eager training loop: per round one broadcast scoring aggregate
+    * and ONE bounded ≤ ClsB+1-row integer gradient collect. Returns the
+    * trained weights and the per-round telemetry. */
+  private def trainClassifier(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): (Array[Long], Seq[(Int, Long, Long, Long)]) = {
+    import s.implicits._
+    val feat = clsFeat(s, dir).persistScoped()
+    var wArr = clsFixedWeights
+    val telemetry = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    for (r <- 0 to ClsR) {
+      // the weight vector is the bounded model — a LocalRelation
+      // (the localizedModel rule): broadcast-joined, constant plans
+      val wDf = wArr.zipWithIndex.map { case (wt, b) => (b.toLong, wt) }
+        .toSeq.toDF("b", "wt")
+      val scored = feat.join(broadcast(wDf), "b")
+        .groupBy(col("doc_id"), col("y"), col("held"))
+        .agg(sum(col("c") * col("wt")).cast("long").as("z"))
+        .persistScoped()
+      val errRow = scored.agg(
+        sum(when(!col("held") && col("y") * col("z") <= 0, 1L).otherwise(0L))
+          .cast("long").as("te"),
+        sum(when(col("held") && col("y") * col("z") <= 0, 1L).otherwise(0L))
+          .cast("long").as("he")).head()
+      telemetry += ((r, errRow.getLong(0), errRow.getLong(1), wArr.map(math.abs).sum))
+      if (r < ClsR) {
+        val mis = scored
+          .filter(!col("held") && col("y") * col("z") <= 0)
+          .select(col("doc_id"))
+        val grad = feat.join(mis, "doc_id")
+          .groupBy(col("b"))
+          .agg(sum(col("y").cast("long") * col("c")).cast("long").as("g"),
+            sum(col("c")).cast("long").as("tc"))
+          .collect()
+        val wNew = wArr.clone()
+        // step r+1 uses the halving rate 1000 >> r (1000, 500, 250):
+        // the round-2 full-step overshoot oscillated between two
+        // weight states; decay is the standard subgradient fix and
+        // unrolls as a per-round CONSTANT in the oracle CTEs
+        val rate = 1000L >> r
+        for (row <- grad) {
+          val b = row.getLong(0).toInt
+          // identical IEEE division + floor in the oracle's update
+          wNew(b) += math.floor((row.getLong(1) * rate).toDouble /
+            row.getLong(2).toDouble).toLong
+        }
+        wArr = wNew
+      }
+      scored.unpersist()
+    }
+    feat.unpersist()
+    (wArr, telemetry.toSeq)
+  }
+
+  /** Latest trained weights per (session, dir) — the KernelMemo
+    * builder/consumer protocol at model scale: `q_classifier_train` is
+    * the designated builder (always retrains, refreshing the model),
+    * `q_classifier_score` reuses the latest weights or trains on
+    * demand; weights are deterministic, so results never depend on
+    * execution order. Sessions held weakly (the KernelMemo rule). */
+  private val clsModels =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[String, Array[Long]]]()
+  private def clsModelMap(s: org.apache.spark.sql.SparkSession) =
+    clsModels.synchronized {
+      var m = clsModels.get(s)
+      if (m == null) { m = scala.collection.concurrent.TrieMap.empty; clsModels.put(s, m) }
+      m
+    }
+
   private val classifierTrainQuery: Q = {
-    val B = 4096 // token buckets; bucket B is the bias feature
-    val R = 3    // fixed training rounds (the CC/BPE bounded-loop rule)
-    def zCte(r: Int) =
-      s"""z$r AS MATERIALIZED (
-         |  SELECT l.doc_id, l.y, l.held, CAST(sum(f.c * w.wt) AS BIGINT) AS z
-         |  FROM lab l JOIN feat f USING (doc_id) JOIN w$r w USING (b)
-         |  GROUP BY l.doc_id, l.y, l.held
-         |)""".stripMargin
-    def gwCtes(r: Int) =
-      s"""g$r AS (
-         |  SELECT f.b, CAST(sum(z.y * f.c) AS BIGINT) AS g, CAST(sum(f.c) AS BIGINT) AS tc
-         |  FROM z${r - 1} z JOIN feat f USING (doc_id)
-         |  WHERE NOT z.held AND z.y * z.z <= 0
-         |  GROUP BY f.b
-         |), w$r AS MATERIALIZED (
-         |  SELECT p.b, p.wt + CAST(floor(
-         |      CAST(coalesce(g.g, 0) * ${1000 >> (r - 1)} AS DOUBLE) / coalesce(g.tc, 1)) AS BIGINT) AS wt
-         |  FROM w${r - 1} p LEFT JOIN g$r g ON p.b = g.b
-         |)""".stripMargin
     def teleSql(r: Int) =
       s"""SELECT $r AS round,
          |  (SELECT CAST(sum(CASE WHEN NOT held AND y * z <= 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -126,26 +246,9 @@ object TextAnalysis {
          |   FROM z$r) AS held_err,
          |  (SELECT CAST(sum(abs(wt)) AS BIGINT) FROM w$r) AS w_l1""".stripMargin
     val oracle =
-      s"""WITH tok AS (
-         |  SELECT doc_id, $duckTokens AS w FROM documents
-         |), lab AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(w) >= 10 AND ${duckStopRatio("w")} >= 0.01 THEN 1 ELSE -1 END AS y,
-         |    (${duck("'cv#' || doc_id::VARCHAR")} % 5 = 0) AS held
-         |  FROM tok
-         |), feat AS MATERIALIZED (
-         |  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM (
-         |    SELECT doc_id, ${duck("t")} % $B AS b
-         |    FROM (SELECT doc_id, unnest(w) AS t FROM tok))
-         |  GROUP BY doc_id, b
-         |  UNION ALL
-         |  SELECT doc_id, CAST($B AS BIGINT) AS b, CAST(1 AS BIGINT) AS c FROM tok
-         |), w0 AS MATERIALIZED (
-         |  SELECT b, (b * 2654435761) % 2001 - 1000 AS wt
-         |  FROM (SELECT unnest(generate_series(0, $B)) AS b)
-         |), ${(1 to R).map(r => zCte(r - 1) + ", " + gwCtes(r)).mkString(", ")},
-         |${zCte(R)}
-         |${(0 to R).map(teleSql).mkString("\nUNION ALL\n")}""".stripMargin
+      s"""WITH $clsTrainCtes,
+         |${clsZCte(ClsR)}
+         |${(0 to ClsR).map(teleSql).mkString("\nUNION ALL\n")}""".stripMargin
     Q("q_classifier_train", oracle) { (s, dir) =>
       import s.implicits._
       if (graft.io.KernelMemo.isBypassed) {
@@ -154,72 +257,38 @@ object TextAnalysis {
         // telemetry with no plan to gate
         Seq.empty[(Int, Long, Long, Long)].toDF("round", "train_err", "held_err", "w_l1")
       } else {
-        val base = Tables(s, dir, "documents")
-          .select(col("doc_id"), expr(tokens).as("w"))
-          .select(col("doc_id"), col("w"), expr(markerCall("w")).as("ms"))
-          .select(col("doc_id"), col("w"),
-            when(expr("ms.total >= 10 and cast(ms.c0 as double) / ms.total >= 0.01"),
-              lit(1)).otherwise(lit(-1)).as("y"),
-            (expr(s"${h("concat('cv#', cast(doc_id as string))")} % 5") === 0).as("held"))
-        // hashing-trick features: one explode + flat codegen'd hash +
-        // map-side-combinable count per (doc, bucket), plus the bias
-        // row; cached — every round's scoring and gradient pass reads
-        // this frame, never the corpus again
-        val feat = base
-          .select(col("doc_id"), col("y"), col("held"), explode(col("w")).as("t"))
-          .select(col("doc_id"), col("y"), col("held"), expr(s"${h("t")} % $B").as("b"))
-          .groupBy(col("doc_id"), col("y"), col("held"), col("b"))
-          .agg(count(lit(1)).as("c"))
-          .unionByName(base.select(col("doc_id"), col("y"), col("held"),
-            lit(B.toLong).as("b"), lit(1L).as("c")))
-          .persistScoped()
-        var wArr = Array.tabulate(B + 1)(b => (b.toLong * 2654435761L) % 2001L - 1000L)
-        val telemetry = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
-        for (r <- 0 to R) {
-          // the weight vector is the bounded model — a LocalRelation
-          // (the localizedModel rule): broadcast-joined, constant plans
-          val wDf = wArr.zipWithIndex.map { case (wt, b) => (b.toLong, wt) }
-            .toSeq.toDF("b", "wt")
-          val scored = feat.join(broadcast(wDf), "b")
-            .groupBy(col("doc_id"), col("y"), col("held"))
-            .agg(sum(col("c") * col("wt")).cast("long").as("z"))
-            .persistScoped()
-          val errRow = scored.agg(
-            sum(when(!col("held") && col("y") * col("z") <= 0, 1L).otherwise(0L))
-              .cast("long").as("te"),
-            sum(when(col("held") && col("y") * col("z") <= 0, 1L).otherwise(0L))
-              .cast("long").as("he")).head()
-          telemetry += ((r, errRow.getLong(0), errRow.getLong(1), wArr.map(math.abs).sum))
-          if (r < R) {
-            // ONE bounded gradient aggregate: ≤ B+1 integer rows
-            val mis = scored
-              .filter(!col("held") && col("y") * col("z") <= 0)
-              .select(col("doc_id"))
-            val grad = feat.join(mis, "doc_id")
-              .groupBy(col("b"))
-              .agg(sum(col("y").cast("long") * col("c")).cast("long").as("g"),
-                sum(col("c")).cast("long").as("tc"))
-              .collect()
-            val wNew = wArr.clone()
-            // step r+1 uses the halving rate 1000 >> r (1000, 500,
-            // 250): the round-2 full-step overshoot oscillated between
-            // two weight states; decay is the standard subgradient fix
-            // and unrolls as a per-round CONSTANT in the oracle CTEs
-            val rate = 1000L >> r
-            for (row <- grad) {
-              val b = row.getLong(0).toInt
-              // identical IEEE division + floor in the oracle's update
-              wNew(b) += math.floor((row.getLong(1) * rate).toDouble /
-                row.getLong(2).toDouble).toLong
-            }
-            wArr = wNew
-          }
-          scored.unpersist()
-        }
-        feat.unpersist()
-        telemetry.toSeq.toDF("round", "train_err", "held_err", "w_l1")
+        val (wArr, telemetry) = trainClassifier(s, dir)
+        clsModelMap(s).put(dir, wArr)
+        telemetry.toDF("round", "train_err", "held_err", "w_l1")
       }
     }
+  }
+
+  /** Score the corpus under the TRAINED model — the operator a curation
+    * pass actually runs after training: per-doc integer score under the
+    * round-$ClsR weights + the keep/drop decision. Reuses the latest
+    * trained weights (training on demand if the builder has not run);
+    * the oracle re-derives the identical weights through the shared
+    * training CTE chain, so the hash gate covers model application END
+    * TO END (any weight divergence breaks every scored row). */
+  private val classifierScoreQuery: Q = Q(
+    "q_classifier_score",
+    s"""WITH $clsTrainCtes
+       |SELECT f.doc_id, CAST(sum(f.c * w.wt) AS BIGINT) AS score,
+       |  CASE WHEN CAST(sum(f.c * w.wt) AS BIGINT) > 0 THEN 'keep' ELSE 'drop' END AS cls_flag
+       |FROM feat f JOIN w$ClsR w USING (b)
+       |GROUP BY f.doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val wArr =
+      if (graft.io.KernelMemo.isBypassed) clsFixedWeights // same plan shape, no training jobs
+      else clsModelMap(s).getOrElseUpdate(dir, trainClassifier(s, dir)._1)
+    val wDf = wArr.zipWithIndex.map { case (wt, b) => (b.toLong, wt) }
+      .toSeq.toDF("b", "wt")
+    clsFeat(s, dir).join(broadcast(wDf), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("wt")).cast("long").as("score"))
+      .select(col("doc_id"), col("score"),
+        when(col("score") > 0, "keep").otherwise("drop").as("cls_flag"))
   }
 
   val queries: Seq[Q] = Seq(
@@ -950,6 +1019,7 @@ object TextAnalysis {
     // "trained beats fixed" evidence (gated in ClassifierTrainSpec).
     // The oracle unrolls the 3 rounds as MATERIALIZED CTEs.
     classifierTrainQuery,
+    classifierScoreQuery,
 
     // ---- benchmark decontamination: 5-gram overlap vs a held-out set -------
     // The pre-training hygiene pass: flag training documents sharing any

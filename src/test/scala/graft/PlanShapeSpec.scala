@@ -55,6 +55,33 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("memo consumers read the checkpointed kernel, never the corpus (diagnostic-tier rule)") {
+    // SURVEY §8.4 round-13 rule: a diagnostic/composition query names
+    // its builder kernel and adds ZERO new corpus scans. Gate: after
+    // the designated builders run, the consumer's plan — extracted
+    // WITHOUT KernelMemo.bypassed, i.e. what actually executes — must
+    // scan the memoized checkpoint (a LogicalRDD) and must contain no
+    // documents/embeddings parquet relation.
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    for (b <- Seq("q_ivf_pruned_assign", "q_dedup_ngram_capped"))
+      SparkEntry.queries(b)(spark, sf()).write.format("noop").mode("overwrite").save()
+    graft.io.CacheScope.releaseAll()
+    for (c <- Seq("q_ivf_cell_balance", "q_dedup_graph_degree")) {
+      val plan = SparkEntry.queries(c)(spark, sf()).queryExecution.optimizedPlan
+      val rddScans = plan.collect { case l: LogicalRDD => l }
+      assert(rddScans.nonEmpty,
+        s"$c must read its memoized kernel (LogicalRDD checkpoint scan)")
+      val corpusScans = plan.collect {
+        case lr: LogicalRelation
+            if lr.relation.toString.contains("documents.parquet") ||
+              lr.relation.toString.contains("embeddings.parquet") => lr
+      }
+      assert(corpusScans.isEmpty,
+        s"$c re-scans the corpus instead of consuming its builder kernel:\n$plan")
+    }
+  }
+
   test("dedup signature stages are map-side: no shuffle before partial aggregation") {
     val p = planOf("q_dedup_simhash")
     // the explode -> hash -> partial agg must appear below the first
