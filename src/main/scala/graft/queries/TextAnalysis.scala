@@ -237,6 +237,14 @@ object TextAnalysis {
       m
     }
 
+  /** Latest trained weights for (session, dir), training on demand —
+    * the model hand-off to the streaming scorer
+    * ([[graft.streaming.Streams.scoreDocs]]) and anything else that
+    * applies the classifier outside the registered queries. */
+  private[graft] def trainedWeights(
+      s: org.apache.spark.sql.SparkSession, dir: String): Array[Long] =
+    clsModelMap(s).getOrElseUpdate(dir, trainClassifier(s, dir)._1)
+
   private val classifierTrainQuery: Q = {
     def teleSql(r: Int) =
       s"""SELECT $r AS round,
@@ -281,7 +289,7 @@ object TextAnalysis {
     import s.implicits._
     val wArr =
       if (graft.io.KernelMemo.isBypassed) clsFixedWeights // same plan shape, no training jobs
-      else clsModelMap(s).getOrElseUpdate(dir, trainClassifier(s, dir)._1)
+      else trainedWeights(s, dir)
     val wDf = wArr.zipWithIndex.map { case (wt, b) => (b.toLong, wt) }
       .toSeq.toDF("b", "wt")
     clsFeat(s, dir).join(broadcast(wDf), "b")

@@ -191,6 +191,30 @@ object Streams {
       .drop("w", "contaminated")
   }
 
+  /** Streaming classifier scoring — the stateless twin of
+    * `q_classifier_score`: each arriving document is scored under the
+    * TRAINED hashed-linear model (train offline with
+    * `q_classifier_train`, score the stream online — the standard
+    * curation deployment). The weight vector rides the plan as a
+    * literal array (bounded model, ~4 KB of longs) and the score is a
+    * per-row integer fold over the tokens — no explode, no aggregation,
+    * NO STATE: the same exact BIGINT sum the batch explode+groupBy
+    * computes (integer addition is order-free), so stream and batch
+    * decisions are bit-identical (gated in StreamingSpec). Works in
+    * every output mode; at 100 TB/day this is a pure map over the
+    * stream. */
+  def scoreDocs(docs: DataFrame, weights: Array[Long]): DataFrame = {
+    graft.functions.GraftRuntime.ensure(docs.sparkSession)
+    val b = weights.length - 1 // last slot is the bias weight
+    val warr = weights.take(b).mkString("L,") + "L"
+    val th = graft.functions.CrossHash.h("t")
+    docs
+      .withColumn("score",
+        expr(s"""aggregate(split(trim(text), '\\\\s+'), cast(${weights(b)} as bigint),
+          (acc, t) -> acc + element_at(array($warr), cast(($th % $b) as int) + 1))"""))
+      .withColumn("cls_flag", when(col("score") > 0, "keep").otherwise("drop"))
+  }
+
   /** Streaming exact-dedup on event_id: duplicates arriving within the
     * watermark horizon are dropped with bounded state (the streaming twin
     * of `q_dedup_exact`; at 100 TB/day the watermark bounds the key

@@ -578,5 +578,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scoreDocs batch-twin: stream scores equal q_classifier_score on real docs") {
+    // train offline, score the stream online — the curation deployment
+    // shape. The stateless per-row fold must reproduce the batch
+    // explode+groupBy scores BIT-IDENTICALLY (same integer multiset
+    // summed), so every (score, flag) is compared, not just counts.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val w = graft.queries.TextAnalysis.trainedWeights(spark, sf())
+    val docs = graft.io.Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.scoreDocs(mem.toDF().toDF("doc_id", "text"), w)
+      .select(col("doc_id"), col("score"), col("cls_flag"))
+      .writeStream.format("memory").queryName("score_twin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      val stream = spark.table("score_twin").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      val batch = SparkEntry.queries("q_classifier_score")(spark, sf())
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      graft.io.CacheScope.releaseAll()
+      assert(stream.keySet == batch.keySet)
+      val diff = batch.keys.filter(k => stream(k) != batch(k))
+      assert(diff.isEmpty,
+        s"stream/batch score mismatch on ${diff.take(5).toSeq}: " +
+          diff.take(3).map(k => s"$k stream=${stream(k)} batch=${batch(k)}").mkString(", "))
+      assert(batch.values.map(_._2).toSet == Set("keep", "drop"),
+        "corpus must exercise both decisions")
+    } finally q.stop()
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
