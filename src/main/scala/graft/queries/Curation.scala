@@ -573,56 +573,87 @@ object Curation {
     // Pairwise shingle-set overlap between sources — the planning pass
     // before a cross-source dedup or mixing decision: which domains
     // duplicate each other, and is one contained in another (mirror
-    // sites, syndication)? Exact distinct-set semantics: one distinct
-    // over (source, shingle-hash) — the only corpus-wide shuffle — then
-    // an inverted self-join whose per-key fan-out is bounded by the
-    // SOURCE COUNT (≤ |S| postings per shingle after the distinct, vs
-    // df² for doc-level pairing), aggregated map-side into the tiny
-    // |S|² grid. Zero-overlap pairs survive via the broadcast
-    // count-grid left join (the q_dedup_lsh_recall pattern). Jaccard
-    // and containment are single int/int divisions — exact and
-    // identical cross-engine.
+    // sites, syndication)? Round-13 formulation: instead of a distinct
+    // + inverted self-join (3 corpus-wide exchanges), each shingle
+    // aggregates its source-membership BITMASK in one `bit_or` pass — a
+    // fixed 8-byte HashAggregate buffer per key, duplicates are
+    // idempotent so no distinct is needed, and the ONLY corpus shuffle
+    // is that groupBy. Every pairwise intersection, union and set size
+    // then falls out of the tiny mask HISTOGRAM (≤ min(#shingles,
+    // 2^|S|) rows) joined against the |S|²/2 pair grid — bounded
+    // side-table work. Sources are a bounded set (the Markov-vocab
+    // rule): the dense id map collects |S| rows behind a loud guard.
+    // Jaccard and containment stay single int/int divisions.
     Q(
       "q_source_overlap",
       raw"""WITH tok AS (
         |  SELECT source, $duckTokens AS w FROM documents
+        |), srcs AS (
+        |  SELECT source, CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS sid
+        |  FROM (SELECT DISTINCT source FROM documents)
         |), ex AS (
-        |  SELECT DISTINCT source, unnest($duckShingles) AS sh
+        |  SELECT source, unnest($duckShingles) AS sh
         |  FROM tok WHERE len(w) >= 3
-        |), cnt AS (
-        |  SELECT source, count(*) AS n_sh FROM ex GROUP BY source
-        |), inter AS (
-        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS inter
-        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.source < b.source
-        |  GROUP BY 1, 2
+        |), mh AS (
+        |  SELECT mask, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT sh, CAST(bit_or(1::BIGINT << sid) AS BIGINT) AS mask
+        |    FROM ex JOIN srcs USING (source) GROUP BY sh)
+        |  GROUP BY mask
+        |), n AS (
+        |  SELECT s.source, s.sid, CAST(coalesce(sum(
+        |      CASE WHEN ((mh.mask >> s.sid) & 1) = 1 THEN mh.cnt END), 0) AS BIGINT) AS n_sh
+        |  FROM srcs s LEFT JOIN mh ON ((mh.mask >> s.sid) & 1) = 1
+        |  GROUP BY s.source, s.sid
+        |), i AS (
+        |  SELECT a.sid AS sa, b.sid AS sb, CAST(coalesce(sum(
+        |      CASE WHEN ((mh.mask >> a.sid) & 1) = 1 AND ((mh.mask >> b.sid) & 1) = 1
+        |        THEN mh.cnt END), 0) AS BIGINT) AS inter
+        |  FROM srcs a JOIN srcs b ON a.source < b.source
+        |  LEFT JOIN mh ON ((mh.mask >> a.sid) & 1) = 1 AND ((mh.mask >> b.sid) & 1) = 1
+        |  GROUP BY a.sid, b.sid
         |)
-        |SELECT ca.source AS source_a, cb.source AS source_b,
-        |  ca.n_sh AS n_a, cb.n_sh AS n_b,
-        |  COALESCE(i.inter, 0) AS inter,
-        |  CAST(COALESCE(i.inter, 0) AS DOUBLE) / (ca.n_sh + cb.n_sh - COALESCE(i.inter, 0)) AS jaccard,
-        |  CAST(COALESCE(i.inter, 0) AS DOUBLE) / least(ca.n_sh, cb.n_sh) AS containment
-        |FROM cnt ca JOIN cnt cb ON ca.source < cb.source
-        |LEFT JOIN inter i ON i.source_a = ca.source AND i.source_b = cb.source""".stripMargin) { (s, dir) =>
-      val ss = Tables(s, dir, "documents")
+        |SELECT na.source AS source_a, nb.source AS source_b,
+        |  na.n_sh AS n_a, nb.n_sh AS n_b, i.inter,
+        |  CAST(i.inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.inter) AS jaccard,
+        |  CAST(i.inter AS DOUBLE) / least(na.n_sh, nb.n_sh) AS containment
+        |FROM i JOIN n na ON na.sid = i.sa JOIN n nb ON nb.sid = i.sb""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val srcList = docs.select(col("source")).distinct()
+        .collect().map(_.getString(0)).sorted // bounded: |S| grouping keys
+      require(srcList.length <= 62,
+        s"q_source_overlap bitmask packs sources into one BIGINT; got ${srcList.length} > 62")
+      import s.implicits._
+      val srcs = srcList.zipWithIndex.map { case (src, i) => (src, i.toLong) }
+        .toSeq.toDF("source", "sid")
+      // the only corpus-wide exchange: per-shingle source bitmask
+      // (bit_or is idempotent, so raw duplicate (source, shingle) rows
+      // need no distinct), then the bounded mask histogram
+      val mh = docs
         .select(col("source"), expr(tokens).as("w"))
         .filter(expr("size(w) >= 3"))
         .select(col("source"), explode(expr("shingles(w, 3)")).as("sh"))
-        .select(col("source"), xxhash64(col("sh")).as("v"))
-        .distinct()
-        .persistScoped() // feeds the count grid and the pair join
-      val counts = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
-      val inter = ss.as("a")
-        .join(ss.as("b"), expr("a.v = b.v and a.source < b.source"))
-        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
-        .agg(count(lit(1)).as("inter"))
-      counts.as("ca").select(col("source").as("source_a"), col("n_sh").as("n_a"))
-        .join(broadcast(
-          counts.as("cb").select(col("source").as("source_b"), col("n_sh").as("n_b"))),
-          col("source_a") < col("source_b"))
-        .join(broadcast(inter), Seq("source_a", "source_b"), "left")
-        .select(
-          col("source_a"), col("source_b"), col("n_a"), col("n_b"),
-          coalesce(col("inter"), lit(0L)).as("inter"))
+        .join(broadcast(srcs), "source")
+        .select(xxhash64(col("sh")).as("v"),
+          expr("shiftleft(cast(1 as bigint), cast(sid as int))").as("bit"))
+        .groupBy(col("v")).agg(expr("bit_or(bit)").as("mask"))
+        .groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+        .persistScoped() // feeds the per-source sizes and the pair grid
+      val n = mh
+        .join(broadcast(srcs), expr("((mask >> sid) & 1) = 1"), "right")
+        .groupBy(col("source"), col("sid"))
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_sh"))
+      val pairGrid = srcs.as("a")
+        .join(srcs.as("b"), col("a.source") < col("b.source"))
+        .select(col("a.sid").as("sa"), col("b.sid").as("sb"))
+      val inter = pairGrid
+        .join(mh, expr("((mask >> sa) & 1) = 1 and ((mask >> sb) & 1) = 1"), "left")
+        .groupBy(col("sa"), col("sb"))
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("inter"))
+      inter
+        .join(broadcast(n.select(col("sid").as("sa"), col("source").as("source_a"),
+          col("n_sh").as("n_a"))), "sa")
+        .join(broadcast(n.select(col("sid").as("sb"), col("source").as("source_b"),
+          col("n_sh").as("n_b"))), "sb")
         .select(
           col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("inter"),
           (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"),

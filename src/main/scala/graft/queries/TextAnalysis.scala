@@ -174,7 +174,13 @@ object TextAnalysis {
       s: org.apache.spark.sql.SparkSession,
       dir: String): (Array[Long], Seq[(Int, Long, Long, Long)]) = {
     import s.implicits._
-    val feat = clsFeat(s, dir).persistScoped()
+    // cache feat PARTITIONED BY doc_id: HashPartitioning(doc_id)
+    // satisfies the clustering of every per-round consumer — the
+    // scoring groupBy (doc_id, y, held) [superset keys] and the
+    // gradient's doc_id join — so the 4 scoring aggregates and 3
+    // gradient joins read the cached partitioning instead of each
+    // reshuffling the feature stream (one up-front exchange replaces 7)
+    val feat = clsFeat(s, dir).repartition(col("doc_id")).persistScoped()
     var wArr = clsFixedWeights
     val telemetry = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
     for (r <- 0 to ClsR) {
