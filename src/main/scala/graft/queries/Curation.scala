@@ -618,8 +618,10 @@ object Curation {
         |  CAST(i.inter AS DOUBLE) / least(na.n_sh, nb.n_sh) AS containment
         |FROM i JOIN n na ON na.sid = i.sa JOIN n nb ON nb.sid = i.sb""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
+      // bounded: |S| grouping keys; NULL sources can never equi-join
+      // (both engines drop them), so they are excluded from the id map
       val srcList = docs.select(col("source")).distinct()
-        .collect().map(_.getString(0)).sorted // bounded: |S| grouping keys
+        .collect().map(_.getString(0)).filter(_ != null).sorted
       require(srcList.length <= 62,
         s"q_source_overlap bitmask packs sources into one BIGINT; got ${srcList.length} > 62")
       import s.implicits._

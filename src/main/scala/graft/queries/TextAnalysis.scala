@@ -251,6 +251,73 @@ object TextAnalysis {
       s: org.apache.spark.sql.SparkSession, dir: String): Array[Long] =
     clsModelMap(s).getOrElseUpdate(dir, trainClassifier(s, dir)._1)
 
+  /** Operating-point evaluation of the TRAINED classifier on the
+    * held-out split: tp/fp/fn/tn and precision/recall/F1 at a fixed
+    * integer threshold grid — the eval a curation team reads before
+    * picking the keep/drop cutoff (the q_dedup_threshold_curve shape
+    * applied to the model). All counts are exact integers over exact
+    * integer scores; the ratios are int-derived IEEE divisions with
+    * zero-denominator NULL guards, and F1 is one shared left-assoc
+    * double tree — deterministic cross-engine. The oracle re-derives
+    * the weights through the shared training CTE chain. */
+  private val classifierPrCurveQuery: Q = {
+    val grid = Seq(-50000L, -20000L, -10000L, -5000L, 0L, 5000L, 10000L, 20000L, 50000L)
+    Q(
+      "q_classifier_pr_curve",
+      s"""WITH $clsTrainCtes, sc AS (
+         |  SELECT l.doc_id, l.y, CAST(sum(f.c * w.wt) AS BIGINT) AS z
+         |  FROM lab l JOIN feat f USING (doc_id) JOIN w$ClsR w USING (b)
+         |  WHERE l.held
+         |  GROUP BY l.doc_id, l.y
+         |), grid AS (
+         |  SELECT unnest([${grid.mkString(", ")}]) AS t
+         |), cm AS (
+         |  SELECT grid.t AS threshold,
+         |    CAST(coalesce(sum(CASE WHEN z > grid.t AND y = 1 THEN 1 END), 0) AS BIGINT) AS tp,
+         |    CAST(coalesce(sum(CASE WHEN z > grid.t AND y = -1 THEN 1 END), 0) AS BIGINT) AS fp,
+         |    CAST(coalesce(sum(CASE WHEN z <= grid.t AND y = 1 THEN 1 END), 0) AS BIGINT) AS fn,
+         |    CAST(coalesce(sum(CASE WHEN z <= grid.t AND y = -1 THEN 1 END), 0) AS BIGINT) AS tn
+         |  FROM grid CROSS JOIN sc GROUP BY grid.t
+         |), pr AS (
+         |  SELECT threshold, tp, fp, fn, tn,
+         |    CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS prec,
+         |    CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS rec
+         |  FROM cm
+         |)
+         |SELECT threshold, tp, fp, fn, tn, prec, rec,
+         |  CASE WHEN prec IS NOT NULL AND rec IS NOT NULL AND prec + rec > 0
+         |       THEN 2 * prec * rec / (prec + rec) END AS f1
+         |FROM pr""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val wArr =
+        if (graft.io.KernelMemo.isBypassed) clsFixedWeights // plan-only stand-in
+        else trainedWeights(s, dir)
+      val wDf = wArr.zipWithIndex.map { case (wt, b) => (b.toLong, wt) }
+        .toSeq.toDF("b", "wt")
+      val sc = clsFeat(s, dir)
+        .filter(col("held")) // pushed below the join: only the held slice scores
+        .join(broadcast(wDf), "b")
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("c") * col("wt")).cast("long").as("z"))
+      sc
+        .select(col("y"), col("z"),
+          explode(lit(grid.toArray)).as("t"))
+        .groupBy(col("t").as("threshold"))
+        .agg(
+          coalesce(sum(when(col("z") > col("t") && col("y") === 1, 1L)), lit(0L)).as("tp"),
+          coalesce(sum(when(col("z") > col("t") && col("y") === -1, 1L)), lit(0L)).as("fp"),
+          coalesce(sum(when(col("z") <= col("t") && col("y") === 1, 1L)), lit(0L)).as("fn"),
+          coalesce(sum(when(col("z") <= col("t") && col("y") === -1, 1L)), lit(0L)).as("tn"))
+        .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("case when tp + fp > 0 then cast(tp as double) / (tp + fp) end").as("prec"),
+          expr("case when tp + fn > 0 then cast(tp as double) / (tp + fn) end").as("rec"))
+        .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+          col("prec"), col("rec"),
+          expr("case when prec is not null and rec is not null and prec + rec > 0 " +
+            "then 2 * prec * rec / (prec + rec) end").as("f1"))
+    }
+  }
+
   private val classifierTrainQuery: Q = {
     def teleSql(r: Int) =
       s"""SELECT $r AS round,
@@ -1034,6 +1101,7 @@ object TextAnalysis {
     // The oracle unrolls the 3 rounds as MATERIALIZED CTEs.
     classifierTrainQuery,
     classifierScoreQuery,
+    classifierPrCurveQuery,
 
     // ---- benchmark decontamination: 5-gram overlap vs a held-out set -------
     // The pre-training hygiene pass: flag training documents sharing any
