@@ -49,6 +49,13 @@ object GraftRuntime {
       (children: Seq[Expression]) => DecimalDot(children(0), children(1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "plane_cell",
+      (children: Seq[Expression]) => PlaneCell(
+        children(0),
+        children(1).eval().asInstanceOf[Number].intValue(),
+        children(2).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_agg",
       (children: Seq[Expression]) => SimHashAgg(children.head),
       "built-in")

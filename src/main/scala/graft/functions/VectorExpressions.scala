@@ -107,6 +107,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DecimalDot].getName, "dot_dec"),
       (children: Seq[Expression]) => DecimalDot(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("plane_cell"),
+      new ExpressionInfo(classOf[PlaneCell].getName, "plane_cell"),
+      (children: Seq[Expression]) => PlaneCell(
+        children(0),
+        children(1).eval().asInstanceOf[Number].intValue(),
+        children(2).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)))
+    ext.injectFunction((
       new FunctionIdentifier("simhash_agg"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
       (children: Seq[Expression]) => SimHashAgg(children.head)))

@@ -402,15 +402,9 @@ object Similarity {
     * 64-term double sum in the HOF's left-fold order — bit-identical
     * values, but inside WholeStageCodegen instead of 4x64 interpreted
     * lambda calls plus 256 md5s per row. */
-  private def bucketCol(v: String): org.apache.spark.sql.Column = {
-    def planeSum(j: Int) = (1 to 64).map { i =>
-      val w = ((graft.functions.CrossHash.local(s"$j#$i") % 2001) - 1000) / 1000.0
-      lit(w) * element_at(col(v), i).cast("double")
-    }.reduceLeft(_ + _)
-    (0 until 4)
-      .map(j => when(planeSum(j) >= 0, lit(1 << j)).otherwise(lit(0)))
-      .reduceLeft(_ + _)
-  }
+  private def bucketCol(v: String): org.apache.spark.sql.Column =
+    // same native loop as [[semCellCol]], distinct `j#i` seed family
+    expr(s"plane_cell($v, 4, '')")
 
   private def duckBucket(v: String): String =
     s"""list_sum(list_transform(generate_series(0, 3), j ->
@@ -1640,16 +1634,12 @@ object Similarity {
     * plan-time constants; each plane sum folds dims 1..64 left-to-right
     * — the same order as DuckDB's list_reduce, so the sign (and the
     * cell) is bit-identical cross-engine. */
-  private[graft] def semCellCol(v: String, bits: Int): org.apache.spark.sql.Column = {
-    def planeSum(j: Int) = (1 to 64).map { i =>
-      val w = ((graft.functions.CrossHash.local(s"sem#$j#$i") % 2001) - 1000) / 1000.0
-      lit(w) * element_at(col(v), i).cast("double")
-    }.reduceLeft(_ + _)
-    if (bits <= 0) lit(0)
-    else (0 until bits)
-      .map(j => when(planeSum(j) >= 0, lit(1 << j)).otherwise(lit(0)))
-      .reduceLeft(_ + _)
-  }
+  private[graft] def semCellCol(v: String, bits: Int): org.apache.spark.sql.Column =
+    // native compact-loop expression (round 13): the former bits×64
+    // inlined-term tree blew the fused stage past the JIT compile
+    // threshold inside the pruned-assignment joins — see
+    // [[graft.functions.PlaneCell]] for the bit-identical contract
+    if (bits <= 0) lit(0) else expr(s"plane_cell($v, $bits, 'sem#')")
 
   private def duckSemCell(v: String): String =
     s"""CAST(list_sum(list_transform(generate_series(0, $duckSemBits - 1), j ->

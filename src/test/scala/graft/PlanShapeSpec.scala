@@ -534,11 +534,14 @@ class PlanShapeSpec extends SparkSpec {
     // exactly one sign test per hyperplane, and the plane count is the
     // corpus-derived semBits(n) — the round-11 cap that replaced the
     // fixed-16-cell all-pairs generator
-    val caseCount = assign.queryExecution.analyzed.expressions.map(e =>
-      e.collect {
-        case c: org.apache.spark.sql.catalyst.expressions.CaseWhen => c
-      }.size).sum
-    assert(caseCount == bits, s"expected $bits hyperplane sign tests, saw $caseCount")
+    // the cell id is the native PlaneCell loop (round 13 — the inlined
+    // per-plane CaseWhen tree blew the fused-stage JIT budget); gate the
+    // corpus-derived plane count on the expression's own `bits`
+    val cells = assign.queryExecution.analyzed.expressions.flatMap(e =>
+      e.collect { case pc: graft.functions.PlaneCell => pc })
+    assert(cells.nonEmpty, "cell assignment must go through plane_cell")
+    assert(cells.forall(_.bits == bits),
+      s"expected $bits hyperplanes, saw ${cells.map(_.bits)}")
     val p = planOf("q_dedup_semantic")
     assert(!p.contains("GlobalLimit"),
       "a fixed-cardinality centroid seed set crept back into the semantic kernel")
