@@ -49,6 +49,18 @@ object GraftRuntime {
       (children: Seq[Expression]) => DecimalDot(children(0), children(1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "plane_sums",
+      (children: Seq[Expression]) => {
+        val ad = children(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val w = (0 until ad.numElements()).map { k =>
+          val row = ad.getArray(k)
+          (0 until row.numElements()).map(i => row.getDouble(i))
+        }
+        PlaneSums(children(0), w)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "plane_cell",
       (children: Seq[Expression]) => PlaneCell(
         children(0),

@@ -107,6 +107,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DecimalDot].getName, "dot_dec"),
       (children: Seq[Expression]) => DecimalDot(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("plane_sums"),
+      new ExpressionInfo(classOf[PlaneSums].getName, "plane_sums"),
+      (children: Seq[Expression]) => {
+        val ad = children(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val w = (0 until ad.numElements()).map { k =>
+          val row = ad.getArray(k)
+          (0 until row.numElements()).map(i => row.getDouble(i))
+        }
+        PlaneSums(children(0), w)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("plane_cell"),
       new ExpressionInfo(classOf[PlaneCell].getName, "plane_cell"),
       (children: Seq[Expression]) => PlaneCell(

@@ -354,13 +354,16 @@ object Curation {
         }.mkString(",\n  ")
         s"SELECT vec_id,\n  $dims\nFROM embeddings"
       }) { (s, dir) =>
-      val cols = rpSigns.zipWithIndex.map { case (signs, k) =>
-        signs.zipWithIndex.map { case (w, i) =>
-          lit(w) * element_at(col("embedding"), i + 1).cast("double")
-        }.reduceLeft(_ + _).as(s"p$k")
-      }
+      // native plane_sums loop (round 13): the 16×64 inlined term tree
+      // pushed the generated map-stage method past the JIT compile
+      // threshold (the PlaneCell lesson); identical left-fold values
+      val wSql = rpSigns // the D suffix keeps the literals DOUBLE, not DECIMAL
+        .map(_.map(w => s"${w}D").mkString("array(", ", ", ")"))
+        .mkString("array(", ", ", ")")
+      val ps = expr(s"plane_sums(embedding, $wSql)")
       Tables(s, dir, "embeddings")
-        .select(col("vec_id") +: cols: _*)
+        .select(col("vec_id") +:
+          rpSigns.indices.map(k => element_at(ps, k + 1).as(s"p$k")): _*)
     },
 
     // ---- PCA top component: exact integer Gram + pinned power iteration ----
