@@ -702,6 +702,11 @@ class DistPipelineSpec extends SparkSpec {
     assert(rate.columns.toSet == Set("source", "n_docs", "n_droppable", "drop_rate"))
     val funnel = spark.read.option("header", true).csv(s"file:$base/funnel")
     assert(funnel.count() == 5)
+    // the trained classifier's keep slice materialized through the
+    // runner (train-in-engine -> score -> filter -> sink, config only)
+    val keeps = spark.read.parquet(s"file:$base/classifier_keeps")
+    assert(keeps.columns.toSet == Set("doc_id", "score", "cls_flag"))
+    assert(keeps.count() > 0 && keeps.where("cls_flag <> 'keep'").count() == 0)
     // the audit direction re-runs the survivor query and fingerprints it
     // against the parquet written above — must pass on a faithful copy
     DistMain.runDirection(spark, conf.direction("audit"), "audit")
