@@ -48,6 +48,7 @@ object ScaleSlope {
     "q_dedup_minhash_lsh",
     "q_dedup_embedding",
     "q_ivf_pruned_assign",
+    "q_ann_ivf", // the production corpus-derived switch path (flat below |C|=8192)
     "q_classifier_train")
 
   final val Scales = Seq(1, 4, 16)
