@@ -1589,9 +1589,136 @@ object Similarity {
       .filter(abs(col("zscore")) > 2.0)
   }
 
+  /** IVF recall-vs-work tuning curve (round 13): recall@3 and mean
+    * candidate volume per query at nprobe ∈ {1, 2, 4} — THE operating
+    * curve an IVF deployment reads to pick its probe count (the FAISS
+    * nprobe sweep), where q_ann_ivf_multiprobe fixes nprobe = 2. One
+    * corpus assignment pass (the multiprobe machinery widened to a
+    * top-4 cell ranking via the bounded-heap TopK prefilter), the
+    * bounded NQ probe fan-out exploded once per applicable sweep
+    * point, exact-DECIMAL candidate ranking, ground truth from the
+    * memoized q_ann_topk kernel. Counts are exact integers; the two
+    * ratios divide by literal constants. */
+  private val nprobeCurveQuery: Q = {
+    def oracleOf(name: String) = baseQueries.find(_.name == name).get.oracle.get
+    val probeGrid = Seq(1, 2, 4)
+    Q(
+      "q_ivf_nprobe_curve",
+      s"""WITH cents AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+        |  ORDER BY $duckCHash, vec_id LIMIT $duckNcIvf
+        |), cand AS (
+        |  ${duckPrunedCand("cents")}
+        |), ranked AS (
+        |  SELECT vec_id, embedding, c_id, crn FROM (
+        |    SELECT vec_id, embedding, c_id,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY ${duckDot("embedding", "c_emb")} DESC, c_id) AS crn
+        |    FROM cand
+        |  ) WHERE crn <= ${probeGrid.max}
+        |), assign AS (
+        |  SELECT vec_id, embedding, c_id AS cell FROM ranked WHERE crn = 1
+        |), qids AS (
+        |  SELECT vec_id FROM embeddings ORDER BY $duckQHash, vec_id LIMIT $NQ
+        |), probes AS (
+        |  SELECT vec_id, embedding, c_id AS cell, crn FROM ranked
+        |  WHERE vec_id IN (SELECT vec_id FROM qids)
+        |), ex AS (
+        |  SELECT query_id, cand_id FROM (${oracleOf("q_ann_topk")}) WHERE rn <= 3
+        |), sw AS (
+        |  SELECT p.nprobe, q.vec_id AS query_id, x.vec_id AS cand_id,
+        |    ${duckDot("q.embedding", "x.embedding")} AS dot
+        |  FROM (VALUES ${probeGrid.map(p => s"($p)").mkString(", ")}) p(nprobe)
+        |  JOIN probes q ON q.crn <= p.nprobe
+        |  JOIN assign x ON q.cell = x.cell AND q.vec_id <> x.vec_id
+        |), rk AS (
+        |  SELECT nprobe, query_id, cand_id,
+        |    row_number() OVER (PARTITION BY nprobe, query_id
+        |      ORDER BY dot DESC, cand_id) AS rn
+        |  FROM sw
+        |)
+        |SELECT r.nprobe,
+        |  CAST(count(*) AS BIGINT) AS n_cands,
+        |  CAST(coalesce(sum(CASE WHEN r.rn <= 3 AND ex.cand_id IS NOT NULL
+        |    THEN 1 END), 0) AS BIGINT) AS n_hits,
+        |  CAST(count(*) AS DOUBLE) / $NQ AS avg_cands,
+        |  CAST(coalesce(sum(CASE WHEN r.rn <= 3 AND ex.cand_id IS NOT NULL
+        |    THEN 1 END), 0) AS DOUBLE) / (3 * $NQ) AS recall_at_3
+        |FROM rk r LEFT JOIN ex
+        |  ON r.query_id = ex.query_id AND r.cand_id = ex.cand_id
+        |GROUP BY r.nprobe""".stripMargin) { (s, dir) =>
+      val pMax = probeGrid.max
+      val e = Tables(s, dir, "embeddings")
+      val cents = localizedModel(
+        e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+            expr(cHash).as("ch"))
+          .orderBy(col("ch"), col("c_id")).limit(ncIvf(s, dir))
+          .select(col("c_id"), col("c_emb")))
+      // the q_ann_ivf_multiprobe machinery widened to a top-pMax cell
+      // ranking: switched double prefilter, bounded-heap threshold,
+      // exact-DECIMAL rank on survivors
+      val ddots = centroidScores(
+        s, dir, e.select(col("vec_id"), col("embedding")), cents)
+      val topkP = udaf(
+        new graft.functions.Aggregators.TopK(pMax),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      val thP = ddots.groupBy(col("vec_id").as("t_vec"))
+        .agg(topkP(col("cdd"), col("c_id")).as("tk"))
+        .select(col("t_vec"), expr(s"element_at(tk, $pMax)._1").as("th"))
+      val surv = ddots.join(thP, col("vec_id") === col("t_vec"))
+        .filter(col("th").isNull || col("cdd") >= col("th") - 1e-9)
+        .select(col("vec_id").as("s_vec"), col("c_id"))
+      val ranked = e.join(surv, col("vec_id") === col("s_vec"))
+        .join(broadcast(cents), "c_id")
+        .select(col("vec_id"), col("embedding"), col("c_id"),
+          expr(dot("embedding", "c_emb")).as("cdot"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("cdot").desc, col("c_id"))))
+        .filter(col("crn") <= pMax)
+        .persistScoped() // feeds the corpus index AND the probe fan-out
+      val assign = ranked.filter(col("crn") === 1)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb2"),
+          col("c_id").as("x_cell"))
+      val qids = e.select(col("vec_id"), expr(qHash).as("qh"))
+        .orderBy(col("qh"), col("vec_id")).limit(NQ)
+        .select(col("vec_id").as("q_vec"))
+      val probes = ranked.join(qids, col("vec_id") === col("q_vec"), "left_semi")
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("c_id").as("cell"), col("crn").as("pcrn"))
+      // each corpus vector has ONE cell and the query's probe cells are
+      // distinct, so every (query, cand, nprobe) appears at most once —
+      // no dedup needed; the sweep explode touches only the bounded
+      // NQ·nprobe·cell-size candidate stream
+      val sw = assign
+        .join(probes, col("cell") === col("x_cell") && col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"), col("pcrn"),
+          expr(dot("q_emb", "c_emb2")).as("dotv"))
+        .select(col("query_id"), col("cand_id"), col("dotv"),
+          explode(expr(s"filter(array(${probeGrid.mkString(", ")}), p -> p >= pcrn)"))
+            .as("nprobe"))
+      val rk = sw.withColumn("rn", row_number().over(
+        Window.partitionBy(col("nprobe"), col("query_id"))
+          .orderBy(col("dotv").desc, col("cand_id"))))
+      val ex = annReuse(s, dir, "q_ann_topk")
+        .filter(col("rn") <= 3).select(col("query_id"), col("cand_id"))
+        .withColumn("hit", lit(1L))
+      rk.join(broadcast(ex), Seq("query_id", "cand_id"), "left")
+        .groupBy(col("nprobe"))
+        .agg(
+          count(lit(1)).as("n_cands"),
+          coalesce(sum(when(col("rn") <= 3 && col("hit").isNotNull, 1L)), lit(0L))
+            .as("n_hits"))
+        .select(col("nprobe"), col("n_cands"), col("n_hits"),
+          expr(s"cast(n_cands as double) / $NQ").as("avg_cands"),
+          expr(s"cast(n_hits as double) / (3 * $NQ)").as("recall_at_3"))
+    }
+  }
+
   val queries: Seq[Q] =
-    baseQueries :+ recallQuery :+ diversityQuery :+ purityQuery :+ normsQuery :+
-      outliersQuery
+    baseQueries :+ recallQuery :+ nprobeCurveQuery :+ diversityQuery :+
+      purityQuery :+ normsQuery :+ outliersQuery
 
   /** SemDeDup cell geometry — CORPUS-DERIVED hyperplane cells
     * (round-11; replaces the fixed-16 nearest-centroid cells, the last
