@@ -643,8 +643,8 @@ object Curation {
         .groupBy(col("v")).agg(expr("bit_or(bit)").as("mask"))
         .groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
         .persistScoped() // feeds the per-source sizes and the pair grid
-      val n = mh
-        .join(broadcast(srcs), expr("((mask >> sid) & 1) = 1"), "right")
+      val n = srcs
+        .join(mh, expr("((mask >> sid) & 1) = 1"), "left")
         .groupBy(col("source"), col("sid"))
         .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_sh"))
       val pairGrid = srcs.as("a")
