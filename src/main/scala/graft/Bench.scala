@@ -215,6 +215,6 @@ object Bench {
     } catch { case t: Throwable =>
       System.err.println(s"[bench] could not write target/bench.json: $t")
     }
-    spark.stop()
+    graft.io.Sessions.stop(spark)
   }
 }

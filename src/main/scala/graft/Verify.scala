@@ -79,6 +79,6 @@ object Verify {
       Files.writeString(Paths.get(s"$outDir/_FAILED"), failed.sorted.mkString("\n"))
     else Files.deleteIfExists(Paths.get(s"$outDir/_FAILED"))
     finishMarker(outDir, only)
-    spark.stop()
+    graft.io.Sessions.stop(spark)
   }
 }

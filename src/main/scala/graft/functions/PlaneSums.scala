@@ -105,3 +105,51 @@ case class PlaneSums(child: Expression, weights: Seq[Seq[Double]])
   override protected def withNewChildInternal(newChild: Expression): PlaneSums =
     copy(child = newChild)
 }
+
+/** Registration-time builder shared VERBATIM by [[GraftRuntime]] and
+  * the session-extension injection (ADVICE r13: the two sites had
+  * drifted into duplicated lambdas, and neither validated types — a
+  * natural SQL call like `plane_sums(v, array(array(1.0, 2.0)))`
+  * produces DECIMAL literals, which the raw `getDouble` read died on
+  * with a bare ClassCastException). Numeric weight matrices are
+  * COERCED to double through a foldable Cast; anything else fails with
+  * a usable message naming the offending argument. */
+object PlaneSums {
+  import org.apache.spark.sql.catalyst.expressions.Cast
+  import org.apache.spark.sql.types.NumericType
+
+  def build(children: Seq[Expression]): Expression = {
+    require(children.size == 2,
+      s"plane_sums expects (vector, weights), got ${children.size} arguments")
+    val w = children(1)
+    if (!w.foldable)
+      throw new IllegalArgumentException(
+        "plane_sums weights must be a literal array(array(double, ...)), got " + w.sql)
+    val coerced = w.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => w
+      case ArrayType(ArrayType(_: NumericType, _), _) =>
+        Cast(w, ArrayType(ArrayType(DoubleType))) // stays foldable: Cast of a foldable child
+      case other =>
+        throw new IllegalArgumentException(
+          s"plane_sums weights must be array(array(double)), got ${other.simpleString}: ${w.sql}")
+    }
+    val v = coerced.eval()
+    if (v == null)
+      throw new IllegalArgumentException(
+        "plane_sums weights must be a non-null literal matrix, got " + w.sql)
+    val ad = v.asInstanceOf[ArrayData]
+    val rows = (0 until ad.numElements()).map { k =>
+      if (ad.isNullAt(k))
+        throw new IllegalArgumentException(
+          s"plane_sums weights row $k is NULL in " + w.sql)
+      val row = ad.getArray(k)
+      (0 until row.numElements()).map { i =>
+        if (row.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"plane_sums weight ($k, $i) is NULL in " + w.sql)
+        row.getDouble(i)
+      }
+    }
+    PlaneSums(children(0), rows)
+  }
+}

@@ -109,36 +109,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("plane_sums"),
       new ExpressionInfo(classOf[PlaneSums].getName, "plane_sums"),
-      (children: Seq[Expression]) => {
-        // guard BEFORE eval (the marker_scores rule): a non-foldable
-        // weight matrix would die in the analyzer with an
-        // unbound-attribute error instead of a usable message
-        if (!children(1).foldable || children(1).eval() == null)
-          throw new IllegalArgumentException(
-            "plane_sums weights must be a literal array(array(double, ...)), got " +
-              children(1).sql)
-        val ad = children(1).eval()
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        val w = (0 until ad.numElements()).map { k =>
-          val row = ad.getArray(k)
-          (0 until row.numElements()).map(i => row.getDouble(i))
-        }
-        PlaneSums(children(0), w)
-      }))
+      // validated/coercing builder shared with GraftRuntime (ADVICE r13)
+      PlaneSums.build _))
     ext.injectFunction((
       new FunctionIdentifier("plane_cell"),
       new ExpressionInfo(classOf[PlaneCell].getName, "plane_cell"),
-      (children: Seq[Expression]) => {
-        if (!children(1).foldable || !children(2).foldable ||
-          children(1).eval() == null || children(2).eval() == null)
-          throw new IllegalArgumentException(
-            "plane_cell bits and seed prefix must be non-null literals, got " +
-              s"${children(1).sql}, ${children(2).sql}")
-        PlaneCell(
-          children(0),
-          children(1).eval().asInstanceOf[Number].intValue(),
-          children(2).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
-      }))
+      PlaneCell.build _))
     ext.injectFunction((
       new FunctionIdentifier("simhash_agg"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),

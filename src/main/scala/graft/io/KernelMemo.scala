@@ -36,12 +36,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object KernelMemo {
 
   /** Per-session kernel frames. The outer map holds the SparkSession
-    * WEAKLY (ADVICE r12): long-lived JVMs that churn sessions (test
-    * suites) must not retain frames for dead sessions, and keying on
-    * identityHashCode risked a post-GC collision adopting a stale
-    * frame. All access synchronizes on `frames` (WeakHashMap is not
-    * thread-safe); the inner map is per-session so kernels never leak
-    * across sessions. */
+    * as a WeakHashMap key (ADVICE r12/r13). NOTE the weak key does NOT
+    * auto-collect entries: every memoized DataFrame strongly references
+    * its SparkSession (via QueryExecution), so the key stays reachable
+    * through the map's own values — [[invalidate]] is the ONLY release
+    * path, and anything that stops a session must call it (the entry
+    * points go through [[Sessions.stop]]). The map shape still earns
+    * its keep: keying on the session object (vs r11's identityHashCode)
+    * can never adopt a stale frame after a collision, and the inner map
+    * is per-session so kernels never leak across sessions. All access
+    * synchronizes on `frames` (WeakHashMap is not thread-safe). */
   private val frames =
     new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[(String, String), DataFrame]]()
 
@@ -124,8 +128,10 @@ object KernelMemo {
     }
   }
 
-  /** Drop all memoized kernels for a session (tests). The checkpoint
-    * files themselves are reclaimed with the checkpoint dir. */
+  /** Drop all memoized kernels for a session — REQUIRED on session
+    * stop (see the retention note on `frames`: entries never GC on
+    * their own because the values pin the key). The checkpoint files
+    * themselves are reclaimed with the checkpoint dir. */
   def invalidate(s: SparkSession): Unit =
     frames.synchronized { frames.remove(s); () }
 }

@@ -52,4 +52,14 @@ object Sessions {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Canonical shutdown: release the kernel memo BEFORE stopping — the
+    * memo's weak-keyed map cannot GC its entries on its own (the frames
+    * pin the session; see [[KernelMemo]]), so the explicit invalidate
+    * is the release path for long-lived JVMs that churn sessions. */
+  def stop(spark: SparkSession): Unit = {
+    KernelMemo.invalidate(spark)
+    CacheScope.releaseAll()
+    spark.stop()
+  }
 }

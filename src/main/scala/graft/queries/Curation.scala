@@ -223,10 +223,11 @@ object Curation {
     },
 
     // ---- bloom-gated decontamination ---------------------------------------
-    // Same semantics (and oracle) as q_decontaminate, different scale
-    // path: instead of broadcasting the eval 5-gram HASH SET, the eval
-    // side collapses to a Spark BloomFilter (bloom_agg — the engine's
-    // own runtime-filter sketch) evaluated as a scalar subquery, and the
+    // Same semantics (and oracle) as q_decontaminate, the forced SCALE
+    // branch of that query's eval-size switch (VERDICT r13 #1): instead
+    // of broadcasting the eval 5-gram HASH SET, the eval side collapses
+    // to a Spark BloomFilter (bloom_agg — the engine's own
+    // runtime-filter sketch) evaluated as a scalar subquery, and the
     // corpus stream is pre-filtered by might_contain BEFORE the join.
     // When the eval/reference set is too large for a broadcast hash
     // relation (~100M n-grams = GBs as a hash set, MBs as a bloom), this
@@ -234,7 +235,11 @@ object Curation {
     // only the bloom survivors, so the join input is a few false
     // positives away from the final answer. The confirm join is left
     // UNHINTED — the result stays exact whatever the FP rate, which is
-    // why the q_decontaminate oracle must agree row-for-row.
+    // why the q_decontaminate oracle must agree row-for-row. Keeping
+    // this registered pins the scale branch hash-gate-green at every
+    // SF whatever branch the switch derives (the q_ivf_pruned_assign
+    // rule). Implementation shared with the switch:
+    // [[TextAnalysis.decontaminateBloom]].
     Q(
       "q_decontaminate_bloom",
       raw"""WITH tok AS (
@@ -250,23 +255,7 @@ object Curation {
         |FROM sh JOIN ev USING (s)
         |WHERE sh.doc_id % 29 <> 0
         |GROUP BY sh.doc_id""") { (s, dir) =>
-      graft.io.Tables.registerAll(s, dir)
-      s.sql(s"""
-        |WITH sh AS (
-        |  SELECT doc_id, xxhash64(sv) AS v
-        |  FROM (SELECT doc_id, explode(shingles(w, 5)) AS sv
-        |        FROM (SELECT doc_id, $tokens AS w FROM documents)
-        |        WHERE size(w) >= 5)
-        |), ev AS (
-        |  SELECT DISTINCT v FROM sh WHERE doc_id % 29 = 0
-        |), bf AS (
-        |  SELECT bloom_agg(v, 100000L, 800000L) AS b FROM ev
-        |)
-        |SELECT c.doc_id, count(*) AS n_overlap
-        |FROM (SELECT doc_id, v FROM sh
-        |      WHERE doc_id % 29 <> 0 AND might_contain((SELECT b FROM bf), v)) c
-        |JOIN ev USING (v)
-        |GROUP BY c.doc_id""".stripMargin)
+      TextAnalysis.decontaminateBloom(s, dir)
     },
 
     // ---- Count-Min sketch: point-frequency estimates at bounded memory -----
@@ -617,8 +606,10 @@ object Curation {
         |)
         |SELECT na.source AS source_a, nb.source AS source_b,
         |  na.n_sh AS n_a, nb.n_sh AS n_b, i.inter,
-        |  CAST(i.inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.inter) AS jaccard,
-        |  CAST(i.inter AS DOUBLE) / least(na.n_sh, nb.n_sh) AS containment
+        |  CASE WHEN na.n_sh + nb.n_sh - i.inter > 0
+        |    THEN CAST(i.inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.inter) END AS jaccard,
+        |  CASE WHEN least(na.n_sh, nb.n_sh) > 0
+        |    THEN CAST(i.inter AS DOUBLE) / least(na.n_sh, nb.n_sh) END AS containment
         |FROM i JOIN n na ON na.sid = i.sa JOIN n nb ON nb.sid = i.sb""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       // bounded: |S| grouping keys; NULL sources can never equi-join
@@ -661,8 +652,17 @@ object Curation {
           col("n_sh").as("n_b"))), "sb")
         .select(
           col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("inter"),
-          (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"),
-          (col("inter").cast("double") / least(col("n_a"), col("n_b"))).as("containment"))
+          // zero-denominator NULL guards IDENTICAL to the oracle
+          // (ADVICE r13): the r13 pair grid spans ALL distinct sources,
+          // so a pair where both sides produced zero shingles would be
+          // 0/0 — NaN on Spark, engine-config-dependent in DuckDB, a
+          // hash-gate hazard. Same guard shape as q_classifier_pr_curve.
+          when(col("n_a") + col("n_b") - col("inter") > 0,
+            col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+            .as("jaccard"),
+          when(least(col("n_a"), col("n_b")) > 0,
+            col("inter").cast("double") / least(col("n_a"), col("n_b")))
+            .as("containment"))
     },
 
     // ---- per-source data card ----------------------------------------------

@@ -94,12 +94,111 @@ object TextAnalysis {
     (sh, ev)
   }
 
+  // ---- decontamination eval-set scale switch (VERDICT r13 #1) --------------
+  // The broadcast probe join is only safe while the eval 5-gram hash
+  // set fits a broadcast relation. Real benchmark suites do (a few
+  // hundred thousand n-grams), but the harness surrogate defines the
+  // eval set as a CORPUS SLICE (doc_id % 29) — a set that grows with
+  // the corpus and at 100 TB is a multi-TB broadcast, i.e. a driver
+  // OOM, not a slowdown. The corpus-derived switch below (the
+  // PRUNE_SWITCH_C / PROBE_ROW_BUDGET pattern) estimates the eval row
+  // count at PLAN time from the table row count — (N/29) eval docs ×
+  // a stated per-doc distinct-5-gram estimate — and past the budget
+  // the registered query takes the bloom-gated path instead
+  // (BloomFilterAggregate scalar subquery + might_contain map-side
+  // prefilter + UNHINTED exact confirm join). Both branches compute
+  // the IDENTICAL exact result (the bloom is a prefilter, never a
+  // verdict), so unlike the IVF switch the oracle needs no flag-gated
+  // UNION — one SQL text covers every branch, and the hash gate proves
+  // whichever branch the scale selects. `q_decontaminate_bloom` pins
+  // the scale branch at every SF; `q_decontaminate` exercises the
+  // switch's default derivation.
+
+  /** Eval hash-set row budget for the broadcast branch: ~4M 8-byte
+    * hashes ≈ 32 MB as a broadcast hash relation — comfortable on a
+    * 1000-executor cluster, and far above any fixed benchmark suite
+    * (MMLU+GSM8K+HumanEval ≈ 1e5 5-grams). Only a corpus-fraction
+    * eval definition can exceed it, which is exactly the case that
+    * must flip to the bloom path. */
+  private[graft] final val DeconEvalRowBudget = 4_000_000L
+
+  /** Stated per-doc distinct-5-gram estimate for the plan-time eval
+    * size derivation (harness docs average ~100-300 tokens ⇒ ~100-300
+    * distinct 5-grams; 256 is the conservative round number). Integer
+    * arithmetic only — the corpus-derived-parameter rule. */
+  private[graft] final val DeconShinglesPerDocEst = 256L
+
+  /** Plan-time estimate of the surrogate eval set's row count: (N/29)
+    * eval docs × the per-doc shingle estimate, from the cached table
+    * row count (no job). */
+  private[graft] def deconEvalRowsEst(
+      s: org.apache.spark.sql.SparkSession, dir: String): Long =
+    (Tables.rowCount(s, dir, "documents") / 29L) * DeconShinglesPerDocEst
+
+  /** Small-eval branch: DISTINCT eval hashes broadcast into the probe
+    * join — one map-side hash join over the exploded corpus shingles,
+    * no corpus shuffle. Only reachable below [[DeconEvalRowBudget]]. */
+  private[queries] def decontaminateBroadcast(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val (sh, ev) = evalShingleProbe(s, dir)
+    sh.filter(col("doc_id") % 29 =!= 0)
+      .join(broadcast(ev), Seq("v"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** Scale branch: the eval set collapses to Spark's own
+    * BloomFilterAggregate (scalar subquery — bounded bytes whatever
+    * the eval row count), the corpus stream is prefiltered map-side by
+    * `might_contain`, and the exact confirm join runs UNHINTED over
+    * the bloom survivors — AQE picks the join strategy from the
+    * runtime size, so no forced broadcast exists on ANY side. The
+    * bloom is sized from the same plan-time estimate (8 bits/item ≈
+    * 2% FP): false positives only cost confirm-join input, never
+    * correctness. */
+  private[queries] def decontaminateBloom(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    graft.io.Tables.registerAll(s, dir)
+    val estItems = math.max(100_000L, deconEvalRowsEst(s, dir))
+    val estBits = 8L * estItems
+    s.sql(s"""
+      |WITH sh AS (
+      |  SELECT doc_id, xxhash64(sv) AS v
+      |  FROM (SELECT doc_id, explode(shingles(w, 5)) AS sv
+      |        FROM (SELECT doc_id, $tokens AS w FROM documents)
+      |        WHERE size(w) >= 5)
+      |), ev AS (
+      |  SELECT DISTINCT v FROM sh WHERE doc_id % 29 = 0
+      |), bf AS (
+      |  SELECT bloom_agg(v, ${estItems}L, ${estBits}L) AS b FROM ev
+      |)
+      |SELECT c.doc_id, count(*) AS n_overlap
+      |FROM (SELECT doc_id, v FROM sh
+      |      WHERE doc_id % 29 <> 0 AND might_contain((SELECT b FROM bf), v)) c
+      |JOIN ev USING (v)
+      |GROUP BY c.doc_id""".stripMargin)
+  }
+
+  /** The registered switch: broadcast below the budget, bloom past it.
+    * `evalRowBudget` is parameterized so the plan gates can force
+    * either branch (the prunedScores probeRowBudget pattern). */
+  private[graft] def decontaminateGate(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      evalRowBudget: Long = DeconEvalRowBudget): DataFrame =
+    if (deconEvalRowsEst(s, dir) > evalRowBudget) decontaminateBloom(s, dir)
+    else decontaminateBroadcast(s, dir)
+
   /** In-engine training of the hashed linear quality classifier — see
     * the registration comment at the call site for the full design.
     * Defined apart because the oracle unrolls 3 training rounds as
     * generated MATERIALIZED CTEs. */
   // ---- hashed linear classifier: shared training machinery -----------------
-  private final val ClsB = 4096 // token buckets; bucket ClsB is the bias
+  // token buckets; bucket ClsB is the bias. private[graft] because the
+  // bucket modulus is a MODEL INVARIANT: every consumer of a trained
+  // weight vector (the streaming scorer) must assert its length is
+  // ClsB + 1 or a stale/foreign model silently hashes tokens into the
+  // wrong bucket count (ADVICE r13)
+  private[graft] final val ClsB = 4096
   private final val ClsR = 3    // fixed training rounds (the CC/BPE bounded-loop rule)
 
   private def clsZCte(r: Int) =
@@ -1106,12 +1205,16 @@ object TextAnalysis {
     // ---- benchmark decontamination: 5-gram overlap vs a held-out set -------
     // The pre-training hygiene pass: flag training documents sharing any
     // 5-gram with the benchmark/eval set (surrogate here: doc_id % 29).
-    // The eval shingle set is DISTINCT + broadcast — benchmark suites are
-    // tiny next to the corpus, so at 100 TB this stays one map-side hash
-    // join over the exploded corpus shingles, no shuffle of the corpus.
-    // Spark joins on xxhash64 of the shingle (flat codegen'd projection,
-    // 8-byte key); the oracle joins the strings — identical counts, since
-    // distinct shingles map 1:1 to distinct hashes.
+    // Registered as the SIZE-SWITCHED gate (VERDICT r13 #1, see
+    // [[decontaminateGate]]): a fixed benchmark's distinct shingle set
+    // broadcasts (one map-side hash join over the exploded corpus
+    // shingles, no corpus shuffle); past [[DeconEvalRowBudget]] the
+    // query takes the bloom-prefiltered path instead, so no
+    // corpus-fraction frame is ever broadcast. Both branches are EXACT,
+    // hence one oracle text. Spark joins on xxhash64 of the shingle
+    // (flat codegen'd projection, 8-byte key); the oracle joins the
+    // strings — identical counts, since distinct shingles map 1:1 to
+    // distinct hashes.
     Q(
       "q_decontaminate",
       raw"""WITH $duckSh5Ctes, ev AS (
@@ -1121,11 +1224,7 @@ object TextAnalysis {
         |FROM sh JOIN ev USING (s)
         |WHERE sh.doc_id % 29 <> 0
         |GROUP BY sh.doc_id""") { (s, dir) =>
-      val (sh, ev) = evalShingleProbe(s, dir)
-      sh.filter(col("doc_id") % 29 =!= 0)
-        .join(broadcast(ev), Seq("v"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_overlap"))
+      decontaminateGate(s, dir)
     },
 
     // ---- quality × duplication cross-tab (filter-redundancy audit) ---------

@@ -45,7 +45,7 @@ object DistMain {
         Sessions.local("graft-dist", opts.getOrElse("L", Sessions.defaultCpus))
       } else SparkSession.builder().appName("graft-dist").getOrCreate()
     try run(opts, spark)
-    finally spark.stop()
+    finally Sessions.stop(spark)
   }
 
   /** The CLI body minus session lifecycle — config fetch (through the

@@ -205,6 +205,15 @@ object Streams {
     * stream. */
   def scoreDocs(docs: DataFrame, weights: Array[Long]): DataFrame = {
     graft.functions.GraftRuntime.ensure(docs.sparkSession)
+    // the bucket modulus is a MODEL INVARIANT shared with the batch
+    // trainer: a weight vector of any other length would silently hash
+    // tokens into a different bucket count and diverge from
+    // q_classifier_score (and length 1 would generate malformed SQL) —
+    // fail loudly instead (ADVICE r13)
+    require(weights.length == graft.queries.TextAnalysis.ClsB + 1,
+      s"scoreDocs weights must have length ClsB + 1 = " +
+        s"${graft.queries.TextAnalysis.ClsB + 1} (4096 token buckets + bias); " +
+        s"got ${weights.length} — stale or foreign model?")
     val b = weights.length - 1 // last slot is the bias weight
     val warr = weights.take(b).mkString("L,") + "L"
     val th = graft.functions.CrossHash.h("t")

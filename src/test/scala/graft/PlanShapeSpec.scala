@@ -384,6 +384,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("InMemoryTableScan"), s"decontaminate must not cache the corpus:\n$p")
   }
 
+  test("q_decontaminate: past the eval budget the switch leaves NO corpus-fraction broadcast") {
+    // VERDICT r13 #1: the broadcast probe join is only the plan below
+    // the eval-row budget; forcing the budget to 0 must produce the
+    // bloom-prefiltered scale branch with no forced broadcast anywhere
+    // (AQE may still size-derive one at runtime — that is the point).
+    val df = graft.io.KernelMemo.bypassed {
+      graft.queries.TextAnalysis.decontaminateGate(spark, sf(), evalRowBudget = 0L)
+    }
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint") && !analyzed.contains("UnresolvedHint"),
+      s"scale branch must carry no broadcast hint:\n$analyzed")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Filter might_contain"), s"bloom prefilter missing:\n$p")
+    assert(p.contains("bloom_filter_agg"), s"bloom build missing:\n$p")
+    // and the branches agree row-for-row (the bloom is a prefilter,
+    // never a verdict): same exact result as the broadcast branch
+    val bloomRows = graft.queries.TextAnalysis.decontaminateGate(spark, sf(), 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val bcastRows = graft.queries.TextAnalysis.decontaminateGate(spark, sf(), Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(bloomRows == bcastRows, "switch branches must be result-identical")
+  }
+
   test("q_tfidf / q_bm25: vocabulary joins carry no broadcast hint (Heap's-law frames)") {
     // the per-term df table grows ~sqrt(corpus); a forced broadcast pins
     // it into every executor at 100 TB. Only genuinely one-row frames
