@@ -178,7 +178,11 @@ object TpchShapes {
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("double"),
         lit(18), lit(4)).cast(dec4)
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "ECONOMY")),
+        // part slice UNHINTED (VERDICT r13 #6): the slice is O(SF) — the
+        // planner's size estimate broadcasts it while it is genuinely
+        // small, and AQE re-derives the strategy at runtime past that;
+        // a forced hint would be a silent driver cliff at SF100
+        .join(t(s, dir, "part").filter(col("p_type") === "ECONOMY"),
           col("p_partkey") === col("l_partkey"))
         .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
@@ -219,7 +223,7 @@ object TpchShapes {
         (lit(0.1) * col("p_retailprice") * col("l_quantity")).cast("double"),
         lit(18), lit(4)).cast(dec4)
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO")),
+        .join(t(s, dir, "part").filter(col("p_type") === "PROMO"), // unhinted O(SF) slice
           col("p_partkey") === col("l_partkey"))
         .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
@@ -250,8 +254,10 @@ object TpchShapes {
       val nations = t(s, dir, "nation")
         .filter(col("n_name").isin("NATION_5", "NATION_6", "NATION_7", "NATION_8"))
       val vals = t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "supplier")
-          .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))),
+        // supplier×nation slice unhinted too — supplier grows with SF;
+        // only the 4-row nation filter stays a forced broadcast
+        .join(t(s, dir, "supplier")
+          .join(broadcast(nations), col("s_nationkey") === col("n_nationkey")),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("l_partkey"))
         .agg(dsumDec(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("vdec"))
@@ -352,7 +358,7 @@ object TpchShapes {
           col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
       t(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey")).distinct()
-        .join(broadcast(parts), col("p_partkey") === col("l_partkey"))
+        .join(parts, col("p_partkey") === col("l_partkey")) // unhinted O(SF) slice
         .join(t(s, dir, "supplier").filter(col("s_acctbal") < 0).select(col("s_suppkey")),
           col("l_suppkey") === col("s_suppkey"), "left_anti")
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
@@ -374,7 +380,7 @@ object TpchShapes {
       val li = t(s, dir, "lineitem")
       val avgq = li.groupBy(col("l_partkey").as("a_part"))
         .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
-      li.join(broadcast(t(s, dir, "part").filter(col("p_brand") === "Brand#3")),
+      li.join(t(s, dir, "part").filter(col("p_brand") === "Brand#3"), // unhinted O(SF) slice
           col("p_partkey") === col("l_partkey"))
         .join(avgq, col("l_partkey") === col("a_part"))
         .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
@@ -399,7 +405,7 @@ object TpchShapes {
       val qualifying = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz"))
-        .join(broadcast(t(s, dir, "part").filter(col("p_name").like("red%"))),
+        .join(t(s, dir, "part").filter(col("p_name").like("red%")), // unhinted O(SF) slice
           col("p_partkey") === col("l_partkey"))
         .groupBy(col("l_suppkey"))
         .agg(sum(call_function("dec_cast", col("l_quantity").cast("double"),

@@ -145,9 +145,17 @@ class PlanShapeSpec extends SparkSpec {
       case g: Generate         => stripTop(g.child) // explode of a bounded array
       case other               => other
     }
+    // VERDICT r13 #6 widened the audit to the TPC-H shapes: the forced
+    // part/supplier-slice hints (O(SF) frames) are gone, so every hint
+    // left must classify bounded — which for TPC-H means the
+    // fixed-cardinality dims (nation = 25 rows, region = 5 at EVERY
+    // scale factor; column prefixes n_/r_ identify the leaf) or a
+    // one-row global aggregate (the scalar max/avg/total frames)
     val gated = Seq("q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_ann_kmeans",
       "q_ann_ivf_multiprobe", "q_pipeline_filter", "q_dedup_ngram_capped",
-      "q_heavy_hitters")
+      "q_heavy_hitters",
+      "q_tpch_q2", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q11",
+      "q_tpch_q15", "q_tpch_q22")
     for (name <- gated) {
       val plan = graft.io.KernelMemo.bypassed {
         SparkEntry.queries(name)(spark, sf()).queryExecution.analyzed
@@ -184,7 +192,16 @@ class PlanShapeSpec extends SparkSpec {
             }.isDefined)
           case _ => false
         }
-        assert(fixedK || trainedCentroids || globalAgg,
+        // fixed-cardinality dimension tables: nation (25 rows) and
+        // region (5 rows) are constant at every TPC-H scale factor —
+        // their exclusive n_/r_ column prefixes identify the leaves
+        val fixedDim = {
+          val leaves = stripTop(sub).collectLeaves()
+          leaves.nonEmpty && leaves.forall(_.output.forall(a =>
+            a.name.startsWith("n_") || a.name.startsWith("r_") ||
+              a.name.startsWith("n1_") || a.name.startsWith("n2_")))
+        }
+        assert(fixedK || trainedCentroids || globalAgg || fixedDim,
           s"$name force-broadcasts a frame that grows with the corpus:\n$sub")
       }
     }
