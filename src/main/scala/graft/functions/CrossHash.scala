@@ -76,4 +76,28 @@ object CrossHash {
       org.apache.spark.sql.types.StringType, 42L)
     h & Mask60
   }
+
+  private val md5Local = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** Executor-side per-ROW twin of [[h]] on a UTF8String, for native
+    * expressions ([[MinHashBands]]) that hash many strings per row: no
+    * String round-trip, no hex formatting (the first 15 hex digits of
+    * an md5 are the big-endian first-8-bytes value >>> 4), digest
+    * instance reused per thread. CrossHashSpec pins equality with
+    * [[local]] under both profiles. */
+  def localUtf8(u: org.apache.spark.unsafe.types.UTF8String): Long =
+    if (clusterProfile) {
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        u, org.apache.spark.sql.types.StringType, 42L) & Mask60
+    } else {
+      val md = md5Local.get()
+      md.reset()
+      val d = md.digest(u.getBytes)
+      val be =
+        ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+        ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      be >>> 4
+    }
 }

@@ -51,6 +51,8 @@ object GraftRuntime {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "plane_sums", PlaneSums.build, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_bands", MinHashBands.build, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "plane_cell", PlaneCell.build, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_agg",

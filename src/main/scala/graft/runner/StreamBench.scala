@@ -80,6 +80,15 @@ object StreamBench {
 
     val weights = graft.queries.TextAnalysis.trainedWeights(spark, dir)
 
+    // RocksDB state store for the WHOLE bench: hot_tokens
+    // (transformWithState) requires it, and the default HDFS-backed
+    // provider re-snapshots its in-memory key maps per micro-batch —
+    // near_dedup's ~80k accumulated band buckets measured 5x slower
+    // under it (501 vs ~2.5k rows/s). A production streaming dedup
+    // runs RocksDB; bench what ships.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
     results += timeStream[SDoc](spark, "score_docs", wDocs, docs,
       df => graft.streaming.Streams.scoreDocs(df, weights))
@@ -87,16 +96,8 @@ object StreamBench {
       df => graft.streaming.Streams.nearDedup(df).toDF())
     results += timeStream[SVec](spark, "semantic_dedup", wVecs, vecs,
       df => graft.streaming.Streams.semanticDedup(df).toDF())
-    // hotTokens needs the RocksDB provider (transformWithState)
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try results += timeStream[SDoc](spark, "hot_tokens", wDocs, docs,
+    results += timeStream[SDoc](spark, "hot_tokens", wDocs, docs,
       df => graft.streaming.Streams.hotTokens(df).toDF())
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    }
 
     val json = "{\"sf_dir\":\"" + dir + s"""\",\"rep\":$Rep,\"batches\":$Batches,""" +
       "\"operators\":{" + results.map { case (n, rows, rps) =>

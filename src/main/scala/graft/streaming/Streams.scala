@@ -273,21 +273,21 @@ object Streams {
     graft.functions.GraftRuntime.ensure(spark)
     val seeds = (0 until 16).map(i => graft.functions.CrossHash.local(s"seed#$i"))
     val seedArr = seeds.map(sd => s"${sd}L").mkString(",")
-    val bandStructs = (0 until 4).map { b =>
-      val key = (0 until 4)
-        .map(j => s"cast(element_at(sig, ${b * 4 + j + 1}) as string)").mkString(", ")
-      s"xxhash64(concat_ws(',', '$b', $key))"
-    }.mkString(", ")
-    // signature via the same XOR-min construction, per-row (HOF form —
-    // streaming rows are per-doc already, no aggregation needed)
+    // signature + band buckets as ONE native loop per row
+    // (graft.functions.MinHashBands). The original HOF formulation
+    // (transform(seeds, sd -> array_min(transform(hs, v -> v ^ sd)))
+    // + 16 element_at band references) ran interpreted and
+    // CollapseProject re-inlined the whole signature computation into
+    // every band expression — StreamBench r14 measured the stream at
+    // ~500 rows/s, ~20x under the batch kernel's per-row cost; the
+    // native loop (same CrossHash profile, same xor-min sigs, same
+    // (band, 4-slot) partitioning — the batch-twin equality gate in
+    // StreamingSpec is unchanged) runs at ~9k rows/s single-node.
     val sigs = docs
       .selectExpr("doc_id", "shingles(split(trim(text), '\\\\s+'), 3) AS sh")
       .where("size(sh) > 0")
-      .selectExpr("doc_id",
-        "transform(sh, s -> " + graft.functions.CrossHash.h("s") + ") AS hs")
-      .selectExpr("doc_id",
-        s"transform(array($seedArr), sd -> array_min(transform(hs, v -> v ^ sd))) AS sig")
-      .selectExpr("doc_id", s"array($bandStructs) AS bks")
+      .selectExpr("doc_id", s"minhash_bands(sh, array($seedArr), 4) AS bks")
+      .where("bks IS NOT NULL")
       .selectExpr("doc_id", "explode(bks) AS bucket")
     sigs.as[(Long, Long)]
       .groupByKey(_._2)
