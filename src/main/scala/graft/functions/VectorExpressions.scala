@@ -120,6 +120,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
       MinHashBands.build _))
     ext.injectFunction((
+      new FunctionIdentifier("hashed_score"),
+      new ExpressionInfo(classOf[HashedScore].getName, "hashed_score"),
+      HashedScore.build _))
+    ext.injectFunction((
       new FunctionIdentifier("simhash_agg"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
       (children: Seq[Expression]) => SimHashAgg(children.head)))

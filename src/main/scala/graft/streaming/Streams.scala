@@ -214,13 +214,18 @@ object Streams {
       s"scoreDocs weights must have length ClsB + 1 = " +
         s"${graft.queries.TextAnalysis.ClsB + 1} (4096 token buckets + bias); " +
         s"got ${weights.length} — stale or foreign model?")
-    val b = weights.length - 1 // last slot is the bias weight
-    val warr = weights.take(b).mkString("L,") + "L"
-    val th = graft.functions.CrossHash.h("t")
+    // ONE native loop per row (graft.functions.HashedScore, round 14):
+    // the previous aggregate-HOF form ran interpreted AND its
+    // 4097-literal weight array pushed the generated stage past
+    // janino's 64 KB method limit (whole-stage interpreted fallback —
+    // the plane-weights lesson recurring in the streaming path).
+    // Same exact integer sum, same CrossHash profile; weights ride as
+    // a reference long[] (StreamBench: 11k -> 21k docs/s,
+    // docs/stream_bench.md).
+    val warr = weights.mkString("L,") + "L"
     docs
       .withColumn("score",
-        expr(s"""aggregate(split(trim(text), '\\\\s+'), cast(${weights(b)} as bigint),
-          (acc, t) -> acc + element_at(array($warr), cast(($th % $b) as int) + 1))"""))
+        expr(s"hashed_score(split(trim(text), '\\\\s+'), array($warr))"))
       .withColumn("cls_flag", when(col("score") > 0, "keep").otherwise("drop"))
   }
 
@@ -282,7 +287,8 @@ object Streams {
     // ~500 rows/s, ~20x under the batch kernel's per-row cost; the
     // native loop (same CrossHash profile, same xor-min sigs, same
     // (band, 4-slot) partitioning — the batch-twin equality gate in
-    // StreamingSpec is unchanged) runs at ~9k rows/s single-node.
+    // StreamingSpec is unchanged) runs at ~4.4k docs/s single-node
+    // (docs/stream_bench.md), 8x the HOF form.
     val sigs = docs
       .selectExpr("doc_id", "shingles(split(trim(text), '\\\\s+'), 3) AS sh")
       .where("size(sh) > 0")
