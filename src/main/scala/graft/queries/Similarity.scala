@@ -201,9 +201,16 @@ object Similarity {
     * map CAN collect, unlike the KernelMemo caveat). Builder protocol:
     * q_ann_pq always retrains, q_pq_distortion reuses or trains on
     * demand — deterministic weights, order-independent results. */
+  /** Trained PQ model: the codebook rows plus the per-round training
+    * telemetry (round, sample distortion, codes moved — moved is null
+    * for the seed round), both pure functions of the corpus. */
+  private[graft] final case class PqModel(
+      cb: Seq[(Int, Int, Seq[Float])],
+      telemetry: Seq[(Int, Double, Option[Long])])
+
   private val pqCbModels =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.concurrent.TrieMap[String, Seq[(Int, Int, Seq[Float])]]]()
+      scala.collection.concurrent.TrieMap[String, PqModel]]()
   private def pqCbModelMap(s: org.apache.spark.sql.SparkSession) =
     pqCbModels.synchronized {
       var m = pqCbModels.get(s)
@@ -225,7 +232,7 @@ object Similarity {
     * pattern, so no per-branch re-execution and constant plans. */
   private def trainPqCb(
       s: org.apache.spark.sql.SparkSession,
-      dir: String): Seq[(Int, Int, Seq[Float])] = {
+      dir: String): PqModel = {
     import s.implicits._
     val e = Tables(s, dir, "embeddings")
     // the training sample IS the model input — a bounded frame
@@ -245,7 +252,31 @@ object Similarity {
       df.select(col("m"), col("k"), col("cb")).collect().toSeq
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
         .sortBy(t => (t._1, t._2))
+    // per-round assignments collected driver-side (≤ PQ_TRAIN_N·M thin
+    // rows): `moved` is a pure integer diff in Scala; the sample
+    // distortion is ONE LocalRelation job per round with the exact
+    // q_pq_distortion DECIMAL formula, so the q_pq_train oracle can
+    // mirror it term for term
+    def collectAssign(df: org.apache.spark.sql.DataFrame): Map[(Long, Int), Int] =
+      df.select(col("vec_id"), col("m"), col("code")).collect()
+        .map(r => (r.getLong(0), r.get(1).asInstanceOf[Number].intValue())
+          -> r.get(2).asInstanceOf[Number].intValue()).toMap
+    def sampleD2(assign: Map[(Long, Int), Int],
+        cbRows: Seq[(Int, Int, Seq[Float])]): Double = {
+      val aDf = assign.toSeq.map { case ((v, m0), k0) => (v, m0, k0) }
+        .sortBy(t => (t._1, t._2)).toDF("vec_id", "m", "code")
+      val cbDf = cbRows.toDF("m", "k", "cb").withColumnRenamed("k", "code")
+      tv.join(aDf, "vec_id")
+        .join(cbDf, Seq("m", "code"))
+        .select(expr(s"""cast(
+          dot_dec(slice(embedding, m * $PQ_DS + 1, $PQ_DS), slice(embedding, m * $PQ_DS + 1, $PQ_DS))
+          - 2 * dot_dec(slice(embedding, m * $PQ_DS + 1, $PQ_DS), cb)
+          + dot_dec(cb, cb) as decimal(28,12))""").as("d2"))
+        .agg(sum(col("d2")).cast("decimal(18,12)").cast("double"))
+        .head().getDouble(0)
+    }
     var cb = collectCb(pqSeedCb(s, dir))
+    val telemetry = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Option[Long])]
     // AQE off for the round jobs: every input is a driver LocalRelation
     // (256-row sample × 128-row codebook), so each round is
     // milliseconds of compute but AQE's per-exchange stage
@@ -254,10 +285,13 @@ object Similarity {
     val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
     s.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      for (_ <- 1 to PQ_ROUNDS) {
+      var assign = collectAssign(pqEncode(tv, cb.toDF("m", "k", "cb")))
+      telemetry += ((0, sampleD2(assign, cb), None))
+      for (r <- 1 to PQ_ROUNDS) {
         val cbDf = cb.toDF("m", "k", "cb") // LocalRelation
-        val assign = pqEncode(tv, cbDf)
-        val upd = assign.join(tv, "vec_id")
+        val aDf = assign.toSeq.map { case ((v, m0), k0) => (v, m0, k0) }
+          .sortBy(t => (t._1, t._2)).toDF("vec_id", "m", "code")
+        val upd = aDf.join(tv, "vec_id")
           .select(col("m"), col("code").as("k"),
             posexplode(expr(s"slice(embedding, m * $PQ_DS + 1, $PQ_DS)")).as(Seq("dim", "x")))
           .groupBy(col("m"), col("k"), col("dim"))
@@ -267,26 +301,31 @@ object Similarity {
           // list agg keyed on (m, k): 128 keys, the bounded-subset exception
           .agg(expr("transform(array_sort(collect_list(struct(dim, mean))), r -> cast(r.mean as float))")
             .as("cbu"))
-        val updated = collectCb(
+        cb = collectCb(
           cbDf.join(upd, Seq("m", "k"), "left")
             .select(col("m"), col("k"), coalesce(col("cbu"), col("cb")).as("cb")))
-        cb = updated
+        val a2 = collectAssign(pqEncode(tv, cb.toDF("m", "k", "cb")))
+        val moved = a2.count { case (key, k2) => assign.get(key).exists(_ != k2) }.toLong
+        telemetry += ((r, sampleD2(a2, cb), Some(moved)))
+        assign = a2
       }
     } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
-    cb
+    PqModel(cb, telemetry.toSeq)
   }
 
-  /** Trained codebook as a LocalRelation frame (retrain when `rebuild`,
-    * else latest model for (session, dir) — the clsModels protocol). */
+  /** Latest trained model for (session, dir), training on demand —
+    * the clsModels protocol (the model is a pure function of the
+    * corpus, so getOrElseUpdate can never serve a wrong answer). */
+  private[graft] def pqModel(
+      s: org.apache.spark.sql.SparkSession, dir: String): PqModel =
+    pqCbModelMap(s).getOrElseUpdate(dir, trainPqCb(s, dir))
+
+  /** Trained codebook as a LocalRelation frame. */
   private def pqTrainedCb(
       s: org.apache.spark.sql.SparkSession, dir: String,
       rebuild: Boolean): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val m = pqCbModelMap(s)
-    val rows =
-      if (rebuild) { val r = trainPqCb(s, dir); m.put(dir, r); r }
-      else m.getOrElseUpdate(dir, trainPqCb(s, dir))
-    rows.toDF("m", "k", "cb")
+    pqModel(s, dir).cb.toDF("m", "k", "cb")
   }
 
   /** ADC top-3 under a given (codebook, codes) pair — the q_ann_pq
@@ -1399,6 +1438,52 @@ object Similarity {
       agg.join(agg0, "m")
         .select(col("m"), col("n"), col("mean_d2"), col("max_d2"), col("mean_d2_hash"),
           when(col("mean_d2") > 0, col("mean_d2_hash") / col("mean_d2")).as("gain"))
+    },
+
+    // ---- PQ training trajectory (hash-gated Lloyd convergence) -------------
+    // The q_kmeans_train / q_classifier_train pattern applied to PQ
+    // codebook training: per round, the TRAINING SAMPLE's total squared
+    // reconstruction error (exact-DECIMAL sum, the q_pq_distortion
+    // formula) and the number of (vector, subspace) codes that moved —
+    // so the hash gate verifies the whole training trajectory, not just
+    // the final model (any divergence in seeding, assignment ties, the
+    // mean narrowing, or the empty-cell rule breaks a row here before
+    // it silently breaks q_ann_pq). Driver side reads the cached
+    // model's telemetry (one tiny LocalRelation job per round at
+    // training time); the oracle re-derives every round through the
+    // shared pqBaseCtes chain plus the final sample assignment.
+    Q(
+      "q_pq_train", {
+        def duckD2(pa: String, cbn: String) =
+          s"""(SELECT CAST(CAST(sum(CAST(
+             |    ${duckDot8("s.sv", "s.sv")}
+             |    - 2 * ${duckDot8("s.sv", "c.cb")}
+             |    + ${duckDot8("c.cb", "c.cb")} AS DECIMAL(28,12))) AS DECIMAL(18,12)) AS DOUBLE)
+             |  FROM $pa a JOIN sv s ON s.vec_id = a.vec_id AND s.m = a.m
+             |  JOIN $cbn c ON c.m = a.m AND c.k = a.k)""".stripMargin
+        def duckMoved(p: String, q2: String) =
+          s"""(SELECT CAST(sum(CASE WHEN p.k <> q.k THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM $p p JOIN $q2 q ON p.vec_id = q.vec_id AND p.m = q.m)""".stripMargin
+        val rows = (0 to PQ_ROUNDS).map { r =>
+          val mv = if (r == 0) "CAST(NULL AS BIGINT)" else duckMoved(s"pa${r - 1}", s"pa$r")
+          s"SELECT $r AS round, ${duckD2(s"pa$r", s"cb$r")} AS sample_d2, $mv AS moved"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $pqBaseCtes, pa$PQ_ROUNDS AS MATERIALIZED (
+           |  SELECT vec_id, m, k FROM (
+           |    SELECT s.vec_id, s.m, c.k,
+           |      row_number() OVER (PARTITION BY s.vec_id, s.m
+           |        ORDER BY ${duckPqScore("s.sv", "c.cb")} DESC, c.k) AS rn
+           |    FROM sv s JOIN cb$PQ_ROUNDS c ON c.m = s.m
+           |  ) WHERE rn = 1
+           |)
+           |$rows""".stripMargin
+      }) { (s, dir) =>
+      import s.implicits._
+      if (graft.io.KernelMemo.isBypassed)
+        // the trajectory is driver-collected telemetry with no plan to
+        // gate (the q_classifier_train rule)
+        Seq.empty[(Int, Double, Option[Long])].toDF("round", "sample_d2", "moved")
+      else pqModel(s, dir).telemetry.toDF("round", "sample_d2", "moved")
     },
 
     // ---- per-label embedding centroids (element-wise DECIMAL sums) ---------

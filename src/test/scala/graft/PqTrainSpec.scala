@@ -27,6 +27,24 @@ class PqTrainSpec extends SparkSpec {
     info(f"distortion gain per subspace: min ${gains.min}%.2fx, max ${gains.max}%.2fx")
   }
 
+  test("q_pq_train: sample distortion decreases every Lloyd round; moves shrink") {
+    // Lloyd is monotone non-increasing on its training objective
+    // (assignment and mean-update each only reduce the sample's total
+    // squared error, modulo the float narrowing of the means) — a
+    // round that INCREASES distortion means the assignment rule and
+    // the update rule disagree about the metric
+    val rows = SparkEntry.queries("q_pq_train")(spark, dir)
+      .orderBy(col("round")).collect()
+    assert(rows.length == 3, "seed round + 2 Lloyd rounds")
+    val d2 = rows.map(_.getDouble(1))
+    assert(d2(1) < d2(0) && d2(2) < d2(1),
+      s"sample distortion must strictly decrease: ${d2.toSeq}")
+    assert(rows(0).isNullAt(2), "seed round has no moved count")
+    val moved = rows.drop(1).map(_.getLong(2))
+    assert(moved(1) < moved(0), s"code churn must shrink as Lloyd converges: ${moved.toSeq}")
+    info(f"sample_d2 ${d2(0)}%.1f -> ${d2(1)}%.1f -> ${d2(2)}%.1f; moved ${moved(0)} -> ${moved(1)}")
+  }
+
   test("trained ADC recall@3 >= seed-codebook recall@3 at equal code budget") {
     import graft.queries.Similarity
     def recallOf(top: DataFrame, exact: DataFrame): Double = {
