@@ -179,6 +179,18 @@ object TextAnalysis {
       |GROUP BY c.doc_id""".stripMargin)
   }
 
+  /** Budget-gated broadcast hint for the eval probe frame, shared by
+    * the decontamination SIBLINGS (graded fraction, funnel stage 5 —
+    * same corpus-fraction surrogate, same hazard): forced broadcast
+    * below [[DeconEvalRowBudget]], UNHINTED past it, so AQE derives
+    * the join strategy from the runtime size — results identical
+    * either way (a hint-only switch, no oracle impact). */
+  private[graft] def evalProbeHinted(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      ev: DataFrame,
+      evalRowBudget: Long = DeconEvalRowBudget): DataFrame =
+    if (deconEvalRowsEst(s, dir) > evalRowBudget) ev else broadcast(ev)
+
   /** The registered switch: broadcast below the budget, bloom past it.
     * `evalRowBudget` is parameterized so the plan gates can force
     * either branch (the prunedScores probeRowBudget pattern). */
@@ -1482,7 +1494,8 @@ object TextAnalysis {
       val (sh, ev0) = evalShingleProbe(s, dir)
       val ev = ev0.withColumn("hit", lit(1))
       sh.filter(col("doc_id") % 29 =!= 0)
-        .join(broadcast(ev), Seq("v"), "left")
+        // budget-gated hint (VERDICT r13 #1 applied to the sibling too)
+        .join(evalProbeHinted(s, dir, ev), Seq("v"), "left")
         .groupBy(col("doc_id"))
         .agg(
           first(col("n_sh")).as("n_sh"),
@@ -1744,7 +1757,8 @@ object TextAnalysis {
       val nd = Dedup.lshNearDupLosers(s, dir).withColumn("nd", lit(true))
       val (sh5, ev) = evalShingleProbe(s, dir)
       val cont = sh5.filter(col("doc_id") % 29 =!= 0)
-        .join(broadcast(ev), Seq("v"))
+        // budget-gated hint (VERDICT r13 #1 applied to the sibling too)
+        .join(evalProbeHinted(s, dir, ev), Seq("v"))
         .select(col("doc_id").as("ct_doc")).distinct()
         .withColumn("ct", lit(true))
       flags

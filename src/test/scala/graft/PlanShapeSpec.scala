@@ -422,6 +422,20 @@ class PlanShapeSpec extends SparkSpec {
     val bcastRows = graft.queries.TextAnalysis.decontaminateGate(spark, sf(), Long.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(bloomRows == bcastRows, "switch branches must be result-identical")
+    // the decontamination SIBLINGS (graded fraction, funnel) share the
+    // budget through evalProbeHinted: over budget the frame must carry
+    // no hint at all (AQE derives the strategy from runtime size)
+    import org.apache.spark.sql.catalyst.plans.logical.{ResolvedHint, UnresolvedHint}
+    val someEv = spark.range(3).selectExpr("id AS v")
+    val over = graft.queries.TextAnalysis.evalProbeHinted(spark, sf(), someEv, 0L)
+    assert(!over.queryExecution.analyzed.collectFirst {
+      case h: ResolvedHint => h
+      case h: UnresolvedHint => h
+    }.isDefined, "over-budget eval probe must be unhinted")
+    val under = graft.queries.TextAnalysis.evalProbeHinted(spark, sf(), someEv, Long.MaxValue)
+    assert(under.queryExecution.analyzed.collectFirst {
+      case h: ResolvedHint => h
+    }.isDefined, "under-budget eval probe keeps the forced broadcast")
   }
 
   test("q_tfidf / q_bm25: vocabulary joins carry no broadcast hint (Heap's-law frames)") {
