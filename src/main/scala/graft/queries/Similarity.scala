@@ -322,8 +322,8 @@ object Similarity {
 
   /** Trained codebook as a LocalRelation frame. */
   private def pqTrainedCb(
-      s: org.apache.spark.sql.SparkSession, dir: String,
-      rebuild: Boolean): org.apache.spark.sql.DataFrame = {
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     pqModel(s, dir).cb.toDF("m", "k", "cb")
   }
@@ -436,7 +436,7 @@ object Similarity {
     // in the builder — that cost stays honest per run.
     val cb =
       if (graft.io.KernelMemo.isBypassed) pqSeedCb(s, dir)
-      else pqTrainedCb(s, dir, rebuild = false)
+      else pqTrainedCb(s, dir)
     def build = pqEncode(e, cb)
     val codes =
       if (rebuildMemo) graft.io.KernelMemo.rebuild(s, dir, "pq_codes")(build)
@@ -1343,6 +1343,120 @@ object Similarity {
       pqAdcTop(s, dir, cb, codes)
     }},
 
+    // ---- IVF-PQ: cell-routed candidates scored by ADC ----------------------
+    // The combined index the PQ machinery exists FOR (FAISS
+    // IndexIVFPQ, Jégou et al. 2011): queries probe their IVF cell —
+    // the same deterministic assignment as q_ann_ivf, corpus-derived
+    // |C|, two-level switch and all — and the probed candidates are
+    // scored by Asymmetric Distance Computation against the TRAINED
+    // codebook codes instead of the full float vectors. At scale this
+    // is the memory shape that serves billion-vector ANN: the inverted
+    // file bounds candidates per query to ~N/|C|, the codes are 8
+    // bytes per vector, and the exact float rerank touches only the
+    // ≤ |Q|·3 survivors. Determinism: assignment and encode reuse the
+    // proven kernels verbatim; ADC is the exact-DECIMAL sum of 8 LUT
+    // terms with ties to the lowest candidate.
+    Q(
+      "q_ann_ivfpq",
+      s"""WITH $pqBaseCtes, cents AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+        |  ORDER BY $duckCHash, vec_id LIMIT $duckNcIvf
+        |), icand AS (
+        |  ${duckPrunedCand("cents")}
+        |), assign AS (
+        |  SELECT vec_id, embedding, c_id AS cell FROM (
+        |    SELECT vec_id, embedding, c_id,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY ${duckDot("embedding", "c_emb")} DESC, c_id) AS crn
+        |    FROM icand
+        |  ) WHERE crn = 1
+        |), q AS (
+        |  SELECT vec_id, embedding, cell FROM assign
+        |  ORDER BY $duckQHash, vec_id LIMIT $NQ
+        |), p AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS cand_id
+        |  FROM q JOIN assign x ON q.cell = x.cell AND q.vec_id <> x.vec_id
+        |), lut AS (
+        |  SELECT q.vec_id AS query_id, c.m, c.k AS code,
+        |    list_sum(list_transform(generate_series(1, $PQ_DS),
+        |      i -> CAST(CAST(q.embedding[c.m * $PQ_DS + i] AS DOUBLE)
+        |           * CAST(c.cb[i] AS DOUBLE) AS DECIMAL(28,12)))) AS ldot
+        |  FROM q CROSS JOIN cb c
+        |), adc AS (
+        |  SELECT p.query_id, p.cand_id,
+        |    sum(CAST(l.ldot AS DECIMAL(28,12))) AS adc
+        |  FROM p JOIN codes cd ON cd.vec_id = p.cand_id
+        |  JOIN lut l ON l.query_id = p.query_id AND l.m = cd.m AND l.code = cd.code
+        |  GROUP BY 1, 2
+        |)
+        |SELECT t.query_id, t.cand_id, t.rn,
+        |  CAST(CAST(t.adc AS DECIMAL(18,12)) AS DOUBLE) AS adc,
+        |  CAST(${duckDot("q.embedding", "v.embedding")} AS DOUBLE) AS exact_dot
+        |FROM (
+        |  SELECT query_id, cand_id, adc,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, cand_id) AS rn
+        |  FROM adc) t
+        |JOIN q ON q.vec_id = t.query_id
+        |JOIN embeddings v ON v.vec_id = t.cand_id
+        |WHERE t.rn <= 3""".stripMargin) { (s, dir) => annKernel(s, dir, "q_ann_ivfpq") {
+      val e = Tables(s, dir, "embeddings")
+      val cents = localizedModel(
+        e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+            expr(cHash).as("ch"))
+          .orderBy(col("ch"), col("c_id")).limit(ncIvf(s, dir))
+          .select(col("c_id"), col("c_emb")))
+      // IDENTICAL assignment pipeline to q_ann_ivf (two-phase pruned
+      // scores, window argmax, exact-DECIMAL tie-break)
+      val ddots = centroidScores(
+        s, dir, e.select(col("vec_id"), col("embedding")), cents)
+      val best = ddots
+        .withColumn("mx", max(col("cdd")).over(Window.partitionBy(col("vec_id"))))
+        .filter(col("cdd") >= col("mx") - 1e-9)
+        .select(col("vec_id").as("b_vec"), col("c_id"))
+      val assign = e
+        .join(best, col("vec_id") === col("b_vec"))
+        .join(broadcast(cents), "c_id")
+        .select(col("vec_id"), col("embedding"), col("c_id"),
+          expr(dot("embedding", "c_emb")).as("cdot"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("cdot").desc, col("c_id"))))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+        .persistScoped() // feeds the probe side and the candidate side
+      val q = assign
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"),
+          expr(qHash).as("qh"))
+        .orderBy(col("qh"), col("query_id")).limit(NQ)
+        .select(col("query_id"), col("q_emb"), col("cell"))
+      // trained codebook + memoized encode (q_ann_pq is the builder)
+      val (cb, codes) = pqCodebookAndCodes(s, dir, rebuildMemo = false)
+      val lut = q.crossJoin(cb)
+        .select(col("query_id"), col("m"), col("k").as("code"),
+          expr(s"dot_dec(slice(q_emb, m * $PQ_DS + 1, $PQ_DS), cb)").as("ldot"))
+      // cell-routed candidate pairs: the IVF prune happens BEFORE any
+      // PQ work — codes join only the probed candidates
+      val p = assign
+        .select(col("vec_id").as("cand_id"), col("cell").as("x_cell"))
+        .join(q.select(col("query_id"), col("cell")),
+          col("cell") === col("x_cell") && col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"))
+      val adc = p
+        .join(codes, col("cand_id") === col("vec_id"))
+        .join(broadcast(lut), Seq("query_id", "m", "code"))
+        .groupBy(col("query_id"), col("cand_id"))
+        .agg(sum(col("ldot").cast("decimal(28,12)")).as("adc"))
+      val top = adc
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("cand_id"))))
+        .filter(col("rn") <= 3)
+      e.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+        .join(broadcast(top), "cand_id")
+        .join(broadcast(q.select(col("query_id"), col("q_emb"))), "query_id")
+        .select(col("query_id"), col("cand_id"), col("rn"),
+          col("adc").cast("decimal(18,12)").cast("double").as("adc"),
+          expr(dot("q_emb", "c_emb")).cast("double").as("exact_dot"))
+    }},
+
     // ---- PQ quantization distortion (per-subspace QA) ----------------------
     // The QA pass that decides whether a PQ geometry is usable: per
     // subspace, the mean and max squared reconstruction error
@@ -1721,7 +1835,8 @@ object Similarity {
   /** The approximate methods the recall harness evaluates (all return
     * ranked rows with an `rn` column, truncated to @3 here). */
   private val recallMethods = Seq("lsh" -> "q_ann_lsh", "ivf" -> "q_ann_ivf",
-    "ivf_multiprobe" -> "q_ann_ivf_multiprobe", "pq" -> "q_ann_pq")
+    "ivf_multiprobe" -> "q_ann_ivf_multiprobe", "pq" -> "q_ann_pq",
+    "ivfpq" -> "q_ann_ivfpq")
 
   /** ANN recall evaluation: every approximate method vs the brute-force
     * ground truth. The evaluation loop an ANN deployment actually needs:
