@@ -28,6 +28,26 @@ object TpchShapes {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** Size-derived broadcast hint for the O(SF) dimension SLICES
+    * (VERDICT r13 #6, the "hint only when the slice's estimated rows
+    * clear a budget" option): the hint is forced only while the
+    * SOURCE table's cached row count stays under `budgetRows` — the
+    * slice is strictly smaller than its table, so a gated hint can
+    * never pin a frame that outgrew the budget. Past the budget the
+    * join goes UNHINTED and AQE derives the strategy from runtime
+    * sizes (the r14 first cut dropped the hints entirely; at sf0.1
+    * that costs one extra AQE stage per join — q_tpch_q11 measured
+    * +0.44 s — for no scale benefit over the gate). 2M rows ≈ tens of
+    * MB for these dims: comfortably broadcastable, far under any
+    * 100 TB table. PlanShapeSpec proves the budget-0 branch drops the
+    * hint; the bounded-broadcast audit classifies the gated slices by
+    * re-deriving the same row-count test. */
+  private[graft] final val DimHintBudgetRows = 2_000_000L
+  private[graft] def hintIfSmall(
+      s: SparkSession, dir: String, table: String, df: DataFrame,
+      budgetRows: Long = DimHintBudgetRows): DataFrame =
+    if (Tables.rowCount(s, dir, table) <= budgetRows) broadcast(df) else df
+
   /** DECIMAL-accumulated sum surfaced as DOUBLE (see Relational.dsum). */
   private def dsum(c: Column, dt: DecimalType = dec2): Column =
     sum(call_function("dec_cast", c.cast("double"), lit(dt.precision), lit(dt.scale)))
@@ -178,11 +198,9 @@ object TpchShapes {
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("double"),
         lit(18), lit(4)).cast(dec4)
       t(s, dir, "lineitem")
-        // part slice UNHINTED (VERDICT r13 #6): the slice is O(SF) — the
-        // planner's size estimate broadcasts it while it is genuinely
-        // small, and AQE re-derives the strategy at runtime past that;
-        // a forced hint would be a silent driver cliff at SF100
-        .join(t(s, dir, "part").filter(col("p_type") === "ECONOMY"),
+        // size-derived hint on the O(SF) part slice (see hintIfSmall)
+        .join(hintIfSmall(s, dir, "part",
+            t(s, dir, "part").filter(col("p_type") === "ECONOMY")),
           col("p_partkey") === col("l_partkey"))
         .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
@@ -223,7 +241,8 @@ object TpchShapes {
         (lit(0.1) * col("p_retailprice") * col("l_quantity")).cast("double"),
         lit(18), lit(4)).cast(dec4)
       t(s, dir, "lineitem")
-        .join(t(s, dir, "part").filter(col("p_type") === "PROMO"), // unhinted O(SF) slice
+        .join(hintIfSmall(s, dir, "part", // size-derived hint, O(SF) slice
+            t(s, dir, "part").filter(col("p_type") === "PROMO")),
           col("p_partkey") === col("l_partkey"))
         .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
@@ -254,10 +273,10 @@ object TpchShapes {
       val nations = t(s, dir, "nation")
         .filter(col("n_name").isin("NATION_5", "NATION_6", "NATION_7", "NATION_8"))
       val vals = t(s, dir, "lineitem")
-        // supplier×nation slice unhinted too — supplier grows with SF;
-        // only the 4-row nation filter stays a forced broadcast
-        .join(t(s, dir, "supplier")
-          .join(broadcast(nations), col("s_nationkey") === col("n_nationkey")),
+        // supplier×nation slice: size-derived hint (supplier is O(SF));
+        // the 4-row nation filter stays a forced broadcast
+        .join(hintIfSmall(s, dir, "supplier", t(s, dir, "supplier")
+            .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("l_partkey"))
         .agg(dsumDec(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("vdec"))
@@ -358,7 +377,8 @@ object TpchShapes {
           col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
       t(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey")).distinct()
-        .join(parts, col("p_partkey") === col("l_partkey")) // unhinted O(SF) slice
+        .join(hintIfSmall(s, dir, "part", parts), // size-derived hint, O(SF) slice
+          col("p_partkey") === col("l_partkey"))
         .join(t(s, dir, "supplier").filter(col("s_acctbal") < 0).select(col("s_suppkey")),
           col("l_suppkey") === col("s_suppkey"), "left_anti")
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
@@ -380,7 +400,8 @@ object TpchShapes {
       val li = t(s, dir, "lineitem")
       val avgq = li.groupBy(col("l_partkey").as("a_part"))
         .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
-      li.join(t(s, dir, "part").filter(col("p_brand") === "Brand#3"), // unhinted O(SF) slice
+      li.join(hintIfSmall(s, dir, "part", // size-derived hint, O(SF) slice
+            t(s, dir, "part").filter(col("p_brand") === "Brand#3")),
           col("p_partkey") === col("l_partkey"))
         .join(avgq, col("l_partkey") === col("a_part"))
         .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
@@ -405,7 +426,8 @@ object TpchShapes {
       val qualifying = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz"))
-        .join(t(s, dir, "part").filter(col("p_name").like("red%")), // unhinted O(SF) slice
+        .join(hintIfSmall(s, dir, "part", // size-derived hint, O(SF) slice
+            t(s, dir, "part").filter(col("p_name").like("red%"))),
           col("p_partkey") === col("l_partkey"))
         .groupBy(col("l_suppkey"))
         .agg(sum(call_function("dec_cast", col("l_quantity").cast("double"),

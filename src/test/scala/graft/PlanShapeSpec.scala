@@ -202,7 +202,31 @@ class PlanShapeSpec extends SparkSpec {
             a.name.startsWith("n_") || a.name.startsWith("r_") ||
               a.name.startsWith("n1_") || a.name.startsWith("n2_")))
         }
-        assert(fixedK || trainedCentroids || globalAgg || fixedDim,
+        // budget-gated O(SF) dim slices (TpchShapes.hintIfSmall): the
+        // hint exists ONLY while the slice's SOURCE table clears the
+        // row budget — re-derive the same test here, so a hint on an
+        // over-budget table fails even if someone bypasses the helper.
+        // Leaves are part/supplier scans (p_/s_ prefixes) possibly
+        // joined with fixed dims (n_/r_).
+        val gatedSlice = {
+          val leaves = stripTop(sub) match {
+            case j: Join => j.collectLeaves()
+            case other   => other.collectLeaves()
+          }
+          def tableOf(prefix: String): Option[String] = prefix match {
+            case "p_" => Some("part"); case "s_" => Some("supplier"); case _ => None
+          }
+          val slices = leaves.flatMap(l =>
+            l.output.headOption.map(_.name.take(2)).flatMap(tableOf))
+          leaves.nonEmpty && slices.nonEmpty &&
+            leaves.forall(l => l.output.forall(a =>
+              a.name.startsWith("p_") || a.name.startsWith("s_") ||
+                a.name.startsWith("n_") || a.name.startsWith("r_"))) &&
+            slices.forall(tbl =>
+              graft.io.Tables.rowCount(spark, sf(), tbl) <=
+                graft.queries.TpchShapes.DimHintBudgetRows)
+        }
+        assert(fixedK || trainedCentroids || globalAgg || fixedDim || gatedSlice,
           s"$name force-broadcasts a frame that grows with the corpus:\n$sub")
       }
     }
@@ -437,6 +461,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(under.queryExecution.analyzed.collectFirst {
       case h: ResolvedHint => h
     }.isDefined, "under-budget eval probe keeps the forced broadcast")
+    // the TPC-H size-derived slice hint follows the same contract
+    val slice = graft.queries.TpchShapes.hintIfSmall(
+      spark, sf(), "part", someEv, budgetRows = 0L)
+    assert(!slice.queryExecution.analyzed.collectFirst {
+      case h: ResolvedHint => h
+      case h: UnresolvedHint => h
+    }.isDefined, "over-budget dim slice must be unhinted")
   }
 
   test("q_tfidf / q_bm25: vocabulary joins carry no broadcast hint (Heap's-law frames)") {
