@@ -139,6 +139,13 @@ class PropertySpec extends SparkSpec {
       "docs/queries.md is stale - run `sbt \"runMain graft.runner.QueryCatalog\"`")
   }
 
+  test("SparkEntry.entry: the driver's flagship smoke query returns rows") {
+    // the driver contract smoke-checks entry() rows > 0 — keep that
+    // covered in-suite so a registry reorder or a broken head query
+    // fails here, not at driver time
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("every registered query has a SURVEY §8 inventory row") {
     // VERDICT r12 inventory nit: q_ivf_cell_balance was registered and
     // oracle-green but invisible to the §8 implementation map — the
