@@ -108,4 +108,35 @@ class PlaneExprSpec extends SparkSpec {
     assert(r.getSeq[Double](3) == Seq(1.0 - 2.0))
     assert(r.isNullAt(4), "null input array must yield a NULL sums array")
   }
+
+  test("registration builders: decimal literals coerce, wrong types fail usably (ADVICE r13)") {
+    import spark.implicits._
+    // a natural SQL call writes DECIMAL literals — the builder must
+    // coerce them to double instead of dying in getDouble
+    val r = Seq(Seq(1.0f, 2.0f)).toDF("v")
+      .selectExpr("plane_sums(v, array(array(1.0, 0.5)))")
+      .head().getSeq[Double](0)
+    assert(r == Seq(1.0 * 1.0 + 2.0 * 0.5))
+    // minhash_bands / hashed_score: integer-literal seeds and weights
+    // coerce to bigint through the same Cast path
+    val b = Seq(Seq("a b c", "b c d")).toDF("sh")
+      .selectExpr("minhash_bands(sh, array(1, 2, 3, 4), 2)")
+      .head().getSeq[Long](0)
+    assert(b.length == 2)
+    val h = Seq(Seq("x", "y")).toDF("w")
+      .selectExpr("hashed_score(w, array(10, 20, 5))")
+      .head().getLong(0)
+    // bias 5 + two token-bucket lookups from {10, 20}
+    assert(h == 5 + 10 + 10 || h == 5 + 10 + 20 || h == 5 + 20 + 20)
+    // wrong types fail with a usable message, not a ClassCastException
+    val e1 = intercept[Exception](
+      Seq(Seq(1.0f)).toDF("v").selectExpr("plane_sums(v, array('x'))").head())
+    assert(e1.getMessage.contains("plane_sums weights"), e1.getMessage)
+    val e2 = intercept[Exception](
+      Seq(Seq("a")).toDF("sh").selectExpr("minhash_bands(sh, array('x'), 2)").head())
+    assert(e2.getMessage.contains("minhash_bands seeds"), e2.getMessage)
+    val e3 = intercept[Exception](
+      Seq(Seq(1.0f)).toDF("v").selectExpr("plane_cell(v, 'four', 'p#')").head())
+    assert(e3.getMessage.contains("plane_cell bits"), e3.getMessage)
+  }
 }
