@@ -1,6 +1,7 @@
 package graft.runner
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.DataStreamWriter
 
@@ -98,6 +99,24 @@ object StreamBench {
       df => graft.streaming.Streams.semanticDedup(df).toDF())
     results += timeStream[SDoc](spark, "hot_tokens", wDocs, docs,
       df => graft.streaming.Streams.hotTokens(df).toDF())
+
+    // the classic event-stream operators over the REAL events table
+    // (100k rows at sf0.1, streamed as-is — the watermark horizons in
+    // the operators span the table's event-time range, so state grows
+    // but nothing is dropped mid-bench)
+    import graft.streaming.Streams.Event
+    val events = graft.io.Tables(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq.sortBy(_.ts.getTime)
+    // warmup takes the EARLIEST slice and the payload starts after it:
+    // replaying warmup rows would land behind the advanced watermark
+    // and be dropped before the operators do any work
+    val wEvents = events.take(500)
+    val pEvents = events.drop(500)
+    results += timeStream[Event](spark, "windowed_agg", wEvents, pEvents,
+      df => graft.streaming.Streams.windowedAgg(df))
+    results += timeStream[Event](spark, "sessionize", wEvents, pEvents,
+      df => graft.streaming.Streams.sessionize(df.as[Event]).toDF())
 
     val json = "{\"sf_dir\":\"" + dir + s"""\",\"rep\":$Rep,\"batches\":$Batches,""" +
       "\"operators\":{" + results.map { case (n, rows, rps) =>
