@@ -33,6 +33,17 @@ object Sessions {
       .config("spark.sql.warehouse.dir",
         sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // BloomFilterAggregate (the decontamination scale branch) silently
+      // clamps its (numItems, numBits) arguments to these confs — the
+      // defaults (4M items / 64M bits) kick in exactly when the eval set
+      // is big enough to need the bloom path, so the stated 8-bits/item
+      // sizing would quietly stop holding (ADVICE r14). 256M items /
+      // 2^31 bits = a 256 MiB worst-case filter — bounded driver/
+      // broadcast bytes at any corpus size; past THIS clamp the FP rate
+      // (and the confirm-join input) grows, which decontaminateBloom
+      // documents — results stay exact via the confirm join either way.
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "268435456")
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "2147483648")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", sys.props.getOrElse("spark.ui.enabled", "false"))

@@ -155,12 +155,27 @@ object TextAnalysis {
     * runtime size, so no forced broadcast exists on ANY side. The
     * bloom is sized from the same plan-time estimate (8 bits/item ≈
     * 2% FP): false positives only cost confirm-join input, never
-    * correctness. */
+    * correctness.
+    *
+    * Sizing is clamped EXPLICITLY to the session's runtime-bloom conf
+    * ceilings (ADVICE r14): BloomFilterAggregate silently caps its
+    * arguments at `spark.sql.optimizer.runtime.bloomFilter.maxNum{Items,
+    * Bits}`, and with the Spark defaults (4M/64M) the cap engaged
+    * exactly when this branch activates — the stated bits/item ratio
+    * never held at scale. [[Sessions.local]] raises the ceilings to
+    * 256M items / 2^31 bits (a bounded 256 MiB filter); past that the
+    * per-item bit budget (and so selectivity) decays with the eval set
+    * while the confirm join keeps results exact — the clamp here makes
+    * the decay visible in the plan instead of hidden in the aggregate. */
   private[queries] def decontaminateBloom(
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     graft.io.Tables.registerAll(s, dir)
-    val estItems = math.max(100_000L, deconEvalRowsEst(s, dir))
-    val estBits = 8L * estItems
+    val maxItems = s.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = s.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val estItems = math.min(maxItems, math.max(100_000L, deconEvalRowsEst(s, dir)))
+    val estBits = math.min(maxBits, 8L * estItems)
     s.sql(s"""
       |WITH sh AS (
       |  SELECT doc_id, xxhash64(sv) AS v

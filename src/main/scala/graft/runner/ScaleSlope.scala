@@ -146,8 +146,11 @@ object ScaleSlope {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "target/scale_slope"
-    // dev iteration: arg 3 = comma-list of kernels (subset run writes
-    // NO json and never gates — the recorded run must be the full one)
+    // dev iteration: arg 3 = comma-list of kernels. A subset run writes
+    // NO json, runs NO quadratic control, and NEVER exits nonzero (the
+    // recorded, gating run must be the full one — ADVICE r14: the old
+    // comment promised this but the subset run still paid for the
+    // control and still sys.exit(1)'d)
     val kernelFilter = if (args.length > 2) Some(args(2).split(",").toSet) else None
     val activeKernels = kernelFilter.map(f => Kernels.filter(f)).getOrElse(Kernels)
     val spark = Sessions.local("graft-scale-slope",
@@ -169,50 +172,81 @@ object ScaleSlope {
       SparkEntry.queries("q_text_stats")(spark, s"$work/x$k")
         .write.format("noop").mode("overwrite").save()
 
-    // min-of-2 at 1x/4x (the increments t4 - t1 are where ambient noise
-    // bites the adjusted fit hardest), single shot at 16x (largest
-    // times, smallest relative noise, most expensive to repeat)
+    // min-of-3 at 1x (the subtrahend of BOTH increments — a single
+    // inflated 1x shot can push t4 - t1 negative and void the adjusted
+    // fit entirely, ADVICE r14), min-of-2 at 4x, single shot at 16x
+    // (largest times, smallest relative noise, most expensive to repeat)
     def bestTime(q: String, k: Int): Double = {
-      val reps = if (k == 16) 1 else 2
+      val reps = if (k == 16) 1 else if (k == 1) 3 else 2
       (1 to reps).map(_ => timeOnce(spark, q, s"$work/x$k")).min
     }
 
     final case class Fit(
         times: Map[Int, Double], slopeHi: Double,
-        slopeAdj: Double, overheadDominated: Boolean, ok: Boolean)
+        slopeAdj: Double, overheadDominated: Boolean,
+        unfittable: Boolean, ok: Boolean)
     def fit(times: Map[Int, Double]): Fit = {
       val slopeHi = math.log(times(16) / times(4)) / math.log(4.0)
       val (d4, d16) = (times(4) - times(1), times(16) - times(1))
       val overhead = d16 < IncrementFloorSec
+      // d4 <= 0 with real 16x growth (ADVICE r14): the 1x reading is
+      // noise-inflated and the increment fit has nothing to fit. The
+      // old code reported slopeAdj = 0.0 / ok — a super-linear kernel
+      // whose t1 shot caught an ambient spike sailed through with no
+      // marker and no retry. Now: marked `unfittable`, the raw
+      // two-point slope STANDS IN as slopeAdj (it understates the work
+      // exponent when fixed cost exists, so it is the conservative
+      // usable reading), gated at the TIGHTER MaxAdjSlope — and
+      // because ok=false on a gate miss, the existing retry path
+      // (min-of-N per scale) re-measures before the verdict stands.
+      val unfittable = !overhead && d4 <= 0
       val slopeAdj =
-        if (overhead || d4 <= 0) 0.0
+        if (overhead) 0.0
+        else if (unfittable) slopeHi
         else math.log(d16 / d4) / math.log(4.0)
-      Fit(times, slopeHi, slopeAdj, overhead,
+      Fit(times, slopeHi, slopeAdj, overhead, unfittable,
         overhead || (slopeAdj < MaxAdjSlope && slopeHi < MaxSlope))
     }
 
     val results = activeKernels.map { q =>
       var times = Scales.map(k => k -> bestTime(q, k)).toMap
       var f = fit(times)
-      if (!f.ok) {
-        // one full re-measure on failure, keeping per-scale minima —
+      if (!f.ok || f.unfittable) {
+        // one full re-measure on failure OR an unfittable increment —
         // the Bench retry rule: an ambient load storm on this shared
-        // box can inflate a single 16x shot into a fake slope, and a
-        // genuinely super-linear kernel still fails twice
-        System.err.println(s"[scale-slope] $q failed (adj=${f.slopeAdj}) - re-measuring once")
+        // box can inflate a single shot into a fake slope (or a fake
+        // t1 > t4), and a genuinely super-linear kernel still fails twice
+        System.err.println(s"[scale-slope] $q " +
+          (if (f.unfittable) "unfittable (t4 <= t1)" else s"failed (adj=${f.slopeAdj})") +
+          " - re-measuring once")
         val again = Scales.map(k => k -> bestTime(q, k)).toMap
         times = Scales.map(k => k -> math.min(times(k), again(k))).toMap
         f = fit(times)
       }
       System.err.println(f"[scale-slope] $q t1=${times(1)}%.2f t4=${times(4)}%.2f " +
-        f"t16=${times(16)}%.2f adj=${f.slopeAdj}%.2f ok=${f.ok}")
+        f"t16=${times(16)}%.2f adj=${f.slopeAdj}%.2f unfittable=${f.unfittable} ok=${f.ok}")
       q -> f
+    }
+
+    def kernelJson(f: Fit): String =
+      f""""t1":${f.times(1)}%.3f,"t4":${f.times(4)}%.3f,"t16":${f.times(16)}%.3f,""" +
+        f""""slope_hi":${f.slopeHi}%.3f,"slope_adj":${f.slopeAdj}%.3f,""" +
+        f""""overhead_dominated":${f.overheadDominated},""" +
+        f""""unfittable":${f.unfittable},"ok":${f.ok}"""
+
+    if (kernelFilter.nonEmpty) {
+      // subset run: print per-kernel lines only — no control, no JSON,
+      // no gate (see the arg-parse comment)
+      val bad = results.filter(!_._2.ok).map(_._1)
+      if (bad.nonEmpty)
+        System.err.println(s"[scale-slope] (subset, not gating) over-slope: ${bad.mkString(", ")}")
+      return
     }
 
     // negative control: the deliberately quadratic kernel must TRIP the
     // adjusted gate, or the harness has lost sensitivity at this base
     val ctlTimes = Scales.map { k =>
-      val reps = if (k == 16) 1 else 2
+      val reps = if (k == 16) 1 else if (k == 1) 3 else 2
       k -> (1 to reps).map(_ => timeControl(spark, s"$work/x$k")).min
     }.toMap
     val ctl = fit(ctlTimes)
@@ -221,10 +255,6 @@ object ScaleSlope {
       f"t4=${ctlTimes(4)}%.2f t16=${ctlTimes(16)}%.2f adj=${ctl.slopeAdj}%.2f " +
       f"tripped=$ctlTripped")
 
-    def kernelJson(f: Fit): String =
-      f""""t1":${f.times(1)}%.3f,"t4":${f.times(4)}%.3f,"t16":${f.times(16)}%.3f,""" +
-        f""""slope_hi":${f.slopeHi}%.3f,"slope_adj":${f.slopeAdj}%.3f,""" +
-        f""""overhead_dominated":${f.overheadDominated},"ok":${f.ok}"""
     val sb = new StringBuilder
     sb.append("{\"base\":\"").append(base).append("\",\"max_slope\":").append(MaxSlope)
       .append(",\"max_adj_slope\":").append(MaxAdjSlope)
@@ -238,10 +268,9 @@ object ScaleSlope {
       .append("],\"control_tripped\":").append(ctlTripped).append("}")
     val json = sb.toString
     println(json)
-    if (kernelFilter.isEmpty)
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("docs/scale_slope.json"),
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("docs/scale_slope.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     if (bad.nonEmpty || !ctlTripped) {
       if (bad.nonEmpty)
         System.err.println(s"[scale-slope] SUPER-LINEAR kernels: ${bad.mkString(", ")}")

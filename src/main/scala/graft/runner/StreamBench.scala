@@ -40,11 +40,14 @@ object StreamBench {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[T]
     val out = build(mem.toDF())
+    // checkpoint (offsets + RocksDB state) under a per-run temp dir,
+    // deleted after the query stops — the r14 cut leaked one state-store
+    // tree per operator per run into the temp dir (ADVICE r14)
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft-sb-$name")
     val writer: DataStreamWriter[_] = out.writeStream
       .format("noop")
       .outputMode(if (name == "hot_tokens") "update" else "append")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory(s"graft-sb-$name").toString)
+      .option("checkpointLocation", ckpt.toString)
     val q = writer.start()
     try {
       mem.addData(warmup)
@@ -56,7 +59,22 @@ object StreamBench {
       val rps = payload.size / sec
       System.err.println(f"[stream-bench] $name: ${payload.size} rows in $sec%.2fs = $rps%.0f rows/s")
       (name, payload.size.toLong, rps)
-    } finally q.stop()
+    } finally {
+      q.stop()
+      deleteRecursively(ckpt)
+    }
+  }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try {
+        walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      } finally walk.close()
+    }
   }
 
   def main(args: Array[String]): Unit = {
