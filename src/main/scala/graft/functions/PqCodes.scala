@@ -1,0 +1,177 @@
+package graft.functions
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+
+/** Per-row product-quantization encode as ONE native loop — the
+  * [[MinHashBands]] treatment applied to the PQ encode stream (the
+  * round-14 close-out's named headroom): the relational formulation
+  * (corpus × broadcast codebook crossJoin → packed-BIGINT max
+  * HashAggregate) pays an M·K-row stream plus an aggregate per vector,
+  * where the quantizer is really a pure per-row function of the
+  * embedding. This expression computes all M codes in one pass with the
+  * codebook riding as a reference object, so encode is a zero-exchange
+  * map — and the streaming encode twin falls out for free.
+  *
+  * Arithmetic contract (must stay bit-identical to the relational
+  * kernel it replaces, which the q_ann_pq / q_pq_distortion /
+  * q_ann_ivfpq / q_pq_train hash gates verify end to end): for
+  * subspace m and codebook entry (m, k),
+  *
+  *   dotInt(m, k) = Σ_i round_half_up(v[m·DS+i] · cb(m)(k)(i), 12)·10^12
+  *
+  * with each term rounded exactly like Spark's double→DECIMAL(28,12)
+  * cast ([[DecimalDotOps]]: `BigDecimal.valueOf` through the double's
+  *  shortest string, HALF_UP at scale 12 — so dotInt ≡
+  * `cast(dot_dec(slice(v, m·DS+1, DS), cb) * 1e12 as bigint)`), null
+  * or absent elements skipped exactly as dot_dec skips them. The code
+  * is argmax_k of (2·dotInt(m,k) − ccInt(m,k)) with ties to the LOWEST
+  * k (the relational pack `score·16 + (15−k)` under max — same
+  * selection), ccInt precomputed from the codebook with the identical
+  * per-term rounding. NULL input array → NULL (the corpus has no null
+  * embeddings; callers posexplode, so such a row would drop instead of
+  * carrying a null code like the old aggregate did — documented
+  * divergence, unreachable on real data).
+  *
+  * The codebook constructor field is Seq-of-Seq (structural equality)
+  * so identical encodes canonicalize equal — the [[PlaneSums]] rule;
+  * the hot loop reads a primitive float[][][]. */
+case class PqCodes(child: Expression, cb: Seq[Seq[Seq[Float]]])
+    extends UnaryExpression {
+
+  require(cb.nonEmpty && cb.forall(_.nonEmpty),
+    "pq_codes: codebook must be a non-empty array(array(array(float))) of (m)(k)(dim)")
+
+  @transient private lazy val cbArr: Array[Array[Array[Float]]] =
+    cb.map(_.map(_.toArray).toArray).toArray
+
+  /** ccInt(m)(k) = dot_dec(cb, cb)·10^12 as an exact long — the
+    * broadcast-side constant of the relational kernel, precomputed
+    * once per (de)serialized expression instance. */
+  @transient private lazy val ccInt: Array[Array[Long]] =
+    cbArr.map(_.map { c =>
+      var s = 0L
+      var i = 0
+      while (i < c.length) {
+        s += PqCodes.term12(c(i).toDouble * c(i).toDouble)
+        i += 1
+      }
+      s
+    })
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_codes"
+
+  /** One reusable instance method so interpreted eval and generated
+    * code share the implementation (the [[MinHashBands]] pattern). */
+  def compute(v: ArrayData): GenericArrayData = {
+    val m = cbArr.length
+    val len = v.numElements()
+    val out = new Array[Any](m)
+    var mi = 0
+    while (mi < m) {
+      val ks = cbArr(mi)
+      val ccs = ccInt(mi)
+      val off = mi * ks(0).length
+      var bestScore = Long.MinValue
+      var bestK = 0
+      var k = 0
+      while (k < ks.length) {
+        val c = ks(k)
+        var dot = 0L
+        var i = 0
+        while (i < c.length) {
+          val idx = off + i
+          if (idx < len && !v.isNullAt(idx))
+            dot += PqCodes.term12(v.getFloat(idx).toDouble * c(i).toDouble)
+          i += 1
+        }
+        val score = 2L * dot - ccs(k)
+        if (score > bestScore) { bestScore = score; bestK = k }
+        k += 1
+      }
+      out(mi) = bestK
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqCodes", this, classOf[PqCodes].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
+}
+
+/** Registration-time builder shared by [[GraftRuntime]] and the session
+  * extension: validates the literal codebook and coerces numeric
+  * element types to FLOAT through a foldable Cast. */
+object PqCodes {
+  import org.apache.spark.sql.catalyst.expressions.Cast
+  import org.apache.spark.sql.types.NumericType
+
+  /** The per-term scaled-12 integer: `BigDecimal.valueOf` (the
+    * double's shortest decimal string — Spark's double→decimal Cast
+    * path), HALF_UP to scale 12, exact unscaled long. Throws on
+    * overflow (|p| ≳ 9.2e6) instead of wrapping — the same loud
+    * failure the relational kernel's ANSI decimal→bigint cast gave. */
+  def term12(p: Double): Long =
+    JBigDecimal.valueOf(p).setScale(12, RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  def build(children: Seq[Expression]): Expression = {
+    require(children.size == 2,
+      s"pq_codes expects (vector, codebook), got ${children.size} arguments")
+    val w = children(1)
+    if (!w.foldable)
+      throw new IllegalArgumentException(
+        "pq_codes codebook must be a literal array(array(array(float))), got " + w.sql)
+    val coerced = w.dataType match {
+      case ArrayType(ArrayType(ArrayType(FloatType, _), _), _) => w
+      case ArrayType(ArrayType(ArrayType(_: NumericType, _), _), _) =>
+        Cast(w, ArrayType(ArrayType(ArrayType(FloatType))))
+      case other =>
+        throw new IllegalArgumentException(
+          s"pq_codes codebook must be array(array(array(float))), got ${other.simpleString}: ${w.sql}")
+    }
+    val v = coerced.eval()
+    if (v == null)
+      throw new IllegalArgumentException(
+        "pq_codes codebook must be a non-null literal, got " + w.sql)
+    val ad = v.asInstanceOf[ArrayData]
+    val rows = (0 until ad.numElements()).map { m =>
+      if (ad.isNullAt(m))
+        throw new IllegalArgumentException(s"pq_codes codebook subspace $m is NULL in " + w.sql)
+      val ks = ad.getArray(m)
+      (0 until ks.numElements()).map { k =>
+        if (ks.isNullAt(k))
+          throw new IllegalArgumentException(s"pq_codes codebook entry ($m, $k) is NULL in " + w.sql)
+        val c = ks.getArray(k)
+        (0 until c.numElements()).map { i =>
+          if (c.isNullAt(i))
+            throw new IllegalArgumentException(
+              s"pq_codes codebook element ($m, $k, $i) is NULL in " + w.sql)
+          c.getFloat(i)
+        }
+      }
+    }
+    PqCodes(children(0), rows)
+  }
+}

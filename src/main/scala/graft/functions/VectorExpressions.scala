@@ -120,6 +120,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
       MinHashBands.build _))
     ext.injectFunction((
+      new FunctionIdentifier("pq_codes"),
+      new ExpressionInfo(classOf[PqCodes].getName, "pq_codes"),
+      PqCodes.build _))
+    ext.injectFunction((
       new FunctionIdentifier("hashed_score"),
       new ExpressionInfo(classOf[HashedScore].getName, "hashed_score"),
       HashedScore.build _))

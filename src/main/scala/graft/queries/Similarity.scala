@@ -162,39 +162,39 @@ object Similarity {
       .select(col("m"), col("k"), expr(s"slice(embedding, m * $PQ_DS + 1, $PQ_DS)").as("cb")))
   }
 
-  /** Per-(vector, subspace) min-L2 quantization against a broadcast
-    * codebook frame, as ONE max-of-BIGINT HashAggregate (a struct max
-    * demotes to SortAggregate — the project-notes rule — so the
-    * ordering value packs the tie-break instead: the score
-    * 2·v_sub·c − c·c is an EXACT DECIMAL(28,12), hence score·10^12 is
-    * an exact integer (|score| ≤ ~30 on unit-norm data ⇒ |pack| ≤
-    * ~5e14, comfortably BIGINT), and pack = score_units·16 + (15−k)
-    * orders by (score desc, code asc) — identical selection to the
-    * oracle's row_number(ORDER BY score DESC, k), no margin, no window
-    * sort exchange, map-side combine collapses the M·K stream per
-    * vector before any shuffle). */
+  /** The `pq_codes(embedding, <codebook>)` SQL call for a driver-side
+    * codebook — every float is rendered as `cast('<shortest-repr>' as
+    * float)` (string→float parses with Float.parseFloat: one exact
+    * rounding, no decimal-literal detour), so the plan-time literal
+    * reconstructs the model bit-for-bit on every executor. */
+  private[graft] def pqCodesSql(
+      vecCol: String, cbRows: Seq[(Int, Int, Seq[Float])]): String = {
+    val byM = cbRows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, rows) =>
+      rows.sortBy(_._2).map(_._3)
+    }
+    val lit = byM.map(ks =>
+      ks.map(_.map(f => s"cast('$f' as float)").mkString("array(", ", ", ")"))
+        .mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+    s"pq_codes($vecCol, $lit)"
+  }
+
+  /** Per-vector min-L2 quantization as ONE native per-row loop
+    * ([[graft.functions.PqCodes]], round 15 — the r14 close-out's
+    * named headroom): encode is a pure zero-exchange map + posexplode,
+    * replacing the r14 relational kernel (corpus × broadcast-codebook
+    * crossJoin → packed-BIGINT max HashAggregate, an M·K-row stream
+    * plus an aggregate per vector). The expression reproduces that
+    * kernel's arithmetic exactly — per-term double→DECIMAL(28,12)
+    * rounding, 2·dotInt − ccInt scaled-integer scoring, ties to the
+    * lowest code (contract pinned by PqEncodeSpec; the q_ann_pq /
+    * q_pq_distortion / q_ann_ivfpq / q_pq_train hash gates verify it
+    * end to end) — so swapping the kernels never moved a value. */
   private def pqEncode(
       vecs: org.apache.spark.sql.DataFrame,
-      cbDf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    // c·c is a per-CODEBOOK-ROW constant: scale it to the exact
-    // integer cc·10^12 on the 128-row broadcast side, so the corpus
-    // stream pays ONE dot_dec + integer ops per row (the r13 encode
-    // cost) instead of two dots + decimal arithmetic. Exactness:
-    // dot·10^12 and cc·10^12 are exact integers (both are
-    // DECIMAL(·,12) values), so 2·dotInt − ccInt ≡
-    // (2·dot − cc)·10^12 — the identical ordering value, same engine,
-    // same expression for the cc term.
-    val cbc = cbDf.withColumn("cc_int",
-      expr("cast(dot_dec(cb, cb) * 1000000000000 as bigint)"))
-    vecs.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cbc))
-      .select(col("vec_id"), col("m"),
-        expr(s"""(2 * cast(dot_dec(slice(embedding, m * $PQ_DS + 1, $PQ_DS), cb)
-                 * 1000000000000 as bigint) - cc_int) * 16 + (15 - k)""").as("pack"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(max(col("pack")).as("mp"))
-      .select(col("vec_id"), col("m"), (lit(15) - pmod(col("mp"), lit(16))).as("code"))
-  }
+      cbRows: Seq[(Int, Int, Seq[Float])]): org.apache.spark.sql.DataFrame =
+    vecs.select(col("vec_id"),
+        posexplode(expr(pqCodesSql("embedding", cbRows))).as(Seq("m", "code")))
 
   /** Driver-cached trained codebook rows per (session, dir) — plain
     * Scala data (no DataFrame, hence no session reference: this weak
@@ -285,7 +285,7 @@ object Similarity {
     val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
     s.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      var assign = collectAssign(pqEncode(tv, cb.toDF("m", "k", "cb")))
+      var assign = collectAssign(pqEncode(tv, cb))
       telemetry += ((0, sampleD2(assign, cb), None))
       for (r <- 1 to PQ_ROUNDS) {
         val cbDf = cb.toDF("m", "k", "cb") // LocalRelation
@@ -304,7 +304,7 @@ object Similarity {
         cb = collectCb(
           cbDf.join(upd, Seq("m", "k"), "left")
             .select(col("m"), col("k"), coalesce(col("cbu"), col("cb")).as("cb")))
-        val a2 = collectAssign(pqEncode(tv, cb.toDF("m", "k", "cb")))
+        val a2 = collectAssign(pqEncode(tv, cb))
         val moved = a2.count { case (key, k2) => assign.get(key).exists(_ != k2) }.toLong
         telemetry += ((r, sampleD2(a2, cb), Some(moved)))
         assign = a2
@@ -434,14 +434,25 @@ object Similarity {
     // overhead) amortizes the way a real IVF-PQ index build does
     // (train once, encode per build). The ENCODE memo still rebuilds
     // in the builder — that cost stays honest per run.
-    val cb =
-      if (graft.io.KernelMemo.isBypassed) pqSeedCb(s, dir)
-      else pqTrainedCb(s, dir)
-    def build = pqEncode(e, cb)
+    // under plan-extraction bypass: the seed-codebook FRAME stands in
+    // for the LUT side (same schema/plan shape, no training jobs), and
+    // the encode expression carries a fixed all-zeros codebook of the
+    // same geometry — plan shape is independent of the literal values,
+    // and building it runs no jobs at all
+    val (cbFrame, cbRows) =
+      if (graft.io.KernelMemo.isBypassed)
+        (pqSeedCb(s, dir),
+          for (m <- 0 until PQ_M; k <- 0 until PQ_K)
+            yield (m, k, Seq.fill(PQ_DS)(0.0f)))
+      else {
+        val model = pqModel(s, dir)
+        (pqTrainedCb(s, dir), model.cb)
+      }
+    def build = pqEncode(e, cbRows)
     val codes =
       if (rebuildMemo) graft.io.KernelMemo.rebuild(s, dir, "pq_codes")(build)
       else graft.io.KernelMemo.reuse(s, dir, "pq_codes")(build)
-    (cb, codes)
+    (cbFrame, codes)
   }
 
   private def qHash = h("concat('q#', cast(vec_id as string))")
@@ -1598,6 +1609,28 @@ object Similarity {
         // gate (the q_classifier_train rule)
         Seq.empty[(Int, Double, Option[Long])].toDF("round", "sample_d2", "moved")
       else pqModel(s, dir).telemetry.toDF("round", "sample_d2", "moved")
+    },
+
+    // ---- PQ encode stream (the codes frame itself, hash-gated) -------------
+    // The full-corpus (vector, subspace) → code assignment under the
+    // trained codebook, surfaced directly: round 15 moved the encode
+    // from a relational kernel (crossJoin + packed-BIGINT max
+    // aggregate) to the native per-row `pq_codes` loop, and the ADC
+    // consumers only gate codes INDIRECTLY (through LUT sums and
+    // top-3 selections that could mask a compensating error) — this
+    // query hash-gates every single code against the oracle's
+    // row_number formulation, so the native expression's rounding/
+    // tie-break contract is pinned row-for-row at every SF. Also the
+    // plan witness for the headroom claim: encode is a zero-exchange
+    // map + posexplode (PlanShapeSpec gates no-exchange on this body).
+    Q(
+      "q_pq_encode",
+      s"""WITH $pqBaseCtes
+        |SELECT vec_id, CAST(m AS INTEGER) AS m, CAST(code AS INTEGER) AS code
+        |FROM codes""".stripMargin) { (s, dir) =>
+      val (_, codes) = pqCodebookAndCodes(s, dir, rebuildMemo = false)
+      codes.select(col("vec_id"),
+        col("m").cast("int").as("m"), col("code").cast("int").as("code"))
     },
 
     // ---- per-label embedding centroids (element-wise DECIMAL sums) ---------

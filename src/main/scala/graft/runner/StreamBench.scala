@@ -111,6 +111,11 @@ object StreamBench {
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
     results += timeStream[SDoc](spark, "score_docs", wDocs, docs,
       df => graft.streaming.Streams.scoreDocs(df, weights))
+    // trained PQ codebook from the batch machinery (train offline,
+    // encode the stream online — the IVF-PQ ingest shape)
+    val pqcb = graft.queries.Similarity.pqModel(spark, dir).cb
+    results += timeStream[SVec](spark, "encode_pq", wVecs, vecs,
+      df => graft.streaming.Streams.encodePq(df, pqcb))
     results += timeStream[SDoc](spark, "near_dedup", wDocs, docs,
       df => graft.streaming.Streams.nearDedup(df).toDF())
     results += timeStream[SVec](spark, "semantic_dedup", wVecs, vecs,

@@ -229,6 +229,25 @@ object Streams {
       .withColumn("cls_flag", when(col("score") > 0, "keep").otherwise("drop"))
   }
 
+  /** Streaming PQ encode — the stateless twin of the batch `q_pq_encode`
+    * codes frame (round 15): each arriving vector quantizes to its
+    * (subspace → code) rows under the TRAINED codebook, which rides the
+    * plan as the same `pq_codes` literal the batch kernel uses (train
+    * offline with the q_ann_pq machinery, encode the stream online —
+    * how an IVF-PQ index ingests at serving time). One native loop per
+    * row, no explode of scalar streams, no aggregation, NO STATE —
+    * bit-identical codes to the batch frame by construction (the
+    * expression IS the batch kernel; gated in StreamingSpec), a pure
+    * map at 100 TB/day.
+    *
+    * Input schema: (vec_id LONG, embedding ARRAY<FLOAT>). */
+  def encodePq(vecs: DataFrame, cb: Seq[(Int, Int, Seq[Float])]): DataFrame = {
+    graft.functions.GraftRuntime.ensure(vecs.sparkSession)
+    vecs.select(col("vec_id"),
+      posexplode(expr(graft.queries.Similarity.pqCodesSql("embedding", cb)))
+        .as(Seq("m", "code")))
+  }
+
   /** Streaming exact-dedup on event_id: duplicates arriving within the
     * watermark horizon are dropped with bounded state (the streaming twin
     * of `q_dedup_exact`; at 100 TB/day the watermark bounds the key

@@ -498,6 +498,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ngram_stats"), "native per-row expression missing")
   }
 
+  test("q_pq_encode: native per-row encode is a map-only plan, zero exchanges") {
+    val p = planOf("q_pq_encode")
+    // the quantizer is a pure function of the row — the r14 relational
+    // kernel paid a broadcast crossJoin + M·K-row aggregate per vector;
+    // any exchange here means the native pq_codes loop regressed
+    assert(!p.contains("Exchange hashpartitioning"), s"PQ encode must not shuffle:\n$p")
+    assert(p.contains("pq_codes"), "native pq_codes expression missing")
+    assert(p.contains("Generate"), "posexplode of the code array missing")
+  }
+
   test("q_weighted_sample: distributed TakeOrdered, no global sort or window") {
     val p = planOf("q_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"))

@@ -613,5 +613,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("encodePq batch-twin: stream codes equal q_pq_encode on real vectors") {
+    // train offline, encode the stream online — the IVF-PQ serving
+    // shape. The stateless per-row loop IS the batch kernel's
+    // expression, so every (vec_id, m) -> code must match exactly.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val cb = graft.queries.Similarity.pqModel(spark, sf("sf0.01")).cb
+    val vecs = graft.io.Tables(spark, sf("sf0.01"), "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.encodePq(mem.toDF().toDF("vec_id", "embedding"), cb)
+      .writeStream.format("memory").queryName("encode_twin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = vecs.splitAt(vecs.length / 2)
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      val stream = spark.table("encode_twin").collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+      val batch = SparkEntry.queries("q_pq_encode")(spark, sf("sf0.01"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+      graft.io.CacheScope.releaseAll()
+      assert(stream.keySet == batch.keySet)
+      val diff = batch.keys.filter(k => stream(k) != batch(k))
+      assert(diff.isEmpty,
+        s"stream/batch code mismatch on ${diff.take(5).toSeq}")
+      assert(batch.values.toSet.size > 1, "corpus must exercise multiple codes")
+    } finally q.stop()
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
