@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.math.{BigDecimal => JBigDecimal, RoundingMode}
-
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -127,14 +125,12 @@ object PqCodes {
   import org.apache.spark.sql.catalyst.expressions.Cast
   import org.apache.spark.sql.types.NumericType
 
-  /** The per-term scaled-12 integer: `BigDecimal.valueOf` (the
-    * double's shortest decimal string — Spark's double→decimal Cast
-    * path), HALF_UP to scale 12, exact unscaled long. Throws on
-    * overflow (|p| ≳ 9.2e6) instead of wrapping — the same loud
-    * failure the relational kernel's ANSI decimal→bigint cast gave. */
-  def term12(p: Double): Long =
-    JBigDecimal.valueOf(p).setScale(12, RoundingMode.HALF_UP)
-      .unscaledValue().longValueExact()
+  /** The per-term scaled-12 integer — [[DecimalDotOps.term12]] (the
+    * shared boundary-guarded fast path over the exact
+    * `BigDecimal.valueOf` + HALF_UP rounding; throws on overflow,
+    * |p| ≳ 9.2e6, instead of wrapping — the same loud failure the
+    * relational kernel's ANSI decimal→bigint cast gave). */
+  def term12(p: Double): Long = DecimalDotOps.term12(p)
 
   def build(children: Seq[Expression]): Expression = {
     require(children.size == 2,
