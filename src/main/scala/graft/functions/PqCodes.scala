@@ -72,8 +72,30 @@ case class PqCodes(child: Expression, cb: Seq[Seq[Seq[Float]]])
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "pq_codes"
 
+  /** ccInt·10⁻¹² as doubles — the double-prefilter twin of [[ccInt]]. */
+  @transient private lazy val ccDouble: Array[Array[Double]] =
+    ccInt.map(_.map(_ * 1e-12))
+
   /** One reusable instance method so interpreted eval and generated
-    * code share the implementation (the [[MinHashBands]] pattern). */
+    * code share the implementation (the [[MinHashBands]] pattern).
+    *
+    * Two-phase argmax (the ANN family's codegen'd-double-prefilter /
+    * exact-DECIMAL-on-survivors pattern, applied inside the loop):
+    * phase 1 scores every entry in pure double — float×float products
+    * are EXACT in double (24×24 ≤ 53 bits), so the only error is the
+    * 8-term summation, the scaled-12 per-term rounding distance, and
+    * the cc representation, bounded by
+    *   |exactScore·10⁻¹² − approx| ≤ 8·(0.5e-12·2) + (2A + |cc|)·~2e-15
+    * (A = Σ|v_i·c_i|); the margin used is 2e-11 + (2A + |cc|)·1e-14 —
+    * ≥ 2× that bound. When the best approx score clears the runner-up
+    * by the SUM of their margins, the exact integer argmax provably
+    * selects the same entry (strict win ⇒ tie rule irrelevant) and no
+    * decimal term is ever computed; near-ties — duplicate or
+    * ~duplicate codebook entries — fall back to the exact integer
+    * scoring with ties to the LOWEST code. Values are therefore
+    * identical to the always-exact formulation by construction
+    * (PqEncodeSpec: corpus A/B, a perturbed near-tie codebook stress,
+    * and the duplicate-entry tie case). */
   def compute(v: ArrayData): GenericArrayData = {
     val m = cbArr.length
     val len = v.numElements()
@@ -81,29 +103,71 @@ case class PqCodes(child: Expression, cb: Seq[Seq[Seq[Float]]])
     var mi = 0
     while (mi < m) {
       val ks = cbArr(mi)
-      val ccs = ccInt(mi)
+      val ccd = ccDouble(mi)
       val off = mi * ks(0).length
-      var bestScore = Long.MinValue
-      var bestK = 0
+      var b1 = Double.NegativeInfinity
+      var b2 = Double.NegativeInfinity
+      var bk = 0
+      var bm = 0.0 // margin of the leader
+      var sm = 0.0 // margin of the runner-up
+      // NaN products or magnitudes near the scaled-long range must
+      // reach the exact path's LOUD failure (the relational kernel's
+      // ANSI casts threw there; the double phase would silently answer)
+      var forceExact = false
       var k = 0
       while (k < ks.length) {
         val c = ks(k)
-        var dot = 0L
+        var d = 0.0
+        var a = 0.0
         var i = 0
         while (i < c.length) {
           val idx = off + i
-          if (idx < len && !v.isNullAt(idx))
-            dot += PqCodes.term12(v.getFloat(idx).toDouble * c(i).toDouble)
+          if (idx < len && !v.isNullAt(idx)) {
+            val p = v.getFloat(idx).toDouble * c(i).toDouble // exact product
+            d += p
+            a += math.abs(p)
+          }
           i += 1
         }
-        val score = 2L * dot - ccs(k)
-        if (score > bestScore) { bestScore = score; bestK = k }
+        val s = 2.0 * d - ccd(k)
+        if (s != s || a > 8.0e6) forceExact = true
+        val mg = 2e-11 + (2.0 * a + math.abs(ccd(k))) * 1e-14
+        if (s > b1) { b2 = b1; sm = bm; b1 = s; bm = mg; bk = k }
+        else if (s > b2) { b2 = s; sm = mg }
         k += 1
       }
-      out(mi) = bestK
+      out(mi) =
+        if (!forceExact && b1 - b2 > bm + sm) bk
+        else exactArgmax(v, len, off, ks, ccInt(mi))
       mi += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** The always-exact integer argmax (2·dotInt − ccInt, ties to the
+    * lowest code) — the near-tie fallback and the semantics anchor. */
+  private def exactArgmax(
+      v: ArrayData, len: Int, off: Int,
+      ks: Array[Array[Float]], ccs: Array[Long]): Int = {
+    var bestScore = Long.MinValue
+    var bestK = 0
+    var k = 0
+    while (k < ks.length) {
+      val c = ks(k)
+      var dot = 0L
+      var i = 0
+      while (i < c.length) {
+        val idx = off + i
+        if (idx < len && !v.isNullAt(idx))
+          dot = Math.addExact(dot,
+            PqCodes.term12(v.getFloat(idx).toDouble * c(i).toDouble))
+        i += 1
+      }
+      val score = 2L * dot - ccs(k)
+      if (score > bestScore) { bestScore = score; bestK = k }
+      k += 1
+    }
+    bestK
   }
 
   override def nullSafeEval(input: Any): Any =

@@ -45,6 +45,35 @@ class PqEncodeSpec extends SparkSpec {
       "native and relational PQ encodes disagree")
   }
 
+  test("near-tie codebooks: the double prefilter's fallback agrees with the relational kernel") {
+    // a codebook built from pairs (c, c·(1+1e-7)) makes the top-2 scores
+    // land inside the prefilter margin for many vectors — exactly the
+    // regime where a wrong margin bound would silently pick the wrong
+    // entry; the exact fallback must reproduce the relational argmax
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    def vec(): Seq[Float] = Seq.fill(16)((rnd.nextFloat() * 2 - 1))
+    val base = Seq.fill(8)(Seq.fill(8)(rnd.nextFloat() * 2 - 1).map(_.toFloat))
+    val cbRows: Seq[(Int, Int, Seq[Float])] =
+      for (m <- 0 until 2; k <- 0 until 16) yield {
+        val c = base(k / 2)
+        val e = if (k % 2 == 0) c else c.map(x => (x * (1 + 1e-7f)))
+        (m, k, e)
+      }
+    val vecs = (0 until 400).map(i => (i.toLong, vec())).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val native = vecs.select(col("vec_id"),
+      posexplode(expr(graft.queries.Similarity.pqCodesSql("embedding", cbRows)))
+        .as(Seq("m", "code")))
+      .select(col("vec_id"), col("m").cast("int").as("m"), col("code").cast("int").as("code"))
+    // the relational reference at this geometry: DS = 8, K = 16
+    val cbDf = cbRows.toDF("m", "k", "cb")
+      .select(col("m"), col("k"), col("cb").cast("array<float>").as("cb"))
+    val relational = relationalCodes(vecs, cbDf)
+    assert(native.exceptAll(relational).isEmpty && relational.exceptAll(native).isEmpty,
+      "near-tie fallback disagrees with the relational kernel")
+  }
+
   test("ties break to the lowest code (duplicate codebook entries)") {
     // two identical entries per subspace: the argmax sees equal scores
     // and must keep k=0 — the relational pack's (15 - k) under max
