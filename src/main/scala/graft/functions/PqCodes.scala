@@ -137,8 +137,8 @@ case class PqCodes(child: Expression, cb: Seq[Seq[Seq[Float]]])
         k += 1
       }
       out(mi) =
-        if (!forceExact && b1 - b2 > bm + sm) bk
-        else exactArgmax(v, len, off, ks, ccInt(mi))
+        if (!forceExact && b1 - b2 > bm + sm) { PqCodes.fastSubspaces.increment(); bk }
+        else { PqCodes.exactSubspaces.increment(); exactArgmax(v, len, off, ks, ccInt(mi)) }
       mi += 1
     }
     new GenericArrayData(out)
@@ -195,6 +195,16 @@ object PqCodes {
     * |p| ≳ 9.2e6, instead of wrapping — the same loud failure the
     * relational kernel's ANSI decimal→bigint cast gave). */
   def term12(p: Double): Long = DecimalDotOps.term12(p)
+
+  /** Per-JVM diagnostic counters for the two-phase argmax: subspace
+    * decisions taken by the certified double prefilter vs the exact
+    * integer fallback. The margin proof makes the CODES correct either
+    * way — these only make the prefilter's coverage visible (a
+    * codebook whose entries cluster inside the margin would silently
+    * run all-exact; PqEncodeSpec asserts coverage on the real corpus).
+    * LongAdder: hot-loop increments from many task threads. */
+  val fastSubspaces = new java.util.concurrent.atomic.LongAdder
+  val exactSubspaces = new java.util.concurrent.atomic.LongAdder
 
   def build(children: Seq[Expression]): Expression = {
     require(children.size == 2,

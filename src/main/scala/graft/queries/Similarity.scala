@@ -1633,6 +1633,38 @@ object Similarity {
         col("m").cast("int").as("m"), col("code").cast("int").as("code"))
     },
 
+    // ---- PQ code balance (codebook utilization QA) -------------------------
+    // The q_ivf_cell_balance analogue for PQ: per (subspace, code) the
+    // assigned-vector count and corpus fraction, plus how many codes
+    // each subspace actually uses — dead or starving codes mean wasted
+    // quantization capacity (the codebook-retraining trigger in a real
+    // IVF-PQ deployment; FAISS's imbalance_factor serves this role).
+    // Diagnostic-tier: consumes the memoized `pq_codes` kernel
+    // (q_ann_pq is the builder) + one bounded aggregate — zero new
+    // corpus scans; the corpus denominator is the cached plan-time row
+    // count (scalar subquery in the oracle). frac is one IEEE division
+    // of exact integers — bit-identical cross-engine.
+    Q(
+      "q_pq_code_balance",
+      s"""WITH $pqBaseCtes, g AS (
+        |  SELECT CAST(m AS INTEGER) AS m, CAST(code AS INTEGER) AS code,
+        |    count(*) AS n_vec
+        |  FROM codes GROUP BY 1, 2
+        |)
+        |SELECT m, code, n_vec,
+        |  CAST(n_vec AS DOUBLE) / (SELECT count(*) FROM embeddings) AS frac,
+        |  count(*) OVER (PARTITION BY m) AS n_used
+        |FROM g""".stripMargin) { (s, dir) =>
+      val (_, codes) = pqCodebookAndCodes(s, dir, rebuildMemo = false)
+      val n = Tables.rowCount(s, dir, "embeddings")
+      codes
+        .groupBy(col("m").cast("int").as("m"), col("code").cast("int").as("code"))
+        .agg(count(lit(1)).as("n_vec"))
+        .withColumn("frac", col("n_vec").cast("double") / lit(n).cast("double"))
+        .withColumn("n_used",
+          count(lit(1)).over(Window.partitionBy(col("m"))))
+    },
+
     // ---- per-label embedding centroids (element-wise DECIMAL sums) ---------
     // vector aggregation without float-sum nondeterminism: posexplode
     // the vectors, sum each (label, dim) in DECIMAL — one shuffle on

@@ -40,26 +40,38 @@ class PqEncodeSpec extends SparkSpec {
         .as(Seq("m", "code")))
       .select(col("vec_id"), col("m").cast("int").as("m"), col("code").cast("int").as("code"))
     val relational = relationalCodes(e, cb.toDF("m", "k", "cb"))
+    val (f0, x0) = (graft.functions.PqCodes.fastSubspaces.sum(),
+      graft.functions.PqCodes.exactSubspaces.sum())
     assert(native.count() == relational.count())
     assert(native.exceptAll(relational).isEmpty && relational.exceptAll(native).isEmpty,
       "native and relational PQ encodes disagree")
+    // prefilter coverage on the REAL corpus/codebook: the margin proof
+    // makes codes correct either way, but an all-exact run would mean
+    // the two-phase optimization silently stopped covering anything
+    val (fd, xd) = (graft.functions.PqCodes.fastSubspaces.sum() - f0,
+      graft.functions.PqCodes.exactSubspaces.sum() - x0)
+    assert(fd > 0, "no subspace took the double prefilter")
+    assert(fd.toDouble / (fd + xd) > 0.9,
+      s"prefilter coverage collapsed: fast=$fd exact=$xd")
+    info(s"prefilter coverage on the corpus: fast=$fd exact=$xd")
   }
 
   test("near-tie codebooks: the double prefilter's fallback agrees with the relational kernel") {
-    // a codebook built from pairs (c, c·(1+1e-7)) makes the top-2 scores
-    // land inside the prefilter margin for many vectors — exactly the
-    // regime where a wrong margin bound would silently pick the wrong
-    // entry; the exact fallback must reproduce the relational argmax
+    // a codebook of DUPLICATED entries (pairs (c, c)) makes the top-2
+    // scores tie EXACTLY for every vector — zero clears no positive
+    // margin, so every subspace must take the exact fallback, whose
+    // lowest-code tie-break must reproduce the relational argmax at
+    // scale (400 vectors × 2 subspaces, not just the single-row tie
+    // case below). A float perturbation cannot produce this regime:
+    // one float ulp already moves the score ~1e-8, three decades above
+    // the 2e-11 margin — gaps inside (0, margin] require adversarially
+    // crafted vector/entry pairs, and the margin PROOF covers them.
     import spark.implicits._
     val rnd = new scala.util.Random(77)
     def vec(): Seq[Float] = Seq.fill(16)((rnd.nextFloat() * 2 - 1))
     val base = Seq.fill(8)(Seq.fill(8)(rnd.nextFloat() * 2 - 1).map(_.toFloat))
     val cbRows: Seq[(Int, Int, Seq[Float])] =
-      for (m <- 0 until 2; k <- 0 until 16) yield {
-        val c = base(k / 2)
-        val e = if (k % 2 == 0) c else c.map(x => (x * (1 + 1e-7f)))
-        (m, k, e)
-      }
+      for (m <- 0 until 2; k <- 0 until 16) yield (m, k, base(k / 2))
     val vecs = (0 until 400).map(i => (i.toLong, vec())).toDF("vec_id", "embedding")
       .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
     val native = vecs.select(col("vec_id"),
@@ -69,9 +81,12 @@ class PqEncodeSpec extends SparkSpec {
     // the relational reference at this geometry: DS = 8, K = 16
     val cbDf = cbRows.toDF("m", "k", "cb")
       .select(col("m"), col("k"), col("cb").cast("array<float>").as("cb"))
+    val x0 = graft.functions.PqCodes.exactSubspaces.sum()
     val relational = relationalCodes(vecs, cbDf)
     assert(native.exceptAll(relational).isEmpty && relational.exceptAll(native).isEmpty,
       "near-tie fallback disagrees with the relational kernel")
+    assert(graft.functions.PqCodes.exactSubspaces.sum() > x0,
+      "the near-tie codebook never exercised the exact fallback")
   }
 
   test("ties break to the lowest code (duplicate codebook entries)") {
