@@ -1480,13 +1480,11 @@ object Dedup {
         |${Similarity.semProbesCte}
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  CAST(list_sum(list_transform(generate_series(1, 64),
-        |    i -> CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
-        |         AS DECIMAL(28,12)))) AS DOUBLE) AS dot
+        |    i -> ${Similarity.duckProd12("a.embedding[i]", "b.embedding[i]")})) AS DOUBLE) AS dot
         |FROM semprobes a JOIN semassign b
         |  ON a.label = b.label AND a.probe = b.cell AND a.vec_id < b.vec_id
         |WHERE list_sum(list_transform(generate_series(1, 64),
-        |    i -> CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
-        |         AS DECIMAL(28,12)))) >= 0.35""".stripMargin) { (s, dir) =>
+        |    i -> ${Similarity.duckProd12("a.embedding[i]", "b.embedding[i]")})) >= 0.35""".stripMargin) { (s, dir) =>
       // still salted: hyperplane cells are uneven on clustered data and
       // a hot (label, cell) block would otherwise pin one task
       val salts = 8

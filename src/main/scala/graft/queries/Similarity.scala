@@ -60,22 +60,59 @@ object Similarity {
   /** Product-quantization geometry: M subspaces of DS dims (M·DS = 64),
     * K codebook entries per subspace — a vector compresses to M codes.
     * Codebooks are TRAINED (VERDICT r13 #4): [[PQ_ROUNDS]] rounds of
-    * per-subspace Lloyd over a [[PQ_TRAIN_N]]-vector content-hash
+    * per-subspace Lloyd over a [[pqTrainN]]-vector content-hash
     * sample (the FAISS recipe — codebooks train on a bounded sample,
     * the full corpus only encodes), seeded from the hash-ordered seed
     * set the training-free r13 codebooks used. Encoding is MINIMUM
     * L2 distance — argmax of 2·v·c − c·c (v·v is constant per vector),
-    * every term an exact-DECIMAL dot, ties to the lowest code. */
+    * every term an exact-DECIMAL dot, ties to the lowest code.
+    *
+    * K is CORPUS-DERIVED (round 15 — the ncIvf/semBits rule applied to
+    * the codebook): K = clamp(16, 256, N div 64), so a 50-vector test
+    * corpus trains 16 codes per subspace while a billion-vector corpus
+    * saturates at the FAISS byte-code budget of 256 — with at least 64
+    * training candidates per code before the cap. The training sample
+    * scales with it (16·K vectors, floor 256 — bounded at 4096 ever).
+    * Pure INTEGER arithmetic on both sides (Spark: the cached
+    * plan-time row count; oracle: a scalar subquery), the
+    * corpus-derived-parameter rule. The sf0.001/0.01 gates exercise
+    * K = 16 and the sf0.1 cross-scale gate K = 31, so the derivation
+    * itself is hash-verified, not one frozen parameterization. */
   private val PQ_M = 8
   private val PQ_DS = 8
-  private val PQ_K = 16
   private val PQ_ROUNDS = 2
-  private[graft] final val PQ_TRAIN_N = 256
+  private[graft] def pqK(
+      s: org.apache.spark.sql.SparkSession, dir: String): Int =
+    math.min(256L, math.max(16L,
+      Tables.rowCount(s, dir, "embeddings") / 64L)).toInt
+  private[graft] def pqTrainN(
+      s: org.apache.spark.sql.SparkSession, dir: String): Int =
+    math.max(256, 16 * pqK(s, dir))
+  private val duckPqK =
+    "(SELECT least(256, greatest(16, count(*) // 64)) FROM embeddings)"
+  private val duckPqTrainN =
+    "(SELECT greatest(256, 16 * least(256, greatest(16, count(*) // 64))) FROM embeddings)"
+
+  /** DuckDB: one float-product term snapped to DECIMAL(28,12) THROUGH
+    * THE SHORTEST DECIMAL REPR (round 15): `CAST(double AS DECIMAL)`
+    * rounds the exact binary value, Spark rounds the shortest-string
+    * decimal (HALF_UP) — and float x float products have <= 48-bit
+    * mantissas whose shortest reprs land ON a scale-12 half-tie about
+    * 1e-4..1e-5 of the time, where the two conversions disagree by one
+    * unit (found by the K=31 cross-scale gate: one tie term in
+    * q_pq_train's 95k round-1 d2 terms). DuckDB's double->VARCHAR is
+    * the same shortest repr and its VARCHAR->DECIMAL rounds half-up,
+    * so this composition equals Spark's cast BIT-FOR-BIT (validated on
+    * 300k random float products + exponent-notation edges); outside
+    * the tie band it is value-identical to the direct cast, so every
+    * previously green row stays green. docs/determinism.md round-15. */
+  private[queries] def duckProd12(x: String, y: String): String =
+    s"CAST(CAST(CAST($x AS DOUBLE) * CAST($y AS DOUBLE) AS VARCHAR) AS DECIMAL(28,12))"
 
   /** DuckDB: exact-DECIMAL 8-term dot of two subvector lists. */
   private def duckDot8(a: String, b: String): String =
     s"""list_sum(list_transform(generate_series(1, $PQ_DS),
-       |  i -> CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(28,12))))""".stripMargin
+       |  i -> ${duckProd12(s"$a[i]", s"$b[i]")}))""".stripMargin
 
   /** DuckDB: the min-L2 ordering value 2·v_sub·c − c·c as one exact
     * DECIMAL — shared by the training assignments and the final
@@ -88,9 +125,12 @@ object Similarity {
     * q_pq_distortion — one formulation. The final CTE names `cb` and
     * `codes` are unchanged from the r13 training-free chain, so the
     * consuming query bodies did not move. Training reads only the
-    * `pqt` sample (ORDER BY content hash LIMIT $PQ_TRAIN_N — bounded
-    * at any corpus size); empty cells keep their previous entry
-    * (coalesce), so every subspace always carries $PQ_K codes. */
+    * `pqt` sample (content-hash row_number ≤ the corpus-derived train
+    * budget — bounded at any corpus size); empty cells keep their
+    * previous entry (coalesce), so every subspace always carries the
+    * full corpus-derived K codes. The K and train-budget limits are
+    * scalar-subquery row_number filters (not LIMITs) so the oracle
+    * derives them from the same corpus the Spark side counts. */
   private lazy val pqBaseCtes: String = {
     val rounds = (1 to PQ_ROUNDS).map { r =>
       s"""pa${r - 1} AS MATERIALIZED (
@@ -117,16 +157,21 @@ object Similarity {
          |)""".stripMargin
     }.mkString(", ")
     s"""seeds AS (
-       |  SELECT row_number() OVER (ORDER BY ph, vec_id) - 1 AS k, embedding
-       |  FROM (SELECT vec_id, embedding, ${duck("'pq#' || vec_id::VARCHAR")} AS ph
-       |        FROM embeddings ORDER BY ph, vec_id LIMIT $PQ_K)
+       |  SELECT k, embedding FROM (
+       |    SELECT row_number() OVER (ORDER BY ph, vec_id) - 1 AS k, embedding
+       |    FROM (SELECT vec_id, embedding, ${duck("'pq#' || vec_id::VARCHAR")} AS ph
+       |          FROM embeddings))
+       |  WHERE k < $duckPqK
        |), cb0 AS MATERIALIZED (
        |  SELECT t.m, s.k,
        |    list_transform(generate_series(1, $PQ_DS), i -> s.embedding[t.m * $PQ_DS + i]) AS cb
        |  FROM seeds s, generate_series(0, ${PQ_M - 1}) t(m)
        |), pqt AS MATERIALIZED (
-       |  SELECT vec_id FROM embeddings
-       |  ORDER BY ${duck("'pqt#' || vec_id::VARCHAR")}, vec_id LIMIT $PQ_TRAIN_N
+       |  SELECT vec_id FROM (
+       |    SELECT vec_id, row_number() OVER (ORDER BY th, vec_id) AS trn
+       |    FROM (SELECT vec_id, ${duck("'pqt#' || vec_id::VARCHAR")} AS th
+       |          FROM embeddings))
+       |  WHERE trn <= $duckPqTrainN
        |), sv AS MATERIALIZED (
        |  SELECT e.vec_id, t.m,
        |    list_transform(generate_series(1, $PQ_DS), i -> e.embedding[t.m * $PQ_DS + i]) AS sv
@@ -154,7 +199,7 @@ object Similarity {
     val seeds = e
       .select(col("vec_id"), col("embedding"),
         expr(h("concat('pq#', cast(vec_id as string))")).as("ph"))
-      .orderBy(col("ph"), col("vec_id")).limit(PQ_K)
+      .orderBy(col("ph"), col("vec_id")).limit(pqK(s, dir))
       .withColumn("k",
         row_number().over(Window.orderBy(col("ph"), col("vec_id"))) - 1)
     localizedModel(seeds
@@ -222,7 +267,7 @@ object Similarity {
     }
 
   /** [[PQ_ROUNDS]] rounds of per-subspace Lloyd over the bounded
-    * [[PQ_TRAIN_N]] content-hash sample. Per round: min-L2 assignment
+    * [[pqTrainN]] content-hash sample. Per round: min-L2 assignment
     * of the sample subvectors (the [[pqEncode]] kernel over ≤ 256
     * vectors), then each (m, k) cell's centroid becomes the
     * element-wise mean of its assigned subvectors (DECIMAL sums →
@@ -236,7 +281,7 @@ object Similarity {
     import s.implicits._
     val e = Tables(s, dir, "embeddings")
     // the training sample IS the model input — a bounded frame
-    // (PQ_TRAIN_N × 64 floats ≈ 64 KB), so it follows the
+    // (≤ 4096 × 64 floats ≈ 1 MB), so it follows the
     // localizedModel rule: ONE corpus TakeOrdered (hash + embedding —
     // no id semi-join, no second corpus scan, no cache), then every
     // round's assignment/update job runs over a driver LocalRelation ×
@@ -246,13 +291,13 @@ object Similarity {
     val tv = localizedModel(e
       .select(col("vec_id"), col("embedding"),
         expr(h("concat('pqt#', cast(vec_id as string))")).as("th"))
-      .orderBy(col("th"), col("vec_id")).limit(PQ_TRAIN_N)
+      .orderBy(col("th"), col("vec_id")).limit(pqTrainN(s, dir))
       .select(col("vec_id"), col("embedding")))
     def collectCb(df: org.apache.spark.sql.DataFrame): Seq[(Int, Int, Seq[Float])] =
       df.select(col("m"), col("k"), col("cb")).collect().toSeq
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
         .sortBy(t => (t._1, t._2))
-    // per-round assignments collected driver-side (≤ PQ_TRAIN_N·M thin
+    // per-round assignments collected driver-side (≤ trainN·M thin
     // rows): `moved` is a pure integer diff in Scala; the sample
     // distortion is ONE LocalRelation job per round with the exact
     // q_pq_distortion DECIMAL formula, so the q_pq_train oracle can
@@ -377,10 +422,10 @@ object Similarity {
       .crossJoin(broadcast(cb0))
       .select(col("vec_id"), col("m"),
         expr(s"""cast(dot_dec(slice(embedding, m * $PQ_DS + 1, $PQ_DS), cb)
-                 * 1000000000000 as bigint) * 16 + (15 - k)""").as("pack"))
+                 * 1000000000000 as bigint) * 256 + (255 - k)""").as("pack"))
       .groupBy(col("vec_id"), col("m"))
       .agg(max(col("pack")).as("mp"))
-      .select(col("vec_id"), col("m"), (lit(15) - pmod(col("mp"), lit(16))).as("code"))
+      .select(col("vec_id"), col("m"), (lit(255) - pmod(col("mp"), lit(256))).as("code"))
     pqAdcTop(s, dir, cb0, codes0)
   }
 
@@ -442,7 +487,7 @@ object Similarity {
     val (cbFrame, cbRows) =
       if (graft.io.KernelMemo.isBypassed)
         (pqSeedCb(s, dir),
-          for (m <- 0 until PQ_M; k <- 0 until PQ_K)
+          for (m <- 0 until PQ_M; k <- 0 until pqK(s, dir))
             yield (m, k, Seq.fill(PQ_DS)(0.0f)))
       else {
         val model = pqModel(s, dir)
@@ -468,7 +513,7 @@ object Similarity {
 
   private def duckDot(a: String, b: String): String =
     s"""list_sum(list_transform(generate_series(1, 64),
-       |  i -> CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(28,12))))""".stripMargin
+       |  i -> ${duckProd12(s"$a[i]", s"$b[i]")}))""".stripMargin
 
   /** ANN method-output memo ([[graft.io.KernelMemo]]): each registered
     * method query is its own kernel's designated builder (wrapping its
@@ -1326,8 +1371,7 @@ object Similarity {
         |), lut AS (
         |  SELECT q.query_id, c.m, c.k AS code,
         |    list_sum(list_transform(generate_series(1, $PQ_DS),
-        |      i -> CAST(CAST(q.q_emb[c.m * $PQ_DS + i] AS DOUBLE)
-        |           * CAST(c.cb[i] AS DOUBLE) AS DECIMAL(28,12)))) AS ldot
+        |      i -> ${duckProd12(s"q.q_emb[c.m * $PQ_DS + i]", "c.cb[i]")})) AS ldot
         |  FROM q CROSS JOIN cb c
         |), adc AS (
         |  SELECT l.query_id, cd.vec_id AS cand_id,
@@ -1390,8 +1434,7 @@ object Similarity {
         |), lut AS (
         |  SELECT q.vec_id AS query_id, c.m, c.k AS code,
         |    list_sum(list_transform(generate_series(1, $PQ_DS),
-        |      i -> CAST(CAST(q.embedding[c.m * $PQ_DS + i] AS DOUBLE)
-        |           * CAST(c.cb[i] AS DOUBLE) AS DECIMAL(28,12)))) AS ldot
+        |      i -> ${duckProd12(s"q.embedding[c.m * $PQ_DS + i]", "c.cb[i]")})) AS ldot
         |  FROM q CROSS JOIN cb c
         |), adc AS (
         |  SELECT p.query_id, p.cand_id,
@@ -1487,14 +1530,11 @@ object Similarity {
         def duckDist(codes: String, cb: String) =
           s"""SELECT cd.m,
              |    CAST(list_sum(list_transform(generate_series(1, $PQ_DS),
-             |        i -> CAST(CAST(v.embedding[cd.m * $PQ_DS + i] AS DOUBLE)
-             |             * CAST(v.embedding[cd.m * $PQ_DS + i] AS DOUBLE) AS DECIMAL(28,12))))
+             |        i -> ${duckProd12(s"v.embedding[cd.m * $PQ_DS + i]", s"v.embedding[cd.m * $PQ_DS + i]")}))
              |      - 2 * list_sum(list_transform(generate_series(1, $PQ_DS),
-             |        i -> CAST(CAST(v.embedding[cd.m * $PQ_DS + i] AS DOUBLE)
-             |             * CAST(c.cb[i] AS DOUBLE) AS DECIMAL(28,12))))
+             |        i -> ${duckProd12(s"v.embedding[cd.m * $PQ_DS + i]", "c.cb[i]")}))
              |      + list_sum(list_transform(generate_series(1, $PQ_DS),
-             |        i -> CAST(CAST(c.cb[i] AS DOUBLE)
-             |             * CAST(c.cb[i] AS DOUBLE) AS DECIMAL(28,12))))
+             |        i -> ${duckProd12("c.cb[i]", "c.cb[i]")}))
              |      AS DECIMAL(28,12)) AS d2
              |  FROM $codes cd
              |  JOIN embeddings v ON v.vec_id = cd.vec_id
@@ -1536,10 +1576,10 @@ object Similarity {
         .crossJoin(broadcast(cb0))
         .select(col("vec_id"), col("m"),
           expr(s"""cast(dot_dec(slice(embedding, m * $PQ_DS + 1, $PQ_DS), cb)
-                   * 1000000000000 as bigint) * 16 + (15 - k)""").as("pack"))
+                   * 1000000000000 as bigint) * 256 + (255 - k)""").as("pack"))
         .groupBy(col("vec_id"), col("m"))
         .agg(max(col("pack")).as("mp"))
-        .select(col("vec_id"), col("m"), (lit(15) - pmod(col("mp"), lit(16))).as("code"))
+        .select(col("vec_id"), col("m"), (lit(255) - pmod(col("mp"), lit(256))).as("code"))
       val codes0 = graft.io.KernelMemo.reuse(s, dir, "pq_codes_hash")(build0)
       def distOf(cds: org.apache.spark.sql.DataFrame,
           cbDf: org.apache.spark.sql.DataFrame) = cds
