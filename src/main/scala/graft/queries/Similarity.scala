@@ -1728,6 +1728,81 @@ object Similarity {
           count(lit(1)).as("cnt"))
     },
 
+    // ---- embedding distribution drift (batch-over-batch monitoring) --------
+    // The QA pass a pipeline runs before MIXING a newly embedded batch
+    // into the corpus: per dimension, compare the new batch's mean and
+    // variance against the existing corpus — an encoder version bump,
+    // a normalization change, or upstream data drift shows as mean
+    // shift / variance ratio long before ANN recall visibly degrades
+    // (batch surrogate: vec_id parity, the q_dedup_incremental
+    // convention). Determinism recipe: per-batch Σx via the scale-8
+    // raw-float snap (the q_label_centroids pattern; zero band hits on
+    // corpus floats — tools/check_cast_alignment.py), Σx² via the
+    // scale-12 PRODUCT snap (Spark dec_cast ≡ oracle duckProd12 — the
+    // round-15 VARCHAR rule, x·x is a float product), means as IEEE
+    // divisions of snapped doubles, and the variance e2 − mean² snapped
+    // through dec_cast(·,18,9) on both sides (the FMA-contract rule).
+    // One shuffle on the 64-value dim key; sums are map-side combined.
+    Q(
+      "q_embedding_drift", {
+        val prodSnap = "CAST(CAST(CAST(x * x AS VARCHAR) AS DECIMAL(28,12)) AS DECIMAL(28,12))"
+        s"""WITH ex AS (
+        |  SELECT (vec_id % 2 = 0) AS is_a, i - 1 AS dim,
+        |    CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+        |), g AS (
+        |  SELECT dim,
+        |    count(*) FILTER (WHERE is_a) AS n_a,
+        |    count(*) FILTER (WHERE NOT is_a) AS n_b,
+        |    CAST(CAST(sum(CAST(x AS DECIMAL(18,8))) FILTER (WHERE is_a)
+        |      AS DECIMAL(28,8)) AS DOUBLE) AS s_a,
+        |    CAST(CAST(sum(CAST(x AS DECIMAL(18,8))) FILTER (WHERE NOT is_a)
+        |      AS DECIMAL(28,8)) AS DOUBLE) AS s_b,
+        |    CAST(CAST(sum($prodSnap) FILTER (WHERE is_a)
+        |      AS DECIMAL(18,12)) AS DOUBLE) AS q_a,
+        |    CAST(CAST(sum($prodSnap) FILTER (WHERE NOT is_a)
+        |      AS DECIMAL(18,12)) AS DOUBLE) AS q_b
+        |  FROM ex GROUP BY dim
+        |), m AS (
+        |  SELECT dim, n_a, n_b,
+        |    s_a / n_a AS mean_a, s_b / n_b AS mean_b,
+        |    CAST(CAST(q_a / n_a - (s_a / n_a) * (s_a / n_a) AS DECIMAL(18,9)) AS DOUBLE) AS var_a,
+        |    CAST(CAST(q_b / n_b - (s_b / n_b) * (s_b / n_b) AS DECIMAL(18,9)) AS DOUBLE) AS var_b
+        |  FROM g
+        |)
+        |SELECT dim, n_a, n_b, mean_a, mean_b, mean_b - mean_a AS mean_shift,
+        |  var_a, var_b,
+        |  CASE WHEN var_a > 0 THEN var_b / var_a END AS var_ratio
+        |FROM m""".stripMargin
+      }) { (s, dir) =>
+      val ex = Tables(s, dir, "embeddings")
+        .select((col("vec_id") % 2 === 0).as("is_a"),
+          posexplode(col("embedding")).as(Seq("dim", "xf")))
+        .select(col("is_a"), col("dim"), col("xf").cast("double").as("x"))
+      val g = ex.groupBy(col("dim"))
+        .agg(
+          count(when(col("is_a"), lit(1))).as("n_a"),
+          count(when(!col("is_a"), lit(1))).as("n_b"),
+          sum(when(col("is_a"), expr("dec_cast(x, 18, 8)")))
+            .cast("decimal(28,8)").cast("double").as("s_a"),
+          sum(when(!col("is_a"), expr("dec_cast(x, 18, 8)")))
+            .cast("decimal(28,8)").cast("double").as("s_b"),
+          sum(when(col("is_a"), expr("dec_cast(x * x, 28, 12)")))
+            .cast("decimal(18,12)").cast("double").as("q_a"),
+          sum(when(!col("is_a"), expr("dec_cast(x * x, 28, 12)")))
+            .cast("decimal(18,12)").cast("double").as("q_b"))
+      g.select(col("dim"), col("n_a"), col("n_b"),
+          (col("s_a") / col("n_a")).as("mean_a"),
+          (col("s_b") / col("n_b")).as("mean_b"),
+          col("q_a"), col("q_b"))
+        .select(col("dim"), col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+          (col("mean_b") - col("mean_a")).as("mean_shift"),
+          expr("cast(dec_cast(q_a / n_a - mean_a * mean_a, 18, 9) as double)").as("var_a"),
+          expr("cast(dec_cast(q_b / n_b - mean_b * mean_b, 18, 9) as double)").as("var_b"))
+        .withColumn("var_ratio",
+          when(col("var_a") > 0, col("var_b") / col("var_a")))
+    },
+
     // ---- int8 scalar quantization + reconstruction error -------------------
     // The vector-compression pass an embedding store runs before
     // serving: per-dimension min/max over the corpus -> 8-bit scalar

@@ -64,10 +64,10 @@ class PlanShapeSpec extends SparkSpec {
     // documents/embeddings parquet relation.
     import org.apache.spark.sql.execution.LogicalRDD
     import org.apache.spark.sql.execution.datasources.LogicalRelation
-    for (b <- Seq("q_ivf_pruned_assign", "q_dedup_ngram_capped"))
+    for (b <- Seq("q_ivf_pruned_assign", "q_dedup_ngram_capped", "q_ann_pq"))
       SparkEntry.queries(b)(spark, sf()).write.format("noop").mode("overwrite").save()
     graft.io.CacheScope.releaseAll()
-    for (c <- Seq("q_ivf_cell_balance", "q_dedup_graph_degree")) {
+    for (c <- Seq("q_ivf_cell_balance", "q_dedup_graph_degree", "q_pq_code_balance")) {
       val plan = SparkEntry.queries(c)(spark, sf()).queryExecution.optimizedPlan
       val rddScans = plan.collect { case l: LogicalRDD => l }
       assert(rddScans.nonEmpty,
