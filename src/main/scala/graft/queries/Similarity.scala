@@ -131,18 +131,28 @@ object Similarity {
     * full corpus-derived K codes. The K and train-budget limits are
     * scalar-subquery row_number filters (not LIMITs) so the oracle
     * derives them from the same corpus the Spark side counts. */
-  private lazy val pqBaseCtes: String = {
+  private lazy val pqBaseCtes: String = pqChainCtes("embeddings", "")
+
+  /** The PQ chain over an arbitrary (vec_id, embedding) source
+    * relation, CTE names prefixed with `p` — `pqBaseCtes` is the
+    * `("embeddings", "")` instance (byte-identical to the r13–r15
+    * text); the residual IVFADC chain instantiates it over the
+    * residual CTE. The K / train-budget scalar subqueries stay over
+    * `embeddings` (the source carries the same vec_ids, so the counts
+    * are equal by construction), and the hash tags are shared so both
+    * chains seed/train on the SAME hash-selected vec_ids. */
+  private def pqChainCtes(src: String, p: String): String = {
     val rounds = (1 to PQ_ROUNDS).map { r =>
-      s"""pa${r - 1} AS MATERIALIZED (
+      s"""${p}pa${r - 1} AS MATERIALIZED (
          |  SELECT vec_id, m, k FROM (
          |    SELECT s.vec_id, s.m, c.k,
          |      row_number() OVER (PARTITION BY s.vec_id, s.m
          |        ORDER BY ${duckPqScore("s.sv", "c.cb")} DESC, c.k) AS rn
-         |    FROM sv s JOIN cb${r - 1} c ON c.m = s.m
+         |    FROM ${p}sv s JOIN ${p}cb${r - 1} c ON c.m = s.m
          |  ) WHERE rn = 1
-         |), cb$r AS MATERIALIZED (
+         |), ${p}cb$r AS MATERIALIZED (
          |  SELECT p.m, p.k, coalesce(u.cb, p.cb) AS cb
-         |  FROM cb${r - 1} p LEFT JOIN (
+         |  FROM ${p}cb${r - 1} p LEFT JOIN (
          |    SELECT m, k, list_transform(
          |        list_sort(list(struct_pack(dim := dim, mean := mean))),
          |        r -> CAST(r.mean AS FLOAT)) AS cb
@@ -150,53 +160,56 @@ object Similarity {
          |      SELECT a.m, a.k, i AS dim,
          |        CAST(CAST(sum(CAST(CAST(s.sv[i] AS DOUBLE) AS DECIMAL(18,8))) AS DECIMAL(28,8)) AS DOUBLE)
          |          / count(*) AS mean
-         |      FROM pa${r - 1} a JOIN sv s ON s.vec_id = a.vec_id AND s.m = a.m,
+         |      FROM ${p}pa${r - 1} a JOIN ${p}sv s ON s.vec_id = a.vec_id AND s.m = a.m,
          |           unnest(generate_series(1, $PQ_DS)) AS t(i)
          |      GROUP BY a.m, a.k, i)
          |    GROUP BY m, k) u ON u.m = p.m AND u.k = p.k
          |)""".stripMargin
     }.mkString(", ")
-    s"""seeds AS (
+    s"""${p}seeds AS (
        |  SELECT k, embedding FROM (
        |    SELECT row_number() OVER (ORDER BY ph, vec_id) - 1 AS k, embedding
        |    FROM (SELECT vec_id, embedding, ${duck("'pq#' || vec_id::VARCHAR")} AS ph
-       |          FROM embeddings))
+       |          FROM $src))
        |  WHERE k < $duckPqK
-       |), cb0 AS MATERIALIZED (
+       |), ${p}cb0 AS MATERIALIZED (
        |  SELECT t.m, s.k,
        |    list_transform(generate_series(1, $PQ_DS), i -> s.embedding[t.m * $PQ_DS + i]) AS cb
-       |  FROM seeds s, generate_series(0, ${PQ_M - 1}) t(m)
-       |), pqt AS MATERIALIZED (
+       |  FROM ${p}seeds s, generate_series(0, ${PQ_M - 1}) t(m)
+       |), ${p}pqt AS MATERIALIZED (
        |  SELECT vec_id FROM (
        |    SELECT vec_id, row_number() OVER (ORDER BY th, vec_id) AS trn
        |    FROM (SELECT vec_id, ${duck("'pqt#' || vec_id::VARCHAR")} AS th
-       |          FROM embeddings))
+       |          FROM $src))
        |  WHERE trn <= $duckPqTrainN
-       |), sv AS MATERIALIZED (
+       |), ${p}sv AS MATERIALIZED (
        |  SELECT e.vec_id, t.m,
        |    list_transform(generate_series(1, $PQ_DS), i -> e.embedding[t.m * $PQ_DS + i]) AS sv
-       |  FROM embeddings e JOIN pqt USING (vec_id), generate_series(0, ${PQ_M - 1}) t(m)
-       |), $rounds, cb AS MATERIALIZED (
-       |  SELECT m, k, cb FROM cb$PQ_ROUNDS
-       |), codes AS (
+       |  FROM $src e JOIN ${p}pqt USING (vec_id), generate_series(0, ${PQ_M - 1}) t(m)
+       |), $rounds, ${p}cb AS MATERIALIZED (
+       |  SELECT m, k, cb FROM ${p}cb$PQ_ROUNDS
+       |), ${p}codes AS (
        |  SELECT vec_id, m, k AS code FROM (
        |    SELECT v.vec_id, c.m, c.k,
        |      row_number() OVER (PARTITION BY v.vec_id, c.m
        |        ORDER BY ${duckPqScore(
               s"list_transform(generate_series(1, $PQ_DS), i -> v.embedding[c.m * $PQ_DS + i])",
               "c.cb")} DESC, c.k) AS rn
-       |    FROM embeddings v CROSS JOIN cb c
+       |    FROM $src v CROSS JOIN ${p}cb c
        |  ) WHERE rn = 1
        |)""".stripMargin
   }
 
   /** The hash-ordered SEED codebook (r13's training-free codebook,
-    * now Lloyd round 0): one [[localizedModel]] of M·K subvector rows. */
-  private def pqSeedCb(
+    * now Lloyd round 0): one [[localizedModel]] of M·K subvector rows.
+    * Parameterized by the vector source (round 15: the residual IVFADC
+    * chain seeds from RESIDUAL vectors — same hash-selected vec_ids,
+    * the source's values). */
+  private def pqSeedCbOn(
+      src: org.apache.spark.sql.DataFrame,
       s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val e = Tables(s, dir, "embeddings")
-    val seeds = e
+    val seeds = src
       .select(col("vec_id"), col("embedding"),
         expr(h("concat('pq#', cast(vec_id as string))")).as("ph"))
       .orderBy(col("ph"), col("vec_id")).limit(pqK(s, dir))
@@ -206,6 +219,11 @@ object Similarity {
       .select(col("k"), explode(expr(s"sequence(0, ${PQ_M - 1})")).as("m"), col("embedding"))
       .select(col("m"), col("k"), expr(s"slice(embedding, m * $PQ_DS + 1, $PQ_DS)").as("cb")))
   }
+
+  private def pqSeedCb(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    pqSeedCbOn(Tables(s, dir, "embeddings"), s, dir)
 
   /** The `pq_codes(embedding, <codebook>)` SQL call for a driver-side
     * codebook — every float is rendered as `cast('<shortest-repr>' as
@@ -277,9 +295,16 @@ object Similarity {
     * pattern, so no per-branch re-execution and constant plans. */
   private def trainPqCb(
       s: org.apache.spark.sql.SparkSession,
-      dir: String): PqModel = {
+      dir: String): PqModel =
+    trainPqCbOn(s, dir, Tables(s, dir, "embeddings"))
+
+  /** [[trainPqCb]] parameterized by the (vec_id, embedding) vector
+    * source — the residual IVFADC chain trains on residuals. */
+  private def trainPqCbOn(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      src: org.apache.spark.sql.DataFrame): PqModel = {
     import s.implicits._
-    val e = Tables(s, dir, "embeddings")
     // the training sample IS the model input — a bounded frame
     // (≤ 4096 × 64 floats ≈ 1 MB), so it follows the
     // localizedModel rule: ONE corpus TakeOrdered (hash + embedding —
@@ -288,7 +313,7 @@ object Similarity {
     // the 128-row codebook — milliseconds per round at ANY corpus size
     // (the r14 first cut semi-joined + persisted the sample and paid
     // ~3 s of corpus-scan/stage overhead per q_ann_pq build)
-    val tv = localizedModel(e
+    val tv = localizedModel(src
       .select(col("vec_id"), col("embedding"),
         expr(h("concat('pqt#', cast(vec_id as string))")).as("th"))
       .orderBy(col("th"), col("vec_id")).limit(pqTrainN(s, dir))
@@ -320,7 +345,7 @@ object Similarity {
         .agg(sum(col("d2")).cast("decimal(18,12)").cast("double"))
         .head().getDouble(0)
     }
-    var cb = collectCb(pqSeedCb(s, dir))
+    var cb = collectCb(pqSeedCbOn(src, s, dir))
     val telemetry = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Option[Long])]
     // AQE off for the round jobs: every input is a driver LocalRelation
     // (256-row sample × 128-row codebook), so each round is
@@ -764,6 +789,73 @@ object Similarity {
     if (ncIvf(s, dir) > PRUNE_SWITCH_C) prunedScores(e, cents, pruneBits(s, dir))
     else e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("c_id"), expr("dot_f(embedding, c_emb)").as("cdd"))
+
+  /** One Lloyd ASSIGNMENT step vs a (cell, c_emb) centroid frame:
+    * double prefilter through the two-level switch, exact-DECIMAL
+    * argmax on the survivors, ties to lowest cell — factored out of
+    * q_kmeans_train (round 15) so the residual IVFADC family runs the
+    * IDENTICAL pipeline. The switched prefilter stream carries SCALARS
+    * only — shuffling (vec_id, cell, dd) through the window exchange,
+    * not copies of two 64-float arrays per vector; embeddings and
+    * centroids join back onto the ~1 survivor per vector. */
+  private def kmAssign(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val dd = centroidScores(
+        s, dir, e.select(col("vec_id"), col("embedding")),
+        cents.select(col("cell").as("c_id"), col("c_emb")))
+      .select(col("vec_id"), col("c_id").as("cell"), col("cdd").as("dd"))
+    val best = dd
+      .withColumn("mx", max(col("dd")).over(Window.partitionBy(col("vec_id"))))
+      .filter(col("dd") >= col("mx") - 1e-9)
+      .select(col("vec_id").as("b_vec"), col("cell"))
+    e.join(best, col("vec_id") === col("b_vec"))
+      .join(broadcast(cents), "cell")
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        expr(dot("embedding", "c_emb")).as("cd"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cd").desc, col("cell"))))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
+  /** One Lloyd UPDATE step: each nonempty cell's centroid becomes the
+    * element-wise mean (DECIMAL sums → DOUBLE → FLOAT, identical
+    * narrowing in both engines); empty cells drop. */
+  private def kmUpdate(
+      a: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = a
+    .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+    .groupBy(col("cell"), col("dim"))
+    .agg((sum(expr("dec_cast(cast(x as double), 18, 8)")).cast("decimal(28,8)").cast("double")
+      / count(lit(1))).as("mean"))
+    .groupBy(col("cell"))
+    // list agg keyed on cell: |C| keys, the bounded-subset exception
+    .agg(expr("transform(array_sort(collect_list(struct(dim, mean))), r -> cast(r.mean as float))")
+      .as("c_emb"))
+
+  /** DuckDB twin of [[kmAssign]] over a (cell, c_emb) centroid CTE. */
+  private def duckKmAssign(cents: String): String =
+    s"""SELECT vec_id, embedding, c_id AS cell FROM (
+       |    SELECT vec_id, embedding, c_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY ${duckDot("embedding", "c_emb")} DESC, c_id) AS crn
+       |    FROM (${duckPrunedCand(s"(SELECT cell AS c_id, c_emb FROM $cents)")})
+       |  ) WHERE crn = 1""".stripMargin
+
+  /** DuckDB twin of [[kmUpdate]]. */
+  private def duckKmUpdate(assign: String): String =
+    s"""SELECT cell, list_transform(
+       |      list_sort(list(struct_pack(dim := dim, mean := mean))),
+       |      r -> CAST(r.mean AS FLOAT)) AS c_emb
+       |  FROM (
+       |    SELECT cell, i - 1 AS dim,
+       |      CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,8))) AS DECIMAL(28,8)) AS DOUBLE)
+       |        / count(*) AS mean
+       |    FROM (SELECT cell, i, embedding[i] AS x
+       |          FROM $assign, unnest(generate_series(1, len(embedding))) AS t(i))
+       |    GROUP BY cell, i)
+       |  GROUP BY cell""".stripMargin
 
   /** 4-bit random-hyperplane LSH bucket as a flat codegen'd column: the
     * hyperplane weights are plan-time constants (same CrossHash-derived
@@ -1895,25 +1987,8 @@ object Similarity {
     // (vectors that changed cell, nonempty cells).
     Q(
       "q_kmeans_train", {
-        val assignTpl = (cents: String) =>
-          s"""SELECT vec_id, embedding, c_id AS cell FROM (
-             |    SELECT vec_id, embedding, c_id,
-             |      row_number() OVER (PARTITION BY vec_id
-             |        ORDER BY ${duckDot("embedding", "c_emb")} DESC, c_id) AS crn
-             |    FROM (${duckPrunedCand(s"(SELECT cell AS c_id, c_emb FROM $cents)")})
-             |  ) WHERE crn = 1""".stripMargin
-        val trainTpl = (assign: String) =>
-          s"""SELECT cell, list_transform(
-             |      list_sort(list(struct_pack(dim := dim, mean := mean))),
-             |      r -> CAST(r.mean AS FLOAT)) AS c_emb
-             |  FROM (
-             |    SELECT cell, i - 1 AS dim,
-             |      CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,8))) AS DECIMAL(28,8)) AS DOUBLE)
-             |        / count(*) AS mean
-             |    FROM (SELECT cell, i, embedding[i] AS x
-             |          FROM $assign, unnest(generate_series(1, len(embedding))) AS t(i))
-             |    GROUP BY cell, i)
-             |  GROUP BY cell""".stripMargin
+        val assignTpl = duckKmAssign _
+        val trainTpl = duckKmUpdate _
         val rounds = (1 to 3).map { r =>
           s"""t$r AS MATERIALIZED (
              |  ${trainTpl(s"a${r - 1}")}
@@ -1936,39 +2011,10 @@ object Similarity {
            |$summaries""".stripMargin
       }) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
-      // assignment vs a (cell, c_emb) centroid frame: double prefilter,
-      // exact DECIMAL argmax on the survivors — the q_ann_kmeans shape
-      def assign(cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-        // the switched prefilter stream carries SCALARS only — shuffling
-        // (vec_id, cell, dd) through the window exchange, not copies
-        // of two 64-float arrays per vector; embeddings and centroids
-        // join back onto the ~1 survivor per vector (q_ann_kmeans shape)
-        val dd = centroidScores(
-            s, dir, e.select(col("vec_id"), col("embedding")),
-            cents.select(col("cell").as("c_id"), col("c_emb")))
-          .select(col("vec_id"), col("c_id").as("cell"), col("cdd").as("dd"))
-        val best = dd
-          .withColumn("mx", max(col("dd")).over(Window.partitionBy(col("vec_id"))))
-          .filter(col("dd") >= col("mx") - 1e-9)
-          .select(col("vec_id").as("b_vec"), col("cell"))
-        e.join(best, col("vec_id") === col("b_vec"))
-          .join(broadcast(cents), "cell")
-          .select(col("vec_id"), col("embedding"), col("cell"),
-            expr(dot("embedding", "c_emb")).as("cd"))
-          .withColumn("crn", row_number().over(
-            Window.partitionBy(col("vec_id")).orderBy(col("cd").desc, col("cell"))))
-          .filter(col("crn") === 1)
-          .select(col("vec_id"), col("embedding"), col("cell"))
-      }
-      def train(a: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = a
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy(col("cell"), col("dim"))
-        .agg((sum(expr("dec_cast(cast(x as double), 18, 8)")).cast("decimal(28,8)").cast("double")
-          / count(lit(1))).as("mean"))
-        .groupBy(col("cell"))
-        // list agg keyed on cell: |C| keys, the bounded-subset exception
-        .agg(expr("transform(array_sort(collect_list(struct(dim, mean))), r -> cast(r.mean as float))")
-          .as("c_emb"))
+      def assign(cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        kmAssign(s, dir, cents)
+      def train(a: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        kmUpdate(a)
       val seeds = localizedModel(
         e.select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
             expr(cHash).as("ch"))
