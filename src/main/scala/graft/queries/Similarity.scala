@@ -798,7 +798,7 @@ object Similarity {
     * only — shuffling (vec_id, cell, dd) through the window exchange,
     * not copies of two 64-float arrays per vector; embeddings and
     * centroids join back onto the ~1 survivor per vector. */
-  private def kmAssign(
+  private[graft] def kmAssign(
       s: org.apache.spark.sql.SparkSession, dir: String,
       cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val e = Tables(s, dir, "embeddings")
@@ -856,6 +856,187 @@ object Similarity {
        |          FROM $assign, unnest(generate_series(1, len(embedding))) AS t(i))
        |    GROUP BY cell, i)
        |  GROUP BY cell""".stripMargin
+
+  // ---- residual IVFADC: trained coarse quantizer + PQ on residuals --------
+  // The full FAISS IndexIVFPQ build (Jégou et al. 2011 §III): train the
+  // coarse quantizer with Lloyd, assign every vector, and product-
+  // quantize the RESIDUAL x − c(cell(x)) instead of x. Residuals under
+  // a TRAINED coarse quantizer carry ~13% less energy than the raw
+  // unit-norm vectors on this corpus (measured: second moment 0.86–0.88
+  // vs 1.0 at sf0.01/0.1; under the r15 HASH-SEEDED centroids they
+  // carry MORE — 1.45 — which is why q_ann_ivfpq quantizes raw vectors
+  // and this family exists only on top of the trained quantizer), so
+  // the same M·K code budget reconstructs strictly better —
+  // q_pq_residual_gain is the hash-gated meter, PqResidualSpec pins
+  // the direction.
+
+  /** Lloyd rounds for the IVFADC coarse quantizer — matches PQ_ROUNDS
+    * (the numpy/DuckDB pre-measurements held at 2 rounds). */
+  private val ADC_KM_ROUNDS = 2
+
+  /** Driver-cached trained coarse centroids per (session, dir) — plain
+    * Scala rows (the pqCbModels pattern: pure function of the corpus,
+    * so getOrElseUpdate can never serve a wrong answer). */
+  private val adcCentModels =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[String, Seq[(Long, Seq[Float])]]]()
+  private def adcCentMap(s: org.apache.spark.sql.SparkSession) =
+    adcCentModels.synchronized {
+      var m = adcCentModels.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Seq[Float])]]
+        adcCentModels.put(s, m)
+      }
+      m
+    }
+
+  /** Hash-ordered centroid seeds as a (cell, c_emb) frame — the
+    * q_kmeans_train seed set. */
+  private def adcSeedFrame(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
+        expr(cHash).as("ch"))
+      .orderBy(col("ch"), col("cell")).limit(ncIvf(s, dir))
+      .select(col("cell"), col("c_emb"))
+
+  /** [[ADC_KM_ROUNDS]] Lloyd rounds from the hash seeds — the
+    * q_kmeans_train loop carrying the MODEL instead of telemetry:
+    * per round one eager assignment (persistScoped, at most two
+    * pinned) and one localizedModel'd update. */
+  private def trainAdcCents(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Long, Seq[Float])] = {
+    var a = kmAssign(s, dir, localizedModel(adcSeedFrame(s, dir))).persistScoped()
+    var cents: org.apache.spark.sql.DataFrame = null
+    for (r <- 1 to ADC_KM_ROUNDS) {
+      cents = localizedModel(kmUpdate(a))
+      if (r < ADC_KM_ROUNDS) {
+        val a2 = kmAssign(s, dir, cents).persistScoped()
+        a.unpersist()
+        a = a2
+      }
+    }
+    a.unpersist()
+    cents.collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
+  }
+
+  /** Trained coarse centroids as a (cell, c_emb) LocalRelation. Under
+    * plan-extraction bypass the SEED frame stands in (same schema and
+    * plan shape via the localizedModel stand-in, no training jobs). */
+  private[graft] def adcCents(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    if (graft.io.KernelMemo.isBypassed) localizedModel(adcSeedFrame(s, dir))
+    else adcCentMap(s).getOrElseUpdate(dir, trainAdcCents(s, dir))
+      .toDF("cell", "c_emb")
+  }
+
+  /** Residuals x − c(cell(x)) as a (vec_id, embedding) frame — the
+    * subtraction goes FLOAT→DOUBLE→(exact IEEE subtract)→FLOAT on both
+    * engines, so the residual floats are bit-identical by construction
+    * regardless of either engine's native FLOAT-FLOAT semantics. */
+  private[graft] def adcResiduals(
+      assign: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    assign.join(broadcast(cents), "cell")
+      .select(col("vec_id"),
+        expr("zip_with(embedding, c_emb, (x, y) -> cast(cast(x as double) - cast(y as double) as float))")
+          .as("embedding"))
+
+  /** Residual-PQ twins of [[pqCodebookAndCodes]]: trained residual
+    * codebook (model cached under `dir + "#adc"`) + the memoized
+    * residual encode stream (`pq_adc_codes`; q_ann_ivfadc is the
+    * designated builder, q_pq_residual_gain reuses). */
+  private[graft] def adcCodebookAndCodes(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      res: org.apache.spark.sql.DataFrame,
+      rebuildMemo: Boolean): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    val (cbFrame, cbRows) =
+      if (graft.io.KernelMemo.isBypassed)
+        (pqSeedCbOn(res, s, dir),
+          for (m <- 0 until PQ_M; k <- 0 until pqK(s, dir))
+            yield (m, k, Seq.fill(PQ_DS)(0.0f)))
+      else {
+        val model = pqCbModelMap(s).getOrElseUpdate(dir + "#adc", trainPqCbOn(s, dir, res))
+        (model.cb.toDF("m", "k", "cb"), model.cb)
+      }
+    def build = pqEncode(res, cbRows)
+    val codes =
+      if (rebuildMemo) graft.io.KernelMemo.rebuild(s, dir, "pq_adc_codes")(build)
+      else graft.io.KernelMemo.reuse(s, dir, "pq_adc_codes")(build)
+    (cbFrame, codes)
+  }
+
+  /** The full trained IVFADC model for the streaming ingest tier:
+    * (coarse centroids, residual codebook), training either on demand
+    * (the session model caches). Bounded: |C| + M·K rows of floats —
+    * the in-RAM index head a FAISS add() path holds. */
+  private[graft] def ivfadcModel(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): (Seq[(Long, Seq[Float])], Seq[(Int, Int, Seq[Float])]) = {
+    import s.implicits._
+    val centRows = adcCentMap(s).getOrElseUpdate(dir, trainAdcCents(s, dir))
+    val cents = centRows.toDF("cell", "c_emb")
+    val res = adcResiduals(kmAssign(s, dir, cents), cents)
+    val model = pqCbModelMap(s).getOrElseUpdate(dir + "#adc", trainPqCbOn(s, dir, res))
+    (centRows, model.cb)
+  }
+
+  /** The `ivfadc_encode(v, <cells>, <cents>, <codebook>)` SQL call for a
+    * driver-side model — the [[pqCodesSql]] float-literal rendering
+    * (string→float parses exactly); the built expression carries the
+    * model as a REFERENCE object, so the literals exist only at parse
+    * time (never inside generated code — the r14 janino-64KB lesson).
+    * A production ingest at large \|C\| constructs the expression
+    * directly from the model instead of through SQL text. */
+  private[graft] def ivfadcEncodeSql(
+      vecCol: String,
+      cents: Seq[(Long, Seq[Float])],
+      cbRows: Seq[(Int, Int, Seq[Float])]): String = {
+    val sortedC = cents.sortBy(_._1)
+    val cellsLit = sortedC.map(c => s"cast(${c._1} as bigint)")
+      .mkString("array(", ", ", ")")
+    val centsLit = sortedC
+      .map(_._2.map(f => s"cast('$f' as float)").mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+    val byM = cbRows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, rows) =>
+      rows.sortBy(_._2).map(_._3)
+    }
+    val cbLit = byM.map(ks =>
+      ks.map(_.map(f => s"cast('$f' as float)").mkString("array(", ", ", ")"))
+        .mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+    s"ivfadc_encode($vecCol, $cellsLit, $centsLit, $cbLit)"
+  }
+
+  /** Residual-IVFADC oracle CTE block: trained-centroid rounds →
+    * final assignment → residual vectors → the residual PQ chain
+    * (prefix `r`: rcb / rcodes). Shared verbatim by q_ann_ivfadc and
+    * q_pq_residual_gain — one formulation. */
+  private lazy val adcBaseCtes: String =
+    s"""acents0 AS MATERIALIZED (
+       |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+       |  ORDER BY $duckCHash, vec_id LIMIT $duckNcIvf
+       |), aa0 AS MATERIALIZED (
+       |  ${duckKmAssign("acents0")}
+       |), at1 AS MATERIALIZED (
+       |  ${duckKmUpdate("aa0")}
+       |), aa1 AS MATERIALIZED (
+       |  ${duckKmAssign("at1")}
+       |), at2 AS MATERIALIZED (
+       |  ${duckKmUpdate("aa1")}
+       |), adcassign AS MATERIALIZED (
+       |  ${duckKmAssign("at2")}
+       |), adcres AS MATERIALIZED (
+       |  SELECT a.vec_id, list_transform(generate_series(1, 64),
+       |    i -> CAST(CAST(a.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE) AS FLOAT)) AS embedding
+       |  FROM adcassign a JOIN at2 c ON c.cell = a.cell
+       |), ${pqChainCtes("adcres", "r")}""".stripMargin
 
   /** 4-bit random-hyperplane LSH bucket as a flat codegen'd column: the
     * hyperplane weights are plan-time constants (same CrossHash-derived
@@ -1603,6 +1784,100 @@ object Similarity {
           expr(dot("q_emb", "c_emb")).cast("double").as("exact_dot"))
     }},
 
+    // ---- residual IVFADC: trained coarse quantizer + PQ on residuals -------
+    // The full FAISS IndexIVFPQ build (Jégou et al. 2011 §III):
+    // q_ann_ivfpq routes by HASH-SEEDED cells and quantizes RAW
+    // vectors; this is the production shape — the coarse quantizer is
+    // Lloyd-TRAINED (2 rounds, the q_kmeans_train pipeline), every
+    // vector's RESIDUAL x − c(cell(x)) is product-quantized (residuals
+    // carry ~13% less energy under the trained quantizer, so the same
+    // M·K budget reconstructs strictly better — q_pq_residual_gain),
+    // and ADC adds the per-query cell-centroid offset q·c back so the
+    // score approximates the true dot: q·x ≈ q·c + Σ_m q_m·cb_r[code].
+    // Within one probed cell the offset is constant per query, so the
+    // RANKING improvement comes entirely from the smaller quantization
+    // error of the residual codes. Determinism: assignment is the
+    // proven kmAssign kernel, training/encode reuse the PQ machinery
+    // verbatim over the residual frame, residual floats go
+    // FLOAT→DOUBLE→subtract→FLOAT (bit-identical in both engines), and
+    // the offset + LUT sum is exact DECIMAL(18,12) addition.
+    Q(
+      "q_ann_ivfadc",
+      s"""WITH $adcBaseCtes, q AS (
+        |  SELECT vec_id, embedding, cell FROM adcassign
+        |  ORDER BY $duckQHash, vec_id LIMIT $NQ
+        |), lut AS (
+        |  SELECT q.vec_id AS query_id, c.m, c.k AS code,
+        |    list_sum(list_transform(generate_series(1, $PQ_DS),
+        |      i -> ${duckProd12(s"q.embedding[c.m * $PQ_DS + i]", "c.cb[i]")})) AS ldot
+        |  FROM q CROSS JOIN rcb c
+        |), qc AS (
+        |  SELECT q.vec_id AS query_id,
+        |    CAST(${duckDot("q.embedding", "c.c_emb")} AS DECIMAL(18,12)) AS qcd
+        |  FROM q JOIN at2 c ON c.cell = q.cell
+        |), p AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS cand_id
+        |  FROM q JOIN adcassign x ON q.cell = x.cell AND q.vec_id <> x.vec_id
+        |), adc AS (
+        |  SELECT p.query_id, p.cand_id,
+        |    CAST(qc.qcd + CAST(sum(CAST(l.ldot AS DECIMAL(28,12))) AS DECIMAL(18,12))
+        |      AS DECIMAL(18,12)) AS adc
+        |  FROM p JOIN rcodes cd ON cd.vec_id = p.cand_id
+        |  JOIN lut l ON l.query_id = p.query_id AND l.m = cd.m AND l.code = cd.code
+        |  JOIN qc ON qc.query_id = p.query_id
+        |  GROUP BY p.query_id, p.cand_id, qc.qcd
+        |)
+        |SELECT t.query_id, t.cand_id, t.rn,
+        |  CAST(t.adc AS DOUBLE) AS adc,
+        |  CAST(${duckDot("q.embedding", "v.embedding")} AS DOUBLE) AS exact_dot
+        |FROM (
+        |  SELECT query_id, cand_id, adc,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, cand_id) AS rn
+        |  FROM adc) t
+        |JOIN q ON q.vec_id = t.query_id
+        |JOIN embeddings v ON v.vec_id = t.cand_id
+        |WHERE t.rn <= 3""".stripMargin) { (s, dir) => annKernel(s, dir, "q_ann_ivfadc") {
+      val e = Tables(s, dir, "embeddings")
+      val cents = adcCents(s, dir)
+      // feeds the residual frame, the query slice and the candidate side
+      val assign = kmAssign(s, dir, cents).persistScoped()
+      val res = adcResiduals(assign, cents)
+      val (cb, codes) = adcCodebookAndCodes(s, dir, res, rebuildMemo = true)
+      val q = assign
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"),
+          expr(qHash).as("qh"))
+        .orderBy(col("qh"), col("query_id")).limit(NQ)
+        .select(col("query_id"), col("q_emb"), col("cell"))
+      val lut = q.crossJoin(cb)
+        .select(col("query_id"), col("m"), col("k").as("code"),
+          expr(s"dot_dec(slice(q_emb, m * $PQ_DS + 1, $PQ_DS), cb)").as("ldot"))
+      val qc = q.join(broadcast(cents), "cell")
+        .select(col("query_id"), expr(dot("q_emb", "c_emb")).cast("decimal(18,12)").as("qcd"))
+      val p = assign
+        .select(col("vec_id").as("cand_id"), col("cell").as("x_cell"))
+        .join(q.select(col("query_id"), col("cell")),
+          col("cell") === col("x_cell") && col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"))
+      val adc = p
+        .join(codes, col("cand_id") === col("vec_id"))
+        .join(broadcast(lut), Seq("query_id", "m", "code"))
+        .groupBy(col("query_id"), col("cand_id"))
+        .agg(sum(col("ldot").cast("decimal(28,12)")).as("radc"))
+        .join(broadcast(qc), "query_id")
+        .select(col("query_id"), col("cand_id"),
+          (col("qcd") + col("radc").cast("decimal(18,12)")).cast("decimal(18,12)").as("adc"))
+      val top = adc
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("cand_id"))))
+        .filter(col("rn") <= 3)
+      e.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+        .join(broadcast(top), "cand_id")
+        .join(broadcast(q.select(col("query_id"), col("q_emb"))), "query_id")
+        .select(col("query_id"), col("cand_id"), col("rn"),
+          col("adc").cast("double").as("adc"),
+          expr(dot("q_emb", "c_emb")).cast("double").as("exact_dot"))
+    }},
+
     // ---- PQ quantization distortion (per-subspace QA) ----------------------
     // The QA pass that decides whether a PQ geometry is usable: per
     // subspace, the mean and max squared reconstruction error
@@ -1795,6 +2070,79 @@ object Similarity {
         .withColumn("frac", col("n_vec").cast("double") / lit(n).cast("double"))
         .withColumn("n_used",
           count(lit(1)).over(Window.partitionBy(col("m"))))
+    },
+
+    // ---- residual-vs-raw PQ reconstruction gain (the IVFADC meter) ---------
+    // The hash-gated evidence that residual encoding earns its keep
+    // (the q_pq_distortion trained-vs-hash precedent applied to
+    // residual-vs-raw): per subspace, the mean squared reconstruction
+    // error of the corpus under (a) the trained RAW codebook
+    // (‖x_m − cb[code]‖², the shipped q_ann_pq geometry) and (b) the
+    // trained RESIDUAL codebook under the trained coarse quantizer
+    // (‖x − (c + cb_r[rcode])‖² = ‖r_m − cb_r[rcode]‖²) — equal M·K
+    // code budgets, gain = mean_d2_raw / mean_d2_res. Both encode
+    // streams come from their memos (q_ann_pq / q_ann_ivfadc are the
+    // builders); the d2 algebra, DECIMAL snaps and post-snap division
+    // mirror q_pq_distortion term for term. PqResidualSpec pins
+    // gain > 1 per subspace on the real corpus.
+    Q(
+      "q_pq_residual_gain", {
+        def duckDist(src: String, codes: String, cb: String) =
+          s"""SELECT cd.m,
+             |    CAST(list_sum(list_transform(generate_series(1, $PQ_DS),
+             |        i -> ${duckProd12(s"v.embedding[cd.m * $PQ_DS + i]", s"v.embedding[cd.m * $PQ_DS + i]")}))
+             |      - 2 * list_sum(list_transform(generate_series(1, $PQ_DS),
+             |        i -> ${duckProd12(s"v.embedding[cd.m * $PQ_DS + i]", "c.cb[i]")}))
+             |      + list_sum(list_transform(generate_series(1, $PQ_DS),
+             |        i -> ${duckProd12("c.cb[i]", "c.cb[i]")}))
+             |      AS DECIMAL(28,12)) AS d2
+             |  FROM $codes cd
+             |  JOIN $src v ON v.vec_id = cd.vec_id
+             |  JOIN $cb c ON c.m = cd.m AND c.k = cd.code""".stripMargin
+        s"""WITH $pqBaseCtes, $adcBaseCtes, dist_raw AS (
+          |  ${duckDist("embeddings", "codes", "cb")}
+          |), dist_res AS (
+          |  ${duckDist("adcres", "rcodes", "rcb")}
+          |), agg_raw AS (
+          |  SELECT m, count(*) AS n,
+          |    CAST(CAST(CAST(sum(d2) AS DECIMAL(18,12)) AS DOUBLE) / count(*) AS DOUBLE) AS mean_d2_raw
+          |  FROM dist_raw GROUP BY m
+          |), agg_res AS (
+          |  SELECT m,
+          |    CAST(CAST(CAST(sum(d2) AS DECIMAL(18,12)) AS DOUBLE) / count(*) AS DOUBLE) AS mean_d2_res
+          |  FROM dist_res GROUP BY m
+          |)
+          |SELECT a.m, a.n, a.mean_d2_raw, r.mean_d2_res,
+          |  CASE WHEN r.mean_d2_res > 0 THEN a.mean_d2_raw / r.mean_d2_res END AS gain
+          |FROM agg_raw a JOIN agg_res r ON r.m = a.m""".stripMargin
+      }) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val (cb, codes) = pqCodebookAndCodes(s, dir, rebuildMemo = false)
+      val cents = adcCents(s, dir)
+      val assign = kmAssign(s, dir, cents)
+      val res = adcResiduals(assign, cents)
+      val (rcb, rcodes) = adcCodebookAndCodes(s, dir, res, rebuildMemo = false)
+      def distOf(src: org.apache.spark.sql.DataFrame,
+          cds: org.apache.spark.sql.DataFrame,
+          cbDf: org.apache.spark.sql.DataFrame) = cds
+        .join(src, "vec_id")
+        .join(broadcast(cbDf.withColumnRenamed("k", "code")), Seq("m", "code"))
+        .select(col("m"),
+          expr(s"""cast(
+            dot_dec(slice(embedding, m * $PQ_DS + 1, $PQ_DS), slice(embedding, m * $PQ_DS + 1, $PQ_DS))
+            - 2 * dot_dec(slice(embedding, m * $PQ_DS + 1, $PQ_DS), cb)
+            + dot_dec(cb, cb) as decimal(28,12))""").as("d2"))
+      val aggRaw = distOf(e, codes, cb).groupBy(col("m"))
+        .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
+        .select(col("m"), col("n"),
+          (col("sum_d2").cast("decimal(18,12)").cast("double") / col("n")).as("mean_d2_raw"))
+      val aggRes = distOf(res, rcodes, rcb).groupBy(col("m"))
+        .agg(count(lit(1)).as("nr"), sum(col("d2")).as("sum_d2r"))
+        .select(col("m"),
+          (col("sum_d2r").cast("decimal(18,12)").cast("double") / col("nr")).as("mean_d2_res"))
+      aggRaw.join(aggRes, "m")
+        .select(col("m"), col("n"), col("mean_d2_raw"), col("mean_d2_res"),
+          when(col("mean_d2_res") > 0, col("mean_d2_raw") / col("mean_d2_res")).as("gain"))
     },
 
     // ---- per-label embedding centroids (element-wise DECIMAL sums) ---------
@@ -2062,7 +2410,7 @@ object Similarity {
     * ranked rows with an `rn` column, truncated to @3 here). */
   private val recallMethods = Seq("lsh" -> "q_ann_lsh", "ivf" -> "q_ann_ivf",
     "ivf_multiprobe" -> "q_ann_ivf_multiprobe", "pq" -> "q_ann_pq",
-    "ivfpq" -> "q_ann_ivfpq")
+    "ivfpq" -> "q_ann_ivfpq", "ivfadc" -> "q_ann_ivfadc")
 
   /** ANN recall evaluation: every approximate method vs the brute-force
     * ground truth. The evaluation loop an ANN deployment actually needs:
