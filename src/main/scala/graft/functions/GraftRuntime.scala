@@ -59,6 +59,8 @@ object GraftRuntime {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_codes", PqCodes.build, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ivfadc_encode", IvfAdcEncode.build, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_agg",
       (children: Seq[Expression]) => SimHashAgg(children.head),
       "built-in")

@@ -124,6 +124,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PqCodes].getName, "pq_codes"),
       PqCodes.build _))
     ext.injectFunction((
+      new FunctionIdentifier("ivfadc_encode"),
+      new ExpressionInfo(classOf[IvfAdcEncode].getName, "ivfadc_encode"),
+      IvfAdcEncode.build _))
+    ext.injectFunction((
       new FunctionIdentifier("hashed_score"),
       new ExpressionInfo(classOf[HashedScore].getName, "hashed_score"),
       HashedScore.build _))

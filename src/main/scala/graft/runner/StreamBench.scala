@@ -116,6 +116,11 @@ object StreamBench {
     val pqcb = graft.queries.Similarity.pqModel(spark, dir).cb
     results += timeStream[SVec](spark, "encode_pq", wVecs, vecs,
       df => graft.streaming.Streams.encodePq(df, pqcb))
+    // trained IVFADC model (coarse centroids + residual codebook): the
+    // serving-tier add() path — route, subtract, quantize per row
+    val (adcCents, adcCb) = graft.queries.Similarity.ivfadcModel(spark, dir)
+    results += timeStream[SVec](spark, "encode_ivfadc", wVecs, vecs,
+      df => graft.streaming.Streams.encodeIvfadc(df, adcCents, adcCb))
     results += timeStream[SDoc](spark, "near_dedup", wDocs, docs,
       df => graft.streaming.Streams.nearDedup(df).toDF())
     results += timeStream[SVec](spark, "semantic_dedup", wVecs, vecs,

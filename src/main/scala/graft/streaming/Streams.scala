@@ -248,6 +248,27 @@ object Streams {
         .as(Seq("m", "code")))
   }
 
+  /** Streaming residual-IVFADC ingest — the serving-tier add() path of
+    * the trained IVF-PQ index (`q_ann_ivfadc`): each arriving vector
+    * routes to its nearest coarse centroid (exact-DECIMAL argmax, the
+    * kmAssign contract), subtracts it, and product-quantizes the
+    * residual — ONE stateless native expression
+    * ([[graft.functions.IvfAdcEncode]]) carrying the trained model as
+    * a reference object, so there is no stream-side join and no state
+    * store; (cell, codes) are bit-identical to the batch pipeline by
+    * construction (StreamingSpec batch-twin gate). Output one row per
+    * (vector, subspace): (vec_id, cell, m, code). */
+  def encodeIvfadc(
+      vecs: DataFrame,
+      cents: Seq[(Long, Seq[Float])],
+      cb: Seq[(Int, Int, Seq[Float])]): DataFrame = {
+    graft.functions.GraftRuntime.ensure(vecs.sparkSession)
+    vecs.select(col("vec_id"),
+        expr(graft.queries.Similarity.ivfadcEncodeSql("embedding", cents, cb)).as("enc"))
+      .select(col("vec_id"), col("enc.cell").as("cell"),
+        posexplode(col("enc.codes")).as(Seq("m", "code")))
+  }
+
   /** Streaming exact-dedup on event_id: duplicates arriving within the
     * watermark horizon are dropped with bounded state (the streaming twin
     * of `q_dedup_exact`; at 100 TB/day the watermark bounds the key

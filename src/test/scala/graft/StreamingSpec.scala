@@ -644,5 +644,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("encodeIvfadc batch-twin: stream (cell, codes) equal the batch residual pipeline") {
+    // the IVFADC add() path: route to the trained coarse centroid,
+    // subtract, quantize the residual — all in one stateless native
+    // expression. Cell AND every (m -> code) must match the batch
+    // kmAssign + zip_with + pq_codes pipeline exactly.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.queries.Similarity
+    val dir = sf("sf0.01")
+    val (cents, cb) = Similarity.ivfadcModel(spark, dir)
+    val vecs = graft.io.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.encodeIvfadc(mem.toDF().toDF("vec_id", "embedding"), cents, cb)
+      .writeStream.format("memory").queryName("ivfadc_twin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = vecs.splitAt(vecs.length / 2)
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      val stream = spark.table("ivfadc_twin").collect()
+        .map(r => (r.getLong(0), r.getInt(2)) -> ((r.getLong(1), r.getInt(3)))).toMap
+      // batch: the q_ann_ivfadc residual pipeline's own frames
+      val centsDf = cents.toDF("cell", "c_emb")
+      val assign = Similarity.kmAssign(spark, dir, centsDf)
+      val res = Similarity.adcResiduals(assign, centsDf)
+      val (_, codes) = Similarity.adcCodebookAndCodes(spark, dir, res, rebuildMemo = false)
+      val batch = codes
+        .join(assign.select(col("vec_id"), col("cell")), "vec_id")
+        .collect()
+        .map(r => (r.getLong(0), r.get(1).asInstanceOf[Number].intValue()) ->
+          ((r.getLong(3), r.get(2).asInstanceOf[Number].intValue()))).toMap
+      graft.io.CacheScope.releaseAll()
+      assert(stream.keySet == batch.keySet)
+      val diff = batch.keys.filter(k => stream(k) != batch(k))
+      assert(diff.isEmpty,
+        s"stream/batch (cell, code) mismatch on ${diff.take(5).toSeq}: " +
+          diff.take(3).map(k => s"$k stream=${stream(k)} batch=${batch(k)}").mkString(", "))
+      assert(batch.values.map(_._1).toSet.size > 1, "corpus must exercise multiple cells")
+    } finally q.stop()
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
