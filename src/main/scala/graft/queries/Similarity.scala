@@ -1878,6 +1878,104 @@ object Similarity {
           expr(dot("q_emb", "c_emb")).cast("double").as("exact_dot"))
     }},
 
+    // ---- multi-probe IVFADC: the offset becomes load-bearing ---------------
+    // q_ann_ivf_multiprobe's recall knob applied to the trained
+    // residual index: queries fan out to their 2 nearest TRAINED cells,
+    // candidates stay in their single cell. With candidates from TWO
+    // cells in one ranking, the per-(query, cell) offset q·c is no
+    // longer a constant — it is exactly what makes residual ADC scores
+    // COMPARABLE across cells (the reason FAISS computes per-cell
+    // LUTs); single-probe q_ann_ivfadc only reports it. Probe selection
+    // runs on the BOUNDED |Q|×|C| cross (8 queries × the in-RAM
+    // centroid model — exact-DECIMAL rank directly, no prefilter
+    // machinery needed); everything downstream reuses the memoized
+    // residual codes (q_ann_ivfadc is the builder).
+    Q(
+      "q_ann_ivfadc_multiprobe",
+      s"""WITH $adcBaseCtes, q2 AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  ORDER BY $duckQHash, vec_id LIMIT $NQ
+        |), probes AS (
+        |  SELECT vec_id, embedding, pcell, qcd FROM (
+        |    SELECT q.vec_id, q.embedding, c.cell AS pcell,
+        |      CAST(${duckDot("q.embedding", "c.c_emb")} AS DECIMAL(18,12)) AS qcd,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ${duckDot("q.embedding", "c.c_emb")} DESC, c.cell) AS crn
+        |    FROM q2 q CROSS JOIN at2 c
+        |  ) WHERE crn <= 2
+        |), lut AS (
+        |  SELECT q.vec_id AS query_id, c.m, c.k AS code,
+        |    list_sum(list_transform(generate_series(1, $PQ_DS),
+        |      i -> ${duckProd12(s"q.embedding[c.m * $PQ_DS + i]", "c.cb[i]")})) AS ldot
+        |  FROM q2 q CROSS JOIN rcb c
+        |), p2 AS (
+        |  SELECT pr.vec_id AS query_id, x.vec_id AS cand_id, pr.pcell, pr.qcd
+        |  FROM probes pr JOIN adcassign x ON x.cell = pr.pcell AND x.vec_id <> pr.vec_id
+        |), adc AS (
+        |  SELECT p.query_id, p.cand_id,
+        |    CAST(p.qcd + CAST(sum(CAST(l.ldot AS DECIMAL(28,12))) AS DECIMAL(18,12))
+        |      AS DECIMAL(18,12)) AS adc
+        |  FROM p2 p JOIN rcodes cd ON cd.vec_id = p.cand_id
+        |  JOIN lut l ON l.query_id = p.query_id AND l.m = cd.m AND l.code = cd.code
+        |  GROUP BY p.query_id, p.cand_id, p.qcd
+        |)
+        |SELECT t.query_id, t.cand_id, t.rn,
+        |  CAST(t.adc AS DOUBLE) AS adc,
+        |  CAST(${duckDot("q.embedding", "v.embedding")} AS DOUBLE) AS exact_dot
+        |FROM (
+        |  SELECT query_id, cand_id, adc,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, cand_id) AS rn
+        |  FROM adc) t
+        |JOIN q2 q ON q.vec_id = t.query_id
+        |JOIN embeddings v ON v.vec_id = t.cand_id
+        |WHERE t.rn <= 3""".stripMargin) { (s, dir) =>
+      annKernel(s, dir, "q_ann_ivfadc_multiprobe") {
+      val e = Tables(s, dir, "embeddings")
+      val cents = adcCents(s, dir)
+      val assign = kmAssign(s, dir, cents)
+      val res = adcResiduals(assign, cents)
+      val (cb, codes) = adcCodebookAndCodes(s, dir, res, rebuildMemo = false)
+      val q = e
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          expr(qHash).as("qh"))
+        .orderBy(col("qh"), col("query_id")).limit(NQ)
+        .select(col("query_id"), col("q_emb"))
+      // |Q| × |C| exact-DECIMAL probe rank — both sides bounded models
+      val probes = q.crossJoin(broadcast(cents))
+        .select(col("query_id"), col("q_emb"), col("cell").as("pcell"),
+          expr(dot("q_emb", "c_emb")).as("cd"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("cd").desc, col("pcell"))))
+        .filter(col("crn") <= 2)
+        .select(col("query_id"), col("pcell"),
+          col("cd").cast("decimal(18,12)").as("qcd"))
+      val lut = q.crossJoin(cb)
+        .select(col("query_id"), col("m"), col("k").as("code"),
+          expr(s"dot_dec(slice(q_emb, m * $PQ_DS + 1, $PQ_DS), cb)").as("ldot"))
+      val p = assign
+        .select(col("vec_id").as("cand_id"), col("cell").as("x_cell"))
+        .join(broadcast(probes),
+          col("pcell") === col("x_cell") && col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"), col("qcd"))
+      val adc = p
+        .join(codes, col("cand_id") === col("vec_id"))
+        .join(broadcast(lut), Seq("query_id", "m", "code"))
+        .groupBy(col("query_id"), col("cand_id"), col("qcd"))
+        .agg(sum(col("ldot").cast("decimal(28,12)")).as("radc"))
+        .select(col("query_id"), col("cand_id"),
+          (col("qcd") + col("radc").cast("decimal(18,12)")).cast("decimal(18,12)").as("adc"))
+      val top = adc
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("cand_id"))))
+        .filter(col("rn") <= 3)
+      e.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+        .join(broadcast(top), "cand_id")
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("cand_id"), col("rn"),
+          col("adc").cast("double").as("adc"),
+          expr(dot("q_emb", "c_emb")).cast("double").as("exact_dot"))
+    }},
+
     // ---- PQ quantization distortion (per-subspace QA) ----------------------
     // The QA pass that decides whether a PQ geometry is usable: per
     // subspace, the mean and max squared reconstruction error
@@ -2410,7 +2508,8 @@ object Similarity {
     * ranked rows with an `rn` column, truncated to @3 here). */
   private val recallMethods = Seq("lsh" -> "q_ann_lsh", "ivf" -> "q_ann_ivf",
     "ivf_multiprobe" -> "q_ann_ivf_multiprobe", "pq" -> "q_ann_pq",
-    "ivfpq" -> "q_ann_ivfpq", "ivfadc" -> "q_ann_ivfadc")
+    "ivfpq" -> "q_ann_ivfpq", "ivfadc" -> "q_ann_ivfadc",
+    "ivfadc_mp" -> "q_ann_ivfadc_multiprobe")
 
   /** ANN recall evaluation: every approximate method vs the brute-force
     * ground truth. The evaluation loop an ANN deployment actually needs:

@@ -68,6 +68,7 @@ object ScaleSlope {
     "q_dedup_embedding",
     "q_ivf_pruned_assign",
     "q_ann_ivf", // the production corpus-derived switch path (flat below |C|=8192)
+    "q_ann_ivfadc", // trained coarse + residual PQ: 2 Lloyd rounds + encode, all O(N·√N)-bounded
     "q_classifier_train")
 
   final val Scales = Seq(1, 4, 16)
