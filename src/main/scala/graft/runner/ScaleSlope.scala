@@ -175,10 +175,16 @@ object ScaleSlope {
 
     // min-of-3 at 1x (the subtrahend of BOTH increments — a single
     // inflated 1x shot can push t4 - t1 negative and void the adjusted
-    // fit entirely, ADVICE r14), min-of-2 at 4x, single shot at 16x
-    // (largest times, smallest relative noise, most expensive to repeat)
+    // fit entirely, ADVICE r14), min-of-2 at 4x AND at 16x. 16x was a
+    // single shot through r15's first record ("largest times, smallest
+    // relative noise") — FALSE on this box: ambient load storms inflate
+    // exactly one 16x shot 4-10x (interleaved A/B on identical code
+    // measured t16 = 2.05 vs 7.30 for q_dedup_minhash_lsh), and a
+    // storm-hit single shot fails the gate on sound kernels. min-of-2
+    // costs one extra 16x pass per kernel and cuts the false-failure
+    // rate quadratically; the retry path still covers double hits.
     def bestTime(q: String, k: Int): Double = {
-      val reps = if (k == 16) 1 else if (k == 1) 3 else 2
+      val reps = if (k == 1) 3 else 2
       (1 to reps).map(_ => timeOnce(spark, q, s"$work/x$k")).min
     }
 
