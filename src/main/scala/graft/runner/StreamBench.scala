@@ -108,17 +108,19 @@ object StreamBench {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
-    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
-    results += timeStream[SDoc](spark, "score_docs", wDocs, docs,
-      df => graft.streaming.Streams.scoreDocs(df, weights))
-    // trained PQ codebook from the batch machinery (train offline,
-    // encode the stream online — the IVF-PQ ingest shape)
+    // trained models fetched ONCE (train offline, encode the stream
+    // online — the IVF-PQ ingest shape); both passes reuse them
     val pqcb = graft.queries.Similarity.pqModel(spark, dir).cb
-    results += timeStream[SVec](spark, "encode_pq", wVecs, vecs,
-      df => graft.streaming.Streams.encodePq(df, pqcb))
     // trained IVFADC model (coarse centroids + residual codebook): the
     // serving-tier add() path — route, subtract, quantize per row
     val (adcCents, adcCb) = graft.queries.Similarity.ivfadcModel(spark, dir)
+
+    def onePass(): Seq[(String, Long, Double)] = {
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+    results += timeStream[SDoc](spark, "score_docs", wDocs, docs,
+      df => graft.streaming.Streams.scoreDocs(df, weights))
+    results += timeStream[SVec](spark, "encode_pq", wVecs, vecs,
+      df => graft.streaming.Streams.encodePq(df, pqcb))
     results += timeStream[SVec](spark, "encode_ivfadc", wVecs, vecs,
       df => graft.streaming.Streams.encodeIvfadc(df, adcCents, adcCb))
     results += timeStream[SDoc](spark, "near_dedup", wDocs, docs,
@@ -145,8 +147,23 @@ object StreamBench {
       df => graft.streaming.Streams.windowedAgg(df))
     results += timeStream[Event](spark, "sessionize", wEvents, pEvents,
       df => graft.streaming.Streams.sessionize(df.as[Event]).toDF())
+    results.toSeq
+    }
 
-    val json = "{\"sf_dir\":\"" + dir + s"""\",\"rep\":$Rep,\"batches\":$Batches,""" +
+    // TWO full interleaved passes, best-of per operator: ambient load
+    // storms on this box inflate single measurements 4-10x (the r15
+    // ScaleSlope lesson — never trust a single shot), and interleaving
+    // spaces an operator's two samples minutes apart so one storm
+    // cannot hit both. The recorded number is the operator's capacity,
+    // not the storm's.
+    val p1 = onePass()
+    val p2 = onePass()
+    val results = p1.map { case (n, rows, rps) =>
+      val rps2 = p2.find(_._1 == n).map(_._3).getOrElse(0.0)
+      (n, rows, math.max(rps, rps2))
+    }
+
+    val json = "{\"sf_dir\":\"" + dir + s"""\",\"rep\":$Rep,\"batches\":$Batches,\"passes\":2,""" +
       "\"operators\":{" + results.map { case (n, rows, rps) =>
         f""""$n":{"rows":$rows,"rows_per_sec":$rps%.0f}"""
       }.mkString(",") + "}}"
