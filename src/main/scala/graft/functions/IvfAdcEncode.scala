@@ -101,8 +101,8 @@ case class IvfAdcEncode(
       c += 1
     }
     val cellIdx =
-      if (!forceExact && b1 - b2 > m1 + m2) bi
-      else exactArgmax(v, len)
+      if (!forceExact && b1 - b2 > m1 + m2) { IvfAdcEncode.fastRoutes.increment(); bi }
+      else { IvfAdcEncode.exactRoutes.increment(); exactArgmax(v, len) }
     // ---- residual: the zip_with narrowing, max-length extension ----
     val ce = centArr(cellIdx)
     val rlen = math.max(len, ce.length)
@@ -158,6 +158,16 @@ case class IvfAdcEncode(
   * the (cell, centroid) entries by cell id. */
 object IvfAdcEncode {
   import org.apache.spark.sql.types.NumericType
+
+  /** Per-JVM diagnostic counters for the routing prefilter (the
+    * [[PqCodes.fastSubspaces]] pattern): cell decisions taken by the
+    * certified double prefilter vs the exact scaled-long fallback. The
+    * margin proof makes the CELL correct either way — these only make
+    * the prefilter's coverage visible; IvfAdcEncodeSpec asserts
+    * coverage on the real corpus and that duplicate centroids force
+    * the fallback. */
+  val fastRoutes = new java.util.concurrent.atomic.LongAdder
+  val exactRoutes = new java.util.concurrent.atomic.LongAdder
 
   def build(children: Seq[Expression]): Expression = {
     require(children.size == 4,

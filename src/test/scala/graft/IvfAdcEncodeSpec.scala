@@ -57,4 +57,27 @@ class IvfAdcEncodeSpec extends SparkSpec {
       enc(Seq(Float.box(1.0f)), Seq((1L, Seq(1.0f)), (1L, Seq(0.5f))), cb1)
     }
   }
+
+  test("routing prefilter covers the real corpus; duplicate centroids force the fallback") {
+    import graft.functions.IvfAdcEncode
+    val dir = sf("sf0.01")
+    val (cents, cb) = Similarity.ivfadcModel(spark, dir)
+    val (f0, e0) = (IvfAdcEncode.fastRoutes.sum(), IvfAdcEncode.exactRoutes.sum())
+    graft.streaming.Streams
+      .encodeIvfadc(
+        graft.io.Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        cents, cb)
+      .write.format("noop").mode("overwrite").save()
+    val (fast, exact) =
+      (IvfAdcEncode.fastRoutes.sum() - f0, IvfAdcEncode.exactRoutes.sum() - e0)
+    assert(fast + exact > 0)
+    assert(fast.toDouble / (fast + exact) > 0.9,
+      s"routing prefilter coverage too low: fast=$fast exact=$exact")
+    info(s"routing prefilter: fast=$fast exact=$exact")
+    // duplicate centroids score within any margin — must take the exact path
+    val e1 = IvfAdcEncode.exactRoutes.sum()
+    val c = Seq(0.5f, 0.5f)
+    enc(Seq(1.0f, 1.0f).map(Float.box), Seq((7L, c), (3L, c)), cb1)
+    assert(IvfAdcEncode.exactRoutes.sum() > e1, "duplicate centroids must force the exact path")
+  }
 }
