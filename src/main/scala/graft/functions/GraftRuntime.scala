@@ -61,6 +61,8 @@ object GraftRuntime {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ivfadc_encode", IvfAdcEncode.build, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_hits", BloomHits.build, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_agg",
       (children: Seq[Expression]) => SimHashAgg(children.head),
       "built-in")

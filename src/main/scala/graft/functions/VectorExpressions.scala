@@ -128,6 +128,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[IvfAdcEncode].getName, "ivfadc_encode"),
       IvfAdcEncode.build _))
     ext.injectFunction((
+      new FunctionIdentifier("bloom_hits"),
+      new ExpressionInfo(classOf[BloomHits].getName, "bloom_hits"),
+      BloomHits.build _))
+    ext.injectFunction((
       new FunctionIdentifier("hashed_score"),
       new ExpressionInfo(classOf[HashedScore].getName, "hashed_score"),
       HashedScore.build _))

@@ -22,7 +22,7 @@ import graft.io.Tables
   */
 object TextAnalysis {
 
-  private val tokens = "split(trim(text), '\\\\s+')"
+  private[graft] val tokens = "split(trim(text), '\\\\s+')"
   private val duckTokens = raw"regexp_split_to_array(trim(text), '\s+')"
 
   /** The 5-gram shingle postings CTE text (tok -> per-doc distinct
@@ -192,6 +192,32 @@ object TextAnalysis {
       |      WHERE doc_id % 29 <> 0 AND might_contain((SELECT b FROM bf), v)) c
       |JOIN ev USING (v)
       |GROUP BY c.doc_id""".stripMargin)
+  }
+
+  /** The eval-set bloom as driver bytes — the OFFLINE half of the
+    * streaming decontamination gate ([[graft.streaming.Streams
+    * .gateContaminated]]): same eval slice, same xxhash64 shingle
+    * items, same conf-clamped sizing as [[decontaminateBloom]]'s
+    * bloom_agg, collected once (the bloom is a bounded model artifact —
+    * estBits/8 bytes — like a trained codebook). */
+  private[graft] def evalBloomBytes(
+      s: org.apache.spark.sql.SparkSession, dir: String): Array[Byte] = {
+    graft.functions.GraftRuntime.ensure(s)
+    graft.io.Tables.registerAll(s, dir)
+    val maxItems = s.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = s.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val estItems = math.min(maxItems, math.max(100_000L, deconEvalRowsEst(s, dir)))
+    val estBits = math.min(maxBits, 8L * estItems)
+    s.sql(s"""
+      |SELECT bloom_agg(v, ${estItems}L, ${estBits}L) FROM (
+      |  SELECT DISTINCT xxhash64(sv) AS v
+      |  FROM (SELECT doc_id, explode(shingles(w, 5)) AS sv
+      |        FROM (SELECT doc_id, $tokens AS w FROM documents)
+      |        WHERE size(w) >= 5)
+      |  WHERE doc_id % 29 = 0)""".stripMargin)
+      .head().getAs[Array[Byte]](0)
   }
 
   /** Budget-gated broadcast hint for the eval probe frame, shared by

@@ -114,6 +114,8 @@ object StreamBench {
     // trained IVFADC model (coarse centroids + residual codebook): the
     // serving-tier add() path — route, subtract, quantize per row
     val (adcCents, adcCb) = graft.queries.Similarity.ivfadcModel(spark, dir)
+    // eval-set bloom for the streaming decontamination gate
+    val evalBloom = graft.queries.TextAnalysis.evalBloomBytes(spark, dir)
 
     def onePass(): Seq[(String, Long, Double)] = {
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
@@ -123,6 +125,8 @@ object StreamBench {
       df => graft.streaming.Streams.encodePq(df, pqcb))
     results += timeStream[SVec](spark, "encode_ivfadc", wVecs, vecs,
       df => graft.streaming.Streams.encodeIvfadc(df, adcCents, adcCb))
+    results += timeStream[SDoc](spark, "gate_contaminated", wDocs, docs,
+      df => graft.streaming.Streams.gateContaminated(df, evalBloom))
     results += timeStream[SDoc](spark, "near_dedup", wDocs, docs,
       df => graft.streaming.Streams.nearDedup(df).toDF())
     results += timeStream[SVec](spark, "semantic_dedup", wVecs, vecs,

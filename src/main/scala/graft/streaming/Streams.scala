@@ -269,6 +269,27 @@ object Streams {
         posexplode(col("enc.codes")).as(Seq("m", "code")))
   }
 
+  /** Streaming decontamination gate — the ingest-tier twin of the
+    * `q_decontaminate_bloom` PREFILTER: each arriving document's
+    * distinct 5-gram shingles probe the offline-built eval-set bloom
+    * (train the bloom on the benchmark suite offline, gate the crawl
+    * online), ONE stateless native expression per row
+    * ([[graft.functions.BloomHits]] — no explode, no aggregation
+    * state, no stream-side join). Bloom semantics are the bloom's: no
+    * false negatives (a contaminated doc can never pass), FP per its
+    * sizing — flagged docs go to the batch confirm join, exactly the
+    * prefilter/confirm split of the batch path. Output: (doc_id,
+    * n_candidates, flagged). Hits are bit-identical to the batch
+    * prefilter for the same bloom bytes (StreamingSpec batch-twin). */
+  def gateContaminated(docs: DataFrame, bloom: Array[Byte]): DataFrame = {
+    graft.functions.GraftRuntime.ensure(docs.sparkSession)
+    val b64 = java.util.Base64.getEncoder.encodeToString(bloom)
+    docs.select(col("doc_id"),
+        expr(s"bloom_hits(shingles(${graft.queries.TextAnalysis.tokens}, 5), unbase64('$b64'))")
+          .as("n_candidates"))
+      .withColumn("flagged", col("n_candidates") > 0)
+  }
+
   /** Streaming exact-dedup on event_id: duplicates arriving within the
     * watermark horizon are dropped with bounded state (the streaming twin
     * of `q_dedup_exact`; at 100 TB/day the watermark bounds the key

@@ -687,5 +687,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gateContaminated batch-twin: stream hits equal the batch bloom prefilter") {
+    // train the eval bloom offline, gate the stream online — the
+    // decontamination prefilter/confirm split with the prefilter moved
+    // to ingest. Same bloom bytes on both sides: per-doc hit counts
+    // must match the relational might_contain formulation exactly, and
+    // eval-slice docs can never pass unflagged (no false negatives).
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = sf("sf0.01")
+    val bloom = graft.queries.TextAnalysis.evalBloomBytes(spark, dir)
+    val docs = graft.io.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.gateContaminated(mem.toDF().toDF("doc_id", "text"), bloom)
+      .writeStream.format("memory").queryName("decon_twin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      val stream = spark.table("decon_twin").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(stream.size == docs.length, "one gate row per arriving doc")
+      val b64 = java.util.Base64.getEncoder.encodeToString(bloom)
+      graft.io.Tables.registerAll(spark, dir)
+      val batch = spark.sql(s"""
+        |SELECT doc_id, count(*) AS n FROM (
+        |  SELECT doc_id, xxhash64(sv) AS v
+        |  FROM (SELECT doc_id, explode(shingles(${graft.queries.TextAnalysis.tokens}, 5)) AS sv
+        |        FROM documents))
+        |WHERE might_contain(unbase64('$b64'), v)
+        |GROUP BY doc_id""".stripMargin)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val streamHits = stream.filter(_._2 > 0)
+      assert(streamHits == batch,
+        s"stream/batch prefilter mismatch: ${
+          (streamHits.toSet diff batch.toSet).take(3)} / ${
+          (batch.toSet diff streamHits.toSet).take(3)}")
+      // no false negatives: every eval-slice doc with >= 5 tokens is flagged
+      val evalDocs = docs.filter(d => d._1 % 29 == 0 &&
+        d._2.trim.split("\\s+").length >= 5).map(_._1)
+      val unflagged = evalDocs.filterNot(id => stream.getOrElse(id, 0L) > 0)
+      assert(unflagged.isEmpty, s"eval docs passed unflagged: ${unflagged.take(5).toSeq}")
+    } finally q.stop()
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
