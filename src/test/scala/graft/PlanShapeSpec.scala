@@ -705,4 +705,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("UnionLoop") || p.contains("CTERecursion") || p.contains("Recursion"),
       s"recursive CTE should lower to the native loop operator:\n$p")
   }
+
+  test("streaming ingest ops are stateless maps: no aggregate, join, or state operator") {
+    // the "pure map at 100 TB/day" claim as a plan gate: the scoring,
+    // decontamination-gate and encode ops must contain NO Aggregate /
+    // Join / Window / deduplicate node — their throughput scales with
+    // executors because there is nothing to shuffle or hold. (The ops
+    // take a DataFrame, so the same logical plan serves batch and
+    // stream; gateContaminated additionally claims NO explode — the
+    // native bloom_hits loop replaced it.)
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val dir = sf()
+    val docs = graft.io.Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "text")
+    val vecs = graft.io.Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id", "embedding")
+    val weights = graft.queries.TextAnalysis.trainedWeights(spark, dir)
+    val (cents, cb) = graft.queries.Similarity.ivfadcModel(spark, dir)
+    val bloom = graft.queries.TextAnalysis.evalBloomBytes(spark, dir)
+    val pqcb = graft.queries.Similarity.pqModel(spark, dir).cb
+    val ops = Seq(
+      "scoreDocs" -> graft.streaming.Streams.scoreDocs(docs, weights),
+      "gateContaminated" -> graft.streaming.Streams.gateContaminated(docs, bloom),
+      "encodePq" -> graft.streaming.Streams.encodePq(vecs, pqcb),
+      "encodeIvfadc" -> graft.streaming.Streams.encodeIvfadc(vecs, cents, cb))
+    graft.io.CacheScope.releaseAll()
+    for ((name, df) <- ops) {
+      val plan = df.queryExecution.analyzed
+      val stateful = plan.collect {
+        case a: Aggregate => a; case j: Join => j; case w: Window => w
+        case d: Deduplicate => d
+      }
+      assert(stateful.isEmpty, s"$name is not a stateless map: ${stateful.map(_.nodeName)}")
+    }
+    val gatePlan = ops.find(_._1 == "gateContaminated").get._2.queryExecution.analyzed
+    assert(gatePlan.collect { case g: Generate => g }.isEmpty,
+      "gateContaminated must not explode — the native bloom_hits loop replaced it")
+  }
 }
