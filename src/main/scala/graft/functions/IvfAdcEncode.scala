@@ -34,6 +34,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, 
   *  - codes delegate to [[PqCodes.compute]] on the residual — the same
   *    object the batch `pq_codes` call evaluates.
   *
+  * CONTRACT BOUND (r15 ADVICE): the flat exact argmax here is
+  * batch-identical only while the batch assignment itself runs flat —
+  * i.e. \|C\| ≤ `Similarity.PRUNE_SWITCH_C`; past the switch the batch
+  * pipeline routes through the SRP radius-2 pruned candidate set, which
+  * agrees with the flat argmax on only ~85% of vectors. Both entry
+  * points (`ivfadcEncodeSql`, `Streams.encodeIvfadc`) assert the bound,
+  * so a larger coarse quantizer fails loudly instead of silently
+  * diverging from the batch index.
+  *
   * Constructor fields are Seq (structural equality) so identical
   * encodes canonicalize equal — the [[PlaneSums]] rule; hot loops read
   * primitive arrays. Entries are sorted by cell id at build time so
@@ -75,7 +84,7 @@ case class IvfAdcEncode(
     var b2 = Double.NegativeInfinity
     var bi = 0
     var m1 = 0.0
-    var m2 = 0.0
+    var mMax = 0.0 // max margin over every NON-LEADER centroid
     var forceExact = false
     var c = 0
     while (c < centArr.length) {
@@ -96,12 +105,18 @@ case class IvfAdcEncode(
       // total) plus the double summation error ~ A·len·eps — margin is
       // ≥ 2× both
       val mg = 1e-10 + a * 1e-13
-      if (d > b1) { b2 = b1; m2 = m1; b1 = d; m1 = mg; bi = c }
-      else if (d > b2) { b2 = d; m2 = mg }
+      // sound bound needs the WORST margin among non-leaders, not the
+      // runner-up's: a third centroid just below b2 can carry a larger
+      // Σ|p| error term than the runner-up (r15 ADVICE) — so when a new
+      // leader arrives, the dethroned leader's margin joins mMax too
+      if (d > b1) { b2 = b1; mMax = math.max(mMax, m1); b1 = d; m1 = mg; bi = c }
+      else { if (d > b2) b2 = d; mMax = math.max(mMax, mg) }
       c += 1
     }
+    // for any non-leader c: exact_c ≤ d_c + mg_c ≤ b2 + mMax, and
+    // exact_leader ≥ b1 − m1 — a strict win here certifies the argmax
     val cellIdx =
-      if (!forceExact && b1 - b2 > m1 + m2) { IvfAdcEncode.fastRoutes.increment(); bi }
+      if (!forceExact && b1 - b2 > m1 + mMax) { IvfAdcEncode.fastRoutes.increment(); bi }
       else { IvfAdcEncode.exactRoutes.increment(); exactArgmax(v, len) }
     // ---- residual: the zip_with narrowing, max-length extension ----
     val ce = centArr(cellIdx)
@@ -157,8 +172,6 @@ case class IvfAdcEncode(
   * element types to FLOAT/BIGINT through foldable evaluation, and sorts
   * the (cell, centroid) entries by cell id. */
 object IvfAdcEncode {
-  import org.apache.spark.sql.types.NumericType
-
   /** Per-JVM diagnostic counters for the routing prefilter (the
     * [[PqCodes.fastSubspaces]] pattern): cell decisions taken by the
     * certified double prefilter vs the exact scaled-long fallback. The
@@ -183,12 +196,15 @@ object IvfAdcEncode {
     val cellsAd = lit(children(1), "cells")
     val cellIds = children(1).dataType match {
       case ArrayType(LongType, _) => cellsAd.toLongArray().toSeq
-      case ArrayType(_: NumericType, _) =>
+      case ArrayType(IntegerType, _) =>
+        // only the element widths whose accessor we actually call: a
+        // getInt over array<double>/<smallint>/<decimal> UnsafeArrayData
+        // would read the wrong bytes and yield garbage cell ids silently
         (0 until cellsAd.numElements()).map(i =>
           cellsAd.getInt(i).toLong)
       case other =>
         throw new IllegalArgumentException(
-          s"ivfadc_encode cells must be array(bigint), got ${other.simpleString}")
+          s"ivfadc_encode cells must be array(bigint) or array(int), got ${other.simpleString}")
     }
     val centsAd = lit(children(2), "cents")
     val centRows = (0 until centsAd.numElements()).map { c =>

@@ -32,10 +32,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * is argmax_k of (2·dotInt(m,k) − ccInt(m,k)) with ties to the LOWEST
   * k (the relational pack `score·16 + (15−k)` under max — same
   * selection), ccInt precomputed from the codebook with the identical
-  * per-term rounding. NULL input array → NULL (the corpus has no null
-  * embeddings; callers posexplode, so such a row would drop instead of
-  * carrying a null code like the old aggregate did — documented
-  * divergence, unreachable on real data).
+  * per-term rounding. NULL input array → an array of M NULL codes (NOT
+  * a NULL array): callers posexplode, so a NULL embedding carries one
+  * NULL-code row per subspace exactly like the old aggregate did
+  * instead of silently dropping (the r15 edge); the expression itself
+  * is therefore never NULL.
   *
   * The codebook constructor field is Seq-of-Seq (structural equality)
   * so identical encodes canonicalize equal — the [[PlaneSums]] rule;
@@ -69,8 +70,18 @@ case class PqCodes(child: Expression, cb: Seq[Seq[Seq[Float]]])
       s"$prettyName requires ARRAY<FLOAT>, got ${other.simpleString}")
   }
 
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+  override def nullable: Boolean = false
   override def prettyName: String = "pq_codes"
+
+  /** The NULL-embedding output: one NULL code per subspace, so a
+    * posexplode caller keeps the row instead of dropping it. */
+  @transient private lazy val nullCodes: GenericArrayData =
+    new GenericArrayData(Array.fill[Any](cb.length)(null))
+
+  /** NULL-tolerant entry point shared by eval and generated code. */
+  def computeNullable(v: ArrayData): GenericArrayData =
+    if (v == null) nullCodes else compute(v)
 
   /** ccInt·10⁻¹² as doubles — the double-prefilter twin of [[ccInt]]. */
   @transient private lazy val ccDouble: Array[Array[Double]] =
@@ -109,7 +120,7 @@ case class PqCodes(child: Expression, cb: Seq[Seq[Seq[Float]]])
       var b2 = Double.NegativeInfinity
       var bk = 0
       var bm = 0.0 // margin of the leader
-      var sm = 0.0 // margin of the runner-up
+      var mMax = 0.0 // max margin over every NON-LEADER entry
       // NaN products or magnitudes near the scaled-long range must
       // reach the exact path's LOUD failure (the relational kernel's
       // ANSI casts threw there; the double phase would silently answer)
@@ -132,12 +143,16 @@ case class PqCodes(child: Expression, cb: Seq[Seq[Seq[Float]]])
         val s = 2.0 * d - ccd(k)
         if (s != s || a > 8.0e6) forceExact = true
         val mg = 2e-11 + (2.0 * a + math.abs(ccd(k))) * 1e-14
-        if (s > b1) { b2 = b1; sm = bm; b1 = s; bm = mg; bk = k }
-        else if (s > b2) { b2 = s; sm = mg }
+        // certify against the WORST non-leader margin, not the
+        // runner-up's: an entry just below b2 can carry a larger error
+        // bound (r15 ADVICE on the IvfAdcEncode twin) — a dethroned
+        // leader's margin joins mMax as well
+        if (s > b1) { b2 = b1; mMax = math.max(mMax, bm); b1 = s; bm = mg; bk = k }
+        else { if (s > b2) b2 = s; mMax = math.max(mMax, mg) }
         k += 1
       }
       out(mi) =
-        if (!forceExact && b1 - b2 > bm + sm) { PqCodes.fastSubspaces.increment(); bk }
+        if (!forceExact && b1 - b2 > bm + mMax) { PqCodes.fastSubspaces.increment(); bk }
         else { PqCodes.exactSubspaces.increment(); exactArgmax(v, len, off, ks, ccInt(mi)) }
       mi += 1
     }
@@ -170,12 +185,20 @@ case class PqCodes(child: Expression, cb: Seq[Seq[Seq[Float]]])
     bestK
   }
 
-  override def nullSafeEval(input: Any): Any =
-    compute(input.asInstanceOf[ArrayData])
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    computeNullable(child.eval(input).asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("pqCodes", this, classOf[PqCodes].getName)
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.compute($a);")
+    val childGen = child.genCode(ctx)
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      .javaType(dataType)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        $javaType ${ev.value} = $self.computeNullable(
+          ${childGen.isNull} ? null : ${childGen.value});""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqCodes =

@@ -1012,6 +1012,16 @@ object Similarity {
       vecCol: String,
       cents: Seq[(Long, Seq[Float])],
       cbRows: Seq[(Int, Int, Seq[Float])]): String = {
+    // The expression routes with a FLAT exact argmax; the batch pipeline
+    // switches to the SRP radius-2 PRUNED candidate set past
+    // PRUNE_SWITCH_C, where the two would no longer be bit-identical
+    // (the pruned set agrees with the flat argmax on ~85% of vectors).
+    // Narrowed contract (r15 ADVICE): the stream twin is only offered
+    // below the switch — a larger coarse quantizer must implement the
+    // same two-level routing in the expression first.
+    require(cents.length <= PRUNE_SWITCH_C,
+      s"ivfadc_encode flat routing is only batch-identical for |C| <= $PRUNE_SWITCH_C " +
+        s"(got ${cents.length}); the batch pipeline prunes past the switch")
     val sortedC = cents.sortBy(_._1)
     val cellsLit = sortedC.map(c => s"cast(${c._1} as bigint)")
       .mkString("array(", ", ", ")")

@@ -263,6 +263,12 @@ object Streams {
       cents: Seq[(Long, Seq[Float])],
       cb: Seq[(Int, Int, Seq[Float])]): DataFrame = {
     graft.functions.GraftRuntime.ensure(vecs.sparkSession)
+    // narrowed contract (r15 ADVICE): flat routing is batch-identical
+    // only below the batch pipeline's pruning switch — enforced again
+    // here so a caller bypassing ivfadcEncodeSql still hits the wall
+    require(cents.length <= graft.queries.Similarity.PRUNE_SWITCH_C,
+      s"encodeIvfadc: |C|=${cents.length} exceeds the flat-routing contract " +
+        s"(PRUNE_SWITCH_C=${graft.queries.Similarity.PRUNE_SWITCH_C}); batch prunes past it")
     vecs.select(col("vec_id"),
         expr(graft.queries.Similarity.ivfadcEncodeSql("embedding", cents, cb)).as("enc"))
       .select(col("vec_id"), col("enc.cell").as("cell"),
@@ -283,10 +289,20 @@ object Streams {
     * prefilter for the same bloom bytes (StreamingSpec batch-twin). */
   def gateContaminated(docs: DataFrame, bloom: Array[Byte]): DataFrame = {
     graft.functions.GraftRuntime.ensure(docs.sparkSession)
-    val b64 = java.util.Base64.getEncoder.encodeToString(bloom)
-    docs.select(col("doc_id"),
-        expr(s"bloom_hits(shingles(${graft.queries.TextAnalysis.tokens}, 5), unbase64('$b64'))")
-          .as("n_candidates"))
+    // construct the expression DIRECTLY from the bloom bytes (r15
+    // ADVICE): under the raised runtime ceilings the serialized filter
+    // can reach 256 MiB — a ~340 MB base64 literal through the SQL
+    // parser per query build is the giant-literal hazard again. The SQL
+    // rendering (`bloom_hits(..., unbase64('...'))`) stays available
+    // for tests; production ingest takes this path.
+    import org.apache.spark.sql.graft.ColumnBridge
+    require(bloom.nonEmpty, "gateContaminated: empty bloom filter")
+    val shinglesCol = expr(s"shingles(${graft.queries.TextAnalysis.tokens}, 5)")
+    val hits = ColumnBridge.column(
+      graft.functions.BloomHits(
+        ColumnBridge.expression(shinglesCol),
+        java.util.Base64.getEncoder.encodeToString(bloom)))
+    docs.select(col("doc_id"), hits.as("n_candidates"))
       .withColumn("flagged", col("n_candidates") > 0)
   }
 

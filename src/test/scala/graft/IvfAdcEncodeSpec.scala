@@ -58,6 +58,23 @@ class IvfAdcEncodeSpec extends SparkSpec {
     }
   }
 
+  test("flat-routing contract: |C| above the batch pruning switch is rejected") {
+    // r15 ADVICE: past PRUNE_SWITCH_C the batch assignment routes through
+    // the SRP pruned candidate set, so the flat stream argmax would
+    // silently diverge — both entry points must fail loudly instead
+    val big = (0L until (Similarity.PRUNE_SWITCH_C + 1).toLong)
+      .map(i => (i, Seq(i.toFloat, 1.0f)))
+    val ex1 = intercept[IllegalArgumentException] {
+      Similarity.ivfadcEncodeSql("embedding", big, cb1)
+    }
+    assert(ex1.getMessage.contains("PRUNE_SWITCH") || ex1.getMessage.contains("flat"))
+    import spark.implicits._
+    val vecs = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      graft.streaming.Streams.encodeIvfadc(vecs, big, cb1)
+    }
+  }
+
   test("routing prefilter covers the real corpus; duplicate centroids force the fallback") {
     import graft.functions.IvfAdcEncode
     val dir = sf("sf0.01")

@@ -122,6 +122,20 @@ class PqEncodeSpec extends SparkSpec {
     assert(row == Seq(0, 1), s"expected codes [0, 1], got $row")
   }
 
+  test("NULL embedding yields one NULL code per subspace, not a dropped row") {
+    // the r15 edge: callers posexplode, so a NULL array result would
+    // silently drop the row — the contract is an array of M NULL codes
+    // (the old aggregate's carry-a-null behavior), never a NULL array
+    val rows = spark.sql(
+      """SELECT pos, code FROM (SELECT pq_codes(cast(null as array<float>),
+        |    array(array(array(cast('1.0' as float)), array(cast('2.0' as float))),
+        |          array(array(cast('3.0' as float)), array(cast('4.0' as float))))) AS c)
+        |LATERAL VIEW posexplode(c) t AS pos, code""".stripMargin)
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getInt(1)))
+    assert(rows.toSeq == Seq((0, null), (1, null)),
+      s"NULL embedding must posexplode to M null-code rows, got ${rows.toSeq}")
+  }
+
   test("vectors shorter than the subspace offset score only cc (lowest-|c| entry wins)") {
     val row = spark.sql(
       """SELECT pq_codes(array(cast('1.0' as float)),
