@@ -332,6 +332,46 @@ object Dedup {
       .select(col("doc_id"), col("i"),
         expr(h(s"concat_ws(' ', slice(w, i, $SUB_W))")).as("fp"))
 
+  /** Line width for the cross-document LINE-level exact dedup
+    * (RefinedWeb/Falcon-style, the last text granularity below doc and
+    * span): the corpus carries no newlines, so a "line" is the
+    * deterministic stand-in every segmentation consumer here uses —
+    * non-overlapping 10-token segments (the final segment may be
+    * shorter). A real crawl swaps the segmenter (split on '\n') and
+    * nothing downstream changes. */
+  private val LINE_W = 10
+
+  /** (doc_id, i, line_no, n_tok, fp): every non-overlapping line's
+    * 1-based token start, ordinal, actual width, and cross-engine
+    * fingerprint hash. Same shape rules as [[windowFps]]: hash AFTER
+    * the explode as a flat codegen'd projection, map+explode only. */
+  private def lineFps(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), expr(tokens).as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(expr(s"sequence(1, size(w), $LINE_W)")).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr(s"cast((i - 1) div $LINE_W + 1 as bigint)").as("line_no"),
+        expr(s"cast(least($LINE_W, size(w) - i + 1) as bigint)").as("n_tok"),
+        expr(h(s"concat_ws(' ', slice(w, i, $LINE_W))")).as("fp"))
+
+  /** Shared DuckDB CTE block mirroring [[lineFps]] + the per-line
+    * cross-doc document frequency — used verbatim by both line-dedup
+    * oracles so the split rule cannot drift between them. */
+  private val duckLineCtes: String =
+    raw"""tok AS (
+      |  SELECT doc_id, $duckTokens AS w FROM documents
+      |), linep AS (
+      |  SELECT doc_id, i,
+      |    CAST((i - 1) // $LINE_W + 1 AS BIGINT) AS line_no,
+      |    CAST(least($LINE_W, len(w) - i + 1) AS BIGINT) AS n_tok,
+      |    ${duck(s"array_to_string(w[i:i+${LINE_W - 1}], ' ')")} AS fp
+      |  FROM tok, unnest(generate_series(1, len(w), $LINE_W)) AS t(i)
+      |), ldf AS (
+      |  SELECT fp, count(DISTINCT doc_id) AS dfc FROM linep GROUP BY fp
+      |)""".stripMargin
+
   /** Losers of the exact-dedup stage: every doc whose lowercased
     * content fingerprint has a lower doc_id holder. One column
     * `loser_id`. */
@@ -1453,6 +1493,83 @@ object Dedup {
           expr(s"""case when starts is null then w
                   |else filter(w, (x, idx) ->
                   |  not exists(starts, s -> idx + 1 >= s and idx + 1 < s + $SUB_W)) end"""
+            .stripMargin).as("kept"))
+        .select(col("doc_id"),
+          expr("cast(size(w) as bigint)").as("n_before"),
+          expr("cast(size(kept) as bigint)").as("n_after"),
+          expr(h("concat_ws(' ', kept)")).as("remediated_fp"))
+    },
+
+    // ---- cross-document LINE-level exact dedup (RefinedWeb/Falcon) ---------
+    // The last text granularity below doc and span: a LINE is removed
+    // from every document when its exact text occurs in >= 2 DISTINCT
+    // documents (within-doc repetition never self-flags — df dedupes
+    // per doc, like q_dedup_spans). No pair join anywhere: the kernel
+    // is one df HashAggregate over line fingerprints plus a join-back,
+    // so candidate volume is O(total lines) at any corpus — strictly
+    // cheaper than the span family. Emits the (doc, line-range)
+    // REMOVAL SET, directly composable with q_dedup_span_removal's
+    // indexed-HOF mask stage (tok_start/n_tok are token coordinates).
+    Q(
+      "q_dedup_lines",
+      raw"""WITH $duckLineCtes
+        |SELECT doc_id, line_no, CAST(i AS BIGINT) AS tok_start, n_tok,
+        |  CAST(dfc AS BIGINT) AS df
+        |FROM linep JOIN ldf USING (fp) WHERE dfc >= 2""") { (s, dir) =>
+      val lp = lineFps(s, dir)
+        .persistScoped() // feeds the df count and the position join-back
+      val dfTab = lp.select(col("doc_id"), col("fp")).distinct()
+        .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      lp.join(dfTab.filter(col("df") >= 2), Seq("fp"))
+        .select(col("doc_id"), col("line_no"),
+          col("i").cast("long").as("tok_start"), col("n_tok"), col("df"))
+    },
+
+    // ---- line removal: the remediated corpus -------------------------------
+    // The RefinedWeb transform applied: CUT every cross-doc-duplicated
+    // line and keep the rest. Same mask shape as q_dedup_span_removal —
+    // flagged starts collect into one small per-doc array (list agg
+    // over the FLAGGED subset only, never the corpus stream), the cut
+    // is a pure indexed-HOF map stage, and the remediated text
+    // surfaces as a cross-engine hash so the full transform sits under
+    // the gate. Lines are disjoint, so the fixed-width mask never
+    // over-cuts (a short tail line's [s, s+W) range runs past len(w)
+    // harmlessly — no token index exists there).
+    Q(
+      "q_dedup_line_removal",
+      raw"""WITH $duckLineCtes,
+        |flagged AS (
+        |  SELECT doc_id, i FROM linep JOIN ldf USING (fp) WHERE dfc >= 2
+        |), perdoc AS (
+        |  SELECT doc_id, list(i) AS starts FROM flagged GROUP BY doc_id
+        |), cut AS (
+        |  SELECT t.doc_id, t.w,
+        |    CASE WHEN p.starts IS NULL THEN t.w
+        |         ELSE list_filter(t.w, (x, i) ->
+        |           len(list_filter(p.starts, s -> i >= s AND i < s + $LINE_W)) = 0) END AS kept
+        |  FROM tok t LEFT JOIN perdoc p USING (doc_id)
+        |)
+        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_before,
+        |  CAST(len(kept) AS BIGINT) AS n_after,
+        |  ${duck("coalesce(array_to_string(kept, ' '), '')")} AS remediated_fp
+        |FROM cut""") { (s, dir) =>
+      val lp = lineFps(s, dir)
+        .persistScoped() // feeds the df count and the flagged join
+      val dfTab = lp.select(col("doc_id"), col("fp")).distinct()
+        .groupBy(col("fp")).agg(count(lit(1)).as("dfc"))
+      val flagged = lp
+        .join(dfTab.filter(col("dfc") >= 2).select(col("fp")), Seq("fp"))
+        .select(col("doc_id"), col("i"))
+      val perDoc = flagged.groupBy(col("doc_id").as("p_doc"))
+        .agg(collect_list(col("i")).as("starts"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), expr(tokens).as("w"))
+        .join(perDoc, col("doc_id") === col("p_doc"), "left")
+        .select(col("doc_id"), col("w"),
+          // Spark HOF filter index is 0-based; starts are 1-based
+          expr(s"""case when starts is null then w
+                  |else filter(w, (x, idx) ->
+                  |  not exists(starts, s -> idx + 1 >= s and idx + 1 < s + $LINE_W)) end"""
             .stripMargin).as("kept"))
         .select(col("doc_id"),
           expr("cast(size(w) as bigint)").as("n_before"),

@@ -605,6 +605,27 @@ class PlanShapeSpec extends SparkSpec {
     assert("\\(doc_id#\\d+L % 5\\)".r.findAllIn(p).nonEmpty, s"slice filter missing:\n$p")
   }
 
+  test("q_dedup_lines: df join-back only — no pair join, no window sort, hash aggregates") {
+    // the line kernel's scale claim: O(total lines), never pairs — so
+    // the plan must contain NO self-join fan-out (a single join-back of
+    // the bounded df>=2 fingerprint set), no SortAggregate, no Window
+    for (q <- Seq("q_dedup_lines", "q_dedup_line_removal")) {
+      val p = planOf(q)
+      assert(!p.contains("SortAggregate"), s"$q: df aggregation must stay hash-based:\n$p")
+      assert(!p.contains("Window"), s"$q: no window sort in the line kernel:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: no pair blow-up:\n$p")
+    }
+    // q_dedup_line_removal's only list aggregate is keyed on doc_id over
+    // the FLAGGED subset (the span-removal budget rule): the
+    // collect_list must sit ABOVE the dfc >= 2 filter in the plan text
+    // (tree prints parents before children)
+    val pr = planOf("q_dedup_line_removal")
+    val ci = pr.indexOf("collect_list")
+    val fi = pr.indexOf("(dfc")
+    assert(ci >= 0 && fi > ci,
+      s"line-removal list agg must aggregate only the flagged subset:\n$pr")
+  }
+
   test("q_decontaminate_bloom: bloom prefilter sits under the confirm join") {
     val p = planOf("q_decontaminate_bloom")
     // the probe must be a FILTER on the corpus stream (map-side, below
