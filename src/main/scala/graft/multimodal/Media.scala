@@ -307,6 +307,73 @@ object Media {
     ds.mapPartitions(_.grouped(batchSize).flatMap(decodeBatch))
   }
 
+  /** The 8×8 gray sample grid behind the perceptual hash: exact
+    * nearest-neighbor index math (in(x·srcW/8, y·srcH/8), integer
+    * floor — the [[resampleGray]] rule without the re-encode), so the
+    * grid — and therefore the dHash — is analytically reproducible in
+    * SQL for the synthetic corpus. None when the sample depth exceeds
+    * the 8-bit model (the histogram fallback rule). */
+  private def grayGrid8(img: java.awt.image.BufferedImage): Option[Array[Int]] = {
+    if (img.getSampleModel.getSampleSize(0) > 8) return None
+    val raster = img.getRaster
+    val g = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        g(y * 8 + x) = raster.getSample(x * img.getWidth / 8, y * img.getHeight / 8, 0)
+        x += 1
+      }
+      y += 1
+    }
+    Some(g)
+  }
+
+  /** 56-bit difference hash (dHash) over the 8×8 grid: bit (y, x) =
+    * [p(x+1, y) > p(x, y)] for x = 0..6, packed MSB-first (bit index
+    * b = y·7+x occupies 2^(55−b)) — always non-negative, so BIGINT
+    * band extraction behaves identically cross-engine. Identical
+    * rasters hash identically; a near-identical raster flips few
+    * gradient signs, so hamming distance is the perceptual metric. */
+  private def dHash56(g: Array[Int]): Long = {
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 7) {
+        h = (h << 1) | (if (g(y * 8 + x + 1) > g(y * 8 + x)) 1L else 0L)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Per-item perceptual hashes for the media-dedup operator: one row
+    * per decodable image and per decodable VIDEO FRAME (audio has no
+    * visual hash; undecodable payloads and deep sample formats skip —
+    * the decode stage's skip-don't-crash posture). A pure map+flatMap
+    * stage, no shuffle — the 100 TB shape is hash-at-ingest.
+    * Columns: (media_id, frame_no, kind, dhash). */
+  def dHashItems(ds: Dataset[MediaRecord]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.flatMap { r =>
+      r.kind match {
+        case "image" =>
+          decodePng(r.payload).flatMap(grayGrid8).map(g =>
+            (r.media_id, 0L, r.kind, dHash56(g))).toSeq
+        case "video" =>
+          decodeVideo(r.payload).toSeq.flatMap(_.zipWithIndex.flatMap {
+            case (fb, f) =>
+              decodePng(fb).flatMap(grayGrid8).map(g =>
+                (r.media_id, f.toLong, r.kind, dHash56(g)))
+          })
+        case _ => Seq.empty
+      }
+    }.toDF("media_id", "frame_no", "kind", "dhash")
+  }
+
   /** Deterministic nearest-neighbor resample of an 8-bit gray image:
     * out(x, y) = in(x*srcW/w, y*srcH/h) with integer floor — exact
     * index arithmetic, no AWT interpolation, so the resized pixels are

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.io.CacheScope.Persisted
 import graft.io.Tables
 import graft.multimodal.Media
 
@@ -92,6 +93,87 @@ object Multimodal {
         .groupBy(col("kind"), col("bin"))
         .agg(sum(col("cnt")).as("total"))
         .filter(col("total") > 0)
+    },
+
+    // ---- perceptual near-dup dedup for images AND video frames -------------
+    // The dedup × multimodal intersection: every decodable image and
+    // every decodable video FRAME gets a 56-bit dHash over its REAL
+    // decoded 8×8 gray grid (gradient-sign bits, packed MSB-first);
+    // items collapse exactly on the hash (group rep = lowest item key),
+    // then NEAR-dup merges hashes within hamming <= 2 — candidates come
+    // from a 4×14-bit band equi-join over the DISTINCT-HASH frame only
+    // (pigeonhole: <= 3 differing bits leave >= 1 band intact, so
+    // banding is recall-lossless at this radius; MediaSpec proves
+    // banded == brute force) — NEVER an item-pair join: candidate
+    // volume is O(#distinct hashes²) with #distinct << N (57 here; a
+    // real corpus' perceptual-hash vocabulary, not its item count).
+    // The oracle reproduces the hash analytically from the synthetic
+    // pixel formulas (the q_media_features pattern) and verifies the
+    // near join with a full pairwise bit_count(xor) — equivalence IS
+    // the recall guarantee under test. Item key packs (media_id,
+    // frame_no) as media_id*8 + frame_no; reps surface unpacked.
+    Q(
+      "q_media_dedup",
+      """WITH items AS (
+        |  SELECT d.doc_id AS media_id, CAST(0 AS BIGINT) AS frame_no, 'image' AS kind,
+        |         (d.doc_id * 7) % 256 AS seed
+        |  FROM documents d WHERE d.doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT d.doc_id, CAST(f.f AS BIGINT), 'video', (d.doc_id * 7 + f.f * 13) % 256
+        |  FROM documents d CROSS JOIN generate_series(0, 3) f(f) WHERE d.doc_id % 3 = 2
+        |), hashed AS (
+        |  SELECT media_id, frame_no, kind, media_id * 8 + frame_no AS ikey,
+        |    CAST(sum(CASE WHEN ((seed + (b.b // 7) * 8 + (b.b % 7) + 1) % 256) >
+        |                       ((seed + (b.b // 7) * 8 + (b.b % 7)) % 256)
+        |             THEN 1 ELSE 0 END * (CAST(1 AS BIGINT) << CAST(55 - b.b AS INT))) AS BIGINT) AS dhash
+        |  FROM items CROSS JOIN generate_series(0, 55) b(b)
+        |  GROUP BY 1, 2, 3, 4
+        |), groups AS (
+        |  SELECT dhash, count(*) AS group_size, min(ikey) AS rep_key FROM hashed GROUP BY dhash
+        |), near AS (
+        |  SELECT a.dhash, count(*) AS n_near_hashes, min(b.rep_key) AS near_min
+        |  FROM groups a JOIN groups b
+        |    ON a.dhash != b.dhash AND bit_count(xor(a.dhash, b.dhash)) <= 2
+        |  GROUP BY a.dhash
+        |)
+        |SELECT h.media_id, h.frame_no, h.kind, h.dhash, g.group_size,
+        |  g.rep_key // 8 AS rep_media_id, g.rep_key % 8 AS rep_frame_no,
+        |  COALESCE(n.n_near_hashes, 0) AS n_near_hashes,
+        |  least(g.rep_key, COALESCE(n.near_min, g.rep_key)) // 8 AS near_rep_media_id,
+        |  h.ikey != g.rep_key AS is_exact_dup
+        |FROM hashed h JOIN groups g USING (dhash)
+        |LEFT JOIN near n ON n.dhash = h.dhash""") { (s, dir) =>
+      // decode is the expensive stage (ImageIO per item) and feeds two
+      // consumers (group agg + final join-back) — cache the hashed
+      // items, never re-decode; everything downstream of `groups` is
+      // bounded by the distinct-hash vocabulary, so AQE broadcasts it
+      val items = Media.dHashItems(Media.synthesize(s, dir))
+        .withColumn("ikey", col("media_id") * 8 + col("frame_no"))
+        .persistScoped()
+      val groups = items.groupBy(col("dhash"))
+        .agg(count(lit(1)).as("group_size"), min(col("ikey")).as("rep_key"))
+      val bands = groups.select(col("dhash"), col("rep_key"),
+          explode(expr("sequence(0, 3)")).as("bno"))
+        .withColumn("bval", expr("shiftright(dhash, bno * 14) & 16383"))
+      val cand = bands.as("a")
+        .join(bands.as("b"), expr("a.bno = b.bno and a.bval = b.bval and a.dhash != b.dhash"))
+        .select(col("a.dhash").as("dhash"), col("b.dhash").as("h_b"), col("b.rep_key").as("nrep"))
+        .distinct() // a hash pair can share several bands — count once
+        .filter(expr("bit_count(dhash ^ h_b) <= 2"))
+      val near = cand.groupBy(col("dhash"))
+        .agg(count(lit(1)).as("n_near_hashes"), min(col("nrep")).as("near_min"))
+      val reps = groups.join(near, Seq("dhash"), "left")
+        .select(col("dhash"), col("group_size"), col("rep_key"),
+          coalesce(col("n_near_hashes"), lit(0L)).as("n_near_hashes"),
+          least(col("rep_key"), coalesce(col("near_min"), col("rep_key"))).as("near_rep_key"))
+      items.join(reps, Seq("dhash"))
+        .select(col("media_id"), col("frame_no"), col("kind"), col("dhash"),
+          col("group_size"),
+          expr("rep_key div 8").as("rep_media_id"),
+          expr("rep_key % 8").as("rep_frame_no"),
+          col("n_near_hashes"),
+          expr("near_rep_key div 8").as("near_rep_media_id"),
+          (col("ikey") =!= col("rep_key")).as("is_exact_dup"))
     },
 
     // REAL frame sampling under the hash gate: 4 evenly-spaced frames

@@ -96,6 +96,12 @@ object StreamBench {
       baseVecs.map(v => SVec(v.vec_id + r * 1_000_000_000L, v.embedding)))
     val wDocs = baseDocs.take(500).map(d => SDoc(d.doc_id + 9_000_000_000L, d.text))
     val wVecs = baseVecs.take(500).map(v => SVec(v.vec_id + 9_000_000_000L, v.embedding))
+    // real media payloads (PNG/WAV/frame containers) — the media_dedup
+    // number includes the per-row ImageIO decode, as production would
+    val baseMedia = graft.multimodal.Media.synthesize(spark, dir).collect().toSeq
+    val media = (0 until Rep).flatMap(r =>
+      baseMedia.map(m => m.copy(media_id = m.media_id + r * 1_000_000_000L)))
+    val wMedia = baseMedia.take(500).map(m => m.copy(media_id = m.media_id + 9_000_000_000L))
 
     val weights = graft.queries.TextAnalysis.trainedWeights(spark, dir)
 
@@ -129,6 +135,10 @@ object StreamBench {
       df => graft.streaming.Streams.gateContaminated(df, evalBloom))
     results += timeStream[SDoc](spark, "near_dedup", wDocs, docs,
       df => graft.streaming.Streams.nearDedup(df).toDF())
+    results += timeStream[graft.multimodal.Media.MediaRecord](
+      spark, "media_dedup", wMedia, media,
+      df => graft.streaming.Streams
+        .mediaDedup(df.as[graft.multimodal.Media.MediaRecord]).toDF())
     results += timeStream[SVec](spark, "semantic_dedup", wVecs, vecs,
       df => graft.streaming.Streams.semanticDedup(df).toDF())
     results += timeStream[SDoc](spark, "hot_tokens", wDocs, docs,

@@ -389,6 +389,48 @@ object Streams {
       }
   }
 
+  final case class ItemClaim(bucket: Long, item_key: Long, keeper_key: Long)
+
+  /** Streaming perceptual MEDIA dedup — the incremental twin of
+    * `q_media_dedup`'s banded candidate tier: each arriving image /
+    * video frame is dHashed over its REAL decoded 8×8 gray grid
+    * ([[graft.multimodal.Media.dHashItems]] — a stateless flatMap, the
+    * expensive decode rides the stream as a pure map), the 56-bit hash
+    * splits into the SAME 4×14-bit bands as the batch band equi-join,
+    * and per band bucket the first item to arrive claims it. An item is
+    * a near-dup CANDIDATE iff any of its claims has
+    * `keeper_key != item_key` — exactly the batch candidate semantics
+    * (shared band ⇒ candidate), computed incrementally; exact hamming
+    * verification stays a batch/serving concern, the prefilter/confirm
+    * split of the text pipelines. Item key packs (media_id, frame_no)
+    * as media_id·8 + frame_no, the batch ikey; bucket packs (band,
+    * value) as band·2^14 + value. State: one long per seen bucket,
+    * claims deterministic in item-key order within a micro-batch. */
+  def mediaDedup(
+      media: Dataset[graft.multimodal.Media.MediaRecord]): Dataset[ItemClaim] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    graft.functions.GraftRuntime.ensure(spark)
+    val buckets = graft.multimodal.Media.dHashItems(media)
+      .selectExpr("media_id * 8 + frame_no AS ikey", "dhash")
+      .selectExpr("ikey",
+        "explode(transform(sequence(0, 3), j -> j * 16384L + (shiftright(dhash, j * 14) & 16383))) AS bucket")
+    buckets.as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, ItemClaim](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (bucket, rows, state: GroupState[Long]) =>
+          val keys = rows.map(_._1).toSeq.sorted
+          var keeper = state.getOption.getOrElse(Long.MaxValue)
+          val out = keys.map { k =>
+            if (k < keeper) keeper = k
+            ItemClaim(bucket, k, keeper)
+          }
+          if (keeper != Long.MaxValue) state.update(keeper)
+          out.iterator
+      }
+  }
+
   final case class CellClaim(cell: Int, vec_id: Long, keeper_id: Long, dot: Double)
 
   /** Streaming SEMANTIC dedup — the incremental twin of the batch

@@ -171,6 +171,74 @@ class MediaSpec extends SparkSpec {
     assert(out.filter(_.kind == "audio").forall(_.payload.length <= 64))
   }
 
+  test("dHashItems: real-decode hashes match the analytic gradient formula; audio skipped") {
+    val items = Media.dHashItems(Media.synthesize(spark, sf()).filter(_.media_id < 60))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // 20 images (1 row) + 20 videos (4 frames) = 100 items; audio none
+    assert(items.length == 100)
+    assert(items.forall(_._3 != "audio"))
+    def analytic(seed: Long): Long = {
+      var h = 0L
+      for (y <- 0 until 8; x <- 0 until 7) {
+        val a = (seed + y * 8 + x) % 256
+        h = (h << 1) | (if ((a + 1) % 256 > a) 1L else 0L)
+      }
+      h
+    }
+    items.foreach { case (id, f, kind, dh) =>
+      val seed = if (kind == "image") id * 7 else id * 7 + f * 13
+      assert(dh == analytic(seed % 256), s"media $id frame $f")
+      assert(dh >= 0, "56-bit dHash must stay non-negative")
+    }
+  }
+
+  test("dHash resamples larger rasters through the exact NN rule (16x16 -> 8x8)") {
+    import spark.implicits._
+    // 16x16 gray PNG with pixel(x, y) = (y*16 + x) % 256; the NN grid
+    // reads in(2x, 2y), so grid(x, y) = (y*32 + 2x) % 256
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.getRaster.setSample(x, y, 0, (y * 16 + x) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val rec = Media.MediaRecord(1L, "image", bos.toByteArray,
+      Media.MediaMeta(16, 16, 0, 0))
+    val dh = Media.dHashItems(Seq(rec).toDS()).head().getLong(3)
+    var exp = 0L
+    for (y <- 0 until 8; x <- 0 until 7) {
+      val a = (y * 32 + 2 * x) % 256
+      val b = (y * 32 + 2 * (x + 1)) % 256
+      exp = (exp << 1) | (if (b > a) 1L else 0L)
+    }
+    assert(dh == exp)
+  }
+
+  test("band blocking is recall-lossless for hamming <= 3 (pigeonhole, randomized)") {
+    // the q_media_dedup candidate generator: 4 bands x 14 bits over the
+    // 56-bit hash; <= 3 differing bits leave >= 1 band intact, so the
+    // band equi-join finds EVERY pair the brute-force hamming verify
+    // keeps — the property the oracle's full pairwise join checks
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(40)(rnd.nextLong() & ((1L << 56) - 1))
+    // plant near pairs at hamming 1..3 plus exact dups
+    val hashes = (base ++ base.take(10).map(_ ^ (1L << rnd.nextInt(56))) ++
+      base.slice(10, 20).map(h => h ^ (1L << 3) ^ (1L << 40) ^ (1L << 55)) ++
+      base.take(5)).distinct
+    def band(h: Long, j: Int): Long = (h >> (j * 14)) & 16383
+    val banded = (for {
+      a <- hashes; b <- hashes
+      if a < b && (0 until 4).exists(j => band(a, j) == band(b, j))
+      if java.lang.Long.bitCount(a ^ b) <= 3
+    } yield (a, b)).toSet
+    val brute = (for {
+      a <- hashes; b <- hashes
+      if a < b && java.lang.Long.bitCount(a ^ b) <= 3
+    } yield (a, b)).toSet
+    assert(brute.nonEmpty, "the planted near pairs must survive distinct()")
+    assert(banded == brute, s"banding lost ${(brute -- banded).size} pairs")
+  }
+
   test("frameSample: real PNG frames for video, bounded windows otherwise") {
     val ds = Media.synthesize(spark, sf()).filter(_.media_id < 30)
     val frames = Media.frameSample(ds, 4)

@@ -626,6 +626,20 @@ class PlanShapeSpec extends SparkSpec {
       s"line-removal list agg must aggregate only the flagged subset:\n$pr")
   }
 
+  test("q_media_dedup: band equi-join over the distinct-hash frame, never item pairs") {
+    val p = planOf("q_media_dedup")
+    assert(!p.contains("SortAggregate"), s"hash-group collapse must stay hash-based:\n$p")
+    assert(!p.contains("Window"), s"no window sort in the media-dedup kernel:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs blow-up:\n$p")
+    // candidates must come from the 4x14-bit band equi-join (bno, bval)
+    // over the collapsed distinct-hash frame — the plan carries the band
+    // columns as join keys and the dhash group aggregate below them
+    assert(p.contains("bval"), s"band equi-join missing:\n$p")
+    val ji = p.indexOf("bval")
+    val ai = p.indexOf("HashAggregate", ji)
+    assert(ai > ji, s"band join must sit ABOVE the dhash collapse aggregate:\n$p")
+  }
+
   test("q_decontaminate_bloom: bloom prefilter sits under the confirm join") {
     val p = planOf("q_decontaminate_bloom")
     // the probe must be a FILTER on the corpus stream (map-side, below

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, explode, max, split, struct, trim, xxhash64}
+import org.apache.spark.sql.functions.{col, explode, max, min, split, struct, trim, xxhash64}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.Streams
@@ -468,6 +468,44 @@ class StreamingSpec extends SparkSpec {
       assert(byId(3L).keeper_id == 3L, "dissimilar vector must become its own exemplar")
       assert(byId(7L).keeper_id == 1L, "near-dup must claim the cross-batch exemplar")
       assert(byId(7L).dot >= 0.35 && byId(7L).dot <= 1.01)
+    } finally q.stop()
+  }
+
+  test("mediaDedup batch-twin: streaming claims equal the batch band-candidate loser set") {
+    // the q_media_dedup candidate tier run incrementally over the REAL
+    // media corpus (genuine PNG/container payloads, real decode in the
+    // stream): an item is a streaming candidate iff an earlier item
+    // claimed one of its 4 band buckets — with key-order arrival that
+    // is exactly "some item with a lower ikey shares a band"
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val media = graft.multimodal.Media.synthesize(spark, sf())
+      .collect().sortBy(_.media_id)
+    val mem = MemoryStream[graft.multimodal.Media.MediaRecord]
+    val q = Streams.mediaDedup(mem.toDS())
+      .writeStream.format("memory").queryName("mediadedup_twin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = media.splitAt(media.length / 2)
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      val claims = spark.table("mediadedup_twin").as[Streams.ItemClaim].collect()
+      val streamingDups =
+        claims.filter(c => c.keeper_key != c.item_key).map(_.item_key).toSet
+      val buckets = graft.multimodal.Media
+        .dHashItems(graft.multimodal.Media.synthesize(spark, sf()))
+        .selectExpr("media_id * 8 + frame_no AS ikey", "dhash")
+        .selectExpr("ikey",
+          "explode(transform(sequence(0, 3), j -> j * 16384L + (shiftright(dhash, j * 14) & 16383))) AS bucket")
+      val batchDups = buckets.groupBy(col("bucket")).agg(min(col("ikey")).as("mk"))
+        .join(buckets, Seq("bucket"))
+        .filter(col("ikey") > col("mk"))
+        .select(col("ikey")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(batchDups.nonEmpty, "corpus must contain banded media candidates")
+      assert(streamingDups == batchDups,
+        s"stream-only: ${(streamingDups -- batchDups).toSeq.sorted.take(5)}, " +
+        s"batch-only: ${(batchDups -- streamingDups).toSeq.sorted.take(5)}")
     } finally q.stop()
   }
 
