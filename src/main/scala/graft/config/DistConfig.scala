@@ -38,14 +38,23 @@ final case class DistLocation(
   * instead of a copy: BOTH locations are loaded and their order-free
   * row fingerprints compared; a mismatch fails the direction.
   * `verify_columns` restricts the fingerprint to named columns
-  * (default: every column the two sides share, in source order). */
+  * (default: every column the two sides share, in source order).
+  *
+  * `"ingest"` (streaming tasks only) names a registered streaming
+  * ingest operator ([[graft.streaming.Ingest]]: score / dedup_claim /
+  * gate_contaminated / encode_ivfadc) applied to the stream after the
+  * optional `transform`; `"model_dir"` points at the corpus the
+  * operator's offline models train from (required with `ingest`). A
+  * direction of chained ingest tasks runs the whole tier. */
 final case class DistTask(
     source: DistLocation,
     dest: DistLocation,
     transform: Option[String] = None,
     streaming: Boolean = false,
     verify: Boolean = false,
-    verifyColumns: Seq[String] = Seq.empty)
+    verifyColumns: Seq[String] = Seq.empty,
+    ingest: Option[String] = None,
+    modelDir: Option[String] = None)
 
 final case class DistConfig(directions: Map[String, Seq[DistTask]]) {
   def direction(name: String): Seq[DistTask] =
@@ -71,7 +80,9 @@ object DistConfig {
           Option(t.get("verify")).exists(_.asBoolean()),
           Option(t.get("verify_columns"))
             .map(_.elements().asScala.map(_.asText()).toSeq)
-            .getOrElse(Seq.empty))
+            .getOrElse(Seq.empty),
+          Option(t.get("ingest")).map(_.asText()),
+          Option(t.get("model_dir")).map(_.asText()))
       }.toSeq
       e.getKey -> tasks
     }.toMap

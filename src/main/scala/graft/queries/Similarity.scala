@@ -73,7 +73,7 @@ object Similarity {
 
   /** Product-quantization geometry: M subspaces of DS dims (M·DS = 64),
     * K codebook entries per subspace — a vector compresses to M codes.
-    * Codebooks are TRAINED (VERDICT r13 #4): [[PQ_ROUNDS]] rounds of
+    * Codebooks are TRAINED (VERDICT r13 #4): convergence-derived rounds (guard [[PQ_MAX_ROUNDS]]) of
     * per-subspace Lloyd over a [[pqTrainN]]-vector content-hash
     * sample (the FAISS recipe — codebooks train on a bounded sample,
     * the full corpus only encodes), seeded from the hash-ordered seed
@@ -94,7 +94,19 @@ object Similarity {
     * itself is hash-verified, not one frozen parameterization. */
   private val PQ_M = 8
   private val PQ_DS = 8
-  private val PQ_ROUNDS = 2
+
+  /** Lloyd depth is CONVERGENCE-DERIVED (round 16 — the ncIvf/pqK rule
+    * applied to training depth): training stops after the first round
+    * whose moved-code count drops below 10% of the sample assignments
+    * (`moved · 10 < n`, pure INTEGER arithmetic on both sides — moved
+    * and n are exact integers, so the stop decision can never split
+    * the engines), with [[PQ_MAX_ROUNDS]] as the mandatory guard. The
+    * oracle unrolls all MAX rounds and SELECTS the derived depth's
+    * codebook via the same integer rule (conditional UNION arms — the
+    * flag-gated-branch pattern); the cross-scale gates exercise ≥ 2
+    * distinct depths (sf0.01 converges at 2, sf0.001/0.1 run deeper),
+    * so the derivation itself is hash-verified. */
+  private val PQ_MAX_ROUNDS = 4
   private[graft] def pqK(
       s: org.apache.spark.sql.SparkSession, dir: String): Int =
     math.min(256L, math.max(16L,
@@ -156,7 +168,7 @@ object Similarity {
     * are equal by construction), and the hash tags are shared so both
     * chains seed/train on the SAME hash-selected vec_ids. */
   private def pqChainCtes(src: String, p: String): String = {
-    val rounds = (1 to PQ_ROUNDS).map { r =>
+    val rounds = (1 to PQ_MAX_ROUNDS).map { r =>
       s"""${p}pa${r - 1} AS MATERIALIZED (
          |  SELECT vec_id, m, k FROM (
          |    SELECT s.vec_id, s.m, c.k,
@@ -180,6 +192,30 @@ object Similarity {
          |    GROUP BY m, k) u ON u.m = p.m AND u.k = p.k
          |)""".stripMargin
     }.mkString(", ")
+    // the final assignment under the LAST codebook (pa_MAX — needed for
+    // moved_MAX and so the telemetry query can report the last round)
+    val paMax =
+      s"""${p}pa$PQ_MAX_ROUNDS AS MATERIALIZED (
+         |  SELECT vec_id, m, k FROM (
+         |    SELECT s.vec_id, s.m, c.k,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY ${duckPqScore("s.sv", "c.cb")} DESC, c.k) AS rn
+         |    FROM ${p}sv s JOIN ${p}cb$PQ_MAX_ROUNDS c ON c.m = s.m
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    // convergence-derived depth: first round whose moved-code count is
+    // below 10% of the sample assignments (moved·10 < n, exact INTEGER
+    // comparison), else the max-rounds guard — the Spark trainer's loop
+    // condition expressed as a scalar CASE
+    val movedSel = (1 to PQ_MAX_ROUNDS).map { r =>
+      s"""(SELECT count(*) FROM ${p}pa${r - 1} a JOIN ${p}pa$r b
+         |    ON b.vec_id = a.vec_id AND b.m = a.m WHERE b.k <> a.k) AS m$r""".stripMargin
+    }.mkString(",\n  ")
+    val depthCase = (1 until PQ_MAX_ROUNDS)
+      .map(r => s"WHEN m$r * 10 < n THEN $r").mkString(" ")
+    val cbArms = (1 to PQ_MAX_ROUNDS).map { r =>
+      s"SELECT m, k, cb FROM ${p}cb$r WHERE (SELECT r FROM ${p}pdep) = $r"
+    }.mkString("\n  UNION ALL ")
     s"""${p}seeds AS (
        |  SELECT k, embedding FROM (
        |    SELECT row_number() OVER (ORDER BY ph, vec_id) - 1 AS k, embedding
@@ -200,8 +236,13 @@ object Similarity {
        |  SELECT e.vec_id, t.m,
        |    list_transform(generate_series(1, $PQ_DS), i -> e.embedding[t.m * $PQ_DS + i]) AS sv
        |  FROM $src e JOIN ${p}pqt USING (vec_id), generate_series(0, ${PQ_M - 1}) t(m)
-       |), $rounds, ${p}cb AS MATERIALIZED (
-       |  SELECT m, k, cb FROM ${p}cb$PQ_ROUNDS
+       |), $rounds, $paMax, ${p}pmv AS (
+       |  SELECT $movedSel,
+       |  (SELECT count(*) FROM ${p}pa0) AS n
+       |), ${p}pdep AS (
+       |  SELECT CASE $depthCase ELSE $PQ_MAX_ROUNDS END AS r FROM ${p}pmv
+       |), ${p}cb AS MATERIALIZED (
+       |  $cbArms
        |), ${p}codes AS (
        |  SELECT vec_id, m, k AS code FROM (
        |    SELECT v.vec_id, c.m, c.k,
@@ -298,7 +339,7 @@ object Similarity {
       m
     }
 
-  /** [[PQ_ROUNDS]] rounds of per-subspace Lloyd over the bounded
+  /** Convergence-derived rounds (guard [[PQ_MAX_ROUNDS]]) of per-subspace Lloyd over the bounded
     * [[pqTrainN]] content-hash sample. Per round: min-L2 assignment
     * of the sample subvectors (the [[pqEncode]] kernel over ≤ 256
     * vectors), then each (m, k) cell's centroid becomes the
@@ -371,7 +412,16 @@ object Similarity {
     try {
       var assign = collectAssign(pqEncode(tv, cb))
       telemetry += ((0, sampleD2(assign, cb), None))
-      for (r <- 1 to PQ_ROUNDS) {
+      // convergence-derived depth (round 16): run rounds until the
+      // moved-code count drops below 10% of the sample assignments
+      // (moved·10 < n, exact integers — the oracle's pdep CASE verbatim),
+      // with PQ_MAX_ROUNDS as the mandatory guard. The loop ALWAYS
+      // executes the round it judges, so depth = the first converged
+      // round — identical to the oracle's first-converged selection.
+      val n = assign.size.toLong
+      var r = 1
+      var converged = false
+      while (r <= PQ_MAX_ROUNDS && !converged) {
         val cbDf = cb.toDF("m", "k", "cb") // LocalRelation
         val aDf = assign.toSeq.map { case ((v, m0), k0) => (v, m0, k0) }
           .sortBy(t => (t._1, t._2)).toDF("vec_id", "m", "code")
@@ -392,6 +442,8 @@ object Similarity {
         val moved = a2.count { case (key, k2) => assign.get(key).exists(_ != k2) }.toLong
         telemetry += ((r, sampleD2(a2, cb), Some(moved)))
         assign = a2
+        converged = moved * 10 < n
+        r += 1
       }
     } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
     PqModel(cb, telemetry.toSeq)
@@ -884,9 +936,11 @@ object Similarity {
   // q_pq_residual_gain is the hash-gated meter, PqResidualSpec pins
   // the direction.
 
-  /** Lloyd rounds for the IVFADC coarse quantizer — matches PQ_ROUNDS
-    * (the numpy/DuckDB pre-measurements held at 2 rounds). */
-  private val ADC_KM_ROUNDS = 2
+  /** Max-rounds guard for the IVFADC coarse quantizer; the executed
+    * depth is CONVERGENCE-DERIVED like [[PQ_MAX_ROUNDS]] — stop after
+    * the first round whose moved-cell count over the CORPUS assignment
+    * drops below 10% (moved·10 < N, exact integers both engines). */
+  private val ADC_KM_MAX_ROUNDS = 4
 
   /** Driver-cached trained coarse centroids per (session, dir) — plain
     * Scala rows (the pqCbModels pattern: pure function of the corpus,
@@ -915,22 +969,31 @@ object Similarity {
       .orderBy(col("ch"), col("cell")).limit(ncIvf(s, dir))
       .select(col("cell"), col("c_emb"))
 
-  /** [[ADC_KM_ROUNDS]] Lloyd rounds from the hash seeds — the
+  /** Convergence-derived Lloyd rounds from the hash seeds — the
     * q_kmeans_train loop carrying the MODEL instead of telemetry:
     * per round one eager assignment (persistScoped, at most two
-    * pinned) and one localizedModel'd update. */
+    * pinned), one localizedModel'd update, and one exact integer
+    * moved-cell count (the oracle's adep CASE verbatim); stops after
+    * the first round with moved·10 < N, [[ADC_KM_MAX_ROUNDS]] guard. */
   private def trainAdcCents(
       s: org.apache.spark.sql.SparkSession,
       dir: String): Seq[(Long, Seq[Float])] = {
+    val n = Tables.rowCount(s, dir, "embeddings")
     var a = kmAssign(s, dir, localizedModel(adcSeedFrame(s, dir))).persistScoped()
     var cents: org.apache.spark.sql.DataFrame = null
-    for (r <- 1 to ADC_KM_ROUNDS) {
+    var r = 1
+    var converged = false
+    while (r <= ADC_KM_MAX_ROUNDS && !converged) {
       cents = localizedModel(kmUpdate(a))
-      if (r < ADC_KM_ROUNDS) {
-        val a2 = kmAssign(s, dir, cents).persistScoped()
-        a.unpersist()
-        a = a2
-      }
+      val a2 = kmAssign(s, dir, cents).persistScoped()
+      val moved = a2.select(col("vec_id"), col("cell").as("cell_b"))
+        .join(a.select(col("vec_id"), col("cell").as("cell_a")), "vec_id")
+        .filter(col("cell_b") =!= col("cell_a"))
+        .count()
+      a.unpersist()
+      a = a2
+      converged = moved * 10 < n
+      r += 1
     }
     a.unpersist()
     cents.collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
@@ -1042,25 +1105,51 @@ object Similarity {
     * final assignment → residual vectors → the residual PQ chain
     * (prefix `r`: rcb / rcodes). Shared verbatim by q_ann_ivfadc and
     * q_pq_residual_gain — one formulation. */
-  private lazy val adcBaseCtes: String =
+  private lazy val adcBaseCtes: String = {
+    // convergence-derived coarse-quantizer depth (round 16, the PQ-chain
+    // rule over CORPUS assignments): unroll to the max-rounds guard,
+    // derive the executed depth from exact integer moved counts, select
+    // the final centroids (atf) and assignment (adcassign = the already-
+    // computed aa at that depth) conditionally
+    val rounds = (1 to ADC_KM_MAX_ROUNDS).map { r =>
+      s"""at$r AS MATERIALIZED (
+         |  ${duckKmUpdate(s"aa${r - 1}")}
+         |), aa$r AS MATERIALIZED (
+         |  ${duckKmAssign(s"at$r")}
+         |)""".stripMargin
+    }.mkString(", ")
+    val movedSel = (1 to ADC_KM_MAX_ROUNDS).map { r =>
+      s"""(SELECT count(*) FROM aa${r - 1} a JOIN aa$r b
+         |    ON b.vec_id = a.vec_id WHERE b.cell <> a.cell) AS m$r""".stripMargin
+    }.mkString(",\n  ")
+    val depthCase = (1 until ADC_KM_MAX_ROUNDS)
+      .map(r => s"WHEN m$r * 10 < n THEN $r").mkString(" ")
+    val atfArms = (1 to ADC_KM_MAX_ROUNDS).map(r =>
+      s"SELECT cell, c_emb FROM at$r WHERE (SELECT r FROM adep) = $r")
+      .mkString("\n  UNION ALL ")
+    val asgArms = (1 to ADC_KM_MAX_ROUNDS).map(r =>
+      s"SELECT vec_id, embedding, cell FROM aa$r WHERE (SELECT r FROM adep) = $r")
+      .mkString("\n  UNION ALL ")
     s"""acents0 AS MATERIALIZED (
        |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
        |  ORDER BY $duckCHash, vec_id LIMIT $duckNcIvf
        |), aa0 AS MATERIALIZED (
        |  ${duckKmAssign("acents0")}
-       |), at1 AS MATERIALIZED (
-       |  ${duckKmUpdate("aa0")}
-       |), aa1 AS MATERIALIZED (
-       |  ${duckKmAssign("at1")}
-       |), at2 AS MATERIALIZED (
-       |  ${duckKmUpdate("aa1")}
+       |), $rounds, amv AS (
+       |  SELECT $movedSel,
+       |  (SELECT count(*) FROM embeddings) AS n
+       |), adep AS (
+       |  SELECT CASE $depthCase ELSE $ADC_KM_MAX_ROUNDS END AS r FROM amv
+       |), atf AS MATERIALIZED (
+       |  $atfArms
        |), adcassign AS MATERIALIZED (
-       |  ${duckKmAssign("at2")}
+       |  $asgArms
        |), adcres AS MATERIALIZED (
        |  SELECT a.vec_id, list_transform(generate_series(1, 64),
        |    i -> CAST(CAST(a.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE) AS FLOAT)) AS embedding
-       |  FROM adcassign a JOIN at2 c ON c.cell = a.cell
+       |  FROM adcassign a JOIN atf c ON c.cell = a.cell
        |), ${pqChainCtes("adcres", "r")}""".stripMargin
+  }
 
   /** 4-bit random-hyperplane LSH bucket as a flat codegen'd column: the
     * hyperplane weights are plan-time constants (same CrossHash-derived
@@ -1838,7 +1927,7 @@ object Similarity {
         |), qc AS (
         |  SELECT q.vec_id AS query_id,
         |    CAST(${duckDot("q.embedding", "c.c_emb")} AS DECIMAL(18,12)) AS qcd
-        |  FROM q JOIN at2 c ON c.cell = q.cell
+        |  FROM q JOIN atf c ON c.cell = q.cell
         |), p AS (
         |  SELECT q.vec_id AS query_id, x.vec_id AS cand_id
         |  FROM q JOIN adcassign x ON q.cell = x.cell AND q.vec_id <> x.vec_id
@@ -1925,7 +2014,7 @@ object Similarity {
         |      CAST(${duckDot("q.embedding", "c.c_emb")} AS DECIMAL(18,12)) AS qcd,
         |      row_number() OVER (PARTITION BY q.vec_id
         |        ORDER BY ${duckDot("q.embedding", "c.c_emb")} DESC, c.cell) AS crn
-        |    FROM q2 q CROSS JOIN at2 c
+        |    FROM q2 q CROSS JOIN atf c
         |  ) WHERE crn <= 2
         |), lut AS (
         |  SELECT q.vec_id AS query_id, c.m, c.k AS code,
@@ -2118,18 +2207,15 @@ object Similarity {
         def duckMoved(p: String, q2: String) =
           s"""(SELECT CAST(sum(CASE WHEN p.k <> q.k THEN 1 ELSE 0 END) AS BIGINT)
              |  FROM $p p JOIN $q2 q ON p.vec_id = q.vec_id AND p.m = q.m)""".stripMargin
-        val rows = (0 to PQ_ROUNDS).map { r =>
+        // one row per EXECUTED round: the convergence-derived depth
+        // (the chain's pdep scalar) gates each unrolled arm, so the
+        // oracle emits exactly the rounds the Spark trainer ran
+        val rows = (0 to PQ_MAX_ROUNDS).map { r =>
           val mv = if (r == 0) "CAST(NULL AS BIGINT)" else duckMoved(s"pa${r - 1}", s"pa$r")
-          s"SELECT $r AS round, ${duckD2(s"pa$r", s"cb$r")} AS sample_d2, $mv AS moved"
+          s"""SELECT $r AS round, ${duckD2(s"pa$r", s"cb$r")} AS sample_d2, $mv AS moved
+             |WHERE $r <= (SELECT r FROM pdep)""".stripMargin
         }.mkString("\nUNION ALL\n")
-        s"""WITH $pqBaseCtes, pa$PQ_ROUNDS AS MATERIALIZED (
-           |  SELECT vec_id, m, k FROM (
-           |    SELECT s.vec_id, s.m, c.k,
-           |      row_number() OVER (PARTITION BY s.vec_id, s.m
-           |        ORDER BY ${duckPqScore("s.sv", "c.cb")} DESC, c.k) AS rn
-           |    FROM sv s JOIN cb$PQ_ROUNDS c ON c.m = s.m
-           |  ) WHERE rn = 1
-           |)
+        s"""WITH $pqBaseCtes
            |$rows""".stripMargin
       }) { (s, dir) =>
       import s.implicits._

@@ -188,12 +188,24 @@ object DistMain {
     val (inFmt, outFmt) = (fmt(task.source.adapter), fmt(task.dest.adapter))
     val schema = spark.read.format(inFmt).load(task.source.path).schema
     val stream = spark.readStream.format(inFmt).schema(schema).load(task.source.path)
-    val df = task.transform match {
+    val transformed = task.transform match {
       case Some(sql) =>
         graft.functions.GraftRuntime.ensure(spark)
         stream.createOrReplaceTempView("_input")
         spark.sql(sql)
       case None => stream
+    }
+    // optional registered ingest operator (graft.streaming.Ingest):
+    // the config-driven entry to the streaming ingest tier — a
+    // direction chains score → dedup_claim → gate_contaminated →
+    // encode_ivfadc through directories, each stage incrementally
+    // checkpointed. Models train from `model_dir` (offline corpus).
+    val df = task.ingest match {
+      case Some(op) =>
+        val md = task.modelDir.getOrElse(throw new IllegalArgumentException(
+          s"ingest task '$op' requires model_dir (the offline training corpus)"))
+        graft.streaming.Ingest(spark, op, md, transformed)
+      case None => transformed
     }
     df.writeStream
       .format(outFmt)

@@ -25,6 +25,7 @@ object StreamBench {
 
   final case class SDoc(doc_id: Long, text: String)
   final case class SVec(vec_id: Long, embedding: Seq[Float])
+  final case class SIngest(doc_id: Long, text: String, embedding: Seq[Float])
 
   /** Stream-size multiplier over the base corpus and micro-batch count. */
   final val Rep = 10
@@ -35,7 +36,8 @@ object StreamBench {
       name: String,
       warmup: Seq[T],
       payload: Seq[T],
-      build: DataFrame => DataFrame)(implicit enc: org.apache.spark.sql.Encoder[T])
+      build: DataFrame => DataFrame,
+      batches: Int = Batches)(implicit enc: org.apache.spark.sql.Encoder[T])
       : (String, Long, Double) = {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[T]
@@ -52,7 +54,7 @@ object StreamBench {
     try {
       mem.addData(warmup)
       q.processAllAvailable() // absorbs stream start + codegen + state init
-      val per = payload.grouped(math.max(1, payload.size / Batches)).toSeq
+      val per = payload.grouped(math.max(1, payload.size / batches)).toSeq
       val t0 = System.nanoTime()
       for (b <- per) { mem.addData(b); q.processAllAvailable() }
       val sec = (System.nanoTime() - t0) / 1e9
@@ -96,6 +98,16 @@ object StreamBench {
       baseVecs.map(v => SVec(v.vec_id + r * 1_000_000_000L, v.embedding)))
     val wDocs = baseDocs.take(500).map(d => SDoc(d.doc_id + 9_000_000_000L, d.text))
     val wVecs = baseVecs.take(500).map(v => SVec(v.vec_id + 9_000_000_000L, v.embedding))
+    // the composed ingest tier streams (doc_id, text, embedding) rows —
+    // the docs ∩ embeddings slice, the schema a crawl-with-encoder emits
+    val baseIngest = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .join(spark.read.parquet(s"$dir/embeddings.parquet")
+        .selectExpr("vec_id AS doc_id", "embedding"), "doc_id")
+      .as[SIngest].collect().toSeq
+    val ingest = (0 until Rep).flatMap(r =>
+      baseIngest.map(d => d.copy(doc_id = d.doc_id + r * 1_000_000_000L)))
+    val wIngest = baseIngest.take(500).map(d => d.copy(doc_id = d.doc_id + 9_000_000_000L))
     // real media payloads (PNG/WAV/frame containers) — the media_dedup
     // number includes the per-row ImageIO decode, as production would
     val baseMedia = graft.multimodal.Media.synthesize(spark, dir).collect().toSeq
@@ -129,6 +141,13 @@ object StreamBench {
       df => graft.streaming.Streams.scoreDocs(df, weights))
     results += timeStream[SVec](spark, "encode_pq", wVecs, vecs,
       df => graft.streaming.Streams.encodePq(df, pqcb))
+    // micro-batch size sweep (round-16 headroom item): the r15 claim
+    // was that per-batch planning overhead dominates encode_pq at the
+    // default 2k-row batches — measure 10k and 20k-row batches too
+    results += timeStream[SVec](spark, "encode_pq_b10k", wVecs, vecs,
+      df => graft.streaming.Streams.encodePq(df, pqcb), batches = 2)
+    results += timeStream[SVec](spark, "encode_pq_b20k", wVecs, vecs,
+      df => graft.streaming.Streams.encodePq(df, pqcb), batches = 1)
     results += timeStream[SVec](spark, "encode_ivfadc", wVecs, vecs,
       df => graft.streaming.Streams.encodeIvfadc(df, adcCents, adcCb))
     results += timeStream[SDoc](spark, "gate_contaminated", wDocs, docs,
@@ -143,6 +162,15 @@ object StreamBench {
       df => graft.streaming.Streams.semanticDedup(df).toDF())
     results += timeStream[SDoc](spark, "hot_tokens", wDocs, docs,
       df => graft.streaming.Streams.hotTokens(df).toDF())
+    // the COMPOSED ingest tier as one streaming query (round 16): the
+    // three stateless stages fused — quality score gate → contamination
+    // gate → IVFADC encode (the dedup-claim ledger is a separate output
+    // by design); rows/s counts ARRIVING docs, so the number is the
+    // tier's admission throughput including both gates' rejections
+    results += timeStream[SIngest](spark, "ingest_chain", wIngest, ingest,
+      df => graft.streaming.Ingest(spark, "encode_ivfadc", dir,
+        graft.streaming.Ingest(spark, "gate_contaminated", dir,
+          graft.streaming.Ingest(spark, "score", dir, df))))
 
     // the classic event-stream operators over the REAL events table
     // (100k rows at sf0.1, streamed as-is — the watermark horizons in

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composed streaming INGEST tier as a config-addressable registry
+  * (round 16): the four individually batch-twin-gated ingest operators
+  * — quality score → near-dedup claim → contamination gate → IVFADC
+  * encode — exposed by NAME so a `"streaming": true` [[graft.config
+  * .DistTask]] chain can run the whole tier through
+  * [[graft.runner.DistMain]] (files in → gated/encoded parquet out via
+  * `Trigger.AvailableNow`, each stage incrementally checkpointed).
+  *
+  * Stage contracts (a direction chains them through directories — the
+  * production shape, where every tier persists its ledger):
+  *
+  *  - `score`: input (doc_id, text, ...) — adds `score`/`cls_flag`
+  *    under the TRAINED hashed-linear model ([[Streams.scoreDocs]])
+  *    and KEEPS only `cls_flag = 'keep'` rows, all columns passed
+  *    through — the quality gate.
+  *  - `dedup_claim`: input (doc_id, text, ...) — emits the near-dup
+  *    claim LEDGER (bucket, doc_id, keeper_id) via [[Streams
+  *    .nearDedup]]; a doc with any `keeper_id != doc_id` claim is a
+  *    candidate for the batch confirm join (the prefilter/confirm
+  *    split — the ledger is the stage output, by design).
+  *  - `gate_contaminated`: input (doc_id, text, ...) — probes the
+  *    offline-trained eval bloom ([[Streams.contaminationHits]]),
+  *    adds `n_candidates`, and KEEPS only clean rows (flagged docs go
+  *    to the batch confirm join), all columns passed through.
+  *  - `encode_ivfadc`: input (doc_id | vec_id, embedding, ...) — the
+  *    serving-tier add() path ([[Streams.encodeIvfadc]]): one
+  *    (vec_id, cell, m, code) row per (vector, subspace).
+  *
+  * Models are trained ON DEMAND from the task's `model_dir` corpus
+  * (train offline, apply online — every op's documented deployment
+  * shape); the trainers cache per (session, dir), so a 4-stage chain
+  * trains each model once. */
+object Ingest {
+
+  val ops: Seq[String] = Seq("score", "dedup_claim", "gate_contaminated", "encode_ivfadc")
+
+  def apply(spark: SparkSession, op: String, modelDir: String, df: DataFrame): DataFrame =
+    op match {
+      case "score" =>
+        Streams.scoreDocs(df, graft.queries.TextAnalysis.trainedWeights(spark, modelDir))
+          .filter(col("cls_flag") === "keep")
+      case "dedup_claim" =>
+        Streams.nearDedup(df).toDF()
+      case "gate_contaminated" =>
+        df.withColumn("n_candidates",
+            Streams.contaminationHits(spark,
+              graft.queries.TextAnalysis.evalBloomBytes(spark, modelDir)))
+          .filter(col("n_candidates") === 0)
+      case "encode_ivfadc" =>
+        val (cents, cb) = graft.queries.Similarity.ivfadcModel(spark, modelDir)
+        val vecs =
+          if (df.columns.contains("vec_id")) df
+          else df.withColumnRenamed("doc_id", "vec_id")
+        Streams.encodeIvfadc(vecs.select(col("vec_id"), col("embedding")), cents, cb)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown ingest op '$other'; registered: ${ops.mkString(", ")}")
+    }
+}

@@ -287,23 +287,29 @@ object Streams {
     * prefilter/confirm split of the batch path. Output: (doc_id,
     * n_candidates, flagged). Hits are bit-identical to the batch
     * prefilter for the same bloom bytes (StreamingSpec batch-twin). */
-  def gateContaminated(docs: DataFrame, bloom: Array[Byte]): DataFrame = {
-    graft.functions.GraftRuntime.ensure(docs.sparkSession)
-    // construct the expression DIRECTLY from the bloom bytes (r15
-    // ADVICE): under the raised runtime ceilings the serialized filter
-    // can reach 256 MiB — a ~340 MB base64 literal through the SQL
-    // parser per query build is the giant-literal hazard again. The SQL
-    // rendering (`bloom_hits(..., unbase64('...'))`) stays available
-    // for tests; production ingest takes this path.
+  def gateContaminated(docs: DataFrame, bloom: Array[Byte]): DataFrame =
+    docs.select(col("doc_id"), contaminationHits(docs.sparkSession, bloom).as("n_candidates"))
+      .withColumn("flagged", col("n_candidates") > 0)
+
+  /** The stateless bloom-probe column behind [[gateContaminated]] and
+    * the composed ingest chain ([[Ingest]]): distinct-5-gram hits
+    * against the offline-trained eval bloom, constructed DIRECTLY from
+    * the bloom bytes (r15 ADVICE) — under the raised runtime ceilings
+    * the serialized filter can reach 256 MiB, and a ~340 MB base64
+    * literal through the SQL parser per query build is the
+    * giant-literal hazard again. The SQL rendering
+    * (`bloom_hits(..., unbase64('...'))`) stays available for tests;
+    * production ingest takes this path. */
+  def contaminationHits(
+      spark: SparkSession, bloom: Array[Byte]): org.apache.spark.sql.Column = {
+    graft.functions.GraftRuntime.ensure(spark)
     import org.apache.spark.sql.graft.ColumnBridge
-    require(bloom.nonEmpty, "gateContaminated: empty bloom filter")
+    require(bloom.nonEmpty, "contaminationHits: empty bloom filter")
     val shinglesCol = expr(s"shingles(${graft.queries.TextAnalysis.tokens}, 5)")
-    val hits = ColumnBridge.column(
+    ColumnBridge.column(
       graft.functions.BloomHits(
         ColumnBridge.expression(shinglesCol),
         java.util.Base64.getEncoder.encodeToString(bloom)))
-    docs.select(col("doc_id"), hits.as("n_candidates"))
-      .withColumn("flagged", col("n_candidates") > 0)
   }
 
   /** Streaming exact-dedup on event_id: duplicates arriving within the

@@ -598,6 +598,68 @@ class DistPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/out").count() == 30)
   }
 
+  test("streaming ingest chain: score -> dedup claim -> contamination gate -> IVFADC encode") {
+    // the whole ingest tier as ONE config-driven direction (round 16):
+    // four "streaming": true tasks chained through directories, each
+    // applying a registered Ingest op under AvailableNow with its own
+    // checkpoint — files in, gated/encoded parquet out. Models train
+    // from model_dir (the offline corpus), cached per session.
+    import org.apache.spark.sql.functions._
+    val base = tmpDir("dist")
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .join(spark.read.parquet(s"${sf()}/embeddings.parquet")
+        .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+    docs.write.parquet(s"$base/in")
+    def stage(op: String, in: String, out: String) = s"""{
+        "streaming": true, "ingest": "$op", "model_dir": "${sf()}",
+        "source": {"adapter": "hadoopParquet", "path": "$base/$in"},
+        "dest":   {"adapter": "hadoopParquet", "path": "$base/$out"}}"""
+    val cfg = s"""{ "ingest": [
+      ${stage("score", "in", "scored")},
+      ${stage("dedup_claim", "scored", "claims")},
+      ${stage("gate_contaminated", "scored", "gated")},
+      ${stage("encode_ivfadc", "gated", "encoded")}] }"""
+    write(s"$base/config.json", cfg)
+    val conf = DistConfig.parse(DistMain.readFile(spark, s"file:$base/config.json"))
+    DistMain.runDirection(spark, conf.direction("ingest"), "ingest")
+
+    // batch twins: every op is the same DataFrame transform, so the
+    // stateless stages must match their batch application EXACTLY
+    import graft.streaming.Ingest
+    val scored = spark.read.parquet(s"$base/scored")
+    val expScored = Ingest(spark, "score", sf(), docs)
+    assert(scored.count() == expScored.count() && scored.count() > 0,
+      "quality gate must keep the batch-scored keep set")
+    assert(scored.columns.contains("embedding") && scored.columns.contains("score"),
+      "score stage must pass payload columns through")
+    val gated = spark.read.parquet(s"$base/gated")
+    val expGated = Ingest(spark, "gate_contaminated", sf(), expScored)
+    assert(gated.select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq ==
+      expGated.select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq,
+      "contamination gate must pass exactly the batch clean set")
+    val encoded = spark.read.parquet(s"$base/encoded")
+    val expEnc = Ingest(spark, "encode_ivfadc", sf(), expGated)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).sorted.toSeq
+    val gotEnc = encoded
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).sorted.toSeq
+    assert(gotEnc == expEnc, "stream encode must be bit-identical to the batch encode")
+    assert(gotEnc.nonEmpty)
+    // the claim ledger: one claim per (bucket, doc) for every scored doc
+    // with a non-empty shingle set, over the batch bucket vocabulary
+    val claims = spark.read.parquet(s"$base/claims")
+    val expBuckets = expScored
+      .selectExpr("doc_id", "shingles(split(trim(text), '\\\\s+'), 3) AS sh")
+      .where("size(sh) > 0").count() * 4
+    assert(claims.count() == expBuckets, "4 band claims per scored doc")
+    assert(claims.columns.toSeq == Seq("bucket", "doc_id", "keeper_id"))
+
+    // incremental: re-running the direction processes nothing new
+    DistMain.runDirection(spark, conf.direction("ingest"), "ingest")
+    assert(spark.read.parquet(s"$base/encoded").count() == gotEnc.size,
+      "checkpointed chain must not reprocess old files")
+  }
+
   test("save_mode append accumulates; ignore leaves the first write intact") {
     val base = tmpDir("dist")
     def cfg(mode: String) = s"""{

@@ -35,14 +35,31 @@ class PqTrainSpec extends SparkSpec {
     // the update rule disagree about the metric
     val rows = SparkEntry.queries("q_pq_train")(spark, dir)
       .orderBy(col("round")).collect()
-    assert(rows.length == 3, "seed round + 2 Lloyd rounds")
+    // round 16: depth is CONVERGENCE-DERIVED (first round with
+    // moved·10 < sample assignments, max-rounds guard 4) — so the
+    // trajectory length is a property of the corpus, not a constant
+    assert(rows.length >= 3 && rows.length <= 5,
+      s"seed round + 2..4 convergence-derived Lloyd rounds, got ${rows.length}")
     val d2 = rows.map(_.getDouble(1))
-    assert(d2(1) < d2(0) && d2(2) < d2(1),
-      s"sample distortion must strictly decrease: ${d2.toSeq}")
+    d2.sliding(2).foreach { case Array(a, b) =>
+      assert(b < a, s"sample distortion must strictly decrease: ${d2.toSeq}")
+    }
     assert(rows(0).isNullAt(2), "seed round has no moved count")
     val moved = rows.drop(1).map(_.getLong(2))
-    assert(moved(1) < moved(0), s"code churn must shrink as Lloyd converges: ${moved.toSeq}")
-    info(f"sample_d2 ${d2(0)}%.1f -> ${d2(1)}%.1f -> ${d2(2)}%.1f; moved ${moved(0)} -> ${moved(1)}")
+    moved.sliding(2).foreach { case Array(a, b) =>
+      assert(b < a, s"code churn must shrink as Lloyd converges: ${moved.toSeq}")
+    }
+    // the convergence rule itself: every executed round except the last
+    // was unconverged (moved·10 >= sample assignments); the last is
+    // converged or hit the max-rounds guard
+    val assigns = graft.queries.Similarity.pqTrainN(spark, dir).toLong * 8
+    moved.dropRight(1).foreach(m =>
+      assert(m * 10 >= assigns, s"an unconverged round must precede every later round: " +
+        s"moved=${moved.toSeq}, n=$assigns"))
+    assert(moved.last * 10 < assigns || moved.length == 4,
+      s"the last round must be converged or the guard: moved=${moved.toSeq}, n=$assigns")
+    info(s"depth ${moved.length}; sample_d2 ${d2.map(v => f"$v%.1f").mkString(" -> ")}; " +
+      s"moved ${moved.mkString(" -> ")}")
   }
 
   test("trained ADC recall@3 >= seed-codebook recall@3 at equal code budget") {
