@@ -68,7 +68,9 @@ object ScaleSlope {
     "q_dedup_embedding",
     "q_ivf_pruned_assign",
     "q_ann_ivf", // the production corpus-derived switch path (flat below |C|=8192)
-    "q_ann_ivfadc", // trained coarse + residual PQ: 2 Lloyd rounds + encode, all O(N·√N)-bounded
+    "q_ann_ivfadc", // trained coarse + residual PQ: convergence-depth Lloyd + encode, O(N·√N)-bounded
+    "q_dedup_lines", // line-fingerprint df + join-back: O(total lines), never pairs (round 16)
+    "q_media_dedup", // real decode + dHash + distinct-hash band join: O(N) + O(vocab²) (round 16)
     "q_classifier_train")
 
   final val Scales = Seq(1, 4, 16)
