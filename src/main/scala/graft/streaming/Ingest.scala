@@ -30,6 +30,11 @@ import org.apache.spark.sql.functions._
   *  - `encode_ivfadc`: input (doc_id | vec_id, embedding, ...) — the
   *    serving-tier add() path ([[Streams.encodeIvfadc]]): one
   *    (vec_id, cell, m, code) row per (vector, subspace).
+  *  - `media_dedup`: input the MediaRecord schema (media_id, kind,
+  *    payload, meta) — real decode + dHash + band-bucket claims
+  *    ([[Streams.mediaDedup]]), the q_media_dedup candidate tier; no
+  *    offline model (the perceptual hash is the model, `model_dir` is
+  *    unused but still required by the task shape).
   *
   * Models are trained ON DEMAND from the task's `model_dir` corpus
   * (train offline, apply online — every op's documented deployment
@@ -37,7 +42,8 @@ import org.apache.spark.sql.functions._
   * trains each model once. */
 object Ingest {
 
-  val ops: Seq[String] = Seq("score", "dedup_claim", "gate_contaminated", "encode_ivfadc")
+  val ops: Seq[String] =
+    Seq("score", "dedup_claim", "gate_contaminated", "encode_ivfadc", "media_dedup")
 
   def apply(spark: SparkSession, op: String, modelDir: String, df: DataFrame): DataFrame =
     op match {
@@ -57,6 +63,15 @@ object Ingest {
           if (df.columns.contains("vec_id")) df
           else df.withColumnRenamed("doc_id", "vec_id")
         Streams.encodeIvfadc(vecs.select(col("vec_id"), col("embedding")), cents, cb)
+      case "media_dedup" =>
+        // input: the MediaRecord schema (media_id, kind, payload, meta);
+        // no offline model — the perceptual hash is the model. Output is
+        // the band-claim ledger (bucket, item_key, keeper_key), the
+        // q_media_dedup candidate tier.
+        import spark.implicits._
+        Streams.mediaDedup(
+          df.select(col("media_id"), col("kind"), col("payload"), col("meta"))
+            .as[graft.multimodal.Media.MediaRecord]).toDF()
       case other =>
         throw new IllegalArgumentException(
           s"unknown ingest op '$other'; registered: ${ops.mkString(", ")}")

@@ -660,6 +660,27 @@ class DistPipelineSpec extends SparkSpec {
       "checkpointed chain must not reprocess old files")
   }
 
+  test("streaming ingest: media_dedup op hashes real payloads through the config surface") {
+    import org.apache.spark.sql.functions._
+    val base = tmpDir("dist")
+    graft.multimodal.Media.synthesize(spark, sf()).write.parquet(s"$base/media")
+    val cfg = s"""{ "m": [{
+        "streaming": true, "ingest": "media_dedup", "model_dir": "${sf()}",
+        "source": {"adapter": "hadoopParquet", "path": "$base/media"},
+        "dest":   {"adapter": "hadoopParquet", "path": "$base/claims"}}] }"""
+    write(s"$base/config.json", cfg)
+    val conf = DistConfig.parse(DistMain.readFile(spark, s"file:$base/config.json"))
+    DistMain.runDirection(spark, conf.direction("m"), "m")
+    val claims = spark.read.parquet(s"$base/claims")
+    assert(claims.columns.toSeq == Seq("bucket", "item_key", "keeper_key"))
+    // 4 band claims per decodable item (images 1, videos x frames)
+    val expected = graft.multimodal.Media
+      .dHashItems(graft.multimodal.Media.synthesize(spark, sf())).count() * 4
+    assert(claims.count() == expected, "4 band claims per hashed media item")
+    assert(claims.filter(col("keeper_key") =!= col("item_key")).count() > 0,
+      "the corpus must contain media near-dup candidates")
+  }
+
   test("save_mode append accumulates; ignore leaves the first write intact") {
     val base = tmpDir("dist")
     def cfg(mode: String) = s"""{
