@@ -349,12 +349,25 @@ object Media {
     h
   }
 
+  /** The audio twin of [[grayGrid8]]: 64 evenly spaced samples of the
+    * decoded 8-bit PCM stream (exact NN index i·n/64, identity for
+    * 64-sample payloads) reshaped to the 8×8 grid — so the SAME
+    * gradient hash covers the audio modality (a chromaprint stand-in:
+    * a real deployment swaps the sample grid for spectral bands, the
+    * banding/collapse machinery downstream is unchanged). None for
+    * empty streams. */
+  private def audioGrid8(samples: Array[Byte]): Option[Array[Int]] = {
+    if (samples.isEmpty) return None
+    Some(Array.tabulate(64)(i => samples(i * samples.length / 64) & 0xff))
+  }
+
   /** Per-item perceptual hashes for the media-dedup operator: one row
-    * per decodable image and per decodable VIDEO FRAME (audio has no
-    * visual hash; undecodable payloads and deep sample formats skip —
-    * the decode stage's skip-don't-crash posture). A pure map+flatMap
-    * stage, no shuffle — the 100 TB shape is hash-at-ingest.
-    * Columns: (media_id, frame_no, kind, dhash). */
+    * per decodable image, per decodable VIDEO FRAME, and per decodable
+    * audio payload (its PCM sample grid under the same gradient hash —
+    * every modality gets a perceptual tier; undecodable payloads and
+    * deep sample formats skip — the decode stage's skip-don't-crash
+    * posture). A pure map+flatMap stage, no shuffle — the 100 TB shape
+    * is hash-at-ingest. Columns: (media_id, frame_no, kind, dhash). */
   def dHashItems(ds: Dataset[MediaRecord]): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
@@ -369,6 +382,9 @@ object Media {
               decodePng(fb).flatMap(grayGrid8).map(g =>
                 (r.media_id, f.toLong, r.kind, dHash56(g)))
           })
+        case "audio" =>
+          decodeWav(r.payload).flatMap(audioGrid8).map(g =>
+            (r.media_id, 0L, r.kind, dHash56(g))).toSeq
         case _ => Seq.empty
       }
     }.toDF("media_id", "frame_no", "kind", "dhash")

@@ -95,10 +95,12 @@ object Multimodal {
         .filter(col("total") > 0)
     },
 
-    // ---- perceptual near-dup dedup for images AND video frames -------------
-    // The dedup × multimodal intersection: every decodable image and
-    // every decodable video FRAME gets a 56-bit dHash over its REAL
-    // decoded 8×8 gray grid (gradient-sign bits, packed MSB-first);
+    // ---- perceptual near-dup dedup across ALL media modalities -------------
+    // The dedup × multimodal intersection: every decodable image,
+    // every decodable video FRAME, and every decodable AUDIO payload
+    // (its 8-bit PCM sample grid — a chromaprint stand-in) gets a
+    // 56-bit dHash over its REAL decoded 8×8 grid (gradient-sign
+    // bits, packed MSB-first);
     // items collapse exactly on the hash (group rep = lowest item key),
     // then NEAR-dup merges hashes within hamming <= 2 — candidates come
     // from a 4×14-bit band equi-join over the DISTINCT-HASH frame only
@@ -118,6 +120,9 @@ object Multimodal {
         |  SELECT d.doc_id AS media_id, CAST(0 AS BIGINT) AS frame_no, 'image' AS kind,
         |         (d.doc_id * 7) % 256 AS seed
         |  FROM documents d WHERE d.doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT d.doc_id, CAST(0 AS BIGINT), 'audio', (d.doc_id * 11) % 256
+        |  FROM documents d WHERE d.doc_id % 3 = 1
         |  UNION ALL
         |  SELECT d.doc_id, CAST(f.f AS BIGINT), 'video', (d.doc_id * 7 + f.f * 13) % 256
         |  FROM documents d CROSS JOIN generate_series(0, 3) f(f) WHERE d.doc_id % 3 = 2

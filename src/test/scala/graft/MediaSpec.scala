@@ -171,12 +171,12 @@ class MediaSpec extends SparkSpec {
     assert(out.filter(_.kind == "audio").forall(_.payload.length <= 64))
   }
 
-  test("dHashItems: real-decode hashes match the analytic gradient formula; audio skipped") {
+  test("dHashItems: real-decode hashes match the analytic gradient formula, every modality") {
     val items = Media.dHashItems(Media.synthesize(spark, sf()).filter(_.media_id < 60))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
-    // 20 images (1 row) + 20 videos (4 frames) = 100 items; audio none
-    assert(items.length == 100)
-    assert(items.forall(_._3 != "audio"))
+    // 20 images (1 row) + 20 audio (1 row) + 20 videos (4 frames each)
+    assert(items.length == 120)
+    assert(items.count(_._3 == "audio") == 20)
     def analytic(seed: Long): Long = {
       var h = 0L
       for (y <- 0 until 8; x <- 0 until 7) {
@@ -186,8 +186,12 @@ class MediaSpec extends SparkSpec {
       h
     }
     items.foreach { case (id, f, kind, dh) =>
-      val seed = if (kind == "image") id * 7 else id * 7 + f * 13
-      assert(dh == analytic(seed % 256), s"media $id frame $f")
+      val seed = kind match {
+        case "image" => id * 7
+        case "audio" => id * 11
+        case _ => id * 7 + f * 13
+      }
+      assert(dh == analytic(seed % 256), s"media $id frame $f ($kind)")
       assert(dh >= 0, "56-bit dHash must stay non-negative")
     }
   }
