@@ -321,7 +321,10 @@ object Media {
     while (y < 8) {
       var x = 0
       while (x < 8) {
-        g(y * 8 + x) = raster.getSample(x * img.getWidth / 8, y * img.getHeight / 8, 0)
+        // long index arithmetic: x·width overflows Int past ~300M-px
+        // dimensions (the audioGrid8/decodeVideo overflow rule)
+        g(y * 8 + x) = raster.getSample(
+          ((x.toLong * img.getWidth) / 8).toInt, ((y.toLong * img.getHeight) / 8).toInt, 0)
         x += 1
       }
       y += 1
@@ -358,7 +361,10 @@ object Media {
     * empty streams. */
   private def audioGrid8(samples: Array[Byte]): Option[Array[Int]] = {
     if (samples.isEmpty) return None
-    Some(Array.tabulate(64)(i => samples(i * samples.length / 64) & 0xff))
+    // long index arithmetic: i·n overflows Int for PCM streams past
+    // ~34M samples (a 36-minute 16 kHz recording) — a silent negative
+    // index, the decodeVideo length-overflow lesson again
+    Some(Array.tabulate(64)(i => samples(((i.toLong * samples.length) / 64).toInt) & 0xff))
   }
 
   /** Per-item perceptual hashes for the media-dedup operator: one row
