@@ -18,6 +18,31 @@ import graft.multimodal.Media
   * `q_media_frames` extracts and decodes real container frames. */
 object Multimodal {
 
+  /** Shared dHash oracle CTEs (analytic per-item hashes over the
+    * synthetic formulas → exact-collapse groups) — used verbatim by
+    * q_media_dedup and q_media_dup_videos, one formulation. */
+  private val duckMediaCtes: String =
+    """items AS (
+      |  SELECT d.doc_id AS media_id, CAST(0 AS BIGINT) AS frame_no, 'image' AS kind,
+      |         (d.doc_id * 7) % 256 AS seed
+      |  FROM documents d WHERE d.doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT d.doc_id, CAST(0 AS BIGINT), 'audio', (d.doc_id * 11) % 256
+      |  FROM documents d WHERE d.doc_id % 3 = 1
+      |  UNION ALL
+      |  SELECT d.doc_id, CAST(f.f AS BIGINT), 'video', (d.doc_id * 7 + f.f * 13) % 256
+      |  FROM documents d CROSS JOIN generate_series(0, 3) f(f) WHERE d.doc_id % 3 = 2
+      |), hashed AS (
+      |  SELECT media_id, frame_no, kind, media_id * 8 + frame_no AS ikey,
+      |    CAST(sum(CASE WHEN ((seed + (b.b // 7) * 8 + (b.b % 7) + 1) % 256) >
+      |                       ((seed + (b.b // 7) * 8 + (b.b % 7)) % 256)
+      |             THEN 1 ELSE 0 END * (CAST(1 AS BIGINT) << CAST(55 - b.b AS INT))) AS BIGINT) AS dhash
+      |  FROM items CROSS JOIN generate_series(0, 55) b(b)
+      |  GROUP BY 1, 2, 3, 4
+      |), groups AS (
+      |  SELECT dhash, count(*) AS group_size, min(ikey) AS rep_key FROM hashed GROUP BY dhash
+      |)""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     Q(
@@ -116,26 +141,7 @@ object Multimodal {
     // frame_no) as media_id*8 + frame_no; reps surface unpacked.
     Q(
       "q_media_dedup",
-      """WITH items AS (
-        |  SELECT d.doc_id AS media_id, CAST(0 AS BIGINT) AS frame_no, 'image' AS kind,
-        |         (d.doc_id * 7) % 256 AS seed
-        |  FROM documents d WHERE d.doc_id % 3 = 0
-        |  UNION ALL
-        |  SELECT d.doc_id, CAST(0 AS BIGINT), 'audio', (d.doc_id * 11) % 256
-        |  FROM documents d WHERE d.doc_id % 3 = 1
-        |  UNION ALL
-        |  SELECT d.doc_id, CAST(f.f AS BIGINT), 'video', (d.doc_id * 7 + f.f * 13) % 256
-        |  FROM documents d CROSS JOIN generate_series(0, 3) f(f) WHERE d.doc_id % 3 = 2
-        |), hashed AS (
-        |  SELECT media_id, frame_no, kind, media_id * 8 + frame_no AS ikey,
-        |    CAST(sum(CASE WHEN ((seed + (b.b // 7) * 8 + (b.b % 7) + 1) % 256) >
-        |                       ((seed + (b.b // 7) * 8 + (b.b % 7)) % 256)
-        |             THEN 1 ELSE 0 END * (CAST(1 AS BIGINT) << CAST(55 - b.b AS INT))) AS BIGINT) AS dhash
-        |  FROM items CROSS JOIN generate_series(0, 55) b(b)
-        |  GROUP BY 1, 2, 3, 4
-        |), groups AS (
-        |  SELECT dhash, count(*) AS group_size, min(ikey) AS rep_key FROM hashed GROUP BY dhash
-        |), near AS (
+      s"""WITH $duckMediaCtes, near AS (
         |  SELECT a.dhash, count(*) AS n_near_hashes, min(b.rep_key) AS near_min
         |  FROM groups a JOIN groups b
         |    ON a.dhash != b.dhash AND bit_count(xor(a.dhash, b.dhash)) <= 2
@@ -179,6 +185,38 @@ object Multimodal {
           col("n_near_hashes"),
           expr("near_rep_key div 8").as("near_rep_media_id"),
           (col("ikey") =!= col("rep_key")).as("is_exact_dup"))
+    },
+
+    // ---- video-level dup verdict from frame hashes --------------------------
+    // The decision a video pipeline actually applies: a VIDEO is a dup
+    // candidate when at least half of its frames' hash groups are
+    // represented by an EARLIER item (rep_key < the frame's ikey — any
+    // modality can hold the rep: a video frame matching a still image
+    // counts, the cross-modal point of the shared hash space).
+    // Composes q_media_dedup's exact-collapse tier (same CTEs, shared
+    // verbatim); one linear join + one per-video aggregate — no pair
+    // join, O(items) at any corpus.
+    Q(
+      "q_media_dup_videos",
+      s"""WITH $duckMediaCtes
+        |SELECT h.media_id, count(*) AS n_frames,
+        |  CAST(sum(CASE WHEN g.rep_key < h.ikey THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  sum(CASE WHEN g.rep_key < h.ikey THEN 1 ELSE 0 END) * 2 >= count(*) AS dup_video
+        |FROM hashed h JOIN groups g USING (dhash)
+        |WHERE h.kind = 'video'
+        |GROUP BY h.media_id""".stripMargin) { (s, dir) =>
+      val items = Media.dHashItems(Media.synthesize(s, dir))
+        .withColumn("ikey", col("media_id") * 8 + col("frame_no"))
+        .persistScoped() // feeds the group agg and the frame join-back
+      val groups = items.groupBy(col("dhash"))
+        .agg(min(col("ikey")).as("rep_key"))
+      items.filter(col("kind") === "video")
+        .join(groups, Seq("dhash"))
+        .groupBy(col("media_id"))
+        .agg(
+          count(lit(1)).as("n_frames"),
+          sum(when(col("rep_key") < col("ikey"), 1L).otherwise(0L)).as("n_shared"))
+        .withColumn("dup_video", col("n_shared") * 2 >= col("n_frames"))
     },
 
     // REAL frame sampling under the hash gate: 4 evenly-spaced frames
