@@ -41,11 +41,13 @@ final case class DistLocation(
   * (default: every column the two sides share, in source order).
   *
   * `"ingest"` (streaming tasks only) names a registered streaming
-  * ingest operator ([[graft.streaming.Ingest]]: score / dedup_claim /
-  * gate_contaminated / encode_ivfadc) applied to the stream after the
-  * optional `transform`; `"model_dir"` points at the corpus the
-  * operator's offline models train from (required with `ingest`). A
-  * direction of chained ingest tasks runs the whole tier. */
+  * ingest operator — [[graft.streaming.Ingest.ops]] is the single
+  * source of truth for the registry (score / dedup_claim /
+  * gate_contaminated / encode_ivfadc / media_dedup) — applied to the
+  * stream after the optional `transform`; `"model_dir"` points at the
+  * corpus the operator's offline models train from (required with
+  * `ingest`). A direction of chained ingest tasks runs the whole
+  * tier. */
 final case class DistTask(
     source: DistLocation,
     dest: DistLocation,
@@ -72,7 +74,7 @@ object DistConfig {
     require(root.isObject, "Config root must be a JSON object of directions")
     val dirs = root.properties().asScala.map { e =>
       val tasks = e.getValue.elements().asScala.map { t =>
-        DistTask(
+        val task = DistTask(
           location(t, "source"),
           location(t, "dest"),
           Option(t.get("transform")).map(_.asText()),
@@ -83,6 +85,16 @@ object DistConfig {
             .getOrElse(Seq.empty),
           Option(t.get("ingest")).map(_.asText()),
           Option(t.get("model_dir")).map(_.asText()))
+        // fail loudly, at parse time: a batch task with `ingest` set
+        // would otherwise copy the data verbatim — the quality/
+        // contamination gate silently never runs and the output looks
+        // plausible (ADVICE r16). Matches the streaming path's
+        // model_dir check in posture.
+        require(task.ingest.isEmpty || task.streaming,
+          s"task in direction '${e.getKey}': 'ingest' (${task.ingest.get}) " +
+            "requires '\"streaming\": true' — a batch task would ignore it " +
+            "and copy the data unprocessed")
+        task
       }.toSeq
       e.getKey -> tasks
     }.toMap

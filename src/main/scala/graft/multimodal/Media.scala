@@ -81,6 +81,24 @@ object Media {
   /** Frames per synthetic video — a fixed container constant. */
   val VID_FRAMES = 4
 
+  /** Width of the (media_id, frame_no) item-key pack used by the
+    * media-dedup family: ikey = media_id·FRAME_KEY_PACK + frame_no.
+    * A container with ≥ FRAME_KEY_PACK frames would silently alias
+    * keys with the next media_id (VERDICT r16 nit), so [[ikeySql]]
+    * guards the pack at runtime. The DuckDB oracles mirror the
+    * constant as a literal 8. */
+  val FRAME_KEY_PACK = 8
+  require(VID_FRAMES < FRAME_KEY_PACK, "synthetic container must fit the item-key pack")
+
+  /** The guarded item-key pack, shared by q_media_dedup,
+    * q_media_dup_videos and Streams.mediaDedup: raises instead of
+    * aliasing when a container carries more frames than the pack
+    * width admits. */
+  val ikeySql: String =
+    s"case when frame_no < $FRAME_KEY_PACK then media_id * $FRAME_KEY_PACK + frame_no " +
+      s"else cast(raise_error(concat('media item-key pack overflow: frame_no=', " +
+      s"cast(frame_no as string), ' >= $FRAME_KEY_PACK')) as bigint) end"
+
   /** Real video encode: `VID_FRAMES` length-prefixed PNG frames, frame
     * f's pixels = (id*7 + f*13 + y*IMG_DIM + x) mod 256 — analytically
     * reproducible per frame, so the whole container round-trips under
@@ -395,6 +413,30 @@ object Media {
       }
     }.toDF("media_id", "frame_no", "kind", "dhash")
   }
+
+  /** Hamming-ball probe keys for perceptual near-dup candidates
+    * (VERDICT r16 #1): each DISTINCT 56-bit hash emits 57 keys — the
+    * hash itself plus its 56 one-bit flips. Two hashes at hamming ≤ 2
+    * ALWAYS share a key (flip one of the ≤ 2 differing bits: the
+    * midpoint argument), and two DISTINCT hashes share a key ONLY when
+    * their distance is ≤ 2 — so an equi-join on the full 56-bit ball
+    * key is an EXACT candidate generator at radius 2: recall-lossless
+    * AND precision-exact, with candidate volume O(57·H + true pairs)
+    * in the hash vocabulary H. This replaces the 4×14-bit band
+    * equi-join, whose 2^14-value bucket space made candidate volume
+    * Θ(H²/2^14) — quadratic in a corpus-growing quantity (a real
+    * crawl's perceptual-hash vocabulary grows ~linearly with items).
+    *
+    * `BALL_FLIP_SQL` is the flat projection applied AFTER
+    * `explode(sequence(0, 56))` as column `b` (b = 56 is the identity
+    * key) — the hash-after-explode rule, no interpreted HOF in the
+    * hot path. The DuckDB mirror is [[duckBallProbe]]. */
+  val BALL_FLIP_SQL: String =
+    "case when b = 56 then dhash else dhash ^ shiftleft(cast(1 as bigint), b) end"
+
+  /** DuckDB twin of [[BALL_FLIP_SQL]] over `generate_series(0, 56) b(b)`. */
+  val duckBallProbe: String =
+    "CASE WHEN b.b = 56 THEN dhash ELSE xor(dhash, (CAST(1 AS BIGINT) << CAST(b.b AS INT))) END"
 
   /** Deterministic nearest-neighbor resample of an 8-bit gray image:
     * out(x, y) = in(x*srcW/w, y*srcH/h) with integer floor — exact

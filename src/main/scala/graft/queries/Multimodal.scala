@@ -128,17 +128,21 @@ object Multimodal {
     // bits, packed MSB-first);
     // items collapse exactly on the hash (group rep = lowest item key),
     // then NEAR-dup merges hashes within hamming <= 2 — candidates come
-    // from a 4×14-bit band equi-join over the DISTINCT-HASH frame only
-    // (pigeonhole: <= 3 differing bits leave >= 1 band intact, so
-    // banding is recall-lossless at this radius; MediaSpec proves
-    // banded == brute force) — NEVER an item-pair join: candidate
-    // volume is O(#distinct hashes²) with #distinct << N (57 here; a
-    // real corpus' perceptual-hash vocabulary, not its item count).
-    // The oracle reproduces the hash analytically from the synthetic
-    // pixel formulas (the q_media_features pattern) and verifies the
-    // near join with a full pairwise bit_count(xor) — equivalence IS
-    // the recall guarantee under test. Item key packs (media_id,
-    // frame_no) as media_id*8 + frame_no; reps surface unpacked.
+    // from the hamming-ball PROBE join over the DISTINCT-HASH frame
+    // only ([[Media.BALL_FLIP_SQL]], VERDICT r16 #1): each distinct
+    // hash emits 57 ball keys (itself + 56 one-bit flips); two hashes
+    // at distance <= 2 always share a key (the midpoint argument) and
+    // two DISTINCT hashes share one ONLY at distance <= 2, so the
+    // equi-join on the full 56-bit key is EXACT at radius 2 with
+    // candidate volume O(57·H + true pairs) in the hash vocabulary H —
+    // no 2^14 bucket floor, no Θ(H²) birthday collisions, NEVER an
+    // item-pair join (MediaSpec proves ball-probe == brute force both
+    // directions). The oracle reproduces the hash analytically from
+    // the synthetic pixel formulas (the q_media_features pattern) and
+    // verifies the near join with a full pairwise bit_count(xor) —
+    // equivalence IS the recall guarantee under test. Item key packs
+    // (media_id, frame_no) as media_id*8 + frame_no (guarded,
+    // [[Media.ikeySql]]); reps surface unpacked.
     Q(
       "q_media_dedup",
       s"""WITH $duckMediaCtes, near AS (
@@ -159,18 +163,18 @@ object Multimodal {
       // items, never re-decode; everything downstream of `groups` is
       // bounded by the distinct-hash vocabulary, so AQE broadcasts it
       val items = Media.dHashItems(Media.synthesize(s, dir))
-        .withColumn("ikey", col("media_id") * 8 + col("frame_no"))
+        .withColumn("ikey", expr(Media.ikeySql))
         .persistScoped()
       val groups = items.groupBy(col("dhash"))
         .agg(count(lit(1)).as("group_size"), min(col("ikey")).as("rep_key"))
-      val bands = groups.select(col("dhash"), col("rep_key"),
-          explode(expr("sequence(0, 3)")).as("bno"))
-        .withColumn("bval", expr("shiftright(dhash, bno * 14) & 16383"))
-      val cand = bands.as("a")
-        .join(bands.as("b"), expr("a.bno = b.bno and a.bval = b.bval and a.dhash != b.dhash"))
+      val probes = groups.select(col("dhash"), col("rep_key"),
+          explode(expr("sequence(0, 56)")).as("b"))
+        .withColumn("bkey", expr(Media.BALL_FLIP_SQL))
+      val cand = probes.as("a")
+        .join(probes.as("b"), expr("a.bkey = b.bkey and a.dhash != b.dhash"))
         .select(col("a.dhash").as("dhash"), col("b.dhash").as("h_b"), col("b.rep_key").as("nrep"))
-        .distinct() // a hash pair can share several bands — count once
-        .filter(expr("bit_count(dhash ^ h_b) <= 2"))
+        .distinct() // a hash pair shares exactly two ball keys — count once
+        .filter(expr("bit_count(dhash ^ h_b) <= 2")) // provably a no-op; kept as the stated contract
       val near = cand.groupBy(col("dhash"))
         .agg(count(lit(1)).as("n_near_hashes"), min(col("nrep")).as("near_min"))
       val reps = groups.join(near, Seq("dhash"), "left")
@@ -206,7 +210,7 @@ object Multimodal {
         |WHERE h.kind = 'video'
         |GROUP BY h.media_id""".stripMargin) { (s, dir) =>
       val items = Media.dHashItems(Media.synthesize(s, dir))
-        .withColumn("ikey", col("media_id") * 8 + col("frame_no"))
+        .withColumn("ikey", expr(Media.ikeySql))
         .persistScoped() // feeds the group agg and the frame join-back
       val groups = items.groupBy(col("dhash"))
         .agg(min(col("ikey")).as("rep_key"))
@@ -217,6 +221,87 @@ object Multimodal {
           count(lit(1)).as("n_frames"),
           sum(when(col("rep_key") < col("ikey"), 1L).otherwise(0L)).as("n_shared"))
         .withColumn("dup_video", col("n_shared") * 2 >= col("n_frames"))
+    },
+
+    // ---- ball-probe kernel on a CORPUS-GROWING hash vocabulary -------------
+    // The scale axis q_media_dedup's synthetic corpus cannot exercise
+    // (VERDICT r16 #1): its pixel formulas bound the dHash vocabulary
+    // at ~57 regardless of N, so a slope run over it never grows H.
+    // This kernel runs the SAME hamming-ball candidate machinery
+    // (distinct-hash collapse → 57 probe keys → equi-join → exact
+    // verify) over a hash frame whose vocabulary grows ∝ N: every
+    // 4-doc group takes a fresh 56-bit CrossHash base, and members
+    // flip 0/1/2 group-keyed bits (pair distances 1, 1, 2, 2, 1 and
+    // one planted distance-3 pair that must NOT match — precision
+    // under test too). Registered in ScaleSlope.Kernels — the slope
+    // gate now measures candidate growth in H, the axis the r16 band
+    // join was quadratic in. Oracle mirrors the ball join verbatim
+    // (generate_series probe keys); ball == brute equivalence is
+    // MediaSpec's theorem, proven both directions.
+    Q(
+      "q_media_ball_probe",
+      raw"""WITH hf AS (
+        |  SELECT doc_id, doc_id // 4 AS g, CAST(doc_id % 4 AS INT) AS j FROM documents
+        |), hashed AS (
+        |  SELECT doc_id,
+        |    xor(${graft.functions.CrossHash.duck("CAST(g AS VARCHAR) || '#mball'")}
+        |          & 72057594037927935,
+        |      CASE j WHEN 0 THEN CAST(0 AS BIGINT)
+        |             WHEN 1 THEN (CAST(1 AS BIGINT) << CAST(g % 56 AS INT))
+        |             WHEN 2 THEN (CAST(1 AS BIGINT) << CAST(g % 56 AS INT))
+        |                        | (CAST(1 AS BIGINT) << CAST((g + 17) % 56 AS INT))
+        |             ELSE (CAST(1 AS BIGINT) << CAST((g + 29) % 56 AS INT)) END) AS dhash
+        |  FROM hf
+        |), groups AS (
+        |  SELECT dhash, count(*) AS group_size, min(doc_id) AS rep_id
+        |  FROM hashed GROUP BY dhash
+        |), probes AS (
+        |  SELECT dhash, rep_id, ${Media.duckBallProbe} AS bkey
+        |  FROM groups CROSS JOIN generate_series(0, 56) b(b)
+        |), cand AS (
+        |  SELECT DISTINCT a.dhash AS dhash, b.dhash AS h_b, b.rep_id AS nrep
+        |  FROM probes a JOIN probes b ON a.bkey = b.bkey AND a.dhash != b.dhash
+        |), near AS (
+        |  SELECT dhash, count(*) AS n_near_hashes, min(nrep) AS near_min
+        |  FROM cand WHERE bit_count(xor(dhash, h_b)) <= 2 GROUP BY dhash
+        |)
+        |SELECT g.dhash, g.group_size, g.rep_id,
+        |  COALESCE(n.n_near_hashes, 0) AS n_near_hashes,
+        |  least(g.rep_id, COALESCE(n.near_min, g.rep_id)) AS near_rep_id
+        |FROM groups g LEFT JOIN near n USING (dhash)""") { (s, dir) =>
+      val mask56 = (1L << 56) - 1
+      val hashed = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("doc_id div 4").as("g"), expr("cast(doc_id % 4 as int)").as("j"))
+        .select(col("doc_id"),
+          expr(s"(${graft.functions.CrossHash.h("concat(cast(g as string), '#mball')")} " +
+            s"& ${mask56}L)").as("base"),
+          expr("""case j when 0 then cast(0 as bigint)
+                 |when 1 then shiftleft(cast(1 as bigint), cast(g % 56 as int))
+                 |when 2 then shiftleft(cast(1 as bigint), cast(g % 56 as int))
+                 |          | shiftleft(cast(1 as bigint), cast((g + 17) % 56 as int))
+                 |else shiftleft(cast(1 as bigint), cast((g + 29) % 56 as int)) end"""
+            .stripMargin).as("flip"))
+        .select(col("doc_id"), expr("base ^ flip").as("dhash"))
+      val groups = hashed.groupBy(col("dhash"))
+        .agg(count(lit(1)).as("group_size"), min(col("doc_id")).as("rep_id"))
+      val probes = groups.select(col("dhash"), col("rep_id"),
+          explode(expr("sequence(0, 56)")).as("b"))
+        .withColumn("bkey", expr(Media.BALL_FLIP_SQL))
+      val cand = probes.as("a")
+        .join(probes.as("b"), expr("a.bkey = b.bkey and a.dhash != b.dhash"))
+        .select(col("a.dhash").as("dhash"), col("b.dhash").as("h_b"), col("b.rep_id").as("nrep"))
+        .distinct() // a near pair shares exactly two ball keys
+        // the ball join itself already excludes the planted distance-3
+        // pair (balls at d=3 are disjoint); the filter restates the
+        // radius contract, same as the oracle's WHERE
+        .filter(expr("bit_count(dhash ^ h_b) <= 2"))
+      val near = cand.groupBy(col("dhash"))
+        .agg(count(lit(1)).as("n_near_hashes"), min(col("nrep")).as("near_min"))
+      groups.join(near, Seq("dhash"), "left")
+        .select(col("dhash"), col("group_size"), col("rep_id"),
+          coalesce(col("n_near_hashes"), lit(0L)).as("n_near_hashes"),
+          least(col("rep_id"), coalesce(col("near_min"), col("rep_id"))).as("near_rep_id"))
     },
 
     // REAL frame sampling under the hash gate: 4 evenly-spaced frames

@@ -70,7 +70,11 @@ object ScaleSlope {
     "q_ann_ivf", // the production corpus-derived switch path (flat below |C|=8192)
     "q_ann_ivfadc", // trained coarse + residual PQ: convergence-depth Lloyd + encode, O(N·√N)-bounded
     "q_dedup_lines", // line-fingerprint df + join-back: O(total lines), never pairs (round 16)
-    "q_media_dedup", // real decode + dHash + distinct-hash band join: O(N) + O(vocab²) (round 16)
+    "q_media_dedup", // real decode + dHash + ball-probe join: O(N) decode axis (vocab is
+    // formula-capped at ~57 in this corpus — the vocabulary axis is q_media_ball_probe's)
+    "q_media_ball_probe", // hamming-ball candidate kernel on a vocabulary that GROWS ∝ N
+    // (every 4 docs mint a fresh 56-bit base) — the axis the r16 band join was Θ(H²/2^14)
+    // in and the media corpus above cannot exercise (VERDICT r16 #1)
     "q_classifier_train")
 
   final val Scales = Seq(1, 4, 16)

@@ -54,7 +54,10 @@ object StreamBench {
     try {
       mem.addData(warmup)
       q.processAllAvailable() // absorbs stream start + codegen + state init
-      val per = payload.grouped(math.max(1, payload.size / batches)).toSeq
+      // ceiling division: floor division yields batches+1 groups (a
+      // small tail batch) whenever the size is not divisible, skewing
+      // the per-batch-size planning-overhead comparison (ADVICE r16)
+      val per = payload.grouped(math.max(1, (payload.size + batches - 1) / batches)).toSeq
       val t0 = System.nanoTime()
       for (b <- per) { mem.addData(b); q.processAllAvailable() }
       val sec = (System.nanoTime() - t0) / 1e9

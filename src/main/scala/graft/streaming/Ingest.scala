@@ -31,10 +31,11 @@ import org.apache.spark.sql.functions._
   *    serving-tier add() path ([[Streams.encodeIvfadc]]): one
   *    (vec_id, cell, m, code) row per (vector, subspace).
   *  - `media_dedup`: input the MediaRecord schema (media_id, kind,
-  *    payload, meta) — real decode + dHash + band-bucket claims
-  *    ([[Streams.mediaDedup]]), the q_media_dedup candidate tier; no
-  *    offline model (the perceptual hash is the model, `model_dir` is
-  *    unused but still required by the task shape).
+  *    payload, meta) — real decode + dHash + hamming-ball probe-key
+  *    claims ([[Streams.mediaDedup]]), the q_media_dedup candidate
+  *    tier (exact at radius 2); no offline model (the perceptual hash
+  *    is the model, `model_dir` is unused but still required by the
+  *    task shape).
   *
   * Models are trained ON DEMAND from the task's `model_dir` corpus
   * (train offline, apply online — every op's documented deployment
@@ -66,7 +67,7 @@ object Ingest {
       case "media_dedup" =>
         // input: the MediaRecord schema (media_id, kind, payload, meta);
         // no offline model — the perceptual hash is the model. Output is
-        // the band-claim ledger (bucket, item_key, keeper_key), the
+        // the ball-key claim ledger (bucket, item_key, keeper_key), the
         // q_media_dedup candidate tier.
         import spark.implicits._
         Streams.mediaDedup(

@@ -398,29 +398,36 @@ object Streams {
   final case class ItemClaim(bucket: Long, item_key: Long, keeper_key: Long)
 
   /** Streaming perceptual MEDIA dedup — the incremental twin of
-    * `q_media_dedup`'s banded candidate tier: each arriving image /
-    * video frame is dHashed over its REAL decoded 8×8 gray grid
+    * `q_media_dedup`'s candidate tier: each arriving image / video
+    * frame is dHashed over its REAL decoded 8×8 gray grid
     * ([[graft.multimodal.Media.dHashItems]] — a stateless flatMap, the
     * expensive decode rides the stream as a pure map), the 56-bit hash
-    * splits into the SAME 4×14-bit bands as the batch band equi-join,
-    * and per band bucket the first item to arrive claims it. An item is
-    * a near-dup CANDIDATE iff any of its claims has
-    * `keeper_key != item_key` — exactly the batch candidate semantics
-    * (shared band ⇒ candidate), computed incrementally; exact hamming
-    * verification stays a batch/serving concern, the prefilter/confirm
-    * split of the text pipelines. Item key packs (media_id, frame_no)
-    * as media_id·8 + frame_no, the batch ikey; bucket packs (band,
-    * value) as band·2^14 + value. State: one long per seen bucket,
-    * claims deterministic in item-key order within a micro-batch. */
+    * emits the SAME 57 hamming-ball probe keys as the batch ball join
+    * ([[graft.multimodal.Media.BALL_FLIP_SQL]], VERDICT r16 #1 — the
+    * r16 band buckets had a 2^14 key floor), and per ball key the
+    * first item to arrive claims it. An item is a near-dup CANDIDATE
+    * iff any of its claims has `keeper_key != item_key` — i.e. an
+    * earlier item sits at hamming ≤ 2 (or equal hash): the batch
+    * candidate semantics, computed incrementally AND exact at radius 2
+    * (ball-key sharing ⟺ distance ≤ 2, the midpoint theorem); exact
+    * per-pair verification stays a batch/serving concern, the
+    * prefilter/confirm split of the text pipelines. Item key packs
+    * (media_id, frame_no) via the guarded [[graft.multimodal.Media
+    * .ikeySql]]; `bucket` IS the 56-bit ball key. State: one long per
+    * seen ball key (57·H longs in the hash vocabulary H — the same
+    * O(H) class as the r16 bands once H passes 2^16, and never a
+    * quadratic claim fan-in), claims deterministic in item-key order
+    * within a micro-batch. */
   def mediaDedup(
       media: Dataset[graft.multimodal.Media.MediaRecord]): Dataset[ItemClaim] = {
     val spark = media.sparkSession
     import spark.implicits._
     graft.functions.GraftRuntime.ensure(spark)
     val buckets = graft.multimodal.Media.dHashItems(media)
-      .selectExpr("media_id * 8 + frame_no AS ikey", "dhash")
-      .selectExpr("ikey",
-        "explode(transform(sequence(0, 3), j -> j * 16384L + (shiftright(dhash, j * 14) & 16383))) AS bucket")
+      .selectExpr(s"${graft.multimodal.Media.ikeySql} AS ikey", "dhash")
+      .select(col("ikey"), col("dhash"),
+        explode(expr("sequence(0, 56)")).as("b"))
+      .selectExpr("ikey", s"${graft.multimodal.Media.BALL_FLIP_SQL} AS bucket")
     buckets.as[(Long, Long)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[Long, ItemClaim](

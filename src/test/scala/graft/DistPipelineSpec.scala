@@ -673,10 +673,11 @@ class DistPipelineSpec extends SparkSpec {
     DistMain.runDirection(spark, conf.direction("m"), "m")
     val claims = spark.read.parquet(s"$base/claims")
     assert(claims.columns.toSeq == Seq("bucket", "item_key", "keeper_key"))
-    // 4 band claims per decodable item (images 1, videos x frames)
+    // 57 hamming-ball probe claims per decodable item (images 1,
+    // videos x frames) — the ball-key tier of VERDICT r16 #1
     val expected = graft.multimodal.Media
-      .dHashItems(graft.multimodal.Media.synthesize(spark, sf())).count() * 4
-    assert(claims.count() == expected, "4 band claims per hashed media item")
+      .dHashItems(graft.multimodal.Media.synthesize(spark, sf())).count() * 57
+    assert(claims.count() == expected, "57 ball claims per hashed media item")
     assert(claims.filter(col("keeper_key") =!= col("item_key")).count() > 0,
       "the corpus must contain media near-dup candidates")
   }

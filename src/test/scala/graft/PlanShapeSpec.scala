@@ -626,18 +626,23 @@ class PlanShapeSpec extends SparkSpec {
       s"line-removal list agg must aggregate only the flagged subset:\n$pr")
   }
 
-  test("q_media_dedup: band equi-join over the distinct-hash frame, never item pairs") {
-    val p = planOf("q_media_dedup")
-    assert(!p.contains("SortAggregate"), s"hash-group collapse must stay hash-based:\n$p")
-    assert(!p.contains("Window"), s"no window sort in the media-dedup kernel:\n$p")
-    assert(!p.contains("CartesianProduct"), s"no all-pairs blow-up:\n$p")
-    // candidates must come from the 4x14-bit band equi-join (bno, bval)
-    // over the collapsed distinct-hash frame — the plan carries the band
-    // columns as join keys and the dhash group aggregate below them
-    assert(p.contains("bval"), s"band equi-join missing:\n$p")
-    val ji = p.indexOf("bval")
-    val ai = p.indexOf("HashAggregate", ji)
-    assert(ai > ji, s"band join must sit ABOVE the dhash collapse aggregate:\n$p")
+  test("q_media_dedup: hamming-ball probe join over the distinct-hash frame, never item pairs") {
+    for (q <- Seq("q_media_dedup", "q_media_ball_probe")) {
+      val p = planOf(q)
+      assert(!p.contains("SortAggregate"), s"$q: hash-group collapse must stay hash-based:\n$p")
+      assert(!p.contains("Window"), s"$q: no window sort in the media-dedup kernel:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: no all-pairs blow-up:\n$p")
+      // candidates must come from the 57-key hamming-ball probe
+      // equi-join (bkey) over the collapsed distinct-hash frame — the
+      // plan carries the ball key as the join key and the dhash group
+      // aggregate below it (no 2^14-value band column anywhere:
+      // VERDICT r16 #1)
+      assert(p.contains("bkey"), s"$q: ball probe equi-join missing:\n$p")
+      assert(!p.contains("bval"), s"$q: the r16 band join must be gone:\n$p")
+      val ji = p.indexOf("bkey")
+      val ai = p.indexOf("HashAggregate", ji)
+      assert(ai > ji, s"$q: probe join must sit ABOVE the dhash collapse aggregate:\n$p")
+    }
   }
 
   test("q_decontaminate_bloom: bloom prefilter sits under the confirm join") {

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, explode, max, min, split, struct, trim, xxhash64}
+import org.apache.spark.sql.functions.{col, explode, expr, max, min, split, struct, trim, xxhash64}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.Streams
@@ -471,12 +471,13 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("mediaDedup batch-twin: streaming claims equal the batch band-candidate loser set") {
+  test("mediaDedup batch-twin: streaming claims equal the batch ball-candidate loser set") {
     // the q_media_dedup candidate tier run incrementally over the REAL
     // media corpus (genuine PNG/container payloads, real decode in the
     // stream): an item is a streaming candidate iff an earlier item
-    // claimed one of its 4 band buckets — with key-order arrival that
-    // is exactly "some item with a lower ikey shares a band"
+    // claimed one of its 57 hamming-ball probe keys — with key-order
+    // arrival that is exactly "some item with a lower ikey sits at
+    // hamming <= 2 (or equal hash)"
     implicit val sq = spark.sqlContext
     import spark.implicits._
     val media = graft.multimodal.Media.synthesize(spark, sf())
@@ -494,15 +495,16 @@ class StreamingSpec extends SparkSpec {
         claims.filter(c => c.keeper_key != c.item_key).map(_.item_key).toSet
       val buckets = graft.multimodal.Media
         .dHashItems(graft.multimodal.Media.synthesize(spark, sf()))
-        .selectExpr("media_id * 8 + frame_no AS ikey", "dhash")
-        .selectExpr("ikey",
-          "explode(transform(sequence(0, 3), j -> j * 16384L + (shiftright(dhash, j * 14) & 16383))) AS bucket")
+        .selectExpr(s"${graft.multimodal.Media.ikeySql} AS ikey", "dhash")
+        .select(col("ikey"), col("dhash"),
+          org.apache.spark.sql.functions.explode(expr("sequence(0, 56)")).as("b"))
+        .selectExpr("ikey", s"${graft.multimodal.Media.BALL_FLIP_SQL} AS bucket")
       val batchDups = buckets.groupBy(col("bucket")).agg(min(col("ikey")).as("mk"))
         .join(buckets, Seq("bucket"))
         .filter(col("ikey") > col("mk"))
         .select(col("ikey")).distinct()
         .collect().map(_.getLong(0)).toSet
-      assert(batchDups.nonEmpty, "corpus must contain banded media candidates")
+      assert(batchDups.nonEmpty, "corpus must contain ball-probe media candidates")
       assert(streamingDups == batchDups,
         s"stream-only: ${(streamingDups -- batchDups).toSeq.sorted.take(5)}, " +
         s"batch-only: ${(batchDups -- streamingDups).toSeq.sorted.take(5)}")
