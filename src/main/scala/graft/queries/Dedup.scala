@@ -334,11 +334,13 @@ object Dedup {
 
   /** Line width for the cross-document LINE-level exact dedup
     * (RefinedWeb/Falcon-style, the last text granularity below doc and
-    * span): the corpus carries no newlines, so a "line" is the
-    * deterministic stand-in every segmentation consumer here uses —
-    * non-overlapping 10-token segments (the final segment may be
-    * shorter). A real crawl swaps the segmenter (split on '\n') and
-    * nothing downstream changes. */
+    * span): the corpus carries no newlines, so a "line" here is the
+    * deterministic fixed-width stand-in — non-overlapping 10-token
+    * segments (the final segment may be shorter). The REAL
+    * newline-aware segmenter is [[nlLineFrame]] (round 17), proven by
+    * the `q_dedup_lines_nl` pair on a derived newline-bearing corpus;
+    * this fixed-width pair stays as the token-coordinate variant that
+    * composes with the span-removal mask. */
   private val LINE_W = 10
 
   /** (doc_id, i, line_no, n_tok, fp): every non-overlapping line's
@@ -370,6 +372,63 @@ object Dedup {
       |  FROM tok, unnest(generate_series(1, len(w), $LINE_W)) AS t(i)
       |), ldf AS (
       |  SELECT fp, count(DISTINCT doc_id) AS dfc FROM linep GROUP BY fp
+      |)""".stripMargin
+
+  /** REAL newline/sentence-aware segmenter (VERDICT r16 #2): lines
+    * come from splitting on '\n' when the text carries newlines, with
+    * the fixed [[LINE_W]]-token regrouping ONLY as the newline-free
+    * fallback. The synthetic corpus has no newlines, so the
+    * newline-bearing FIXTURE is derived deterministically and
+    * identically in both engines: a '\n' replaces the space after
+    * every token ending in 'e' or 'p' (genuinely variable-length,
+    * content-dependent lines), except docs with doc_id % 7 = 0 which
+    * keep their raw text — so BOTH segmenter arms stay under the hash
+    * gate. Returns (doc_id, lines array<string>); LineSegmentSpec
+    * proves the segmentation covers the token stream exactly
+    * (disjoint, order-preserving, no token lost or invented). */
+  private[graft] def nlLineFrame(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), "([ep]) ", "$1\n")).as("nt"))
+      .select(col("doc_id"), col("nt"), expr("split(trim(nt), '\\\\s+')").as("w"))
+      .select(col("doc_id"),
+        expr(s"""case when contains(nt, chr(10)) then split(nt, chr(10))
+                |else transform(sequence(1, size(w), $LINE_W),
+                |  i -> concat_ws(' ', slice(w, i, $LINE_W))) end""".stripMargin).as("lines"))
+
+  /** (doc_id, line_no, n_tok, fp) over [[nlLineFrame]]: hash AFTER the
+    * explode as a flat codegen'd projection (the windowFps rule). */
+  private def nlLineFps(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    nlLineFrame(s, dir)
+      .select(col("doc_id"), posexplode(col("lines")).as(Seq("p", "line")))
+      .select(col("doc_id"),
+        expr("cast(p + 1 as bigint)").as("line_no"),
+        expr("cast(size(split(line, ' ')) as bigint)").as("n_tok"),
+        expr(h("line")).as("fp"))
+
+  /** DuckDB twin of [[nlLineFrame]]/[[nlLineFps]] + per-line cross-doc
+    * document frequency — shared verbatim by both newline-segmented
+    * oracles so the derivation cannot drift. */
+  private val duckNlLineCtes: String =
+    raw"""nl AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text
+      |    ELSE regexp_replace(text, '([ep]) ', '\1' || chr(10), 'g') END AS nt
+      |  FROM documents
+      |), seg AS (
+      |  SELECT doc_id, CASE WHEN contains(nt, chr(10)) THEN string_split(nt, chr(10))
+      |    ELSE list_transform(generate_series(1, len(w), $LINE_W),
+      |      i -> array_to_string(w[i:i+${LINE_W - 1}], ' ')) END AS lines
+      |  FROM (SELECT doc_id, nt, regexp_split_to_array(trim(nt), '\s+') AS w FROM nl)
+      |), nlinep AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+      |    CAST(len(string_split(lines[i], ' ')) AS BIGINT) AS n_tok,
+      |    ${duck("lines[i]")} AS fp
+      |  FROM seg, unnest(generate_series(1, len(lines))) AS t(i)
+      |), nldf AS (
+      |  SELECT fp, count(DISTINCT doc_id) AS dfc FROM nlinep GROUP BY fp
       |)""".stripMargin
 
   /** Losers of the exact-dedup stage: every doc whose lowercased
@@ -1575,6 +1634,76 @@ object Dedup {
           expr("cast(size(w) as bigint)").as("n_before"),
           expr("cast(size(kept) as bigint)").as("n_after"),
           expr(h("concat_ws(' ', kept)")).as("remediated_fp"))
+    },
+
+    // ---- newline-segmented line dedup (the REAL segmenter) -----------------
+    // VERDICT r16 #2: the fixed-width pair above proves the kernel on
+    // the synthetic no-newline shape; THIS pair runs the real
+    // RefinedWeb segmenter — split on '\n', fixed-width only as the
+    // newline-free fallback — over a deterministically derived
+    // newline-bearing corpus (see [[nlLineFrame]]): lines are
+    // genuinely variable-length and content-dependent, and 1-in-7
+    // docs exercise the fallback arm. Same kernel shape: ONE df
+    // HashAggregate over line fingerprints + join-back, O(total
+    // lines), no pair join anywhere.
+    Q(
+      "q_dedup_lines_nl",
+      raw"""WITH $duckNlLineCtes
+        |SELECT doc_id, line_no, n_tok, CAST(dfc AS BIGINT) AS df
+        |FROM nlinep JOIN nldf USING (fp) WHERE dfc >= 2""") { (s, dir) =>
+      val lp = nlLineFps(s, dir)
+        .persistScoped() // feeds the df count and the join-back
+      val dfTab = lp.select(col("doc_id"), col("fp")).distinct()
+        .groupBy(col("fp")).agg(count(lit(1)).as("dfc"))
+      lp.join(dfTab.filter(col("dfc") >= 2), Seq("fp"))
+        .select(col("doc_id"), col("line_no"), col("n_tok"), col("dfc").as("df"))
+    },
+
+    // The remediated corpus under the real segmenter: cut every
+    // cross-doc-duplicated LINE (as segmented), keep the rest, surface
+    // the remediated text as a cross-engine hash (lines re-joined with
+    // '\n' — the segmenter's inverse). The flagged line ordinals
+    // collect into one small per-doc array (list agg over the FLAGGED
+    // subset only, the span-removal budget rule); the cut is a pure
+    // indexed-HOF map stage.
+    Q(
+      "q_dedup_line_removal_nl",
+      raw"""WITH $duckNlLineCtes,
+        |flagged AS (
+        |  SELECT doc_id, line_no FROM nlinep JOIN nldf USING (fp) WHERE dfc >= 2
+        |), perdoc AS (
+        |  SELECT doc_id, list(line_no) AS cut FROM flagged GROUP BY doc_id
+        |), cutq AS (
+        |  SELECT s.doc_id, s.lines,
+        |    CASE WHEN p.cut IS NULL THEN s.lines
+        |         ELSE list_filter(s.lines, (x, i) ->
+        |           len(list_filter(p.cut, c -> c = i)) = 0) END AS kept
+        |  FROM seg s LEFT JOIN perdoc p USING (doc_id)
+        |)
+        |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_before,
+        |  CAST(len(kept) AS BIGINT) AS n_after,
+        |  ${duck("coalesce(array_to_string(kept, chr(10)), '')")} AS remediated_fp
+        |FROM cutq""") { (s, dir) =>
+      val lp = nlLineFps(s, dir)
+        .persistScoped() // feeds the df count and the flagged join
+      val dfTab = lp.select(col("doc_id"), col("fp")).distinct()
+        .groupBy(col("fp")).agg(count(lit(1)).as("dfc"))
+      val flagged = lp
+        .join(dfTab.filter(col("dfc") >= 2).select(col("fp")), Seq("fp"))
+        .select(col("doc_id"), col("line_no"))
+      val perDoc = flagged.groupBy(col("doc_id").as("p_doc"))
+        .agg(collect_list(col("line_no")).as("cut"))
+      nlLineFrame(s, dir)
+        .join(perDoc, col("doc_id") === col("p_doc"), "left")
+        .select(col("doc_id"), col("lines"),
+          // Spark HOF filter index is 0-based; line ordinals 1-based
+          expr("""case when cut is null then lines
+                 |else filter(lines, (x, idx) ->
+                 |  not exists(cut, c -> c = idx + 1)) end""".stripMargin).as("kept"))
+        .select(col("doc_id"),
+          expr("cast(size(lines) as bigint)").as("n_before"),
+          expr("cast(size(kept) as bigint)").as("n_after"),
+          expr(h("concat_ws(chr(10), kept)")).as("remediated_fp"))
     },
 
     // ---- embedding cosine near-dup (label + multi-probe LSH cells) ---------

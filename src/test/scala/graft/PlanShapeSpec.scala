@@ -609,21 +609,24 @@ class PlanShapeSpec extends SparkSpec {
     // the line kernel's scale claim: O(total lines), never pairs — so
     // the plan must contain NO self-join fan-out (a single join-back of
     // the bounded df>=2 fingerprint set), no SortAggregate, no Window
-    for (q <- Seq("q_dedup_lines", "q_dedup_line_removal")) {
+    for (q <- Seq("q_dedup_lines", "q_dedup_line_removal",
+        "q_dedup_lines_nl", "q_dedup_line_removal_nl")) {
       val p = planOf(q)
       assert(!p.contains("SortAggregate"), s"$q: df aggregation must stay hash-based:\n$p")
       assert(!p.contains("Window"), s"$q: no window sort in the line kernel:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q: no pair blow-up:\n$p")
     }
-    // q_dedup_line_removal's only list aggregate is keyed on doc_id over
+    // the removal queries' only list aggregate is keyed on doc_id over
     // the FLAGGED subset (the span-removal budget rule): the
     // collect_list must sit ABOVE the dfc >= 2 filter in the plan text
     // (tree prints parents before children)
-    val pr = planOf("q_dedup_line_removal")
-    val ci = pr.indexOf("collect_list")
-    val fi = pr.indexOf("(dfc")
-    assert(ci >= 0 && fi > ci,
-      s"line-removal list agg must aggregate only the flagged subset:\n$pr")
+    for (q <- Seq("q_dedup_line_removal", "q_dedup_line_removal_nl")) {
+      val pr = planOf(q)
+      val ci = pr.indexOf("collect_list")
+      val fi = pr.indexOf("(dfc")
+      assert(ci >= 0 && fi > ci,
+        s"$q: list agg must aggregate only the flagged subset:\n$pr")
+    }
   }
 
   test("q_media_dedup: hamming-ball probe join over the distinct-hash frame, never item pairs") {
