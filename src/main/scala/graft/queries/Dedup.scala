@@ -1559,6 +1559,76 @@ object Dedup {
           expr(h("concat_ws(' ', kept)")).as("remediated_fp"))
     },
 
+    // ---- EXACT substring dedup (suffix-array grade, VERDICT r16 #3) --------
+    // The stride-10 family above can miss duplicated spans shorter than
+    // W + stride - 1 = 39 tokens (a 30-token dup can fall between
+    // stride-aligned starts). This query is EXACT at the Lee et al.
+    // threshold W = 30 without a suffix array, via the stride-1
+    // equivalence theorem (SubstringDedupSpec proves it against a
+    // brute-force scan): a maximal cross-doc duplicated span of length
+    // L >= W in a doc is EXACTLY a maximal run of consecutive flagged
+    // stride-1 window starts [a..b] with L = b - a + W — every
+    // 30-token substring of the span occurs in >= 2 distinct docs,
+    // the removal semantics of Lee et al. 2022 (a suffix array buys
+    // the same answer with less memory on one machine; the inverted
+    // fingerprint index is the distributed formulation, O(total
+    // tokens) rows, 60-bit-hash-exact). No pair join anywhere — the
+    // df count flags windows directly, and the gaps-and-islands merge
+    // runs over the FLAGGED subset only (bounded by duplicated
+    // content volume, the span_extent budget class). Output: every
+    // maximal duplicated span (tok_start, n_tok, n_windows).
+    // docs/substring_exact.md records the measured delta vs the
+    // stride-10 approximation.
+    Q(
+      "q_dedup_substring_exact",
+      raw"""WITH tok AS (
+        |  SELECT doc_id, $duckTokens AS w FROM documents
+        |), winp AS (
+        |  SELECT doc_id, i,
+        |    ${duck("array_to_string(w[i:i+29], ' ')")} AS fp
+        |  FROM tok, unnest(generate_series(1, len(w) - 29, 1)) AS t(i)
+        |  WHERE len(w) >= 30
+        |), df AS (
+        |  SELECT fp, count(DISTINCT doc_id) AS dfc FROM winp GROUP BY fp
+        |), flagged AS (
+        |  SELECT doc_id, i FROM winp JOIN df USING (fp) WHERE dfc >= 2
+        |), isl AS (
+        |  SELECT doc_id, i,
+        |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+        |  FROM flagged
+        |)
+        |SELECT doc_id, CAST(min(i) AS BIGINT) AS tok_start,
+        |  CAST(count(*) + 29 AS BIGINT) AS n_tok,
+        |  CAST(count(*) AS BIGINT) AS n_windows
+        |FROM isl GROUP BY doc_id, g""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // stride-1 windows: hash AFTER the explode (flat codegen'd
+      // projection, the windowFps rule); UNCACHED — the distinct's
+      // exchange canonicalizes equal under both consumers (the
+      // q_dedup_substring diamond, AQE ReuseExchange serves it)
+      val winp = Tables(s, dir, "documents")
+        .select(col("doc_id"), expr(tokens).as("w"))
+        .filter(expr(s"size(w) >= $SUB_W"))
+        .select(col("doc_id"), col("w"),
+          explode(expr(s"sequence(1, size(w) - ${SUB_W - 1}, 1)")).as("i"))
+        .select(col("doc_id"), col("i"),
+          expr(h(s"concat_ws(' ', slice(w, i, $SUB_W))")).as("fp"))
+      val dfTab = winp.select(col("doc_id"), col("fp")).distinct()
+        .groupBy(col("fp")).agg(count(lit(1)).as("dfc"))
+      val flagged = winp
+        .join(dfTab.filter(col("dfc") >= 2).select(col("fp")), Seq("fp"))
+        .select(col("doc_id"), col("i"))
+      flagged
+        .withColumn("g",
+          col("i") - row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("i"))))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(
+          min(col("i")).cast("long").as("tok_start"),
+          (count(lit(1)) + (SUB_W - 1)).cast("long").as("n_tok"),
+          count(lit(1)).as("n_windows"))
+        .select(col("doc_id"), col("tok_start"), col("n_tok"), col("n_windows"))
+    },
+
     // ---- cross-document LINE-level exact dedup (RefinedWeb/Falcon) ---------
     // The last text granularity below doc and span: a LINE is removed
     // from every document when its exact text occurs in >= 2 DISTINCT

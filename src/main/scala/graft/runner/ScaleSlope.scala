@@ -63,6 +63,7 @@ object ScaleSlope {
     "q_dedup_ngram_capped",
     "q_dedup_prefix_join",
     "q_dedup_substring",
+    "q_dedup_substring_exact", // stride-1 windows: 10x the index rows, still O(total tokens)
     "q_dedup_semantic_clusters",
     "q_dedup_minhash_lsh",
     "q_dedup_embedding",
