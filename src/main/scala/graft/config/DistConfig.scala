@@ -43,7 +43,8 @@ final case class DistLocation(
   * `"ingest"` (streaming tasks only) names a registered streaming
   * ingest operator — [[graft.streaming.Ingest.ops]] is the single
   * source of truth for the registry (score / dedup_claim /
-  * gate_contaminated / encode_ivfadc / media_dedup) — applied to the
+  * gate_contaminated / encode_ivfadc / apply_claims / media_dedup) —
+  * applied to the
   * stream after the optional `transform`; `"model_dir"` points at the
   * corpus the operator's offline models train from (required with
   * `ingest`). A direction of chained ingest tasks runs the whole

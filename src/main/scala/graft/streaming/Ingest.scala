@@ -30,6 +30,18 @@ import org.apache.spark.sql.functions._
   *  - `encode_ivfadc`: input (doc_id | vec_id, embedding, ...) — the
   *    serving-tier add() path ([[Streams.encodeIvfadc]]): one
   *    (vec_id, cell, m, code) row per (vector, subspace).
+  *  - `apply_claims`: the composition the dedup_claim split implies
+  *    (round 17): input (doc_id, ...) — the stage's `model_dir` points
+  *    at the CLAIMS LEDGER directory a dedup_claim stage wrote, and
+  *    every doc the ledger marks a loser (any claim with
+  *    `keeper_id != doc_id`) is dropped via a stream-static LEFT ANTI
+  *    join, all other columns passed through — so a 5-stage direction
+  *    (score → dedup_claim → gate → apply_claims → encode) yields the
+  *    DEDUPLICATED stream from config alone. The static side is read
+  *    at query start; under `Trigger.AvailableNow` the direction runs
+  *    stages in order, so the ledger is complete before this stage
+  *    starts. Prefilter semantics by design (the candidate tier's
+  *    keep/drop — exact confirm stays a batch concern).
   *  - `media_dedup`: input the MediaRecord schema (media_id, kind,
   *    payload, meta) — real decode + dHash + hamming-ball probe-key
   *    claims ([[Streams.mediaDedup]]), the q_media_dedup candidate
@@ -44,7 +56,8 @@ import org.apache.spark.sql.functions._
 object Ingest {
 
   val ops: Seq[String] =
-    Seq("score", "dedup_claim", "gate_contaminated", "encode_ivfadc", "media_dedup")
+    Seq("score", "dedup_claim", "gate_contaminated", "encode_ivfadc",
+      "apply_claims", "media_dedup")
 
   def apply(spark: SparkSession, op: String, modelDir: String, df: DataFrame): DataFrame =
     op match {
@@ -64,6 +77,15 @@ object Ingest {
           if (df.columns.contains("vec_id")) df
           else df.withColumnRenamed("doc_id", "vec_id")
         Streams.encodeIvfadc(vecs.select(col("vec_id"), col("embedding")), cents, cb)
+      case "apply_claims" =>
+        // model_dir = the dedup_claim ledger directory; losers (any
+        // claim with an earlier keeper) drop via a stream-static left
+        // anti join — the static loser set is bounded by the claim
+        // ledger and Spark broadcasts it when small
+        val losers = spark.read.parquet(modelDir)
+          .filter(col("keeper_id") =!= col("doc_id"))
+          .select(col("doc_id")).distinct()
+        df.join(losers, Seq("doc_id"), "left_anti")
       case "media_dedup" =>
         // input: the MediaRecord schema (media_id, kind, payload, meta);
         // no offline model — the perceptual hash is the model. Output is

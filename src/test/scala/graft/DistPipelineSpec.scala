@@ -598,12 +598,14 @@ class DistPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/out").count() == 30)
   }
 
-  test("streaming ingest chain: score -> dedup claim -> contamination gate -> IVFADC encode") {
-    // the whole ingest tier as ONE config-driven direction (round 16):
-    // four "streaming": true tasks chained through directories, each
+  test("streaming ingest chain: score -> claim -> gate -> apply claims -> IVFADC encode") {
+    // the whole ingest tier as ONE config-driven direction (round 16;
+    // round 17 adds the claims-consuming filter stage): five
+    // "streaming": true tasks chained through directories, each
     // applying a registered Ingest op under AvailableNow with its own
-    // checkpoint — files in, gated/encoded parquet out. Models train
-    // from model_dir (the offline corpus), cached per session.
+    // checkpoint — files in, deduplicated/encoded parquet out. Models
+    // train from model_dir (the offline corpus), cached per session;
+    // apply_claims' model_dir is the ledger the claim stage wrote.
     import org.apache.spark.sql.functions._
     val base = tmpDir("dist")
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
@@ -611,15 +613,16 @@ class DistPipelineSpec extends SparkSpec {
       .join(spark.read.parquet(s"${sf()}/embeddings.parquet")
         .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
     docs.write.parquet(s"$base/in")
-    def stage(op: String, in: String, out: String) = s"""{
-        "streaming": true, "ingest": "$op", "model_dir": "${sf()}",
+    def stage(op: String, in: String, out: String, md: String = sf()) = s"""{
+        "streaming": true, "ingest": "$op", "model_dir": "$md",
         "source": {"adapter": "hadoopParquet", "path": "$base/$in"},
         "dest":   {"adapter": "hadoopParquet", "path": "$base/$out"}}"""
     val cfg = s"""{ "ingest": [
       ${stage("score", "in", "scored")},
       ${stage("dedup_claim", "scored", "claims")},
       ${stage("gate_contaminated", "scored", "gated")},
-      ${stage("encode_ivfadc", "gated", "encoded")}] }"""
+      ${stage("apply_claims", "gated", "deduped", s"$base/claims")},
+      ${stage("encode_ivfadc", "deduped", "encoded")}] }"""
     write(s"$base/config.json", cfg)
     val conf = DistConfig.parse(DistMain.readFile(spark, s"file:$base/config.json"))
     DistMain.runDirection(spark, conf.direction("ingest"), "ingest")
@@ -638,8 +641,20 @@ class DistPipelineSpec extends SparkSpec {
     assert(gated.select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq ==
       expGated.select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq,
       "contamination gate must pass exactly the batch clean set")
+    // apply_claims: the ledger's losers (any claim with an earlier
+    // keeper) must be gone, everything else untouched — the config
+    // alone yields the DEDUPLICATED stream
+    val losers = spark.read.parquet(s"$base/claims")
+      .filter(col("keeper_id") =!= col("doc_id"))
+      .select(col("doc_id")).distinct()
+    assert(losers.count() > 0, "the corpus must contain near-dup claim losers")
+    val expDeduped = expGated.join(losers, Seq("doc_id"), "left_anti")
+    val deduped = spark.read.parquet(s"$base/deduped")
+    assert(deduped.select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq ==
+      expDeduped.select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq,
+      "apply_claims must drop exactly the ledger's losers")
     val encoded = spark.read.parquet(s"$base/encoded")
-    val expEnc = Ingest(spark, "encode_ivfadc", sf(), expGated)
+    val expEnc = Ingest(spark, "encode_ivfadc", sf(), expDeduped)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).sorted.toSeq
     val gotEnc = encoded
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).sorted.toSeq
