@@ -146,6 +146,36 @@ object Media {
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Batched decode seam (round 17, VERDICT r16 #4): ONE PNG
+    * ImageReader instance serves every payload a task decodes, instead
+    * of a fresh provider-registry scan + reader + disposal per call
+    * (what `ImageIO.read` does). PNG signature-checked up front;
+    * anything else — other formats, corrupt bytes — falls back to the
+    * generic [[decodePng]] path, so behavior is IDENTICAL and the
+    * skip-don't-crash posture survives. Not thread-safe by design: one
+    * instance per partition/batch, the single-threaded task loop.
+    * docs/stream_bench.md records the measured delta. */
+  private[multimodal] final class PngDecoder {
+    private val reader: Option[javax.imageio.ImageReader] = {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName("png")
+      if (it.hasNext) Some(it.next()) else None
+    }
+    private def isPng(b: Array[Byte]): Boolean =
+      b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P'.toByte &&
+        b(2) == 'N'.toByte && b(3) == 'G'.toByte
+    def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      reader match {
+        case Some(r) if isPng(bytes) =>
+          try {
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try { r.setInput(iis, true, true); Option(r.read(0)) }
+            finally iis.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        case _ => decodePng(bytes)
+      }
+  }
+
   /** Synthetic audio is AUD_N samples of 8-bit unsigned mono PCM at
     * 16 kHz with sample(i) = (id * 11 + i) mod 256 — analytically
     * reproducible in SQL, so the real decode is oracle-checked exactly
@@ -277,9 +307,9 @@ object Media {
     * model (e.g. a valid 16-bit grayscale PNG) fall back to the
     * byte-histogram stub — skip-don't-crash, never an exception out of
     * the decode stage. */
-  private def decodeOne(r: MediaRecord): MediaFeatures = r.kind match {
+  private def decodeOne(r: MediaRecord, dec: PngDecoder): MediaFeatures = r.kind match {
     case "image" =>
-      decodePng(r.payload) match {
+      dec.decode(r.payload) match {
         case Some(img) =>
           val hist = new Array[Long](16)
           if (addPixels(img, hist)) histFeatures(r, hist) else decodeStub(r)
@@ -301,7 +331,7 @@ object Media {
       decodeVideo(r.payload) match {
         case Some(frames) =>
           val hist = new Array[Long](16)
-          val ok = frames.forall(fb => decodePng(fb).exists(addPixels(_, hist)))
+          val ok = frames.forall(fb => dec.decode(fb).exists(addPixels(_, hist)))
           if (ok) histFeatures(r, hist) else decodeStub(r)
         case None => decodeStub(r)
       }
@@ -311,18 +341,23 @@ object Media {
   /** One bounded batch through the decoders — the seam where a
     * vectorized decoder (an Arrow batch handed to a Pandas UDF, a GPU
     * decode) consumes the whole Seq at once; the JDK decoders here are
-    * scalar, so the batch maps element-wise. */
-  private def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
-    batch.map(decodeOne)
+    * scalar with a shared per-task reader ([[PngDecoder]]), so the
+    * batch maps element-wise. */
+  private def decodeBatch(batch: Seq[MediaRecord], dec: PngDecoder): Seq[MediaFeatures] =
+    batch.map(decodeOne(_, dec))
 
   /** Batch-wise feature extraction: partition-preserving map stage with
     * bounded per-batch memory (`batchSize` × payload). Images decode for
-    * real (ImageIO), audio for real (AudioSystem), video frames for
-    * real (container parse + ImageIO per frame). */
+    * real (ImageIO, one shared reader per partition), audio for real
+    * (AudioSystem), video frames for real (container parse + ImageIO
+    * per frame). */
   def extractFeatures(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.mapPartitions(_.grouped(batchSize).flatMap(decodeBatch))
+    ds.mapPartitions { it =>
+      val dec = new PngDecoder
+      it.grouped(batchSize).flatMap(decodeBatch(_, dec))
+    }
   }
 
   /** The 8×8 gray sample grid behind the perceptual hash: exact
@@ -395,21 +430,24 @@ object Media {
   def dHashItems(ds: Dataset[MediaRecord]): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.flatMap { r =>
-      r.kind match {
-        case "image" =>
-          decodePng(r.payload).flatMap(grayGrid8).map(g =>
-            (r.media_id, 0L, r.kind, dHash56(g))).toSeq
-        case "video" =>
-          decodeVideo(r.payload).toSeq.flatMap(_.zipWithIndex.flatMap {
-            case (fb, f) =>
-              decodePng(fb).flatMap(grayGrid8).map(g =>
-                (r.media_id, f.toLong, r.kind, dHash56(g)))
-          })
-        case "audio" =>
-          decodeWav(r.payload).flatMap(audioGrid8).map(g =>
-            (r.media_id, 0L, r.kind, dHash56(g))).toSeq
-        case _ => Seq.empty
+    ds.mapPartitions { it =>
+      val dec = new PngDecoder // shared per-partition reader (r17)
+      it.flatMap { r =>
+        r.kind match {
+          case "image" =>
+            dec.decode(r.payload).flatMap(grayGrid8).map(g =>
+              (r.media_id, 0L, r.kind, dHash56(g))).toSeq
+          case "video" =>
+            decodeVideo(r.payload).toSeq.flatMap(_.zipWithIndex.flatMap {
+              case (fb, f) =>
+                dec.decode(fb).flatMap(grayGrid8).map(g =>
+                  (r.media_id, f.toLong, r.kind, dHash56(g)))
+            })
+          case "audio" =>
+            decodeWav(r.payload).flatMap(audioGrid8).map(g =>
+              (r.media_id, 0L, r.kind, dHash56(g))).toSeq
+          case _ => Seq.empty
+        }
       }
     }.toDF("media_id", "frame_no", "kind", "dhash")
   }
@@ -474,10 +512,12 @@ object Media {
     import spark.implicits._
     def truncate(r: MediaRecord): Array[Byte] =
       java.util.Arrays.copyOf(r.payload, math.min(r.payload.length, w * h))
-    ds.map { r =>
+    ds.mapPartitions { it =>
+      val dec = new PngDecoder // shared per-partition reader (r17)
+      it.map { r =>
       val payload = r.kind match {
         case "image" =>
-          decodePng(r.payload) match {
+          dec.decode(r.payload) match {
             case Some(img) if img.getSampleModel.getSampleSize(0) <= 8 =>
               resampleGray(img, w, h)
             case _ => truncate(r)
@@ -486,7 +526,7 @@ object Media {
           decodeVideo(r.payload)
             .flatMap { frames =>
               val resized = frames.map(fb =>
-                decodePng(fb).filter(_.getSampleModel.getSampleSize(0) <= 8)
+                dec.decode(fb).filter(_.getSampleModel.getSampleSize(0) <= 8)
                   .map(resampleGray(_, w, h)))
               if (resized.forall(_.isDefined)) {
                 val out = new java.io.ByteArrayOutputStream()
@@ -500,6 +540,7 @@ object Media {
         case _ => truncate(r)
       }
       r.copy(payload = payload, meta = r.meta.copy(width = w, height = h))
+      }
     }
   }
 
@@ -540,8 +581,10 @@ object Media {
     import spark.implicits._
     frames.select(col("media_id"), col("frame_no"), col("frame_bytes"))
       .as[(Long, Int, Array[Byte])]
-      .map { case (id, f, fb) =>
-        decodePng(fb).filter(_.getSampleModel.getSampleSize(0) <= 8) match {
+      .mapPartitions { it =>
+        val dec = new PngDecoder // shared per-partition reader (r17)
+        it.map { case (id, f, fb) =>
+        dec.decode(fb).filter(_.getSampleModel.getSampleSize(0) <= 8) match {
           case Some(img) =>
             val raster = img.getRaster
             var sum = 0L
@@ -554,6 +597,7 @@ object Media {
             (id, f.toLong, img.getWidth.toLong * img.getHeight, sum)
           case None =>
             (id, f.toLong, fb.length.toLong, fb.iterator.map(b => (b & 0xff).toLong).sum)
+        }
         }
       }
       .toDF("media_id", "frame_no", "n_px", "px_sum")

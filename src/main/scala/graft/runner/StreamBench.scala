@@ -31,6 +31,13 @@ object StreamBench {
   final val Rep = 10
   final val Batches = 10
 
+  /** Dev iteration filter (the ScaleSlope subset rule): a
+    * SPARK_GRAFT_SB_ONLY=op1,op2 run times only those operators,
+    * prints the JSON, and does NOT overwrite docs/stream_bench.json —
+    * the recorded run must be the full one. */
+  private val only: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_SB_ONLY").map(_.split(",").map(_.trim).toSet)
+
   private def timeStream[T](
       spark: SparkSession,
       name: String,
@@ -39,6 +46,7 @@ object StreamBench {
       build: DataFrame => DataFrame,
       batches: Int = Batches)(implicit enc: org.apache.spark.sql.Encoder[T])
       : (String, Long, Double) = {
+    if (only.exists(!_.contains(name))) return (name, 0L, 0.0) // filtered out
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[T]
     val out = build(mem.toDF())
@@ -206,13 +214,14 @@ object StreamBench {
     val results = p1.map { case (n, rows, rps) =>
       val rps2 = p2.find(_._1 == n).map(_._3).getOrElse(0.0)
       (n, rows, math.max(rps, rps2))
-    }
+    }.filter(_._2 > 0) // drop SPARK_GRAFT_SB_ONLY-filtered entries
 
     val json = "{\"sf_dir\":\"" + dir + s"""\",\"rep\":$Rep,\"batches\":$Batches,\"passes\":2,""" +
       "\"operators\":{" + results.map { case (n, rows, rps) =>
         f""""$n":{"rows":$rows,"rows_per_sec":$rps%.0f}"""
       }.mkString(",") + "}}"
     println(json)
+    if (only.nonEmpty) return // subset run: never overwrite the record
     java.nio.file.Files.write(
       java.nio.file.Paths.get("docs/stream_bench.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
