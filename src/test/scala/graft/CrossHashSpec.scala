@@ -38,6 +38,11 @@ class CrossHashSpec extends SparkSpec {
   }
 
   test("default profile is the oracle-mirrorable md5") {
+    // meaningful only when no explicit profile was requested: the
+    // round-17 xxhash64 invariant CI pass runs this suite under
+    // GRAFT_HASH=xxhash64, where the ACTIVE profile is rightly xx
+    assume(!sys.env.get("GRAFT_HASH").orElse(sys.props.get("graft.hash"))
+      .contains("xxhash64"), "explicit xxhash64 profile requested")
     assert(CrossHash.h("s") == CrossHash.hMd5("s"))
     assert(CrossHash.local("x") == CrossHash.localMd5("x"))
   }
