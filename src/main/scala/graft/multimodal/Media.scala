@@ -375,7 +375,7 @@ object Media {
       var x = 0
       while (x < 8) {
         // long index arithmetic: x·width overflows Int past ~300M-px
-        // dimensions (the audioGrid8/decodeVideo overflow rule)
+        // dimensions (the audioSpectral8/decodeVideo overflow rule)
         g(y * 8 + x) = raster.getSample(
           ((x.toLong * img.getWidth) / 8).toInt, ((y.toLong * img.getHeight) / 8).toInt, 0)
         x += 1
@@ -405,24 +405,58 @@ object Media {
     h
   }
 
-  /** The audio twin of [[grayGrid8]]: 64 evenly spaced samples of the
-    * decoded 8-bit PCM stream (exact NN index i·n/64, identity for
-    * 64-sample payloads) reshaped to the 8×8 grid — so the SAME
-    * gradient hash covers the audio modality (a chromaprint stand-in:
-    * a real deployment swaps the sample grid for spectral bands, the
-    * banding/collapse machinery downstream is unchanged). None for
-    * empty streams. */
-  private def audioGrid8(samples: Array[Byte]): Option[Array[Int]] = {
+  /** The audio twin of [[grayGrid8]] — a real SPECTRAL fingerprint
+    * (closes the r16 "chromaprint stand-in" honesty item: the raw
+    * sample grid hashed the waveform's SHAPE, which a 1-sample phase
+    * shift destroys; band energies are what audio fingerprints key
+    * on). 64 evenly spaced samples of the decoded 8-bit PCM stream
+    * (exact NN index i·n/64, identity for 64-sample payloads) split
+    * into 8 time windows of 8; each window gets an 8-point
+    * Walsh–Hadamard transform — c_k = Σ_n s_n·(−1)^popcount(k AND n),
+    * the ±1 "sequency band" decomposition, EXACT integer arithmetic so
+    * the oracle reproduces every coefficient in SQL (a float DFT could
+    * never pass the cross-engine hash gate; WHT is the integer-exact
+    * member of the same transform family). The grid is |c_k| laid out
+    * BAND-major (row = band k, column = time window w), so
+    * [[dHash56]]'s within-row gradients compare each band's energy
+    * ACROSS TIME — the chromaprint bit layout. Invariances (MediaSpec
+    * properties): a constant DC offset moves only c_0 and by the same
+    * amount in every window, so every gradient sign — hence the hash —
+    * is unchanged; a constant integer gain scales all |c_k| and strict
+    * comparisons survive scaling. A production deployment swaps the
+    * window/band geometry for a tuned chromaprint; the ball-probe /
+    * collapse machinery downstream is unchanged. None for empty
+    * streams. */
+  private def audioSpectral8(samples: Array[Byte]): Option[Array[Int]] = {
     if (samples.isEmpty) return None
     // long index arithmetic: i·n overflows Int for PCM streams past
     // ~34M samples (a 36-minute 16 kHz recording) — a silent negative
     // index, the decodeVideo length-overflow lesson again
-    Some(Array.tabulate(64)(i => samples(((i.toLong * samples.length) / 64).toInt) & 0xff))
+    val s = Array.tabulate(64)(i => samples(((i.toLong * samples.length) / 64).toInt) & 0xff)
+    val g = new Array[Int](64)
+    var k = 0
+    while (k < 8) {
+      var w = 0
+      while (w < 8) {
+        var c = 0
+        var n = 0
+        while (n < 8) {
+          c += (if (java.lang.Integer.bitCount(k & n) % 2 == 0) s(w * 8 + n)
+                else -s(w * 8 + n))
+          n += 1
+        }
+        g(k * 8 + w) = math.abs(c) // ≤ 2040, Int-safe
+        w += 1
+      }
+      k += 1
+    }
+    Some(g)
   }
 
   /** Per-item perceptual hashes for the media-dedup operator: one row
     * per decodable image, per decodable VIDEO FRAME, and per decodable
-    * audio payload (its PCM sample grid under the same gradient hash —
+    * audio payload (its Walsh–Hadamard band-energy grid under the same
+    * gradient hash, [[audioSpectral8]] —
     * every modality gets a perceptual tier; undecodable payloads and
     * deep sample formats skip — the decode stage's skip-don't-crash
     * posture). A pure map+flatMap stage, no shuffle — the 100 TB shape
@@ -444,7 +478,7 @@ object Media {
                   (r.media_id, f.toLong, r.kind, dHash56(g)))
             })
           case "audio" =>
-            decodeWav(r.payload).flatMap(audioGrid8).map(g =>
+            decodeWav(r.payload).flatMap(audioSpectral8).map(g =>
               (r.media_id, 0L, r.kind, dHash56(g))).toSeq
           case _ => Seq.empty
         }

@@ -21,23 +21,45 @@ object Multimodal {
   /** Shared dHash oracle CTEs (analytic per-item hashes over the
     * synthetic formulas → exact-collapse groups) — used verbatim by
     * q_media_dedup and q_media_dup_videos, one formulation. */
+  // Image / video frames: the pixel-gradient dHash from the shared
+  // (seed + i) % 256 raster formula. Audio: the Walsh–Hadamard
+  // band-energy fingerprint (Media.audioSpectral8) — coefficients
+  // c(w, k) = Σ_n sample(w·8+n)·(−1)^popcount(k AND n) are EXACT
+  // integers, so the whole spectral grid is reproducible in SQL; the
+  // hash bit for (band k, window w→w+1) sits at 2^(55 − (k·7 + w)),
+  // dHash56's MSB-first packing with rows = bands.
   private val duckMediaCtes: String =
     """items AS (
       |  SELECT d.doc_id AS media_id, CAST(0 AS BIGINT) AS frame_no, 'image' AS kind,
       |         (d.doc_id * 7) % 256 AS seed
       |  FROM documents d WHERE d.doc_id % 3 = 0
       |  UNION ALL
-      |  SELECT d.doc_id, CAST(0 AS BIGINT), 'audio', (d.doc_id * 11) % 256
-      |  FROM documents d WHERE d.doc_id % 3 = 1
-      |  UNION ALL
       |  SELECT d.doc_id, CAST(f.f AS BIGINT), 'video', (d.doc_id * 7 + f.f * 13) % 256
       |  FROM documents d CROSS JOIN generate_series(0, 3) f(f) WHERE d.doc_id % 3 = 2
+      |), acoef AS (
+      |  SELECT d.doc_id AS media_id, k.k AS k, w.w AS w,
+      |    abs(sum((((d.doc_id * 11) % 256 + w.w * 8 + n.n) % 256) *
+      |        (CASE WHEN bit_count(k.k & n.n) % 2 = 0 THEN 1 ELSE -1 END))) AS e
+      |  FROM documents d
+      |  CROSS JOIN generate_series(0, 7) k(k)
+      |  CROSS JOIN generate_series(0, 7) w(w)
+      |  CROSS JOIN generate_series(0, 7) n(n)
+      |  WHERE d.doc_id % 3 = 1
+      |  GROUP BY 1, 2, 3
       |), hashed AS (
       |  SELECT media_id, frame_no, kind, media_id * 8 + frame_no AS ikey,
       |    CAST(sum(CASE WHEN ((seed + (b.b // 7) * 8 + (b.b % 7) + 1) % 256) >
       |                       ((seed + (b.b // 7) * 8 + (b.b % 7)) % 256)
       |             THEN 1 ELSE 0 END * (CAST(1 AS BIGINT) << CAST(55 - b.b AS INT))) AS BIGINT) AS dhash
       |  FROM items CROSS JOIN generate_series(0, 55) b(b)
+      |  GROUP BY 1, 2, 3, 4
+      |  UNION ALL
+      |  SELECT a.media_id, CAST(0 AS BIGINT) AS frame_no, 'audio' AS kind,
+      |         a.media_id * 8 AS ikey,
+      |    CAST(sum(CASE WHEN b.e > a.e THEN 1 ELSE 0 END
+      |             * (CAST(1 AS BIGINT) << CAST(55 - (a.k * 7 + a.w) AS INT))) AS BIGINT) AS dhash
+      |  FROM acoef a JOIN acoef b
+      |    ON b.media_id = a.media_id AND b.k = a.k AND b.w = a.w + 1
       |  GROUP BY 1, 2, 3, 4
       |), groups AS (
       |  SELECT dhash, count(*) AS group_size, min(ikey) AS rep_key FROM hashed GROUP BY dhash
@@ -123,7 +145,8 @@ object Multimodal {
     // ---- perceptual near-dup dedup across ALL media modalities -------------
     // The dedup × multimodal intersection: every decodable image,
     // every decodable video FRAME, and every decodable AUDIO payload
-    // (its 8-bit PCM sample grid — a chromaprint stand-in) gets a
+    // (its Walsh–Hadamard band-energy grid — integer-exact spectral
+    // fingerprint, r17) gets a
     // 56-bit dHash over its REAL decoded 8×8 grid (gradient-sign
     // bits, packed MSB-first);
     // items collapse exactly on the hash (group rep = lowest item key),

@@ -185,15 +185,63 @@ class MediaSpec extends SparkSpec {
       }
       h
     }
-    items.foreach { case (id, f, kind, dh) =>
-      val seed = kind match {
-        case "image" => id * 7
-        case "audio" => id * 11
-        case _ => id * 7 + f * 13
+    // audio: the Walsh–Hadamard band-energy fingerprint (band-major
+    // grid, time gradients within each band)
+    def analyticAudio(id: Long): Long = {
+      val seed = (id * 11) % 256
+      val e = Array.tabulate(8, 8) { (k, w) =>
+        math.abs((0 until 8).map { n =>
+          val s = ((seed + w * 8 + n) % 256).toInt
+          if (java.lang.Integer.bitCount(k & n) % 2 == 0) s else -s
+        }.sum)
       }
-      assert(dh == analytic(seed % 256), s"media $id frame $f ($kind)")
+      var h = 0L
+      for (k <- 0 until 8; w <- 0 until 7)
+        h = (h << 1) | (if (e(k)(w + 1) > e(k)(w)) 1L else 0L)
+      h
+    }
+    items.foreach { case (id, f, kind, dh) =>
+      val exp = kind match {
+        case "image" => analytic((id * 7) % 256)
+        case "audio" => analyticAudio(id)
+        case _ => analytic((id * 7 + f * 13) % 256)
+      }
+      assert(dh == exp, s"media $id frame $f ($kind)")
       assert(dh >= 0, "56-bit dHash must stay non-negative")
     }
+  }
+
+  test("audio spectral hash is invariant to DC offset and integer gain") {
+    import spark.implicits._
+    // a WAV whose samples stay small enough that +DC and ×gain keep
+    // every byte in 0..255 — the invariance claims are about the WHT
+    // grid, not about byte wraparound
+    def wav(samples: Array[Byte]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+        16000f, 8, 1, 1, 16000f, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(samples), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val rnd = new scala.util.Random(17)
+    val base = Array.fill(64)((rnd.nextInt(60) + 1).toByte)
+    def hashOf(samples: Array[Byte], id: Long): Long =
+      Media.dHashItems(Seq(Media.MediaRecord(
+        id, "audio", wav(samples), Media.MediaMeta(0, 0, 16000, 4L))).toDS())
+        .head().getLong(3)
+    val h0 = hashOf(base, 1L)
+    // DC offset: every window's c_0 shifts equally, bands 1..7 exactly
+    // unchanged — all 56 time-gradient signs survive
+    assert(hashOf(base.map(b => (b + 100).toByte), 2L) == h0, "DC offset must not move the hash")
+    // integer gain: |c| scales uniformly, strict comparisons survive
+    assert(hashOf(base.map(b => (b * 4).toByte), 3L) == h0, "integer gain must not move the hash")
+    // a genuine spectral change (one window's content replaced) must move it
+    val changed = base.clone(); for (i <- 8 until 16) changed(i) = (200 - base(i)).toByte
+    assert(hashOf(changed, 4L) != h0, "a real spectral change must move the hash")
   }
 
   test("dHash resamples larger rasters through the exact NN rule (16x16 -> 8x8)") {
