@@ -15,8 +15,12 @@ import graft.io.Tables
   *    band key only (candidates, tiny), verify Jaccard on the candidate
   *    join — never all-pairs;
   *  - SimHash: 60-bit signature in one map stage; candidate pairs via
-  *    4×15-bit band blocking (guaranteed recall for hamming ≤ 3, high
-  *    recall to 5), hamming verify on candidates;
+  *    4×15-bit band blocking (guaranteed recall for hamming ≤ 3, ~80%
+  *    measured to 5 — docs/simhash_blocks.md), hamming verify on
+  *    candidates; plus the EXACT-recall scale arm
+  *    `q_dedup_simhash_blocks` (corpus-derived Manku block
+  *    combinations over the distinct-signature frame — recall at ≤ 5
+  *    exact by pigeonhole, candidate volume O(C(B,5)·H));
   *  - n-gram Jaccard: language-blocked pair verify (demonstrates the
   *    verify kernel; LSH above is the candidate generator at scale);
   *  - embedding cosine near-dup: label-blocked pairs with an exact
@@ -521,15 +525,23 @@ object Dedup {
   /** Band-blocked SimHash near-dup pairs (id_a, id_b, hamming <= 5) —
     * the q_dedup_simhash output under the same memo protocol (builder:
     * the registered query; reuser: the recall harness). */
+  /** The (doc_id, simhash) signature frame — explode + ONE typed
+    * imperative aggregate ([[graft.functions.SimHashAgg]]); shared by
+    * the band-blocked kernel and the block-combination kernel so the
+    * signature definition can never drift between them. */
+  private def simhashFrame(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(expr(tokens)).as("t"))
+      .select(col("doc_id"), expr(h("t")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(expr("simhash_agg(v)").as("simhash"))
+
   private[graft] def simhashPairs(
       s: org.apache.spark.sql.SparkSession, dir: String,
       rebuildMemo: Boolean): org.apache.spark.sql.DataFrame =
     memoKernel(s, dir, "simhash_pairs", rebuildMemo) {
-      val sim = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(expr(tokens)).as("t"))
-        .select(col("doc_id"), expr(h("t")).as("v"))
-        .groupBy(col("doc_id"))
-        .agg(expr("simhash_agg(v)").as("simhash"))
+      val sim = simhashFrame(s, dir)
       val bands = sim
         .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("b"))
         .withColumn("bk", expr("shiftright(simhash, b*15) & 32767"))
@@ -831,13 +843,15 @@ object Dedup {
       |  FROM cand c JOIN mh ma ON ma.doc_id = c.id_a
       |              JOIN mh mb ON mb.doc_id = c.id_b)""".stripMargin
 
+  // token hashes computed once, reused across all 60 bits — shared by
+  // the band-blocked oracle and the block-combination oracle
+  private val duckSim =
+    """list_sum(list_transform(generate_series(0, 59), b ->
+       |  CASE WHEN list_sum(list_transform(hs, v ->
+       |    CASE WHEN ((v >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+       |  THEN (1::BIGINT << b) ELSE 0 END))::BIGINT""".stripMargin
+
   private[queries] val simhashOracle: String = {
-    // token hashes computed once, reused across all 60 bits
-    val duckSim =
-      """list_sum(list_transform(generate_series(0, 59), b ->
-         |  CASE WHEN list_sum(list_transform(hs, v ->
-         |    CASE WHEN ((v >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
-         |  THEN (1::BIGINT << b) ELSE 0 END))::BIGINT""".stripMargin
     raw"""WITH sh AS (
       |  SELECT doc_id, $duckSim AS simhash
       |  FROM (SELECT doc_id, list_transform($duckTokens, t -> ${duck("t")}) AS hs
@@ -852,6 +866,85 @@ object Dedup {
       |)
       |SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
       |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 5""".stripMargin
+  }
+
+  /** Block count for the EXACT-recall SimHash candidate scheme
+    * (q_dedup_simhash_blocks) — CORPUS-DERIVED by the ncIvf/semBits
+    * rule, pure INTEGER arithmetic on both sides: the 60-bit signature
+    * splits into B equal blocks and candidates join on the B−5
+    * included blocks of every 5-block exclusion (the Manku–Jain–Das
+    * Sarma block-combination scheme, "Detecting Near-Duplicates for
+    * Web Crawling", WWW'07 §3 — public literature, no reference-repo
+    * analogue). Pigeonhole: ≤ 5 differing bits touch ≤ 5 blocks, so
+    * SOME exclusion removes them all and the pair collides on that
+    * mask — recall at hamming ≤ 5 is EXACT, unlike the 4×15 band join
+    * (guaranteed only to 3). The join-key width is 60 − 300/B bits;
+    * choosing the smallest valid B with 2^keyBits ≥ H keeps birthday
+    * collisions at O(H) per mask table, so candidate volume is
+    * O(C(B,5)·H + true pairs) — linear in the signature vocabulary,
+    * the property the 2^15-value band buckets lose at corpus scale
+    * (Θ(H²/2^15)). B = 6 serves corpora to 2^10 hashes (sf0.001 —
+    * 6 masks of one 10-bit block), B = 10 to 2^30 (sf0.01/sf0.1 — 252
+    * masks of 30 bits), so the derivation is hash-verified at two
+    * geometries; 12/15 extend the ladder to 2^35/2^40 corpora. */
+  private[graft] def simhashBlocksB(n: Long): Int =
+    if (n <= 1024L) 6
+    else if (n <= (1L << 30)) 10
+    else if (n <= (1L << 35)) 12
+    else 15
+
+  /** The C(B,5) join masks: each mask keeps B−5 blocks of the 60-bit
+    * signature (full60 minus the 5 excluded blocks' bits — blocks are
+    * disjoint, so subtraction is exact). A bounded plan-time model
+    * (≤ C(15,5) = 3003 rows), carried as a LocalRelation per the
+    * bounded-model rule. */
+  private[graft] def simhashBlockMasks(bB: Int): Seq[Long] = {
+    val width = 60 / bB
+    val full = (1L << 60) - 1
+    (0 until bB).combinations(5).map { ex =>
+      ex.foldLeft(full)((m, e) => m - (((1L << width) - 1) << (e * width)))
+    }.toSeq
+  }
+
+  private[queries] val simhashBlocksOracle: String = {
+    raw"""WITH geo AS (
+      |  SELECT CASE WHEN count(*) <= 1024 THEN 6
+      |              WHEN count(*) <= (CAST(1 AS BIGINT) << 30) THEN 10
+      |              WHEN count(*) <= (CAST(1 AS BIGINT) << 35) THEN 12
+      |              ELSE 15 END AS bb
+      |  FROM documents
+      |), masks AS (
+      |  SELECT (CAST(1152921504606846975 AS BIGINT)
+      |    - (((CAST(1 AS BIGINT) << (60 // bb)) - 1) << CAST(e1.e * (60 // bb) AS INT))
+      |    - (((CAST(1 AS BIGINT) << (60 // bb)) - 1) << CAST(e2.e * (60 // bb) AS INT))
+      |    - (((CAST(1 AS BIGINT) << (60 // bb)) - 1) << CAST(e3.e * (60 // bb) AS INT))
+      |    - (((CAST(1 AS BIGINT) << (60 // bb)) - 1) << CAST(e4.e * (60 // bb) AS INT))
+      |    - (((CAST(1 AS BIGINT) << (60 // bb)) - 1) << CAST(e5.e * (60 // bb) AS INT))) AS mask
+      |  FROM geo,
+      |    generate_series(0, 14) e1(e), generate_series(0, 14) e2(e),
+      |    generate_series(0, 14) e3(e), generate_series(0, 14) e4(e),
+      |    generate_series(0, 14) e5(e)
+      |  WHERE e1.e < e2.e AND e2.e < e3.e AND e3.e < e4.e AND e4.e < e5.e AND e5.e < bb
+      |), sh AS (
+      |  SELECT doc_id, $duckSim AS simhash
+      |  FROM (SELECT doc_id, list_transform($duckTokens, t -> ${duck("t")}) AS hs
+      |        FROM documents)
+      |), groups AS (
+      |  SELECT simhash, count(*) AS group_size, min(doc_id) AS rep_id FROM sh GROUP BY 1
+      |), probes AS (
+      |  SELECT simhash, rep_id, mask, simhash & mask AS bkey FROM groups CROSS JOIN masks
+      |), cand AS (
+      |  SELECT DISTINCT a.simhash AS simhash, b.simhash AS sim_b, b.rep_id AS nrep
+      |  FROM probes a JOIN probes b ON a.mask = b.mask AND a.bkey = b.bkey
+      |                            AND a.simhash != b.simhash
+      |), near AS (
+      |  SELECT simhash, count(*) AS n_near_hashes, min(nrep) AS near_min
+      |  FROM cand WHERE bit_count(xor(simhash, sim_b)) <= 5 GROUP BY 1
+      |)
+      |SELECT g.simhash, g.group_size, g.rep_id,
+      |  COALESCE(n.n_near_hashes, 0) AS n_near_hashes,
+      |  least(g.rep_id, COALESCE(n.near_min, g.rep_id)) AS near_rep_id
+      |FROM groups g LEFT JOIN near n USING (simhash)""".stripMargin
   }
 
   val queries: Seq[Q] = Seq(
@@ -1098,6 +1191,54 @@ object Dedup {
       // formulation, one agg slot instead of 60. Stated once in
       // [[simhashPairs]]; this query is the kernel's designated BUILDER.
       simhashPairs(s, dir, rebuildMemo = true)
+    },
+
+    // ---- SimHash with EXACT hamming-<=5 recall: block-combination join ------
+    // The scale-arm answer to the band join's bucket floor (the media
+    // ball-probe evaluation applied to SimHash, VERDICT r16): radius-1
+    // ball probes cover only hamming <= 2, and a radius-3 ball is 34k
+    // keys/hash — for a hamming-5 threshold the right exact-recall
+    // scheme is block combinations ([[simhashBlocksB]]): collapse to
+    // the DISTINCT-signature frame, emit C(B,5) masked keys per
+    // signature (masks are a bounded LocalRelation), equi-join on
+    // (mask, simhash & mask), verify bit_count. Recall at <= 5 is
+    // EXACT by pigeonhole; candidate volume O(C(B,5)·H) because the
+    // corpus-derived B keeps the key width >= log2(H). The geometry is
+    // hash-verified at TWO values cross-scale (B=6 at sf0.001, B=10 at
+    // sf0.01/0.1); q_dedup_simhash keeps the classic 4x15 band
+    // heuristic for comparison — SimhashBlocksSpec measures what the
+    // bands miss (pairs at hamming 4-5 spread across all four bands).
+    Q(
+      "q_dedup_simhash_blocks",
+      simhashBlocksOracle) { (s, dir) =>
+      val bB = simhashBlocksB(Tables.rowCount(s, dir, "documents"))
+      val masksDf = {
+        import s.implicits._
+        simhashBlockMasks(bB).toDF("mask")
+      }
+      val groups = simhashFrame(s, dir)
+        .groupBy(col("simhash"))
+        .agg(count(lit(1)).as("group_size"), min(col("doc_id")).as("rep_id"))
+      val probes = groups
+        .crossJoin(broadcast(masksDf))
+        .select(col("simhash"), col("rep_id"), col("mask"),
+          expr("simhash & mask").as("bkey"))
+      // both self-join sides shuffle on the same (mask, bkey) over the
+      // same subtree: AQE ReuseExchange serves them from one shuffle
+      // write (the ball-probe shape; uncached by the capped-dedup rule)
+      val cand = probes.as("a")
+        .join(probes.as("b"),
+          expr("a.mask = b.mask and a.bkey = b.bkey and a.simhash != b.simhash"))
+        .select(col("a.simhash").as("simhash"),
+          col("b.simhash").as("sim_b"), col("b.rep_id").as("nrep"))
+        .distinct() // a close pair collides on MANY masks — count once
+        .filter(expr("bit_count(simhash ^ sim_b) <= 5"))
+      val near = cand.groupBy(col("simhash"))
+        .agg(count(lit(1)).as("n_near_hashes"), min(col("nrep")).as("near_min"))
+      groups.join(near, Seq("simhash"), "left")
+        .select(col("simhash"), col("group_size"), col("rep_id"),
+          coalesce(col("n_near_hashes"), lit(0L)).as("n_near_hashes"),
+          least(col("rep_id"), coalesce(col("near_min"), col("rep_id"))).as("near_rep_id"))
     },
 
     // ---- n-gram Jaccard set-similarity join (inverted index) ---------------

@@ -76,6 +76,8 @@ object ScaleSlope {
     "q_media_ball_probe", // hamming-ball candidate kernel on a vocabulary that GROWS ∝ N
     // (every 4 docs mint a fresh 56-bit base) — the axis the r16 band join was Θ(H²/2^14)
     // in and the media corpus above cannot exercise (VERDICT r16 #1)
+    "q_dedup_simhash_blocks", // exact-recall block-combination candidates: C(B,5)·H probe
+    // rows with corpus-derived B — the signature vocabulary grows ∝ N naturally (r17)
     "q_classifier_train")
 
   final val Scales = Seq(1, 4, 16)

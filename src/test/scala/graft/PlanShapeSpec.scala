@@ -648,6 +648,30 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_simhash_blocks: masked-key join over the distinct-signature frame, probes exchange reused") {
+    val p = planOf("q_dedup_simhash_blocks")
+    assert(!p.contains("SortAggregate"), s"signature collapse must stay hash-based:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs blow-up:\n$p")
+    // candidates come from the (mask, simhash & mask) equi-join above
+    // the distinct-signature collapse; the mask family is a broadcast
+    // LocalRelation (bounded model), never a shuffled side
+    assert(p.contains("bkey"), s"masked-key equi-join missing:\n$p")
+    val ji = p.indexOf("bkey")
+    val ai = p.indexOf("HashAggregate", ji)
+    assert(ai > ji, s"probe join must sit ABOVE the signature collapse aggregate:\n$p")
+    // the two self-join sides shuffle the SAME probes subtree on the
+    // same keys: runtime AQE must serve one from the other's shuffle
+    graft.io.CacheScope.releaseAll()
+    spark.catalog.clearCache()
+    val df = graft.io.KernelMemo.bypassed {
+      SparkEntry.queries("q_dedup_simhash_blocks")(spark, sf())
+    }
+    df.collect()
+    val pr = df.queryExecution.executedPlan.toString
+    assert(pr.contains("ReusedExchange") || pr.contains("ReusedQueryStage"),
+      s"probes diamond must collapse to one shuffle at runtime:\n$pr")
+  }
+
   test("q_decontaminate_bloom: bloom prefilter sits under the confirm join") {
     val p = planOf("q_decontaminate_bloom")
     // the probe must be a FILTER on the corpus stream (map-side, below
