@@ -399,7 +399,8 @@ object Streams {
 
   /** Streaming perceptual MEDIA dedup — the incremental twin of
     * `q_media_dedup`'s candidate tier: each arriving image / video
-    * frame is dHashed over its REAL decoded 8×8 gray grid
+    * frame / audio payload is dHashed over its REAL decoded 8×8 grid
+    * (gray pixels for rasters, Walsh–Hadamard band energies for audio)
     * ([[graft.multimodal.Media.dHashItems]] — a stateless flatMap, the
     * expensive decode rides the stream as a pure map), the 56-bit hash
     * emits the SAME 57 hamming-ball probe keys as the batch ball join
