@@ -53,6 +53,8 @@ object GraftRuntime {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_bands", MinHashBands.build, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_block_keys", SimhashBlockKeys.build, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hashed_score", HashedScore.build, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "plane_cell", PlaneCell.build, "built-in")

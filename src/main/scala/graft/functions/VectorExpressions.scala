@@ -120,6 +120,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
       MinHashBands.build _))
     ext.injectFunction((
+      new FunctionIdentifier("simhash_block_keys"),
+      new ExpressionInfo(classOf[SimhashBlockKeys].getName, "simhash_block_keys"),
+      SimhashBlockKeys.build _))
+    ext.injectFunction((
       new FunctionIdentifier("pq_codes"),
       new ExpressionInfo(classOf[PqCodes].getName, "pq_codes"),
       PqCodes.build _))

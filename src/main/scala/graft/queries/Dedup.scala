@@ -894,17 +894,13 @@ object Dedup {
     else 15
 
   /** The C(B,5) join masks: each mask keeps B−5 blocks of the 60-bit
-    * signature (full60 minus the 5 excluded blocks' bits — blocks are
-    * disjoint, so subtraction is exact). A bounded plan-time model
-    * (≤ C(15,5) = 3003 rows), carried as a LocalRelation per the
-    * bounded-model rule. */
-  private[graft] def simhashBlockMasks(bB: Int): Seq[Long] = {
-    val width = 60 / bB
-    val full = (1L << 60) - 1
-    (0 until bB).combinations(5).map { ex =>
-      ex.foldLeft(full)((m, e) => m - (((1L << width) - 1) << (e * width)))
-    }.toSeq
-  }
+    * signature. A bounded plan-time model (≤ C(15,5) = 3003 rows),
+    * carried as a LocalRelation per the bounded-model rule; the family
+    * itself is canonical in [[graft.functions.SimhashBlockKeys.masks]]
+    * (shared with the streaming claim-key expression — one source of
+    * truth). */
+  private[graft] def simhashBlockMasks(bB: Int): Seq[Long] =
+    graft.functions.SimhashBlockKeys.masks(bB).toSeq
 
   private[queries] val simhashBlocksOracle: String = {
     raw"""WITH geo AS (

@@ -165,6 +165,11 @@ object StreamBench {
       df => graft.streaming.Streams.gateContaminated(df, evalBloom))
     results += timeStream[SDoc](spark, "near_dedup", wDocs, docs,
       df => graft.streaming.Streams.nearDedup(df).toDF())
+    // the exact-recall simhash block-combination claim tier (round
+    // 17): 252 state keys per doc vs near_dedup's 4 — the price of
+    // never missing a hamming-<=5 pair; rows/s quantifies it
+    results += timeStream[SDoc](spark, "simhash_blocks_dedup", wDocs, docs,
+      df => graft.streaming.Streams.simhashBlocksDedup(df).toDF())
     results += timeStream[graft.multimodal.Media.MediaRecord](
       spark, "media_dedup", wMedia, media,
       df => graft.streaming.Streams

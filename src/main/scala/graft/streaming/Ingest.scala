@@ -42,6 +42,13 @@ import org.apache.spark.sql.functions._
   *    stages in order, so the ledger is complete before this stage
   *    starts. Prefilter semantics by design (the candidate tier's
   *    keep/drop — exact confirm stays a batch concern).
+  *  - `dedup_simhash_claim`: input (doc_id, text, ...) — the
+  *    EXACT-recall twin of `dedup_claim` (round 17): the claim ledger
+  *    comes from [[Streams.simhashBlocksDedup]] (block-combination
+  *    keys, can never miss a hamming-≤5 pair where the banded MinHash
+  *    prefilter is probabilistic); same (bucket, doc_id, keeper_id)
+  *    schema, so `apply_claims` consumes either ledger unchanged. No
+  *    offline model (the media_dedup rule).
   *  - `media_dedup`: input the MediaRecord schema (media_id, kind,
   *    payload, meta) — real decode + dHash + hamming-ball probe-key
   *    claims ([[Streams.mediaDedup]]), the q_media_dedup candidate
@@ -57,7 +64,7 @@ object Ingest {
 
   val ops: Seq[String] =
     Seq("score", "dedup_claim", "gate_contaminated", "encode_ivfadc",
-      "apply_claims", "media_dedup")
+      "apply_claims", "media_dedup", "dedup_simhash_claim")
 
   def apply(spark: SparkSession, op: String, modelDir: String, df: DataFrame): DataFrame =
     op match {
@@ -66,6 +73,13 @@ object Ingest {
           .filter(col("cls_flag") === "keep")
       case "dedup_claim" =>
         Streams.nearDedup(df).toDF()
+      case "dedup_simhash_claim" =>
+        // the EXACT-recall (hamming <= 5) claim ledger — same schema
+        // and downstream contract as dedup_claim, so apply_claims
+        // consumes either ledger unchanged; no offline model (B is the
+        // horizon constant, model_dir unused but required by the task
+        // shape, the media_dedup rule)
+        Streams.simhashBlocksDedup(df).toDF()
       case "gate_contaminated" =>
         df.withColumn("n_candidates",
             Streams.contaminationHits(spark,

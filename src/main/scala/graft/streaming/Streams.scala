@@ -395,6 +395,48 @@ object Streams {
       }
   }
 
+  /** Streaming EXACT-recall SimHash dedup — the incremental twin of
+    * `q_dedup_simhash_blocks`' candidate tier (round 17): each
+    * arriving document's 60-bit SimHash and its C(B,5)
+    * block-combination claim keys are computed in ONE native per-row
+    * loop ([[graft.functions.SimhashBlockKeys]] — the MinHashBands
+    * rule; the canonical mask family is shared with the batch query),
+    * and per key the first document to arrive claims it. Two
+    * signatures at hamming ≤ 5 share a key for SOME mask by pigeonhole
+    * (SimhashBlocksSpec), so a document with any
+    * `keeper_id != doc_id` claim is a near-dup CANDIDATE with EXACT
+    * recall at hamming ≤ 5 — where the banded [[nearDedup]] prefilter
+    * is probabilistic, this one can never miss; exact per-pair hamming
+    * verification stays a batch/serving concern (the
+    * prefilter/confirm split). B is the caller's dedup-horizon choice
+    * (the `semanticDedup(bits)` rule — a stream cannot observe corpus
+    * size; batch derives it): state is C(B,5) longs per distinct
+    * signature, the mediaDedup claim-volume class. */
+  def simhashBlocksDedup(docs: DataFrame, bB: Int = 10): Dataset[BandClaim] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.GraftRuntime.ensure(spark)
+    val keys = docs
+      .selectExpr("doc_id",
+        s"simhash_block_keys(split(trim(text), '\\\\s+'), $bB) AS bks")
+      .where("bks IS NOT NULL")
+      .selectExpr("doc_id", "explode(bks) AS bucket")
+    keys.as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, BandClaim](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (bucket, rows, state: GroupState[Long]) =>
+          val ids = rows.map(_._1).toSeq.sorted
+          var keeper = state.getOption.getOrElse(Long.MaxValue)
+          val out = ids.map { id =>
+            if (id < keeper) keeper = id
+            BandClaim(bucket, id, keeper)
+          }
+          if (keeper != Long.MaxValue) state.update(keeper)
+          out.iterator
+      }
+  }
+
   final case class ItemClaim(bucket: Long, item_key: Long, keeper_key: Long)
 
   /** Streaming perceptual MEDIA dedup — the incremental twin of

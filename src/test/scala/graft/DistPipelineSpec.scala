@@ -697,6 +697,27 @@ class DistPipelineSpec extends SparkSpec {
       "the corpus must contain media near-dup candidates")
   }
 
+  test("streaming ingest: dedup_simhash_claim op emits the exact-recall ledger through the config surface") {
+    import org.apache.spark.sql.functions._
+    val base = tmpDir("dist")
+    graft.io.Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("text")).write.parquet(s"$base/docs")
+    val cfg = s"""{ "m": [{
+        "streaming": true, "ingest": "dedup_simhash_claim", "model_dir": "${sf()}",
+        "source": {"adapter": "hadoopParquet", "path": "$base/docs"},
+        "dest":   {"adapter": "hadoopParquet", "path": "$base/claims"}}] }"""
+    write(s"$base/config.json", cfg)
+    val conf = DistConfig.parse(DistMain.readFile(spark, s"file:$base/config.json"))
+    DistMain.runDirection(spark, conf.direction("m"), "m")
+    val claims = spark.read.parquet(s"$base/claims")
+    // same ledger schema as dedup_claim, so apply_claims composes
+    assert(claims.columns.toSeq == Seq("bucket", "doc_id", "keeper_id"))
+    val nDocs = spark.read.parquet(s"$base/docs").count()
+    assert(claims.count() == nDocs * 252, "C(10,5) block claims per doc")
+    assert(claims.filter(col("keeper_id") =!= col("doc_id")).count() > 0,
+      "the corpus must contain hamming-<=5 simhash candidates")
+  }
+
   test("save_mode append accumulates; ignore leaves the first write intact") {
     val base = tmpDir("dist")
     def cfg(mode: String) = s"""{

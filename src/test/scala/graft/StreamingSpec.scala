@@ -544,6 +544,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("simhashBlocksDedup batch-twin: streaming dup set equals the batch masked-key loser set") {
+    // the exact-recall twin of the nearDedup gate (round 17): a doc is
+    // a streaming candidate iff an earlier doc claimed one of its
+    // C(B,5) block-combination keys; with id-order arrival that is
+    // exactly "an earlier doc's simhash agrees on some mask" — the
+    // q_dedup_simhash_blocks candidate tier (the streaming key is a
+    // 64-bit mix of (mask index, masked signature), which partitions
+    // identically to the batch join's (mask, bkey) pair)
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.io.Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.simhashBlocksDedup(mem.toDF().toDF("doc_id", "text"), bB = 10)
+      .writeStream.format("memory").queryName("simblocks_twin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      val claims = spark.table("simblocks_twin").as[Streams.BandClaim].collect()
+      assert(claims.length == docs.length * 252, "C(10,5) claims per doc")
+      val streamingDups = claims.filter(c => c.keeper_id != c.doc_id).map(_.doc_id).toSet
+      // batch reference: the q_dedup_simhash_blocks candidate tier at
+      // doc granularity — an earlier doc shares some masked key
+      graft.functions.GraftRuntime.ensure(spark)
+      val sim = graft.io.Tables(spark, sf(), "documents")
+        .select(col("doc_id"), explode(expr("split(trim(text), '\\\\s+')")).as("t"))
+        .select(col("doc_id"), expr(graft.functions.CrossHash.h("t")).as("v"))
+        .groupBy(col("doc_id"))
+        .agg(expr("simhash_agg(v)").as("simhash"))
+      val masksDf = graft.functions.SimhashBlockKeys.masks(10).toSeq.toDF("mask")
+      val probes = sim.crossJoin(org.apache.spark.sql.functions.broadcast(masksDf))
+        .select(col("doc_id"), col("mask"), expr("simhash & mask").as("bkey"))
+      val batchDups = probes.as("a")
+        .join(probes.as("b"),
+          expr("a.mask = b.mask and a.bkey = b.bkey and a.doc_id < b.doc_id"))
+        .select(col("b.doc_id")).distinct().collect().map(_.getLong(0)).toSet
+      assert(streamingDups == batchDups,
+        s"stream-only: ${(streamingDups -- batchDups).toSeq.sorted.take(5)}, " +
+        s"batch-only: ${(batchDups -- streamingDups).toSeq.sorted.take(5)}")
+      assert(batchDups.nonEmpty, "corpus must contain masked-key candidates")
+    } finally q.stop()
+  }
+
   test("semanticDedup batch-twin: claims are batch pairs and keeps bracket batch keeps") {
     // The streaming exemplar rule is greedier than the batch
     // any-lower-id rule: a streaming drop (v claims exemplar u < v,
