@@ -37,7 +37,8 @@ case class SimhashBlockKeys(child: Expression, bB: Int)
     extends UnaryExpression {
 
   require(SimhashBlockKeys.ValidB.contains(bB),
-    s"simhash_block_keys: B must divide 60 and exceed 5, got $bB")
+    s"simhash_block_keys: B must be one of ${SimhashBlockKeys.ValidB.toSeq.sorted.mkString("{", ",", "}")} " +
+      s"(larger divisors of 60 make the C(B,5) per-row key fan-out impractical), got $bB")
 
   @transient private lazy val maskArr: Array[Long] = SimhashBlockKeys.masks(bB)
 
@@ -113,7 +114,11 @@ case class SimhashBlockKeys(child: Expression, bB: Int)
 
 object SimhashBlockKeys {
 
-  /** Divisors of 60 that leave ≥ 1 included block after excluding 5. */
+  /** The supported block-count ladder: divisors of 60 whose C(B,5)
+    * mask count stays a practical per-row fan-out (B = 20 is already
+    * 15,504 keys/row; B = 30/60 also divide 60 and leave included
+    * blocks, but their 142k/5.4M-mask families are excluded on
+    * cost, not correctness). */
   val ValidB: Set[Int] = Set(6, 10, 12, 15, 20)
 
   /** The canonical C(B,5) exclusion-mask family over B blocks of

@@ -207,10 +207,13 @@ object Multimodal {
       items.join(reps, Seq("dhash"))
         .select(col("media_id"), col("frame_no"), col("kind"), col("dhash"),
           col("group_size"),
-          expr("rep_key div 8").as("rep_media_id"),
-          expr("rep_key % 8").as("rep_frame_no"),
+          // unpack through the shared constant: a FRAME_KEY_PACK bump
+          // must never leave the pack and unpack sides disagreeing
+          // (the oracle mirrors the constant as a literal 8 by design)
+          expr(s"rep_key div ${Media.FRAME_KEY_PACK}").as("rep_media_id"),
+          expr(s"rep_key % ${Media.FRAME_KEY_PACK}").as("rep_frame_no"),
           col("n_near_hashes"),
-          expr("near_rep_key div 8").as("near_rep_media_id"),
+          expr(s"near_rep_key div ${Media.FRAME_KEY_PACK}").as("near_rep_media_id"),
           (col("ikey") =!= col("rep_key")).as("is_exact_dup"))
     },
 

@@ -378,19 +378,38 @@ object Streams {
       .selectExpr("doc_id", s"minhash_bands(sh, array($seedArr), 4) AS bks")
       .where("bks IS NOT NULL")
       .selectExpr("doc_id", "explode(bks) AS bucket")
-    sigs.as[(Long, Long)]
-      .groupByKey(_._2)
-      .flatMapGroupsWithState[Long, BandClaim](
+    firstClaim(sigs.as[(Long, Long)])(BandClaim.apply)
+  }
+
+  /** The shared first-ARRIVAL-wins claim fold behind [[nearDedup]],
+    * [[simhashBlocksDedup]] and [[mediaDedup]] — one protocol, one
+    * implementation (a fix to the claim semantics can never leave the
+    * three ledgers inconsistent). Input: (key, bucket) pairs. Per
+    * bucket, the stored keeper is NEVER replaced: a lower key arriving
+    * in a LATER micro-batch is a loser of the stored keeper, not a
+    * retroactive winner — Append mode cannot re-emit the earlier
+    * arrival's claims, so a keeper steal would leave a true duplicate
+    * pair with neither side flagged (round-17 review finding). Within
+    * the bucket's FIRST micro-batch the smallest key claims
+    * (deterministic for any batch arrangement of the same arrival
+    * order — the id tie-break); after that, claims are strictly
+    * arrival-ordered, exactly the docstring contract. */
+  private def firstClaim[T: org.apache.spark.sql.Encoder](
+      keys: Dataset[(Long, Long)])(mk: (Long, Long, Long) => T): Dataset[T] = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    keys.groupByKey(_._2)
+      .flatMapGroupsWithState[Long, T](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (bucket, rows, state: GroupState[Long]) =>
-          // deterministic within-batch order: smallest doc_id first
           val ids = rows.map(_._1).toSeq.sorted
-          var keeper = state.getOption.getOrElse(Long.MaxValue)
+          val stored = state.getOption
+          var keeper = stored.getOrElse(Long.MaxValue)
           val out = ids.map { id =>
-            if (id < keeper) keeper = id
-            BandClaim(bucket, id, keeper)
+            if (stored.isEmpty && id < keeper) keeper = id
+            mk(bucket, id, keeper)
           }
-          if (keeper != Long.MaxValue) state.update(keeper)
+          if (stored.isEmpty && keeper != Long.MaxValue) state.update(keeper)
           out.iterator
       }
   }
@@ -421,20 +440,7 @@ object Streams {
         s"simhash_block_keys(split(trim(text), '\\\\s+'), $bB) AS bks")
       .where("bks IS NOT NULL")
       .selectExpr("doc_id", "explode(bks) AS bucket")
-    keys.as[(Long, Long)]
-      .groupByKey(_._2)
-      .flatMapGroupsWithState[Long, BandClaim](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (bucket, rows, state: GroupState[Long]) =>
-          val ids = rows.map(_._1).toSeq.sorted
-          var keeper = state.getOption.getOrElse(Long.MaxValue)
-          val out = ids.map { id =>
-            if (id < keeper) keeper = id
-            BandClaim(bucket, id, keeper)
-          }
-          if (keeper != Long.MaxValue) state.update(keeper)
-          out.iterator
-      }
+    firstClaim(keys.as[(Long, Long)])(BandClaim.apply)
   }
 
   final case class ItemClaim(bucket: Long, item_key: Long, keeper_key: Long)
@@ -471,20 +477,7 @@ object Streams {
       .select(col("ikey"), col("dhash"),
         explode(expr("sequence(0, 56)")).as("b"))
       .selectExpr("ikey", s"${graft.multimodal.Media.BALL_FLIP_SQL} AS bucket")
-    buckets.as[(Long, Long)]
-      .groupByKey(_._2)
-      .flatMapGroupsWithState[Long, ItemClaim](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (bucket, rows, state: GroupState[Long]) =>
-          val keys = rows.map(_._1).toSeq.sorted
-          var keeper = state.getOption.getOrElse(Long.MaxValue)
-          val out = keys.map { k =>
-            if (k < keeper) keeper = k
-            ItemClaim(bucket, k, keeper)
-          }
-          if (keeper != Long.MaxValue) state.update(keeper)
-          out.iterator
-      }
+    firstClaim(buckets.as[(Long, Long)])(ItemClaim.apply)
   }
 
   final case class CellClaim(cell: Int, vec_id: Long, keeper_id: Long, dot: Double)

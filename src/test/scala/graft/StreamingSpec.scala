@@ -544,6 +544,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("claim protocol: a lower id arriving LATER is a loser, never a keeper steal") {
+    // round-17 review finding: with the old fold, a lower doc_id in a
+    // later micro-batch replaced the stored keeper and claimed itself —
+    // Append mode cannot re-emit the earlier doc's claims, so a true
+    // duplicate pair ended with NEITHER side flagged. The shared
+    // firstClaim fold pins first-ARRIVAL-wins: the stored keeper never
+    // changes, so the late arrival is flagged as its loser. Gate both
+    // text claim tiers (mediaDedup shares the same fold).
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    for ((name, mk) <- Seq[(String,
+        org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[Streams.BandClaim])](
+        ("neardup_ooo", df => Streams.nearDedup(df)),
+        ("simblocks_ooo", df => Streams.simhashBlocksDedup(df, bB = 10)))) {
+      val mem = MemoryStream[(Long, String)]
+      val q = mk(mem.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData((100L, text)); q.processAllAvailable()
+        mem.addData((5L, text)); q.processAllAvailable() // identical doc, LOWER id, later batch
+        val claims = spark.table(name).as[Streams.BandClaim].collect()
+        assert(claims.filter(_.doc_id == 100L).forall(_.keeper_id == 100L),
+          s"$name: the first arrival must have claimed every bucket")
+        assert(claims.filter(_.doc_id == 5L).forall(_.keeper_id == 100L),
+          s"$name: the late lower id must lose to the stored keeper, not steal it")
+      } finally q.stop()
+    }
+  }
+
   test("simhashBlocksDedup batch-twin: streaming dup set equals the batch masked-key loser set") {
     // the exact-recall twin of the nearDedup gate (round 17): a doc is
     // a streaming candidate iff an earlier doc claimed one of its
