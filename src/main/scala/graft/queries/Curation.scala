@@ -726,7 +726,175 @@ object Curation {
           (col("n_chars").cast("double") / col("n_docs")).as("mean_chars"),
           col("n_langs"),
           col("h").cast("double").as("lang_entropy"))
+    },
+
+    // ---- DSIR importance weights (Xie et al. 2023, NeurIPS) ----------------
+    // Data Selection via Importance Resampling: score every raw document
+    // by how much more likely its hashed n-gram bag is under a TARGET
+    // distribution than under the RAW corpus distribution —
+    //   w(d) = Σ_f cnt_d[f] · ln( p_tgt[f] / p_raw[f] )
+    // with f = CrossHash(gram) % DSIR_B bucketized features (distinct
+    // unigrams + bigrams per doc) and Laplace-smoothed bucket
+    // distributions. The target here is the corpus's `lang = 'en'`
+    // slice — the stand-in for the high-quality reference corpus
+    // (Wikipedia/books) the method conditions on; swapping the target
+    // predicate is the production knob. Scale shape: one explode →
+    // ONE (doc, bucket) HashAggregate (scalars only); the model is a
+    // ≤ DSIR_B-row frame (a model parameter, never corpus-sized) built
+    // from one more hash aggregate and joined back BROADCAST — nothing
+    // quadratic, no corpus-sized collect, weights are a map-side join +
+    // per-doc sum. Determinism: each bucket's log-ratio is computed as
+    // ln((tgt+1)/(raw+1) · (Tr+B)/(Tt+B)) with the divisions/multiply
+    // pinned in that order (identical IEEE ops on identical exact-int
+    // inputs — no BIGINT product that could overflow at 100 TB token
+    // counts), snapped per-TERM through DECIMAL(18,9) (the
+    // q_tfidf/q_lm_score libm rule), then summed per doc in exact
+    // DECIMAL against exact integer counts.
+    Q(
+      "q_dsir_weights",
+      raw"""WITH $duckDsirCtes
+        |SELECT doc_id, lang, n_feats, weight FROM dweights""".stripMargin) {
+      (s, dir) => dsirWeights(s, dir)
+    },
+
+    // ---- DSIR Gumbel-top-k selection ----------------------------------------
+    // The resampling half of DSIR: sampling-without-replacement
+    // proportional to exp(w(d)) is EXACTLY "rank by w(d) + Gumbel noise
+    // and keep the top k" (the Gumbel-top-k identity the paper uses).
+    // The noise is hash-seeded — u = (CrossHash('dsirg#'||doc_id) %
+    // 2^20 + 1) / (2^20 + 1), g = −ln(−ln u) — so both engines draw the
+    // SAME sample and the query stays hash-gate-verifiable while
+    // remaining a faithful Gumbel draw per doc. k is corpus-derived
+    // (ceil(sqrt(N)), the ncIvf integer rule) so the output stays
+    // bounded and the Spark plan is a TakeOrderedAndProject (O(N log k)
+    // per partition, no global sort); a production selection with a
+    // corpus-fraction budget runs the same scored frame through one
+    // distributed sort instead — the score computation is the operator,
+    // the cutoff is a driver choice.
+    Q(
+      "q_dsir_select",
+      raw"""WITH $duckDsirCtes, scored AS (
+        |  SELECT doc_id, lang, weight,
+        |    weight + CAST(CAST(-ln(-ln(
+        |        CAST(${duck("'dsirg#' || doc_id::VARCHAR")} % 1048576 + 1 AS DOUBLE) / 1048577))
+        |      AS DECIMAL(18,9)) AS DOUBLE) AS score
+        |  FROM dweights
+        |)
+        |SELECT rank, doc_id, lang, weight, score FROM (
+        |  SELECT doc_id, lang, weight, score,
+        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+        |  FROM scored)
+        |WHERE rank <= (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM documents)""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val k = math.ceil(math.sqrt(
+          graft.io.Tables.rowCount(s, dir, "documents").toDouble)).toInt
+        // numerator cast to DOUBLE, divisor an INTEGER literal: a
+        // `1048577.0` literal parses as DECIMAL in BOTH engines and
+        // their decimal-division scale rules differ — u must be the
+        // same IEEE double ratio on both sides
+        val gumbel = s"cast(dec_cast(-ln(-ln(cast(${h("concat('dsirg#', cast(doc_id as string))")}" +
+          " % 1048576 + 1 as double) / 1048577)), 18, 9) as double)"
+        dsirWeights(s, dir)
+          .select(col("doc_id"), col("lang"), col("weight"),
+            (col("weight") + expr(gumbel)).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(k)
+          // rank re-derived over the k survivors only (k = O(sqrt N) rows,
+          // so the unpartitioned window is a bounded single task, the
+          // q_vocab_topk shape) — identical to the oracle's global rank
+          // because score DESC, doc_id is a total order
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))))
+          .select(col("rank"), col("doc_id"), col("lang"), col("weight"), col("score"))
     })
+
+  /** DSIR feature-hash bucket count — a model hyperparameter (the paper
+    * uses 10k buckets for its hashed n-grams; smaller here keeps the
+    * harness model frame tiny, the semantics are identical). The model
+    * frame is ≤ DSIR_B rows at ANY corpus size — the broadcast-side
+    * bound every consumer relies on. (`final` so the literal inlines at
+    * compile time — a plain val here reads 0 during object init, the
+    * declaration-order trap the other query modules dodge the same way.) */
+  private final val DSIR_B = 1024
+
+  /** Per-doc DSIR importance weights: (doc_id, lang, n_feats, weight).
+    * Shared by q_dsir_weights (surfaces it) and q_dsir_select (ranks
+    * it under Gumbel noise) — one formulation, no drift. */
+  private def dsirWeights(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    // distinct unigrams + distinct bigrams per doc, hashed to DSIR_B
+    // buckets: shingles() is already distinct-per-doc and returns the
+    // empty array below 2 tokens, so the concat explodes each distinct
+    // gram exactly once (unigrams never collide with bigrams — tokens
+    // cannot contain the separator space)
+    val feats = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(expr(s"concat(array_distinct($tokens), shingles($tokens, 2))")).as("g"))
+      .select(col("doc_id"), col("lang"),
+        expr(s"${h("concat('dsir#', g)")} % $DSIR_B").as("f"))
+      .groupBy(col("doc_id"), col("lang"), col("f"))
+      .agg(count(lit(1)).as("cnt"))
+      .persistScoped() // feeds the model aggregate AND the weight join
+    val agg = feats.groupBy(col("f")).agg(
+      sum(col("cnt")).as("raw"),
+      coalesce(sum(when(col("lang") === "en", col("cnt"))), lit(0L)).as("tgt"))
+    // corpus totals ride as one broadcast scalar row (the q_tfidf `n`
+    // idiom — no driver count job)
+    val tot = agg.agg(sum(col("raw")).as("tr"), sum(col("tgt")).as("tt"))
+    val model = agg.crossJoin(broadcast(tot))
+      .select(col("f"), expr(
+        s"""dec_cast(ln(
+           |  (cast(tgt + 1 as double) / (raw + 1)) *
+           |  (cast(tr + $DSIR_B as double) / (tt + $DSIR_B))), 18, 9)""".stripMargin)
+        .as("lr"))
+    feats.join(broadcast(model), "f")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(
+        sum(col("cnt")).as("n_feats"),
+        // cnt narrowed to DECIMAL(9,0) before the product: long(20,0) ×
+        // lr(18,9) would need precision 39 > 38 and Spark silently
+        // DROPS A SCALE DIGIT (rounds each term at scale 8 — the
+        // CLAUDE.md decimal-overflow trap, caught by the hash gate);
+        // (9,0)×(18,9) = (28,9) stays exact. cnt is a per-(doc,bucket)
+        // distinct-gram count, bounded by document length — never 1e9.
+        sum(col("cnt").cast("decimal(9,0)") * col("lr"))
+          .cast("decimal(28,9)").cast("double").as("weight"))
+  }
+
+  /** DuckDB twin of [[dsirWeights]] as CTE text ending in `dweights`. */
+  private lazy val duckDsirCtes: String =
+    raw"""tok AS (
+      |  SELECT doc_id, lang, $duckTokens AS w FROM documents
+      |), grams AS (
+      |  SELECT doc_id, lang, unnest(list_concat(
+      |    list_distinct(w),
+      |    list_distinct(list_transform(generate_series(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i + 1])))) AS g
+      |  FROM tok
+      |), feats AS (
+      |  SELECT doc_id, lang, (${duck("'dsir#' || g")} % $DSIR_B) AS f,
+      |    count(*) AS cnt
+      |  FROM grams GROUP BY 1, 2, 3
+      |), model AS (
+      |  SELECT f,
+      |    CAST(ln(
+      |      (CAST(tgt + 1 AS DOUBLE) / (raw + 1)) *
+      |      (CAST(tr + $DSIR_B AS DOUBLE) / (tt + $DSIR_B))) AS DECIMAL(18,9)) AS lr
+      |  FROM (
+      |    SELECT f, sum(cnt) AS raw,
+      |      coalesce(sum(CASE WHEN lang = 'en' THEN cnt END), 0) AS tgt
+      |    FROM feats GROUP BY 1
+      |  ) CROSS JOIN (
+      |    SELECT sum(cnt) AS tr,
+      |      coalesce(sum(CASE WHEN lang = 'en' THEN cnt END), 0) AS tt
+      |    FROM feats
+      |  )
+      |), dweights AS (
+      |  SELECT doc_id, lang, CAST(sum(cnt) AS BIGINT) AS n_feats,
+      |    CAST(CAST(sum(CAST(cnt AS DECIMAL(9,0)) * lr) AS DECIMAL(28,9)) AS DOUBLE) AS weight
+      |  FROM feats JOIN model USING (f)
+      |  GROUP BY 1, 2
+      |)""".stripMargin
 
   /** 16×64 ±1 projection matrix, a pure function of [[CrossHash]] — the
     * same plan-time-constant trick as the LSH hyperplanes in
