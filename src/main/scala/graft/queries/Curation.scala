@@ -806,7 +806,157 @@ object Curation {
           .withColumn("rank", row_number().over(
             Window.orderBy(col("score").desc, col("doc_id"))))
           .select(col("rank"), col("doc_id"), col("lang"), col("weight"), col("score"))
+    },
+
+    // ---- DoReMi domain reweighting (Xie et al. 2023, NeurIPS) ---------------
+    // The Group-DRO multiplicative-weights update DoReMi runs to choose
+    // a training MIXTURE over domains: per domain i,
+    //   α'ᵢ ∝ αᵢ · exp(η · excessᵢ),   α ← (1−c)·α'/Σα' + c/k
+    // (η = 1, smoothing c = 0.01, T fixed rounds). The per-domain excess
+    // loss here is the engine-level stand-in for the proxy-model signal
+    // the paper trains: mean per-token surprisal under the corpus
+    // UNIGRAM LM (hard domains read above the corpus mean ⇒ upweighted),
+    // clipped at 0 — swapping in real proxy/reference model losses is a
+    // column swap, the update loop is the operator. Complements
+    // q_dsir_weights: DSIR scores INSTANCES against a target, DoReMi
+    // reweights DOMAINS against worst-case excess loss.
+    // Scale shape: one explode → vocabulary count aggregate → one
+    // shuffle join back (the q_lm_score pattern) → per-doc then
+    // per-domain scalars; the iteration runs on the DOMAIN frame (a
+    // model parameter — dozens of rows at any corpus size) as T chained
+    // unpartitioned-window steps, one bounded single-task stage.
+    // Determinism: α is DECIMAL(18,12) and x = exp(excess) DECIMAL(18,6);
+    // each round multiplies their exact int64-safe DOUBLE images and
+    // snaps the product back at scale 12 with dec_cast on the Spark
+    // side and the duckSnap VARCHAR path on the oracle side — the ONLY
+    // pairing that agrees on short-mantissa products (a decimal×decimal
+    // downscale is out: DuckDB TRUNCATES decimal rescales, measured
+    // 2e-12 drift; a direct double→DECIMAL cast is out: DuckDB rounds
+    // the exact binary value where Spark rounds the shortest repr —
+    // the r15 duckProd12 lesson). Z is then an exact DECIMAL window sum
+    // of identical snapped terms, and the one double division runs on
+    // int64-safe (18,12) images.
+    Q(
+      "q_doremi_weights",
+      raw"""WITH tok AS (
+        |  SELECT doc_id, source, unnest($duckTokens) AS w FROM documents
+        |), cnts AS (
+        |  SELECT w, count(*) AS cnt FROM tok GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(cnt) AS t FROM cnts
+        |), perdoc AS (
+        |  SELECT doc_id, source, count(*) AS len,
+        |    CAST(CAST(sum(${duckSnap("ln(CAST(cnt AS DOUBLE) / t)", 9)})
+        |      AS DECIMAL(28,9)) AS DOUBLE) AS lpsum
+        |  FROM tok JOIN cnts USING (w) CROSS JOIN tot
+        |  GROUP BY 1, 2
+        |), dloss AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(CAST(sum(${duckSnap("-lpsum / len", 9)}) AS DECIMAL(28,9))
+        |      AS DOUBLE) / count(*) AS loss
+        |  FROM perdoc GROUP BY 1
+        |), ref AS (
+        |  SELECT CAST(CAST(sum(${duckSnap("-lpsum / len", 9)}) AS DECIMAL(28,9))
+        |      AS DOUBLE) / count(*) AS rl
+        |  FROM perdoc
+        |), r0 AS (
+        |  SELECT source, n_docs, loss,
+        |    greatest(CAST(0 AS DOUBLE), loss - rl) AS excess,
+        |    ${duckSnap("exp(greatest(CAST(0 AS DOUBLE), loss - rl))", 6)} AS x,
+        |    count(*) OVER () AS k,
+        |    ${duckSnap("CAST(1 AS DOUBLE) / count(*) OVER ()", 12)} AS alpha
+        |  FROM dloss CROSS JOIN ref
+        |), $duckDoremiRounds
+        |SELECT source, n_docs, loss,
+        |  CAST(${duckSnap("excess", 9)} AS DOUBLE) AS excess,
+        |  CAST(alpha AS DOUBLE) AS alpha
+        |FROM r$DOREMI_T""".stripMargin) { (s, dir) =>
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), explode(expr(tokens)).as("w"))
+      val cnts = tok.groupBy(col("w").as("c_w")).agg(count(lit(1)).as("cnt"))
+      val tot = cnts.agg(sum(col("cnt")).as("t"))
+      val perdoc = tok.join(cnts, col("w") === col("c_w"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("source"),
+          expr("dec_cast(ln(cast(cnt as double) / t), 18, 9)").as("lp"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("len"),
+          sum(col("lp")).cast("decimal(28,9)").cast("double").as("lpsum"))
+        .persistScoped() // feeds the per-domain aggregate AND the corpus mean
+      val lossTerm = "cast(-lpsum / len as decimal(18,9))"
+      val dloss = perdoc.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        (sum(expr(lossTerm)).cast("decimal(28,9)").cast("double") /
+          count(lit(1))).as("loss"))
+      val ref = perdoc.agg(
+        (sum(expr(lossTerm)).cast("decimal(28,9)").cast("double") /
+          count(lit(1))).as("rl"))
+      var fr = dloss.crossJoin(broadcast(ref))
+        .select(col("source"), col("n_docs"), col("loss"),
+          expr("greatest(cast(0 as double), loss - rl)").as("excess"),
+          expr("dec_cast(exp(greatest(cast(0 as double), loss - rl)), 18, 6)").as("x"))
+        .withColumn("k", expr("count(*) over ()"))
+        .withColumn("alpha", expr("dec_cast(cast(1 as double) / k, 18, 12)"))
+      // T multiplicative-weights rounds, each one window step over the
+      // bounded domain frame — the SAME arithmetic the oracle unrolls
+      // (duckDoremiRounds): α·x on the decimals' exact double images,
+      // dec_cast snap (== the oracle's VARCHAR path), exact DECIMAL
+      // window sum, int64-safe (18,12)→DOUBLE images around the one
+      // division
+      for (_ <- 1 to DOREMI_T) {
+        fr = fr
+          .withColumn("p12",
+            expr("dec_cast(cast(alpha as double) * cast(x as double), 18, 12)"))
+          .withColumn("z12", expr("cast(sum(p12) over () as decimal(18,12))"))
+          .withColumn("alpha", expr(
+            """dec_cast(cast(0.99 as double) * (cast(p12 as double) / cast(z12 as double))
+              |  + cast(0.01 as double) / k, 18, 12)""".stripMargin))
+          .drop("p12", "z12")
+      }
+      fr.select(col("source"), col("n_docs"), col("loss"),
+        expr("cast(dec_cast(excess, 18, 9) as double)").as("excess"),
+        col("alpha").cast("double").as("alpha"))
     })
+
+  /** DoReMi multiplicative-weights rounds — a FIXED hyperparameter (the
+    * paper runs its update per proxy-training step; a fixed round count
+    * is the batch-operator shape), never data-derived: loop depth must
+    * come from exact integers or constants (docs/determinism.md r16) and
+    * here it is simply constant. `final` so it inlines at object init
+    * (the DSIR_B declaration-order note below applies verbatim). */
+  private final val DOREMI_T = 5
+
+  /** DuckDB twin of Spark's `dec_cast(double, 18, s)`: snap through
+    * VARCHAR so DuckDB rounds the double's SHORTEST repr half-up —
+    * exactly Spark's Cast/dec_cast string path. A direct
+    * double→DECIMAL cast in DuckDB rounds the exact binary value and a
+    * decimal→decimal downscale TRUNCATES (measured: 1.5e-12 → 1e-12
+    * at scale 12) — both silently diverge from Spark on short-mantissa
+    * values; the VARCHAR path (the Similarity.duckProd12 rule) is the
+    * only rendering that matches term for term. */
+  private def duckSnap(x: String, s: Int): String =
+    s"CAST(CAST($x AS VARCHAR) AS DECIMAL(18,$s))"
+
+  /** The T unrolled DoReMi round CTEs (r1..rT), each reading r(n−1):
+    * the α·x product is computed on the DECIMALS' exact double images
+    * and snapped back through [[duckSnap]] (never a decimal×decimal
+    * downscale — DuckDB truncates those), Z is an exact DECIMAL window
+    * sum of the snapped terms, and the ONE double division runs on
+    * int64-safe (18,12) images — the DuckDB twin of the Spark loop
+    * body in q_doremi_weights. */
+  private lazy val duckDoremiRounds: String = (1 to DOREMI_T).map { r =>
+    val p12 = duckSnap("CAST(alpha AS DOUBLE) * CAST(x AS DOUBLE)", 12)
+    s"""r$r AS (
+       |  SELECT source, n_docs, loss, excess, x, k,
+       |    ${duckSnap(
+        "CAST(0.99 AS DOUBLE) * (CAST(p12 AS DOUBLE) / CAST(z12 AS DOUBLE)) " +
+          "+ CAST(0.01 AS DOUBLE) / k", 12)} AS alpha
+       |  FROM (
+       |    SELECT *, $p12 AS p12,
+       |      CAST(sum($p12) OVER () AS DECIMAL(18,12)) AS z12
+       |    FROM r${r - 1})
+       |)""".stripMargin
+  }.mkString(", ")
 
   /** DSIR feature-hash bucket count — a model hyperparameter (the paper
     * uses 10k buckets for its hashed n-grams; smaller here keeps the
