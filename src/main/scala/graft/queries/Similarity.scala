@@ -2998,9 +2998,113 @@ object Similarity {
     }
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019; the
+    * CCMatrix/LASER alignment-mining operator): treat label < 5 as the
+    * source-language embedding space and label ≥ 5 as the target side
+    * (the harness stand-in for two language encoders sharing one
+    * space), generate candidates with the corpus-scaled SRP-cell
+    * blocking + hamming-1 probes (the q_dedup_embedding geometry —
+    * candidate volume O(N · cell-target), never A×B; production FAISS
+    * mining is the same approximate-candidates shape), then keep
+    * MUTUAL nearest neighbours (forward top-1 == backward top-1, the
+    * paper's "intersection" criterion) and score them with the ratio
+    * margin dot/(½·(avgₖ_fwd + avgₖ_bwd)) over the k=4 neighbour
+    * averages — the margin that suppresses hub vectors a raw cosine
+    * cutoff would keep. Determinism: ranking runs on the PINNED
+    * left-fold double dot (dot_f ↔ list_reduce, the q_random_projection
+    * rule — identical IEEE values in both engines, id tie-breaks; the
+    * exact-DECIMAL kernel would cost 64 decimal ops per candidate for
+    * a ranking the double already decides identically), the k-NN
+    * averages snap each dot once (dec_cast ↔ VARCHAR path) and sum in
+    * exact DECIMAL, and the margin is one double ratio of identical
+    * images on both engines. */
+  private lazy val bitextQuery: Q = Q(
+    "q_mine_bitext",
+    s"""WITH semassign AS (
+      |  SELECT vec_id, embedding, label, ${duckSemCell("embedding")} AS cell
+      |  FROM embeddings
+      |), aprobes AS (
+      |  SELECT vec_id, embedding,
+      |    unnest(list_prepend(cell, list_transform(generate_series(0, $duckSemBits - 1),
+      |      j -> xor(cell, (1 << j))))) AS probe
+      |  FROM semassign WHERE label < 5
+      |), cand AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_reduce(list_transform(generate_series(1, 64),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+      |      (x, y) -> x + y) AS dt
+      |  FROM aprobes a JOIN semassign b ON a.probe = b.cell AND b.label >= 5
+      |), ranked AS (
+      |  SELECT id_a, id_b, dt,
+      |    row_number() OVER (PARTITION BY id_a ORDER BY dt DESC, id_b) AS fr,
+      |    row_number() OVER (PARTITION BY id_b ORDER BY dt DESC, id_a) AS br
+      |  FROM cand
+      |), fa AS (
+      |  SELECT id_a,
+      |    CAST(CAST(sum(CAST(CAST(dt AS VARCHAR) AS DECIMAL(18,9))) AS DECIMAL(28,9))
+      |      AS DOUBLE) / count(*) AS avg_a
+      |  FROM ranked WHERE fr <= $BITEXT_K GROUP BY 1
+      |), fb AS (
+      |  SELECT id_b,
+      |    CAST(CAST(sum(CAST(CAST(dt AS VARCHAR) AS DECIMAL(18,9))) AS DECIMAL(28,9))
+      |      AS DOUBLE) / count(*) AS avg_b
+      |  FROM ranked WHERE br <= $BITEXT_K GROUP BY 1
+      |)
+      |SELECT id_a, id_b, dt AS dot, avg_a, avg_b,
+      |  dt / (CAST(0.5 AS DOUBLE) * (avg_a + avg_b)) AS margin
+      |FROM ranked JOIN fa USING (id_a) JOIN fb USING (id_b)
+      |WHERE fr = 1 AND br = 1 AND avg_a + avg_b > CAST(0 AS DOUBLE)
+      |  AND dt / (CAST(0.5 AS DOUBLE) * (avg_a + avg_b))
+      |      > CAST(1.05 AS DOUBLE)""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    // still salted: hyperplane cells are uneven on clustered data and a
+    // hot cell would otherwise pin one task (the q_dedup_embedding rule)
+    val salts = 8
+    val bits = semBits(s, dir)
+    val e = semanticAssign(s, dir, bits).persistScoped() // probe side and home side
+    val probeArr =
+      ("cell" +: (0 until bits).map(j => s"cell ^ ${1 << j}")).mkString("array(", ", ", ")")
+    val ea = e.filter(col("label") < 5)
+      .withColumn("probe", explode(expr(probeArr)))
+      .withColumn("salt", pmod(hash(col("vec_id")), lit(salts)))
+      .select(col("vec_id").as("id_a"), col("embedding").as("a_emb"),
+        col("probe"), col("salt"))
+    val eb = e.filter(col("label") >= 5)
+      .withColumn("salt", explode(expr(s"sequence(0, ${salts - 1})")))
+      .select(col("vec_id").as("id_b"), col("embedding").as("b_emb"),
+        col("cell"), col("salt"))
+    val cand = ea.as("a")
+      .join(eb.as("b"), expr("a.probe = b.cell and a.salt = b.salt"))
+      .select(col("id_a"), col("id_b"), expr("dot_f(a_emb, b_emb)").as("dt"))
+    val ranked = cand
+      .withColumn("fr", row_number().over(
+        Window.partitionBy(col("id_a")).orderBy(col("dt").desc, col("id_b"))))
+      .withColumn("br", row_number().over(
+        Window.partitionBy(col("id_b")).orderBy(col("dt").desc, col("id_a"))))
+      .persistScoped() // feeds fa, fb AND the mutual-top-1 slice
+    val snapped = "dec_cast(dt, 18, 9)"
+    val fa = ranked.filter(col("fr") <= BITEXT_K).groupBy(col("id_a")).agg(
+      (sum(expr(snapped)).cast("decimal(28,9)").cast("double") / count(lit(1))).as("avg_a"))
+    val fb = ranked.filter(col("br") <= BITEXT_K).groupBy(col("id_b")).agg(
+      (sum(expr(snapped)).cast("decimal(28,9)").cast("double") / count(lit(1))).as("avg_b"))
+    ranked.filter(col("fr") === 1 && col("br") === 1)
+      .join(fa, "id_a").join(fb, "id_b")
+      .filter(col("avg_a") + col("avg_b") > lit(0.0))
+      .select(col("id_a"), col("id_b"), col("dt").as("dot"),
+        col("avg_a"), col("avg_b"),
+        (col("dt") / (lit(0.5) * (col("avg_a") + col("avg_b")))).as("margin"))
+      .filter(col("margin") > expr("cast(1.05 as double)"))
+      .select(col("id_a"), col("id_b"), col("dot"), col("avg_a"), col("avg_b"),
+        col("margin"))
+  }
+
+  /** Bitext-mining neighbourhood size for the margin averages — the
+    * model hyperparameter (the paper uses k=4). */
+  private final val BITEXT_K = 4
+
   val queries: Seq[Q] =
     baseQueries :+ recallQuery :+ nprobeCurveQuery :+ diversityQuery :+
-      purityQuery :+ normsQuery :+ outliersQuery
+      purityQuery :+ normsQuery :+ outliersQuery :+ bitextQuery
 
   /** SemDeDup cell geometry — CORPUS-DERIVED hyperplane cells
     * (round-11; replaces the fixed-16 nearest-centroid cells, the last
