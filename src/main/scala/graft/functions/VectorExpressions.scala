@@ -140,6 +140,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HashedScore].getName, "hashed_score"),
       HashedScore.build _))
     ext.injectFunction((
+      new FunctionIdentifier("dsir_score"),
+      new ExpressionInfo(classOf[DsirScore].getName, "dsir_score"),
+      DsirScore.build _))
+    ext.injectFunction((
       new FunctionIdentifier("simhash_agg"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
       (children: Seq[Expression]) => SimHashAgg(children.head)))

@@ -965,25 +965,77 @@ object Curation {
     * bound every consumer relies on. (`final` so the literal inlines at
     * compile time — a plain val here reads 0 during object init, the
     * declaration-order trap the other query modules dodge the same way.) */
-  private final val DSIR_B = 1024
+  private[graft] final val DSIR_B = 1024
+
+  private val dsirModels =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[String, Array[Long]]]()
+  private def dsirModelMap(s: org.apache.spark.sql.SparkSession) =
+    dsirModels.synchronized {
+      var m = dsirModels.get(s)
+      if (m == null) { m = scala.collection.concurrent.TrieMap.empty; dsirModels.put(s, m) }
+      m
+    }
+
+  /** Trained DSIR log-ratio table for (session, dir) as SCALE-9
+    * UNSCALED longs indexed by bucket, training on demand — the model
+    * hand-off to the streaming scorer
+    * ([[graft.streaming.Streams.dsirScore]]). ALL DSIR_B buckets get a
+    * value (a left join against a bucket spine; absent buckets take
+    * the Laplace-smoothed raw=tgt=0 log-ratio) because a STREAMED doc
+    * may hash a gram into a bucket the training corpus never touched —
+    * the batch query's inner join never sees one, but the scorer must
+    * not NPE on it. The lr arithmetic is the dsirWeights expression
+    * text verbatim, so the streaming score stays bit-identical to the
+    * batch aggregate on training-corpus docs (the batch-twin gate). */
+  private[graft] def dsirModel(
+      s: org.apache.spark.sql.SparkSession, dir: String): Array[Long] =
+    dsirModelMap(s).getOrElseUpdate(dir, {
+      val agg = dsirFeats(s, dir).groupBy(col("f")).agg(
+        sum(col("cnt")).as("raw"),
+        coalesce(sum(when(col("lang") === "en", col("cnt"))), lit(0L)).as("tgt"))
+      val tot = agg.agg(
+        sum(col("raw")).as("tr"), coalesce(sum(col("tgt")), lit(0L)).as("tt"))
+      val rows = s.range(DSIR_B).select(col("id").as("sf"))
+        .join(agg, col("sf") === col("f"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("sf"), expr(
+          s"""dec_cast(ln(
+             |  (cast(coalesce(tgt, 0) + 1 as double) / (coalesce(raw, 0) + 1)) *
+             |  (cast(tr + $DSIR_B as double) / (tt + $DSIR_B))), 18, 9)""".stripMargin)
+          .as("lr"))
+        .collect() // model-sized: exactly DSIR_B rows at any corpus size
+      val lr = new Array[Long](DSIR_B)
+      rows.foreach { r =>
+        lr(r.getLong(0).toInt) =
+          r.getDecimal(1).movePointRight(9).longValueExact()
+      }
+      lr
+    })
 
   /** Per-doc DSIR importance weights: (doc_id, lang, n_feats, weight).
     * Shared by q_dsir_weights (surfaces it) and q_dsir_select (ranks
     * it under Gumbel noise) — one formulation, no drift. */
-  private def dsirWeights(
-      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    // distinct unigrams + distinct bigrams per doc, hashed to DSIR_B
-    // buckets: shingles() is already distinct-per-doc and returns the
-    // empty array below 2 tokens, so the concat explodes each distinct
-    // gram exactly once (unigrams never collide with bigrams — tokens
-    // cannot contain the separator space)
-    val feats = Tables(s, dir, "documents")
+  /** The (doc_id, lang, f, cnt) hashed-gram feature frame: distinct
+    * unigrams + distinct bigrams per doc, hashed to DSIR_B buckets —
+    * shingles() is already distinct-per-doc and returns the empty
+    * array below 2 tokens, so the concat explodes each distinct gram
+    * exactly once (unigrams never collide with bigrams — tokens cannot
+    * contain the separator space). Shared by [[dsirWeights]] and the
+    * [[dsirModel]] trainer. */
+  private def dsirFeats(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         explode(expr(s"concat(array_distinct($tokens), shingles($tokens, 2))")).as("g"))
       .select(col("doc_id"), col("lang"),
         expr(s"${h("concat('dsir#', g)")} % $DSIR_B").as("f"))
       .groupBy(col("doc_id"), col("lang"), col("f"))
       .agg(count(lit(1)).as("cnt"))
+
+  private def dsirWeights(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val feats = dsirFeats(s, dir)
       .persistScoped() // feeds the model aggregate AND the weight join
     val agg = feats.groupBy(col("f")).agg(
       sum(col("cnt")).as("raw"),

@@ -146,10 +146,18 @@ object StreamBench {
     // eval-set bloom for the streaming decontamination gate
     val evalBloom = graft.queries.TextAnalysis.evalBloomBytes(spark, dir)
 
+    // trained DSIR bucket log-ratio table for the importance scorer
+    val dsirLr = graft.queries.Curation.dsirModel(spark, dir)
+
     def onePass(): Seq[(String, Long, Double)] = {
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
     results += timeStream[SDoc](spark, "score_docs", wDocs, docs,
       df => graft.streaming.Streams.scoreDocs(df, weights))
+    // the DSIR importance scorer (round 17): distinct unigram+bigram
+    // hashing per row — stateless like score_docs but ~2 tokens of
+    // hashing per token instead of 1
+    results += timeStream[SDoc](spark, "dsir_score", wDocs, docs,
+      df => graft.streaming.Streams.dsirScore(df, dsirLr))
     results += timeStream[SVec](spark, "encode_pq", wVecs, vecs,
       df => graft.streaming.Streams.encodePq(df, pqcb))
     // micro-batch size sweep (round-16 headroom item): the r15 claim

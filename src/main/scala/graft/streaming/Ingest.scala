@@ -49,6 +49,11 @@ import org.apache.spark.sql.functions._
   *    prefilter is probabilistic); same (bucket, doc_id, keeper_id)
   *    schema, so `apply_claims` consumes either ledger unchanged. No
   *    offline model (the media_dedup rule).
+  *  - `dsir_score`: input (doc_id, text, ...) — adds
+  *    `n_feats`/`dsir_weight` under the TRAINED per-bucket DSIR
+  *    log-ratio table ([[graft.queries.Curation.dsirModel]]),
+  *    annotate-only (selection is a GLOBAL Gumbel top-k rank — a batch
+  *    concern by design), all columns passed through.
   *  - `media_dedup`: input the MediaRecord schema (media_id, kind,
   *    payload, meta) — real decode + dHash + hamming-ball probe-key
   *    claims ([[Streams.mediaDedup]]), the q_media_dedup candidate
@@ -64,7 +69,7 @@ object Ingest {
 
   val ops: Seq[String] =
     Seq("score", "dedup_claim", "gate_contaminated", "encode_ivfadc",
-      "apply_claims", "media_dedup", "dedup_simhash_claim")
+      "apply_claims", "media_dedup", "dedup_simhash_claim", "dsir_score")
 
   def apply(spark: SparkSession, op: String, modelDir: String, df: DataFrame): DataFrame =
     op match {
@@ -80,6 +85,11 @@ object Ingest {
         // horizon constant, model_dir unused but required by the task
         // shape, the media_dedup rule)
         Streams.simhashBlocksDedup(df).toDF()
+      case "dsir_score" =>
+        // annotate-only: DSIR selection is a GLOBAL rank (Gumbel
+        // top-k), which a stream cannot do — the scorer stamps
+        // n_feats/dsir_weight and the batch sampler downstream cuts
+        Streams.dsirScore(df, graft.queries.Curation.dsirModel(spark, modelDir))
       case "gate_contaminated" =>
         df.withColumn("n_candidates",
             Streams.contaminationHits(spark,

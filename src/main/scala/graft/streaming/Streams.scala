@@ -229,6 +229,35 @@ object Streams {
       .withColumn("cls_flag", when(col("score") > 0, "keep").otherwise("drop"))
   }
 
+  /** Streaming DSIR importance scorer — the stateless twin of the batch
+    * `q_dsir_weights` frame (round 17): each arriving doc gets
+    * `n_feats` and `dsir_weight` under the TRAINED per-bucket log-ratio
+    * table ([[graft.queries.Curation.dsirModel]] — train offline on the
+    * reference corpus, score the stream online; the paper's deployment
+    * shape). ONE native loop per row ([[graft.functions.DsirScore]]):
+    * distinct unigrams + bigrams, active-profile CrossHash buckets, an
+    * exact scale-9 integer sum — bit-identical to the batch explode +
+    * DECIMAL aggregate (StreamingSpec batch-twin gate). The model rides
+    * as a reference long[] via ColumnBridge — a 1024-element SQL
+    * literal array would re-create the giant-literal hazard. Pure map,
+    * NO STATE; selection (the Gumbel top-k half) stays a batch concern
+    * by design — a stream cannot rank globally. */
+  def dsirScore(docs: DataFrame, lrScaled: Array[Long]): DataFrame = {
+    require(lrScaled.length == graft.queries.Curation.DSIR_B,
+      s"dsirScore model must have length DSIR_B = " +
+        s"${graft.queries.Curation.DSIR_B}; got ${lrScaled.length} — " +
+        "stale or foreign model?")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val scored = ColumnBridge.column(graft.functions.DsirScore(
+      ColumnBridge.expression(expr("split(trim(text), '\\\\s+')")),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(lrScaled)))
+    docs
+      .withColumn("ds", scored)
+      .withColumn("n_feats", col("ds.n_feats"))
+      .withColumn("dsir_weight", col("ds.weight"))
+      .drop("ds")
+  }
+
   /** Streaming PQ encode — the stateless twin of the batch `q_pq_encode`
     * codes frame (round 15): each arriving vector quantizes to its
     * (subspace → code) rows under the TRAINED codebook, which rides the

@@ -619,6 +619,7 @@ class DistPipelineSpec extends SparkSpec {
         "dest":   {"adapter": "hadoopParquet", "path": "$base/$out"}}"""
     val cfg = s"""{ "ingest": [
       ${stage("score", "in", "scored")},
+      ${stage("dsir_score", "scored", "dsirscored")},
       ${stage("dedup_claim", "scored", "claims")},
       ${stage("gate_contaminated", "scored", "gated")},
       ${stage("apply_claims", "gated", "deduped", s"$base/claims")},
@@ -636,6 +637,19 @@ class DistPipelineSpec extends SparkSpec {
       "quality gate must keep the batch-scored keep set")
     assert(scored.columns.contains("embedding") && scored.columns.contains("score"),
       "score stage must pass payload columns through")
+    // dsir_score: annotate-only — same rows as its input, stamped with
+    // the batch-identical importance weight (the per-row expression is
+    // batch-twin-gated in StreamingSpec; here the CONFIG surface)
+    val dsirScored = spark.read.parquet(s"$base/dsirscored")
+    val expDsir = Ingest(spark, "dsir_score", sf(), expScored)
+    assert(dsirScored.count() == expScored.count(),
+      "dsir_score must pass every row through")
+    assert(
+      dsirScored.select(col("doc_id"), col("dsir_weight")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq ==
+        expDsir.select(col("doc_id"), col("dsir_weight")).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq,
+      "config-surface dsir weights must equal the batch application")
     val gated = spark.read.parquet(s"$base/gated")
     val expGated = Ingest(spark, "gate_contaminated", sf(), expScored)
     assert(gated.select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq ==

@@ -730,6 +730,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dsirScore batch-twin: stream weights equal q_dsir_weights on real docs") {
+    // train the bucket log-ratio table offline, score the stream online
+    // (the DSIR deployment shape). The native per-row loop must
+    // reproduce the batch explode + DECIMAL aggregate BIT-IDENTICALLY:
+    // n_feats is the same distinct-gram count and weight the same
+    // decimal double image, so every pair is compared exactly.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val lr = graft.queries.Curation.dsirModel(spark, sf())
+    assert(lr.length == graft.queries.Curation.DSIR_B)
+    val docs = graft.io.Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.dsirScore(mem.toDF().toDF("doc_id", "text"), lr)
+      .select(col("doc_id"), col("n_feats"), col("dsir_weight"))
+      .writeStream.format("memory").queryName("dsir_twin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      val stream = spark.table("dsir_twin").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val batch = SparkEntry.queries("q_dsir_weights")(spark, sf())
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      graft.io.CacheScope.releaseAll()
+      // every corpus doc has >= 1 token, so the batch inner join keeps
+      // them all — the stream's empty-doc widening never fires here
+      assert(stream.keySet == batch.keySet)
+      val diff = batch.keys.filter(k => stream(k) != batch(k))
+      assert(diff.isEmpty,
+        s"stream/batch dsir mismatch on ${diff.take(5).toSeq}: " +
+          diff.take(3).map(k => s"$k stream=${stream(k)} batch=${batch(k)}").mkString(", "))
+      assert(batch.values.exists(_._2 > 0) && batch.values.exists(_._2 < 0),
+        "corpus must exercise both weight signs")
+    } finally q.stop()
+  }
+
   test("encodePq batch-twin: stream codes equal q_pq_encode on real vectors") {
     // train offline, encode the stream online — the IVF-PQ serving
     // shape. The stateless per-row loop IS the batch kernel's
