@@ -40,6 +40,15 @@ object Bpe {
   /** Merge rounds — a fixed model constant, like |C| centroids. */
   private val K = 6
 
+  /** Unigram-LM geometry (Kudo 2018 / the SentencePiece default):
+    * max candidate piece length, seed-vocabulary cut (top pieces by
+    * weighted substring frequency — single chars are ALWAYS kept so
+    * segmentation can never fail), and the trained-table slice the
+    * gate hashes. All fixed model constants. */
+  private val ULEN = 4
+  private val UTOP = 64
+  private val UOUT = 32
+
   /** Shared CTE prefix: w0 (vocab) through w`K` (merged vocab) plus the
     * per-round m{r} top-pair frames. */
   private def duckCtes: String = {
@@ -97,6 +106,141 @@ object Bpe {
          |FROM tok JOIN w$K USING (word)
          |WHERE regexp_matches(word, '^[a-z]+$$')
          |GROUP BY doc_id""".stripMargin
+
+  /** DuckDB twin of Spark's dec_cast at scale 9 — the VARCHAR path
+    * (the Curation.duckSnap rule: a direct double→DECIMAL cast in
+    * DuckDB rounds the exact binary value where Spark rounds the
+    * shortest repr). */
+  private def uSnap(x: String): String =
+    s"CAST(CAST($x AS VARCHAR) AS DECIMAL(18,9))"
+
+  /** The shared unigram-LM oracle chain, ending in `sc2` (the trained
+    * piece table) and `seg2` (the final per-word Viterbi segmentation).
+    * The Viterbi itself is mirrored by ENUMERATION: a recursive CTE
+    * walks every segmentation of every vocab word over the kept piece
+    * table (bounded — compositions of ≤ max-word-length with pieces
+    * ≤ ULEN, over the Heap's-law vocab), then picks per word by
+    * (total DESC, length-string DESC) — exactly the native DP's
+    * exact-integer total with ties toward the longer piece decided
+    * right-to-left (two complete length strings can never be
+    * prefix-related: their digit sums both equal the word length).
+    * Totals accumulate in exact DECIMAL(18,9); scores are the same
+    * VARCHAR-path snapped ln values the Spark model collects. */
+  private def duckUniCtes: String = {
+    def paths(n: Int, sc: String) =
+      s"""paths$n AS (
+         |  SELECT word, freq, 0 AS pos, CAST(0 AS DECIMAL(18,9)) AS total,
+         |    '' AS lens, CAST([] AS VARCHAR[]) AS pcs
+         |  FROM uv
+         |  UNION ALL
+         |  SELECT p.word, p.freq, p.pos + s.plen,
+         |    CAST(p.total + s.lp AS DECIMAL(18,9)),
+         |    p.lens || chr(48 + s.plen), list_append(p.pcs, s.piece)
+         |  FROM paths$n p JOIN $sc s ON s.piece = substr(p.word, p.pos + 1, s.plen)
+         |  WHERE p.pos < length(p.word)
+         |), seg$n AS MATERIALIZED (
+         |  SELECT word, freq, pcs FROM (
+         |    SELECT word, freq, pcs,
+         |      row_number() OVER (PARTITION BY word ORDER BY total DESC, lens DESC) AS rn
+         |    FROM paths$n WHERE pos = length(word)
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    s"""uv AS MATERIALIZED (
+       |  SELECT lower(t) AS word, count(*) AS freq
+       |  FROM (SELECT unnest($duckTokens) AS t FROM documents)
+       |  WHERE regexp_matches(lower(t), '^[a-z]+$$')
+       |  GROUP BY 1
+       |), usub AS MATERIALIZED (
+       |  SELECT substr(word, i, l) AS piece, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM uv,
+       |    unnest(generate_series(1, length(word))) AS t(i),
+       |    unnest(generate_series(1, $ULEN)) AS t2(l)
+       |  WHERE i + l - 1 <= length(word)
+       |  GROUP BY 1
+       |), ukept AS MATERIALIZED (
+       |  -- NOT a UNION: inside WITH RECURSIVE, DuckDB gives a two-arm
+       |  -- UNION recursive-iteration semantics and ships DUPLICATE
+       |  -- rows for pieces in both arms (measured: single chars
+       |  -- doubled in the usage join); usub is unique by piece, so
+       |  -- one SELECT with an OR membership test is the same set
+       |  SELECT piece, cnt FROM usub
+       |  WHERE length(piece) = 1 OR piece IN (
+       |    SELECT piece FROM usub ORDER BY cnt DESC, piece LIMIT $UTOP)
+       |), sc1 AS MATERIALIZED (
+       |  SELECT piece, CAST(length(piece) AS INT) AS plen,
+       |    ${uSnap("ln(CAST(cnt AS DOUBLE) / " +
+                    "CAST((SELECT sum(cnt) FROM ukept) AS BIGINT))")} AS lp
+       |  FROM ukept
+       |), ${paths(1, "sc1")}, uu1 AS MATERIALIZED (
+       |  SELECT k.piece, CAST(coalesce(sum(s.freq), 0) AS BIGINT) AS u
+       |  FROM ukept k LEFT JOIN (
+       |    SELECT unnest(pcs) AS piece, freq FROM seg1) s USING (piece)
+       |  GROUP BY 1
+       |), sc2 AS MATERIALIZED (
+       |  SELECT piece, CAST(length(piece) AS INT) AS plen, u,
+       |    ${uSnap("ln(CAST(u + 1 AS DOUBLE) / " +
+                    "(CAST((SELECT sum(u) FROM uu1) AS BIGINT) + (SELECT count(*) FROM uu1)))")} AS lp
+       |  FROM uu1
+       |), ${paths(2, "sc2")}""".stripMargin
+  }
+
+  /** Hard-EM unigram-LM training (one Viterbi re-estimation round):
+    * seed scores from weighted substring frequencies over the kept
+    * piece table, segment the vocab, re-estimate Laplace-smoothed
+    * scores from usage, segment again. Returns the final segmentation
+    * frame (word, freq, pcs) and the trained (piece, usage, logprob)
+    * table (model-sized — ≤ UTOP + 26 rows at any corpus). Both
+    * Viterbi passes run the native [[graft.functions.UnigramSegment]]
+    * expression over the BOUNDED vocab frame; the model rides as a
+    * reference object via ColumnBridge. */
+  private def uniTrain(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, Seq[(String, Long, java.math.BigDecimal)]) = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    graft.functions.GraftRuntime.ensure(s)
+    val v = Tables(s, dir, "documents")
+      .select(explode(expr(tokens)).as("t"))
+      .select(lower(col("t")).as("word"))
+      .filter(expr("word rlike '^[a-z]+$'"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .persistScoped() // feeds the substring counts AND both Viterbi passes
+    val subs = v
+      .select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), i ->
+           |  transform(sequence(1, least($ULEN, length(word) - i + 1)),
+           |    l -> substring(word, i, l))))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      .persistScoped() // the top slice AND the single-char floor
+    val kept = subs.orderBy(col("cnt").desc, col("piece")).limit(UTOP)
+      .union(subs.filter(length(col("piece")) === 1))
+      .distinct()
+    val t1 = kept.agg(sum(col("cnt")).as("tc"))
+    val sc1 = kept.crossJoin(broadcast(t1))
+      .select(col("piece"),
+        expr("dec_cast(ln(cast(cnt as double) / tc), 18, 9)").as("lp"))
+      .collect() // model-sized: <= UTOP + 26 rows
+      .map(r => (r.getString(0), r.getDecimal(1)))
+    def segCol(model: Seq[(String, java.math.BigDecimal)]) =
+      ColumnBridge.column(graft.functions.UnigramSegment(
+        ColumnBridge.expression(col("word")),
+        model.map(_._1),
+        model.map(_._2.movePointRight(9).longValueExact())))
+    val usage1 = v.withColumn("pcs", segCol(sc1.toSeq))
+      .select(explode(col("pcs")).as("piece"), col("freq"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("uc"))
+    import s.implicits._
+    val spine = sc1.map(_._1).toSeq.toDF("piece")
+    val u1 = spine.join(usage1, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("uc"), lit(0L)).as("u"))
+    val tot2 = u1.agg(sum(col("u")).as("uu"), count(lit(1)).as("p"))
+    val sc2 = u1.crossJoin(broadcast(tot2))
+      .select(col("piece"), col("u"),
+        expr("dec_cast(ln(cast(u + 1 as double) / (uu + p)), 18, 9)").as("lp"))
+      .collect() // model-sized again
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+    val seg2 = v.withColumn("pcs", segCol(sc2.toSeq.map(r => (r._1, r._3))))
+    (seg2, scala.collection.immutable.ArraySeq.unsafeWrapArray(sc2))
+  }
 
   /** Run the K training rounds; returns the merge decisions and the
     * final vocab frame (word, freq, syms) — scoped-persisted, released
@@ -214,5 +358,75 @@ object Bpe {
         .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"), col("n_chars"),
           (col("n_tokens").cast("double") / col("n_words")).as("tokens_per_word"),
           (col("n_chars").cast("double") / col("n_tokens")).as("chars_per_token"))
+    },
+
+    // ---- unigram-LM tokenizer training (Kudo 2018, SentencePiece) ----------
+    // The OTHER standard subword tokenizer: seed a piece vocabulary
+    // from weighted substring frequencies (top UTOP + every single
+    // char, so coverage is total), Viterbi-segment the Heap's-law
+    // vocab under exact-INTEGER scale-9 log-prob scores (the native
+    // unigram_segment DP — ties break toward the longer piece, decided
+    // right to left), re-estimate Laplace-smoothed scores from usage
+    // (hard EM), segment again. Gates the trained table's top UOUT
+    // pieces by final usage. The oracle replays the DP by ENUMERATING
+    // segmentations with a recursive CTE and sorting (total DESC,
+    // length-string DESC) — the orders coincide by the
+    // greedy-longest-suffix argument in duckUniCtes' doc. Corpus-scale
+    // cost: ONE vocab hash-aggregate + one bounded substring explode;
+    // every EM step touches only model-sized or vocab-sized frames.
+    Q(
+      "q_unigram_lm_train",
+      s"""WITH RECURSIVE $duckUniCtes
+        |SELECT rank, piece, cnt, logprob FROM (
+        |  SELECT u2.piece, u2.cnt, CAST(s.lp AS DOUBLE) AS logprob,
+        |    CAST(row_number() OVER (ORDER BY u2.cnt DESC, u2.piece) AS INT) AS rank
+        |  FROM (
+        |    SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+        |    FROM (SELECT unnest(pcs) AS piece, freq FROM seg2) GROUP BY 1) u2
+        |  JOIN sc2 s USING (piece)
+        |) WHERE rank <= $UOUT""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val (seg2, sc2) = uniTrain(s, dir)
+      val usage2 = seg2
+        .select(explode(col("pcs")).as("piece"), col("freq"))
+        .groupBy(col("piece")).agg(sum(col("freq")).cast("long").as("cnt"))
+      val lpDf = sc2.map(r => (r._1, r._3.doubleValue)).toDF("piece", "logprob")
+      usage2.join(broadcast(lpDf), "piece")
+        .orderBy(col("cnt").desc, col("piece")).limit(UOUT)
+        // rank re-derived over the bounded slice (the q_dsir_select rule)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("piece"))))
+        .select(col("rank"), col("piece"), col("cnt"), col("logprob"))
+    },
+
+    // ---- apply the trained unigram tokenizer to the corpus -----------------
+    // Same shape as q_bpe_encode: the corpus joins the BOUNDED trained
+    // (word -> piece count) table; the per-word DP cost was paid at
+    // training time, the corpus pass is explode + join + groupBy.
+    Q(
+      "q_unigram_encode",
+      s"""WITH RECURSIVE $duckUniCtes
+        |SELECT doc_id, count(*) AS n_words,
+        |  CAST(sum(np) AS BIGINT) AS n_pieces,
+        |  CAST(sum(length(word)) AS BIGINT) AS n_chars
+        |FROM (
+        |  SELECT doc_id, lower(t) AS word
+        |  FROM (SELECT doc_id, unnest($duckTokens) AS t FROM documents)
+        |  WHERE regexp_matches(lower(t), '^[a-z]+$$'))
+        |JOIN (SELECT word, len(pcs) AS np FROM seg2) USING (word)
+        |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val (seg2, _) = uniTrain(s, dir)
+      val np = seg2.select(col("word"), expr("size(pcs)").as("np"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(tokens)).as("t"))
+        .select(col("doc_id"), lower(col("t")).as("word"))
+        .filter(expr("word rlike '^[a-z]+$'"))
+        .join(np, Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(col("np")).cast("long").as("n_pieces"),
+          sum(length(col("word"))).cast("long").as("n_chars"))
     })
 }
