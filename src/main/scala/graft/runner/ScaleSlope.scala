@@ -78,6 +78,8 @@ object ScaleSlope {
     // in and the media corpus above cannot exercise (VERDICT r16 #1)
     "q_dedup_simhash_blocks", // exact-recall block-combination candidates: C(B,5)·H probe
     // rows with corpus-derived B — the signature vocabulary grows ∝ N naturally (r17)
+    "q_mine_bitext", // margin mining: SRP-cell + hamming-1 probe A×B candidates — the
+    // cell count is corpus-derived (semBits), so candidate volume must stay O(N·target)
     "q_classifier_train")
 
   final val Scales = Seq(1, 4, 16)
