@@ -184,6 +184,27 @@ object Bpe {
        |), ${paths(2, "sc2")}""".stripMargin
   }
 
+  private val uniModels =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[String, Seq[(String, Long)]]]()
+  private def uniModelMap(s: org.apache.spark.sql.SparkSession) =
+    uniModels.synchronized {
+      var m = uniModels.get(s)
+      if (m == null) { m = scala.collection.concurrent.TrieMap.empty; uniModels.put(s, m) }
+      m
+    }
+
+  /** Trained unigram-LM piece table for (session, dir) as (piece,
+    * SCALE-9 UNSCALED log-prob) pairs, training on demand — the model
+    * hand-off to the streaming encoder
+    * ([[graft.streaming.Streams.unigramEncode]]). */
+  private[graft] def unigramModel(
+      s: org.apache.spark.sql.SparkSession, dir: String): Seq[(String, Long)] =
+    uniModelMap(s).getOrElseUpdate(dir, {
+      val (_, sc2) = uniTrain(s, dir)
+      sc2.map(r => (r._1, r._3.movePointRight(9).longValueExact()))
+    })
+
   /** Hard-EM unigram-LM training (one Viterbi re-estimation round):
     * seed scores from weighted substring frequencies over the kept
     * piece table, segment the vocab, re-estimate Laplace-smoothed

@@ -148,6 +148,8 @@ object StreamBench {
 
     // trained DSIR bucket log-ratio table for the importance scorer
     val dsirLr = graft.queries.Curation.dsirModel(spark, dir)
+    // trained unigram-LM piece table for the online tokenizer encode
+    val uniModel = graft.queries.Bpe.unigramModel(spark, dir)
 
     def onePass(): Seq[(String, Long, Double)] = {
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
@@ -158,6 +160,10 @@ object StreamBench {
     // hashing per token instead of 1
     results += timeStream[SDoc](spark, "dsir_score", wDocs, docs,
       df => graft.streaming.Streams.dsirScore(df, dsirLr))
+    // the unigram-LM online tokenizer encode (round 17): one Viterbi
+    // DP per alpha word per row under the trained piece table
+    results += timeStream[SDoc](spark, "encode_unigram", wDocs, docs,
+      df => graft.streaming.Streams.unigramEncode(df, uniModel))
     results += timeStream[SVec](spark, "encode_pq", wVecs, vecs,
       df => graft.streaming.Streams.encodePq(df, pqcb))
     // micro-batch size sweep (round-16 headroom item): the r15 claim

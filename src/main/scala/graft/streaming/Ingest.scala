@@ -54,6 +54,11 @@ import org.apache.spark.sql.functions._
   *    log-ratio table ([[graft.queries.Curation.dsirModel]]),
   *    annotate-only (selection is a GLOBAL Gumbel top-k rank — a batch
   *    concern by design), all columns passed through.
+  *  - `encode_unigram`: input (doc_id, text, ...) — adds
+  *    `n_words`/`n_pieces`/`n_chars_alpha` under the TRAINED
+  *    unigram-LM piece table ([[graft.queries.Bpe.unigramModel]]) —
+  *    the online tokenizer-encode tier; annotate-only, all columns
+  *    passed through.
   *  - `media_dedup`: input the MediaRecord schema (media_id, kind,
   *    payload, meta) — real decode + dHash + hamming-ball probe-key
   *    claims ([[Streams.mediaDedup]]), the q_media_dedup candidate
@@ -69,7 +74,8 @@ object Ingest {
 
   val ops: Seq[String] =
     Seq("score", "dedup_claim", "gate_contaminated", "encode_ivfadc",
-      "apply_claims", "media_dedup", "dedup_simhash_claim", "dsir_score")
+      "apply_claims", "media_dedup", "dedup_simhash_claim", "dsir_score",
+      "encode_unigram")
 
   def apply(spark: SparkSession, op: String, modelDir: String, df: DataFrame): DataFrame =
     op match {
@@ -85,6 +91,10 @@ object Ingest {
         // horizon constant, model_dir unused but required by the task
         // shape, the media_dedup rule)
         Streams.simhashBlocksDedup(df).toDF()
+      case "encode_unigram" =>
+        // online tokenizer encode under the offline-trained unigram-LM
+        // piece table — annotate-only, all columns pass through
+        Streams.unigramEncode(df, graft.queries.Bpe.unigramModel(spark, modelDir))
       case "dsir_score" =>
         // annotate-only: DSIR selection is a GLOBAL rank (Gumbel
         // top-k), which a stream cannot do — the scorer stamps

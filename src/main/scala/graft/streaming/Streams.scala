@@ -258,6 +258,32 @@ object Streams {
       .drop("ds")
   }
 
+  /** Streaming unigram-LM encode — the stateless twin of the batch
+    * `q_unigram_encode` (round 17): each arriving doc gets its
+    * `n_words`/`n_pieces`/`n_chars_alpha` under the TRAINED piece table
+    * ([[graft.queries.Bpe.unigramModel]] — train offline, tokenize the
+    * stream online, the serving-tier shape of a tokenizer). ONE native
+    * loop per row ([[graft.functions.UnigramDocStats]] — the SAME
+    * Viterbi DP core as the batch trainer's `unigram_segment`, shared
+    * via [[graft.functions.UnigramDp]], so stream and batch counts are
+    * bit-identical by construction; StreamingSpec batch-twin gate).
+    * The model rides as a reference object via ColumnBridge. Pure map,
+    * NO STATE. The chars column is `n_chars_alpha` (not `n_chars`) so
+    * a documents frame's own n_chars passes through untouched. */
+  def unigramEncode(docs: DataFrame, model: Seq[(String, Long)]): DataFrame = {
+    require(model.nonEmpty, "unigramEncode needs a trained piece table")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val statsCol = ColumnBridge.column(graft.functions.UnigramDocStats(
+      ColumnBridge.expression(expr("split(trim(text), '\\\\s+')")),
+      model.map(_._1), model.map(_._2)))
+    docs
+      .withColumn("us", statsCol)
+      .withColumn("n_words", col("us.n_words"))
+      .withColumn("n_pieces", col("us.n_pieces"))
+      .withColumn("n_chars_alpha", col("us.n_chars"))
+      .drop("us")
+  }
+
   /** Streaming PQ encode — the stateless twin of the batch `q_pq_encode`
     * codes frame (round 15): each arriving vector quantizes to its
     * (subspace → code) rows under the TRAINED codebook, which rides the

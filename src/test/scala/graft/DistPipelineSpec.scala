@@ -689,6 +689,34 @@ class DistPipelineSpec extends SparkSpec {
       "checkpointed chain must not reprocess old files")
   }
 
+  test("streaming ingest: encode_unigram op tokenizes through the config surface") {
+    import org.apache.spark.sql.functions._
+    val base = tmpDir("dist")
+    spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("text")).write.parquet(s"$base/in")
+    val cfg = s"""{ "u": [{
+        "streaming": true, "ingest": "encode_unigram", "model_dir": "${sf()}",
+        "source": {"adapter": "hadoopParquet", "path": "$base/in"},
+        "dest":   {"adapter": "hadoopParquet", "path": "$base/tok"}}] }"""
+    write(s"$base/config.json", cfg)
+    val conf = DistConfig.parse(DistMain.readFile(spark, s"file:$base/config.json"))
+    DistMain.runDirection(spark, conf.direction("u"), "u")
+    val tok = spark.read.parquet(s"$base/tok")
+    val in = spark.read.parquet(s"$base/in")
+    assert(tok.count() == in.count(), "annotate-only: every row passes through")
+    // the stamped stats must equal the batch application of the same op
+    val exp = graft.streaming.Ingest(spark, "encode_unigram", sf(), in)
+      .select(col("doc_id"), col("n_words"), col("n_pieces"), col("n_chars_alpha"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val got = tok
+      .select(col("doc_id"), col("n_words"), col("n_pieces"), col("n_chars_alpha"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(got == exp, "config-surface tokenize must equal the batch application")
+    assert(got.exists(_._3 > 0), "the corpus must produce pieces")
+  }
+
   test("streaming ingest: media_dedup op hashes real payloads through the config surface") {
     import org.apache.spark.sql.functions._
     val base = tmpDir("dist")

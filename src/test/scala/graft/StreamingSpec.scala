@@ -769,6 +769,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("unigramEncode batch-twin: stream stats equal q_unigram_encode on real docs") {
+    // train the piece table offline, tokenize the stream online. The
+    // native per-doc loop shares the batch trainer's Viterbi DP core
+    // (UnigramDp), so every (n_words, n_pieces, n_chars) triple must
+    // be bit-identical to the batch explode + vocab-join aggregate.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val model = graft.queries.Bpe.unigramModel(spark, sf())
+    assert(model.nonEmpty)
+    val docs = graft.io.Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.unigramEncode(mem.toDF().toDF("doc_id", "text"), model)
+      .select(col("doc_id"), col("n_words"), col("n_pieces"), col("n_chars_alpha"))
+      .writeStream.format("memory").queryName("unigram_twin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      val stream = spark.table("unigram_twin").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val batch = SparkEntry.queries("q_unigram_encode")(spark, sf())
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      graft.io.CacheScope.releaseAll()
+      // batch drops docs with zero alpha words (inner join); the stream
+      // emits them with zeros — compare on the batch's key set and pin
+      // the widening rows to all-zero
+      assert(batch.keySet.subsetOf(stream.keySet))
+      val diff = batch.keys.filter(k => stream(k) != batch(k))
+      assert(diff.isEmpty,
+        s"stream/batch unigram mismatch on ${diff.take(5).toSeq}: " +
+          diff.take(3).map(k => s"$k stream=${stream(k)} batch=${batch(k)}").mkString(", "))
+      (stream.keySet -- batch.keySet).foreach { k =>
+        assert(stream(k) == ((0L, 0L, 0L)), s"widening row $k must be all-zero")
+      }
+    } finally q.stop()
+  }
+
   test("encodePq batch-twin: stream codes equal q_pq_encode on real vectors") {
     // train offline, encode the stream online — the IVF-PQ serving
     // shape. The stateless per-row loop IS the batch kernel's
