@@ -510,6 +510,15 @@ object Media {
   val duckBallProbe: String =
     "CASE WHEN b.b = 56 THEN dhash ELSE xor(dhash, (CAST(1 AS BIGINT) << CAST(b.b AS INT))) END"
 
+  /** Scala twin of [[BALL_FLIP_SQL]] — the hamming-≤1 ball of a 56-bit
+    * dHash (56 one-bit flips + the identity, in the same b = 0..56
+    * order). Used by the two-level streaming claim tier, which must
+    * emit ball keys from INSIDE a stateful function; MediaSpec pins
+    * this array against the SQL projection so the two renderings can
+    * never drift. */
+  def ballKeys(dhash: Long): Array[Long] =
+    Array.tabulate(57)(b => if (b == 56) dhash else dhash ^ (1L << b))
+
   /** Deterministic nearest-neighbor resample of an 8-bit gray image:
     * out(x, y) = in(x*srcW/w, y*srcH/h) with integer floor — exact
     * index arithmetic, no AWT interpolation, so the resized pixels are

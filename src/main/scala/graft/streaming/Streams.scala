@@ -517,22 +517,48 @@ object Streams {
     * per-pair verification stays a batch/serving concern, the
     * prefilter/confirm split of the text pipelines. Item key packs
     * (media_id, frame_no) via the guarded [[graft.multimodal.Media
-    * .ikeySql]]; `bucket` IS the 56-bit ball key. State: one long per
-    * seen ball key (57·H longs in the hash vocabulary H — the same
-    * O(H) class as the r16 bands once H passes 2^16, and never a
-    * quadratic claim fan-in), claims deterministic in item-key order
-    * within a micro-batch. */
+    * .ikeySql]]; `bucket` IS the 56-bit ball key.
+    *
+    * TWO-LEVEL claim tier (round 17, closes the 57-writes-per-item
+    * headroom): stage 1 is an exact-collapse state keyed by the RAW
+    * dHash — only the FIRST arrival of each distinct hash fans out its
+    * 57 ball keys; every later arrival emits ONE probe row on the raw
+    * hash, which the first arrival's own ball set contains, so stage 2
+    * resolves its keeper with a single state read. The candidate SET
+    * is unchanged (an exact-dup item always finds its hash's first
+    * arrival; a first arrival shares a midpoint bucket with an earlier
+    * neighbour's fan-out iff hamming ≤ 2 — every earlier item's ball
+    * is claimed by that hash's first arrival at an id ≤ its own), the
+    * batch-twin gate proves it, and state writes drop from 57·items to
+    * 57·H + (items − H) — on a dup-heavy media stream the dominant
+    * term is the cheap probe, exactly where production volume lives.
+    * Out-of-order arrivals follow the firstClaim protocol at BOTH
+    * levels (a lower key arriving later is a loser, never a keeper
+    * steal). */
   def mediaDedup(
       media: Dataset[graft.multimodal.Media.MediaRecord]): Dataset[ItemClaim] = {
     val spark = media.sparkSession
     import spark.implicits._
     graft.functions.GraftRuntime.ensure(spark)
-    val buckets = graft.multimodal.Media.dHashItems(media)
+    val items = graft.multimodal.Media.dHashItems(media)
       .selectExpr(s"${graft.multimodal.Media.ikeySql} AS ikey", "dhash")
-      .select(col("ikey"), col("dhash"),
-        explode(expr("sequence(0, 56)")).as("b"))
-      .selectExpr("ikey", s"${graft.multimodal.Media.BALL_FLIP_SQL} AS bucket")
-    firstClaim(buckets.as[(Long, Long)])(ItemClaim.apply)
+      .as[(Long, Long)]
+    // stage 1: exact-collapse — first arrival per distinct hash fans
+    // out the ball, later arrivals probe the raw hash only
+    val keyed = items.groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (dhash, rows, state: GroupState[Long]) =>
+          val ids = rows.map(_._1).toSeq.sorted
+          val first = !state.exists
+          if (first) state.update(1L)
+          ids.iterator.zipWithIndex.flatMap { case (id, i) =>
+            if (first && i == 0)
+              graft.multimodal.Media.ballKeys(dhash).iterator.map(b => (id, b))
+            else Iterator.single((id, dhash))
+          }
+      }
+    firstClaim(keyed)(ItemClaim.apply)
   }
 
   final case class CellClaim(cell: Int, vec_id: Long, keeper_id: Long, dot: Double)

@@ -730,11 +730,15 @@ class DistPipelineSpec extends SparkSpec {
     DistMain.runDirection(spark, conf.direction("m"), "m")
     val claims = spark.read.parquet(s"$base/claims")
     assert(claims.columns.toSeq == Seq("bucket", "item_key", "keeper_key"))
-    // 57 hamming-ball probe claims per decodable item (images 1,
-    // videos x frames) — the ball-key tier of VERDICT r16 #1
-    val expected = graft.multimodal.Media
-      .dHashItems(graft.multimodal.Media.synthesize(spark, sf())).count() * 57
-    assert(claims.count() == expected, "57 ball claims per hashed media item")
+    // two-level tier: 57 ball claims per DISTINCT hash's first arrival
+    // plus one raw-hash probe per later exact-dup item
+    val hashed = graft.multimodal.Media
+      .dHashItems(graft.multimodal.Media.synthesize(spark, sf()))
+    val items = hashed.count()
+    val distinctHashes = hashed.select(col("dhash")).distinct().count()
+    assert(items > distinctHashes, "the corpus must contain exact media dups")
+    assert(claims.count() == distinctHashes * 57 + (items - distinctHashes),
+      "57 ball claims per first arrival + 1 probe per exact-dup item")
     assert(claims.filter(col("keeper_key") =!= col("item_key")).count() > 0,
       "the corpus must contain media near-dup candidates")
   }

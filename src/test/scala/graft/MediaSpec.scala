@@ -297,6 +297,26 @@ class MediaSpec extends SparkSpec {
       s"recall lost ${(brute -- probed).size}, precision leaked ${(probed -- brute).size}")
   }
 
+  test("ballKeys (Scala) equals BALL_FLIP_SQL (the streaming stage-1 twin)") {
+    // the two-level streaming claim tier emits ball keys from inside a
+    // stateful function via Media.ballKeys; pin it against the SQL
+    // projection the batch join uses so the renderings can never drift
+    val rnd = new scala.util.Random(23)
+    val hashes = Array.fill(25)(rnd.nextLong() & ((1L << 56) - 1))
+    import spark.implicits._
+    val viaSql = hashes.toSeq.toDF("dhash")
+      .select(org.apache.spark.sql.functions.col("dhash"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.expr("sequence(0, 56)")).as("b"))
+      .selectExpr("dhash", s"${graft.multimodal.Media.BALL_FLIP_SQL} AS k")
+      .collect().groupBy(_.getLong(0))
+      .map { case (h, rows) => h -> rows.map(_.getLong(1)).toSeq }
+    hashes.foreach { h =>
+      assert(graft.multimodal.Media.ballKeys(h).toSeq == viaSql(h),
+        s"ballKeys($h) drifted from the SQL projection")
+    }
+  }
+
   test("frameSample: real PNG frames for video, bounded windows otherwise") {
     val ds = Media.synthesize(spark, sf()).filter(_.media_id < 30)
     val frames = Media.frameSample(ds, 4)

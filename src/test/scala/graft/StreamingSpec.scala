@@ -575,6 +575,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("mediaDedup two-level claims: exact dups probe once, out-of-order stays first-arrival-wins") {
+    // the two-level tier's contracts: (1) a later exact-dup item emits
+    // ONE raw-hash probe claim (not 57) and loses to the stored first
+    // arrival; (2) a LOWER item key arriving later is still a loser
+    // (the firstClaim protocol holds through stage 1's collapse)
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val sample = graft.multimodal.Media.synthesize(spark, sf())
+      .filter(col("kind") === "image").as[graft.multimodal.Media.MediaRecord]
+      .head()
+    val hi = sample.copy(media_id = 100L)
+    val lo = sample.copy(media_id = 5L) // identical payload -> identical dhash
+    val ikeys = graft.multimodal.Media
+      .dHashItems(spark.createDataset(Seq(hi, lo)))
+      .selectExpr("media_id", s"${graft.multimodal.Media.ikeySql} AS ikey")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mem = MemoryStream[graft.multimodal.Media.MediaRecord]
+    val q = Streams.mediaDedup(mem.toDS())
+      .writeStream.format("memory").queryName("media_two_level")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(hi); q.processAllAvailable()
+      mem.addData(lo); q.processAllAvailable() // same payload, LOWER key, later batch
+      val claims = spark.table("media_two_level").as[Streams.ItemClaim].collect()
+      val hiClaims = claims.filter(_.item_key == ikeys(100L))
+      val loClaims = claims.filter(_.item_key == ikeys(5L))
+      assert(hiClaims.length == 57 && hiClaims.forall(_.keeper_key == ikeys(100L)),
+        "the first arrival must fan out all 57 ball claims and keep them")
+      assert(loClaims.length == 1,
+        s"a later exact dup must emit ONE probe claim, got ${loClaims.length}")
+      assert(loClaims.head.keeper_key == ikeys(100L),
+        "the late lower key must lose to the stored first arrival")
+    } finally q.stop()
+  }
+
   test("simhashBlocksDedup batch-twin: streaming dup set equals the batch masked-key loser set") {
     // the exact-recall twin of the nearDedup gate (round 17): a doc is
     // a streaming candidate iff an earlier doc claimed one of its
