@@ -25,6 +25,28 @@ object TextAnalysis {
   private[graft] val tokens = "split(trim(text), '\\\\s+')"
   private val duckTokens = raw"regexp_split_to_array(trim(text), '\s+')"
 
+  /** The q_lm_score oracle — also embedded as a derived table by
+    * q_ccnet_buckets (the q_tokenizer_fertility composition pattern:
+    * one formulation, nothing to drift). */
+  private lazy val duckLmScoreOracle: String =
+    raw"""WITH tok AS (
+      |  SELECT doc_id, $duckTokens AS w FROM documents
+      |), bg AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1]))) AS b
+      |  FROM tok WHERE len(w) >= 2
+      |), bgc AS (
+      |  SELECT b, count(*) AS bn FROM bg GROUP BY 1
+      |), unc AS (
+      |  SELECT split_part(b, ' ', 1) AS a, count(*) AS an FROM bg GROUP BY 1
+      |)
+      |SELECT doc_id,
+      |  count(*) AS n_bigrams,
+      |  CAST(CAST(sum(CAST(ln(CAST(bn AS DOUBLE) / an) AS DECIMAL(18,9)))
+      |    AS DECIMAL(28,9)) AS DOUBLE) / count(*) AS avg_logprob
+      |FROM bg JOIN bgc USING (b) JOIN unc ON split_part(b, ' ', 1) = unc.a
+      |GROUP BY doc_id""".stripMargin
+
   /** The 5-gram shingle postings CTE text (tok -> per-doc distinct
     * 5-gram strings) shared verbatim by q_decontaminate and
     * q_eval_contamination — stated once so a shingle-window change
@@ -1160,23 +1182,7 @@ object TextAnalysis {
     // nondeterminism (ln itself is libm-dependent in the last ulp).
     Q(
       "q_lm_score",
-      raw"""WITH tok AS (
-        |  SELECT doc_id, $duckTokens AS w FROM documents
-        |), bg AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1]))) AS b
-        |  FROM tok WHERE len(w) >= 2
-        |), bgc AS (
-        |  SELECT b, count(*) AS bn FROM bg GROUP BY 1
-        |), unc AS (
-        |  SELECT split_part(b, ' ', 1) AS a, count(*) AS an FROM bg GROUP BY 1
-        |)
-        |SELECT doc_id,
-        |  count(*) AS n_bigrams,
-        |  CAST(CAST(sum(CAST(ln(CAST(bn AS DOUBLE) / an) AS DECIMAL(18,9)))
-        |    AS DECIMAL(28,9)) AS DOUBLE) / count(*) AS avg_logprob
-        |FROM bg JOIN bgc USING (b) JOIN unc ON split_part(b, ' ', 1) = unc.a
-        |GROUP BY doc_id""") { (s, dir) =>
+      duckLmScoreOracle) { (s, dir) =>
       // corpus count tables both derive from one cached bigram-count
       // frame: the prefix counts are the per-prefix SUM of bigram
       // counts, so unc reads VOCABULARY-sized bgc, not the exploded
@@ -1207,6 +1213,43 @@ object TextAnalysis {
           count(lit(1)).as("n_bigrams"),
           (sum(col("lp")).cast("decimal(28,9)").cast("double") / count(lit(1)))
             .as("avg_logprob"))
+    },
+
+    // ---- CCNet perplexity buckets (Wenzek et al. 2020) ---------------------
+    // THE CCNet curation move: split each language's documents into
+    // head / middle / tail TERCILES by language-model fit (their
+    // Wikipedia-LM perplexity; here the corpus bigram LM's
+    // avg_logprob — the registered q_lm_score, composed so the score
+    // formulation can never drift) and keep head+middle for training.
+    // ntile(3) follows the ANSI distribution rule in both engines
+    // (earlier buckets take the remainder rows); ordering is
+    // (avg_logprob DESC, doc_id) — identical doubles cross-engine, a
+    // total order. Docs under 2 tokens have no bigram LM score and
+    // are absent, as in q_lm_score. Scale shape: the LM pass + one
+    // lang-partitioned window (5 partitions, salting irrelevant — the
+    // window moves one row per doc, not candidates).
+    Q(
+      "q_ccnet_buckets",
+      s"""WITH lm AS ($duckLmScoreOracle)
+        |SELECT doc_id, lang, avg_logprob, tercile,
+        |  CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |  tercile <= 2 AS kept
+        |FROM (
+        |  SELECT lm.doc_id, d.lang, lm.avg_logprob,
+        |    CAST(ntile(3) OVER (PARTITION BY d.lang
+        |      ORDER BY lm.avg_logprob DESC, lm.doc_id) AS INT) AS tercile
+        |  FROM lm JOIN documents d USING (doc_id))""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val lm = graft.SparkEntry.queries("q_lm_score")(s, dir)
+        .select(col("doc_id"), col("avg_logprob"))
+      lm.join(Tables(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("tercile", ntile(3).over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("avg_logprob").desc, col("doc_id"))))
+        .select(col("doc_id"), col("lang"), col("avg_logprob"), col("tercile"),
+          expr("case tercile when 1 then 'head' when 2 then 'middle' else 'tail' end")
+            .as("bucket"),
+          (col("tercile") <= 2).as("kept"))
     },
 
     // ---- repetition filters (Gopher-style signals) -------------------------
