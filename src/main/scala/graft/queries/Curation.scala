@@ -754,7 +754,7 @@ object Curation {
       "q_dsir_weights",
       raw"""WITH $duckDsirCtes
         |SELECT doc_id, lang, n_feats, weight FROM dweights""".stripMargin) {
-      (s, dir) => dsirWeights(s, dir)
+      (s, dir) => dsirWeightsMemo(s, dir, rebuildMemo = true)
     },
 
     // ---- DSIR Gumbel-top-k selection ----------------------------------------
@@ -795,7 +795,7 @@ object Curation {
         // same IEEE double ratio on both sides
         val gumbel = s"cast(dec_cast(-ln(-ln(cast(${h("concat('dsirg#', cast(doc_id as string))")}" +
           " % 1048576 + 1 as double) / 1048577)), 18, 9) as double)"
-        dsirWeights(s, dir)
+        dsirWeightsMemo(s, dir, rebuildMemo = false)
           .select(col("doc_id"), col("lang"), col("weight"),
             (col("weight") + expr(gumbel)).as("score"))
           .orderBy(col("score").desc, col("doc_id")).limit(k)
@@ -1012,6 +1012,22 @@ object Curation {
       }
       lr
     })
+
+  /** [[dsirWeights]] under the [[graft.io.KernelMemo]] protocol —
+    * builder: q_dsir_weights (always re-runs the full explode +
+    * model-train pipeline, the honest bench cost); reuser:
+    * q_dsir_select (its own honest cost is the Gumbel rank it exists
+    * to run, not a second weight derivation). The memoized frame is
+    * the per-doc SCALAR ledger (doc_id, lang, n_feats, weight) — the
+    * CC-label-memo class (4 scalars per doc, no payloads), the
+    * production "score once, consume many" shape. */
+  private def dsirWeightsMemo(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      rebuildMemo: Boolean): org.apache.spark.sql.DataFrame = {
+    def build = dsirWeights(s, dir)
+    if (rebuildMemo) graft.io.KernelMemo.rebuild(s, dir, "dsir_weights")(build)
+    else graft.io.KernelMemo.reuse(s, dir, "dsir_weights")(build)
+  }
 
   /** Per-doc DSIR importance weights: (doc_id, lang, n_feats, weight).
     * Shared by q_dsir_weights (surfaces it) and q_dsir_select (ranks
