@@ -773,6 +773,41 @@ class PlanShapeSpec extends SparkSpec {
       s"recursive CTE should lower to the native loop operator:\n$p")
   }
 
+  test("q_mine_bitext: candidates from the salted cell equi-join, never a cross product") {
+    val p = planOf("q_mine_bitext")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "bitext candidates must come from the (probe, salt) equi-join, never A×B")
+    assert(p.contains("plane_cell"), "cells must be the corpus-scaled SRP assignment")
+    assert(p.contains("dot_f"), "ranking must run on the pinned left-fold double dot")
+    assert("Window".r.findAllIn(p).size >= 2, "forward AND backward ranks are windows")
+  }
+
+  test("q_dsir_weights: bounded model broadcast back; one feature explode each pass") {
+    val p = planOf("q_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      "the ≤1024-row model must join back broadcast, never shuffle the corpus")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortAggregate"),
+      "feature counting must stay in HashAggregate (no array buffers)")
+  }
+
+  test("q_unigram_encode: corpus joins the bounded trained vocab; per-doc hash aggregate") {
+    val p = planOf("q_unigram_encode")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortAggregate"),
+      "per-doc stats must stay in HashAggregate")
+    assert(p.contains("unigram_segment"),
+      "segmentation must be the native DP (paid on the vocab side)")
+  }
+
+  test("q_ccnet_buckets: the tercile window is lang-partitioned, never global") {
+    val p = planOf("q_ccnet_buckets")
+    assert("Window \\[ntile".r.findAllIn(p).nonEmpty, s"expected an ntile window:\n$p")
+    assert(!"Window \\[ntile\\(3\\)[^,]*, \\[\\]".r.findAllIn(p).hasNext &&
+      "partitionBy|\\[lang".r.findAllIn(p).nonEmpty,
+      "the window must partition by lang — an empty partition spec funnels the corpus to one task")
+  }
+
   test("streaming ingest ops are stateless maps: no aggregate, join, or state operator") {
     // the "pure map at 100 TB/day" claim as a plan gate: the scoring,
     // decontamination-gate and encode ops must contain NO Aggregate /
@@ -795,7 +830,11 @@ class PlanShapeSpec extends SparkSpec {
       "scoreDocs" -> graft.streaming.Streams.scoreDocs(docs, weights),
       "gateContaminated" -> graft.streaming.Streams.gateContaminated(docs, bloom),
       "encodePq" -> graft.streaming.Streams.encodePq(vecs, pqcb),
-      "encodeIvfadc" -> graft.streaming.Streams.encodeIvfadc(vecs, cents, cb))
+      "encodeIvfadc" -> graft.streaming.Streams.encodeIvfadc(vecs, cents, cb),
+      "dsirScore" -> graft.streaming.Streams.dsirScore(
+        docs, graft.queries.Curation.dsirModel(spark, dir)),
+      "unigramEncode" -> graft.streaming.Streams.unigramEncode(
+        docs, graft.queries.Bpe.unigramModel(spark, dir)))
     graft.io.CacheScope.releaseAll()
     for ((name, df) <- ops) {
       val plan = df.queryExecution.analyzed
