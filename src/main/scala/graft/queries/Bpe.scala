@@ -421,6 +421,55 @@ object Bpe {
         .select(col("rank"), col("piece"), col("cnt"), col("logprob"))
     },
 
+    // ---- BPE vs unigram-LM head-to-head -------------------------------------
+    // The eval that actually picks a tokenizer: both trained encoders
+    // over the same corpus, per-language token spend side by side
+    // (tokens/word each, and the unigram/BPE token ratio — below 1.0
+    // the unigram model compresses better on that language). Composes
+    // the two REGISTERED encode queries (the q_tokenizer_fertility
+    // pattern, twice) — the encoders under comparison are exactly the
+    // shipped ones, nothing re-derived. Both restrict to the same
+    // alpha-word set, so the doc frames join 1:1; all aggregates exact
+    // integers, ratios single int/int double divisions.
+    Q(
+      "q_tokenizer_compare",
+      s"""SELECT d.lang, count(*) AS n_docs,
+        |  CAST(sum(b.n_words) AS BIGINT) AS n_words,
+        |  CAST(sum(b.n_tokens) AS BIGINT) AS bpe_tokens,
+        |  CAST(sum(u.n_pieces) AS BIGINT) AS uni_tokens,
+        |  CAST(sum(b.n_tokens) AS DOUBLE) / CAST(sum(b.n_words) AS BIGINT) AS bpe_tokens_per_word,
+        |  CAST(sum(u.n_pieces) AS DOUBLE) / CAST(sum(b.n_words) AS BIGINT) AS uni_tokens_per_word,
+        |  CAST(sum(u.n_pieces) AS DOUBLE) / CAST(sum(b.n_tokens) AS BIGINT) AS uni_over_bpe
+        |FROM ($duckEncodeOracle) b
+        |JOIN (WITH RECURSIVE $duckUniCtes
+        |      SELECT doc_id, CAST(sum(len(pcs)) AS BIGINT) AS n_pieces
+        |      FROM (
+        |        SELECT doc_id, lower(t) AS word
+        |        FROM (SELECT doc_id, unnest($duckTokens) AS t FROM documents)
+        |        WHERE regexp_matches(lower(t), '^[a-z]+$$'))
+        |      JOIN (SELECT word, pcs FROM seg2) USING (word)
+        |      GROUP BY doc_id) u USING (doc_id)
+        |JOIN documents d USING (doc_id)
+        |GROUP BY d.lang""".stripMargin) { (s, dir) =>
+      val b = graft.SparkEntry.queries("q_bpe_encode")(s, dir)
+        .select(col("doc_id"), col("n_words"), col("n_tokens"))
+      val u = graft.SparkEntry.queries("q_unigram_encode")(s, dir)
+        .select(col("doc_id"), col("n_pieces"))
+      b.join(u, "doc_id")
+        .join(Tables(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words")).cast("long").as("n_words"),
+          sum(col("n_tokens")).cast("long").as("bpe_tokens"),
+          sum(col("n_pieces")).cast("long").as("uni_tokens"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("bpe_tokens"),
+          col("uni_tokens"),
+          (col("bpe_tokens").cast("double") / col("n_words")).as("bpe_tokens_per_word"),
+          (col("uni_tokens").cast("double") / col("n_words")).as("uni_tokens_per_word"),
+          (col("uni_tokens").cast("double") / col("bpe_tokens")).as("uni_over_bpe"))
+    },
+
     // ---- apply the trained unigram tokenizer to the corpus -----------------
     // Same shape as q_bpe_encode: the corpus joins the BOUNDED trained
     // (word -> piece count) table; the per-word DP cost was paid at
