@@ -878,6 +878,42 @@ class DistPipelineSpec extends SparkSpec {
     DistMain.runDirection(spark, conf.direction("audit"), "audit")
   }
 
+  test("worked example: streaming ingest config end-to-end") {
+    // examples/streaming_ingest.json is the shipped streaming story: a
+    // batch prepare step stages the incoming docs, then a six-stage
+    // "streaming": true direction runs quality gate -> DSIR weights ->
+    // near-dup claims -> contamination gate -> claim application ->
+    // unigram tokenize, each under AvailableNow with its own
+    // checkpoint. The test runs the ACTUAL example file (token
+    // substitution only), so the docs can never drift from a config
+    // that parses and runs.
+    import org.apache.spark.sql.functions._
+    val base = tmpDir("dist")
+    val raw = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("examples/streaming_ingest.json")), "UTF-8")
+    val conf = DistConfig.parse(
+      raw.replace("{SF_DIR}", sf()).replace("{OUT}", base))
+    DistMain.runDirection(spark, conf.direction("prepare"), "prepare")
+    DistMain.runDirection(spark, conf.direction("ingest"), "ingest")
+    val tokenized = spark.read.parquet(s"file:$base/tokenized")
+    assert(tokenized.count() > 0)
+    // every stage's annotations survived the chain
+    assert(Set("doc_id", "text", "score", "cls_flag", "dsir_weight",
+      "n_feats", "n_words", "n_pieces", "n_chars_alpha")
+      .subsetOf(tokenized.columns.toSet), tokenized.columns.mkString(","))
+    // the quality gate dropped something, the claim filter dropped more
+    val incoming = spark.read.parquet(s"file:$base/incoming").count()
+    val gated = spark.read.parquet(s"file:$base/gated").count()
+    assert(gated < incoming, "the gates must drop documents")
+    assert(tokenized.count() < gated, "apply_claims must drop near-dup losers")
+    assert(tokenized.where(col("n_pieces") > 0).count() > 0)
+    // incremental: re-running the ingest direction processes nothing
+    DistMain.runDirection(spark, conf.direction("ingest"), "ingest")
+    assert(spark.read.parquet(s"file:$base/tokenized").count() == tokenized.count(),
+      "checkpointed chain must not reprocess old files")
+  }
+
   test("unknown adapter and unknown param fail fast") {
     val conf = DistConfig.parse(
       """{"d": [{"source": {"adapter": "nope", "path": "/x"},
