@@ -108,7 +108,7 @@ case class DsirScore(child: Expression, lrScaled: Seq[Long])
   * builds through ColumnBridge instead). */
 object DsirScore {
   import org.apache.spark.sql.catalyst.expressions.Cast
-  import org.apache.spark.sql.types.NumericType
+  import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
 
   def build(children: Seq[Expression]): Expression = {
     require(children.size == 2,
@@ -119,9 +119,14 @@ object DsirScore {
         "dsir_score lr_scaled must be a non-null literal array(bigint), got " + wE.sql)
     val coerced = wE.dataType match {
       case ArrayType(LongType, _) => wE
-      case ArrayType(_: NumericType, _) => Cast(wE, ArrayType(LongType))
+      // integral widths only: a fractional array (e.g. unscaled double
+      // log-ratios) would Cast-truncate toward zero — a silently
+      // all-zero model through the SQL entry path (ADVICE r17)
+      case ArrayType(ByteType | ShortType | IntegerType, _) =>
+        Cast(wE, ArrayType(LongType))
       case other => throw new IllegalArgumentException(
-        s"dsir_score lr_scaled must be array(bigint), got ${other.simpleString}: ${wE.sql}")
+        "dsir_score lr_scaled must be array(bigint) (integral, pre-scaled " +
+          s"by 10^9 — see duckDsirCtes), got ${other.simpleString}: ${wE.sql}")
     }
     val ad = coerced.eval().asInstanceOf[ArrayData]
     val w = (0 until ad.numElements()).map { i =>

@@ -1072,7 +1072,8 @@ object Curation {
         // cnt narrowed to DECIMAL(9,0) before the product: long(20,0) ×
         // lr(18,9) would need precision 39 > 38 and Spark silently
         // DROPS A SCALE DIGIT (rounds each term at scale 8 — the
-        // CLAUDE.md decimal-overflow trap, caught by the hash gate);
+        // docs/determinism.md decimal-overflow trap, caught by the
+        // hash gate);
         // (9,0)×(18,9) = (28,9) stays exact. cnt is a per-(doc,bucket)
         // distinct-gram count, bounded by document length — never 1e9.
         sum(col("cnt").cast("decimal(9,0)") * col("lr"))

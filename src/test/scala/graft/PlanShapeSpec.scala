@@ -801,11 +801,21 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q_ccnet_buckets: the tercile window is lang-partitioned, never global") {
-    val p = planOf("q_ccnet_buckets")
-    assert("Window \\[ntile".r.findAllIn(p).nonEmpty, s"expected an ntile window:\n$p")
-    assert(!"Window \\[ntile\\(3\\)[^,]*, \\[\\]".r.findAllIn(p).hasNext &&
-      "partitionBy|\\[lang".r.findAllIn(p).nonEmpty,
-      "the window must partition by lang — an empty partition spec funnels the corpus to one task")
+    // parsed-operator gate, not a plan-string regex: the old regexes
+    // could never match Spark's real windowspecdefinition text and
+    // would also pass on '[lang' anywhere in the plan (ADVICE r17)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val plan = graft.io.KernelMemo.bypassed {
+      SparkEntry.queries("q_ccnet_buckets")(spark, sf()).queryExecution.optimizedPlan
+    }
+    val ntileWindows = plan.collect {
+      case w: LWindow if w.windowExpressions.exists(_.sql.contains("ntile(3)")) => w
+    }
+    assert(ntileWindows.nonEmpty, s"expected an ntile(3) window:\n$plan")
+    for (w <- ntileWindows)
+      assert(w.partitionSpec.exists(_.references.exists(_.name == "lang")),
+        "the tercile window must partition by lang — an empty partition spec " +
+          s"funnels the corpus to one task:\n$w")
   }
 
   test("streaming ingest ops are stateless maps: no aggregate, join, or state operator") {
