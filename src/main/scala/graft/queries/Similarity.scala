@@ -3064,17 +3064,25 @@ object Similarity {
     val e = semanticAssign(s, dir, bits).persistScoped() // probe side and home side
     val probeArr =
       ("cell" +: (0 until bits).map(j => s"cell ^ ${1 << j}")).mkString("array(", ", ", ")")
+    // ids-only through the fan-out (ADVICE r17): the probe explode
+    // replicates the A side ×(bits+1) and the salt explode the B side
+    // ×salts — carrying the 64-float payload through those exchanges
+    // multiplies shuffle bytes by the fan-out for no benefit. The
+    // blocking join ships 16-byte id rows; embeddings attach AFTER on
+    // the (id_a, id_b) candidate frame (the attach-arrays-after rule),
+    // so each corpus side's payload is shuffled exactly once.
     val ea = e.filter(col("label") < 5)
       .withColumn("probe", explode(expr(probeArr)))
       .withColumn("salt", pmod(hash(col("vec_id")), lit(salts)))
-      .select(col("vec_id").as("id_a"), col("embedding").as("a_emb"),
-        col("probe"), col("salt"))
+      .select(col("vec_id").as("id_a"), col("probe"), col("salt"))
     val eb = e.filter(col("label") >= 5)
       .withColumn("salt", explode(expr(s"sequence(0, ${salts - 1})")))
-      .select(col("vec_id").as("id_b"), col("embedding").as("b_emb"),
-        col("cell"), col("salt"))
+      .select(col("vec_id").as("id_b"), col("cell"), col("salt"))
     val cand = ea.as("a")
       .join(eb.as("b"), expr("a.probe = b.cell and a.salt = b.salt"))
+      .select(col("id_a"), col("id_b"))
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("a_emb")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("b_emb")), "id_b")
       .select(col("id_a"), col("id_b"), expr("dot_f(a_emb, b_emb)").as("dt"))
     val ranked = cand
       .withColumn("fr", row_number().over(
