@@ -529,7 +529,7 @@ object Dedup {
     * imperative aggregate ([[graft.functions.SimHashAgg]]); shared by
     * the band-blocked kernel and the block-combination kernel so the
     * signature definition can never drift between them. */
-  private def simhashFrame(
+  private[graft] def simhashFrame(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     Tables(s, dir, "documents")
       .select(col("doc_id"), explode(expr(tokens)).as("t"))
@@ -537,22 +537,85 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(expr("simhash_agg(v)").as("simhash"))
 
+  /** Corpus-derived SimHash candidate-geometry switch (VERDICT r17 #3).
+    * The 4×15 band join keys each doc 4 ways into 2^15-value buckets —
+    * measured 3.3× cheaper wall-clock than the block scheme at gate
+    * scale, but its candidate volume is Θ(H²/2^15) (birthday term) and
+    * its recall at the hamming-≤5 output contract is only guaranteed to
+    * ≤ 3 (docs/simhash_blocks.md: 19.3% of true ≤5 pairs missed at
+    * H = 5k). While the corpus cannot saturate the bucket space
+    * (N ≤ 2^15 ⇒ H ≤ 2^15 ⇒ expected bucket load ≤ 1) the band
+    * heuristic's measured cost advantage stands and it ships; past it
+    * the birthday term grows without bound while the Manku block
+    * combinations stay O(C(B,5)·H) AND exact at ≤ 5 — both axes won,
+    * so the switch routes to blocks. Integer comparison on both
+    * engines (the PRUNE_SWITCH_C rule); the oracle mirrors the switch
+    * as a flag-gated UNION, and `q_dedup_simhash_blocks_pairs` keeps
+    * the non-default branch hash-verified at every SF. */
+  private[graft] final val SimhashBandsMaxN = 1L << 15
+
+  /** Band-geometry pair kernel (the heuristic arm of the switch). */
+  private[graft] def simhashPairsBands(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val sim = simhashFrame(s, dir)
+    val bands = sim
+      .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("b"))
+      .withColumn("bk", expr("shiftright(simhash, b*15) & 32767"))
+    bands.as("a")
+      .join(bands.as("c"), expr("a.b = c.b and a.bk = c.bk and a.doc_id < c.doc_id"))
+      .select(
+        col("a.doc_id").as("id_a"), col("a.simhash").as("sim_a"),
+        col("c.doc_id").as("id_b"), col("c.simhash").as("sim_b"))
+      .distinct()
+      .filter(expr("bit_count(sim_a ^ sim_b) <= 5"))
+      .select(col("id_a"), col("id_b"), expr("cast(bit_count(sim_a ^ sim_b) as int)").as("hamming"))
+  }
+
+  /** Block-geometry pair kernel (the exact-recall arm): distinct-
+    * signature collapse → C(B,5) masked keys → signature pairs at
+    * hamming ≤ 5 (EXACT by pigeonhole) → doc-pair expansion through
+    * the signature frame, plus the identical-signature (hamming 0)
+    * arm the band join emits via full-bucket collisions. Same
+    * (id_a, id_b, hamming) contract as [[simhashPairsBands]]. */
+  private[graft] def simhashPairsBlocksJoin(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val bB = simhashBlocksB(Tables.rowCount(s, dir, "documents"))
+    val masksDf = simhashBlockMasks(bB).toDF("mask")
+    // feeds the distinct collapse, two doc-attach joins and the
+    // hamming-0 self-join — branches canonicalize differently, so the
+    // scoped cache wins (the bare-self-join measurement, CLAUDE r16)
+    val sigs = simhashFrame(s, dir).persistScoped()
+    val probes = sigs.select(col("simhash")).distinct()
+      .crossJoin(broadcast(masksDf))
+      .select(col("simhash"), col("mask"), expr("simhash & mask").as("bkey"))
+    val sigPairs = probes.as("a")
+      .join(probes.as("b"),
+        expr("a.mask = b.mask and a.bkey = b.bkey and a.simhash != b.simhash"))
+      .select(col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+      .distinct() // a close pair collides on MANY masks — count once
+      .filter(expr("bit_count(sig_a ^ sig_b) <= 5"))
+    // directed signature pairs + id_a < id_b keep each doc pair once
+    val cross = sigPairs
+      .join(sigs.select(col("doc_id").as("id_a"), col("simhash").as("sig_a")), "sig_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("simhash").as("sig_b")), "sig_b")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("cast(bit_count(sig_a ^ sig_b) as int)").as("hamming"))
+    val intra = sigs.as("x")
+      .join(sigs.as("y"), expr("x.simhash = y.simhash and x.doc_id < y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(0).as("hamming"))
+    cross.unionByName(intra)
+  }
+
   private[graft] def simhashPairs(
       s: org.apache.spark.sql.SparkSession, dir: String,
       rebuildMemo: Boolean): org.apache.spark.sql.DataFrame =
     memoKernel(s, dir, "simhash_pairs", rebuildMemo) {
-      val sim = simhashFrame(s, dir)
-      val bands = sim
-        .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("b"))
-        .withColumn("bk", expr("shiftright(simhash, b*15) & 32767"))
-      bands.as("a")
-        .join(bands.as("c"), expr("a.b = c.b and a.bk = c.bk and a.doc_id < c.doc_id"))
-        .select(
-          col("a.doc_id").as("id_a"), col("a.simhash").as("sim_a"),
-          col("c.doc_id").as("id_b"), col("c.simhash").as("sim_b"))
-        .distinct()
-        .filter(expr("bit_count(sim_a ^ sim_b) <= 5"))
-        .select(col("id_a"), col("id_b"), expr("cast(bit_count(sim_a ^ sim_b) as int)").as("hamming"))
+      if (Tables.rowCount(s, dir, "documents") <= SimhashBandsMaxN)
+        simhashPairsBands(s, dir)
+      else simhashPairsBlocksJoin(s, dir)
     }
 
   /** The UNCAPPED n-gram pair frame (minJaccard 0.3, lang-blocked) —
@@ -851,22 +914,70 @@ object Dedup {
        |    CASE WHEN ((v >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
        |  THEN (1::BIGINT << b) ELSE 0 END))::BIGINT""".stripMargin
 
-  private[queries] val simhashOracle: String = {
-    raw"""WITH sh AS (
+  /** The (doc_id, simhash) signature CTE — one text shared by every
+    * simhash oracle so the signature definition can never drift. */
+  private def simhashShCte: String =
+    raw"""sh AS (
       |  SELECT doc_id, $duckSim AS simhash
       |  FROM (SELECT doc_id, list_transform($duckTokens, t -> ${duck("t")}) AS hs
       |        FROM documents)
-      |), bands AS (
+      |)""".stripMargin
+
+  /** Band-arm pair CTEs ending in `bandpairs(id_a, id_b, hamming)`. */
+  private def simhashBandPairCtes: String =
+    raw"""bands0 AS (
       |  SELECT doc_id, simhash, b, (simhash >> (b*15)) & 32767 AS bk
       |  FROM sh, unnest(generate_series(0, 3)) AS t(b)
-      |), cand AS (
-      |  SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sim_a,
-      |                  c.doc_id AS id_b, c.simhash AS sim_b
-      |  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id
-      |)
-      |SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
-      |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 5""".stripMargin
+      |), bandpairs AS (
+      |  SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+      |  FROM (SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sim_a,
+      |                        c.doc_id AS id_b, c.simhash AS sim_b
+      |        FROM bands0 a JOIN bands0 c
+      |          ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id)
+      |  WHERE bit_count(xor(sim_a, sim_b)) <= 5
+      |)""".stripMargin
+
+  /** Block-arm pair CTEs ending in `blockpairs(id_a, id_b, hamming)` —
+    * requires the `geo`/`masks` CTEs ([[simhashMaskCtes]]) and `sh`. */
+  private def simhashBlockPairCtes: String =
+    raw"""dsig AS (SELECT DISTINCT simhash FROM sh),
+      |probes0 AS (
+      |  SELECT simhash, mask, simhash & mask AS bkey FROM dsig CROSS JOIN masks
+      |), spairs AS (
+      |  SELECT DISTINCT a.simhash AS sig_a, b.simhash AS sig_b
+      |  FROM probes0 a JOIN probes0 b
+      |    ON a.mask = b.mask AND a.bkey = b.bkey AND a.simhash != b.simhash
+      |), blockpairs AS (
+      |  SELECT da.doc_id AS id_a, db.doc_id AS id_b,
+      |    CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+      |  FROM spairs
+      |  JOIN sh da ON da.simhash = spairs.sig_a
+      |  JOIN sh db ON db.simhash = spairs.sig_b
+      |  WHERE da.doc_id < db.doc_id AND bit_count(xor(sig_a, sig_b)) <= 5
+      |  UNION ALL
+      |  SELECT x.doc_id, y.doc_id, 0
+      |  FROM sh x JOIN sh y ON x.simhash = y.simhash AND x.doc_id < y.doc_id
+      |)""".stripMargin
+
+  /** The geometry-switch oracle for q_dedup_simhash: the flag mirrors
+    * [[SimhashBandsMaxN]] exactly (integer count comparison) and gates
+    * a UNION of the two arms' pair sets — the decontaminateGate
+    * pattern. Embedded verbatim by the recall harness, so the switch
+    * can never drift between the two consumers. */
+  private[queries] val simhashOracle: String = {
+    raw"""WITH flag AS (
+      |  SELECT count(*) <= $SimhashBandsMaxN AS bands FROM documents
+      |), $simhashMaskCtes, $simhashShCte, $simhashBandPairCtes, $simhashBlockPairCtes
+      |SELECT id_a, id_b, hamming FROM bandpairs WHERE (SELECT bands FROM flag)
+      |UNION ALL
+      |SELECT id_a, id_b, hamming FROM blockpairs WHERE NOT (SELECT bands FROM flag)""".stripMargin
   }
+
+  /** The forced-path oracle: blocks arm only, no flag — keeps the
+    * switch's non-default branch hash-verified at every SF. */
+  private[queries] val simhashBlocksPairsOracle: String =
+    raw"""WITH $simhashMaskCtes, $simhashShCte, $simhashBlockPairCtes
+      |SELECT id_a, id_b, hamming FROM blockpairs""".stripMargin
 
   /** Block count for the EXACT-recall SimHash candidate scheme
     * (q_dedup_simhash_blocks) — CORPUS-DERIVED by the ncIvf/semBits
@@ -902,8 +1013,11 @@ object Dedup {
   private[graft] def simhashBlockMasks(bB: Int): Seq[Long] =
     graft.functions.SimhashBlockKeys.masks(bB).toSeq
 
-  private[queries] val simhashBlocksOracle: String = {
-    raw"""WITH geo AS (
+  /** Corpus-derived block geometry + the C(B,5) mask family as CTE
+    * text (`geo`, `masks`) — one formulation shared by every oracle
+    * that joins on block-combination keys. */
+  private def simhashMaskCtes: String =
+    raw"""geo AS (
       |  SELECT CASE WHEN count(*) <= 1024 THEN 6
       |              WHEN count(*) <= (CAST(1 AS BIGINT) << 30) THEN 10
       |              WHEN count(*) <= (CAST(1 AS BIGINT) << 35) THEN 12
@@ -921,11 +1035,10 @@ object Dedup {
       |    generate_series(0, 14) e3(e), generate_series(0, 14) e4(e),
       |    generate_series(0, 14) e5(e)
       |  WHERE e1.e < e2.e AND e2.e < e3.e AND e3.e < e4.e AND e4.e < e5.e AND e5.e < bb
-      |), sh AS (
-      |  SELECT doc_id, $duckSim AS simhash
-      |  FROM (SELECT doc_id, list_transform($duckTokens, t -> ${duck("t")}) AS hs
-      |        FROM documents)
-      |), groups AS (
+      |)""".stripMargin
+
+  private[queries] val simhashBlocksOracle: String = {
+    raw"""WITH $simhashMaskCtes, $simhashShCte, groups AS (
       |  SELECT simhash, count(*) AS group_size, min(doc_id) AS rep_id FROM sh GROUP BY 1
       |), probes AS (
       |  SELECT simhash, rep_id, mask, simhash & mask AS bkey FROM groups CROSS JOIN masks
@@ -1176,7 +1289,14 @@ object Dedup {
       ).reduce(_.unionByName(_))
     },
 
-    // ---- SimHash signatures + band-blocked hamming pairs -------------------
+    // ---- SimHash hamming pairs through the geometry switch -----------------
+    // Candidate geometry is CORPUS-DERIVED ([[SimhashBandsMaxN]]):
+    // 4×15 bands (measured 3.3× cheaper, recall guaranteed to ≤ 3)
+    // while N ≤ 2^15 keeps the band-bucket birthday term at O(H);
+    // Manku block combinations (exact at ≤ 5, O(C(B,5)·H)) past it.
+    // The oracle mirrors the switch as a flag-gated UNION and
+    // q_dedup_simhash_blocks_pairs keeps the block branch
+    // hash-verified at every SF (VERDICT r17 #3).
     Q(
       "q_dedup_simhash",
       simhashOracle) { (s, dir) =>
@@ -1187,6 +1307,18 @@ object Dedup {
       // formulation, one agg slot instead of 60. Stated once in
       // [[simhashPairs]]; this query is the kernel's designated BUILDER.
       simhashPairs(s, dir, rebuildMemo = true)
+    },
+
+    // ---- forced-path twin: the block-geometry pair kernel ------------------
+    // The q_ivf_pruned_assign rule: a corpus-derived switch needs ONE
+    // registered query that forces the non-default branch, or the
+    // scale arm silently rots out of the hash gate (every test corpus
+    // sits under the 2^15 switch point, where q_dedup_simhash picks
+    // bands).
+    Q(
+      "q_dedup_simhash_blocks_pairs",
+      simhashBlocksPairsOracle) { (s, dir) =>
+      simhashPairsBlocksJoin(s, dir)
     },
 
     // ---- SimHash with EXACT hamming-<=5 recall: block-combination join ------

@@ -672,6 +672,16 @@ class PlanShapeSpec extends SparkSpec {
       s"probes diamond must collapse to one shuffle at runtime:\n$pr")
   }
 
+  test("q_dedup_simhash_blocks_pairs: probe join above the distinct collapse; no all-pairs") {
+    val p = planOf("q_dedup_simhash_blocks_pairs")
+    assert(!p.contains("SortAggregate"), s"signature collapse must stay hash-based:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs blow-up:\n$p")
+    assert(p.contains("bkey"), s"masked-key equi-join missing:\n$p")
+    val ji = p.indexOf("bkey")
+    val ai = p.indexOf("HashAggregate", ji)
+    assert(ai > ji, s"probe join must sit ABOVE the distinct-signature collapse:\n$p")
+  }
+
   test("q_decontaminate_bloom: bloom prefilter sits under the confirm join") {
     val p = planOf("q_decontaminate_bloom")
     // the probe must be a FILTER on the corpus stream (map-side, below
