@@ -80,10 +80,13 @@ object TextAnalysis {
   // modal audit) derives from these helpers — editing the word set or
   // a formulation in one query but not its siblings would silently
   // break their documented agreement.
-  private val stopIn = markers.head._2.map("'" + _ + "'").mkString(",")
-  private def stopRatio(arr: String): String =
+  /** THE English stopword set (markers head) — also read by HtmlSpec's
+    * brute-force quality reference. */
+  private[graft] val stopWords: Seq[String] = markers.head._2
+  private val stopIn = stopWords.map("'" + _ + "'").mkString(",")
+  private[graft] def stopRatio(arr: String): String =
     s"cast(size(filter($arr, t -> t in ($stopIn))) as double) / size($arr)"
-  private def duckStopRatio(arr: String): String =
+  private[graft] def duckStopRatio(arr: String): String =
     s"CAST(len(list_filter($arr, t -> t IN ($stopIn))) AS DOUBLE) / len($arr)"
 
   // single-pass variant of the marker/stopword counts: the codegen'd

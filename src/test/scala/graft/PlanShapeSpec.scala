@@ -682,6 +682,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(ai > ji, s"probe join must sit ABOVE the distinct-signature collapse:\n$p")
   }
 
+  test("q_html_extract: pure map stage — zero exchanges, no HOF in the hot path") {
+    val p = planOf("q_html_extract")
+    assert(!p.contains("Exchange"),
+      s"tag-strip extraction must stay a per-row projection:\n$p")
+    assert(p.contains("*(1)"), s"extraction chain must stay in one codegen span:\n$p")
+  }
+
+  test("q_html_pipeline: one line-df aggregate, no sort fallback, no pair join") {
+    val p = planOf("q_html_pipeline")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortAggregate"),
+      s"line df and lang rollup must stay in HashAggregate:\n$p")
+  }
+
   test("q_decontaminate_bloom: bloom prefilter sits under the confirm join") {
     val p = planOf("q_decontaminate_bloom")
     // the probe must be a FILTER on the corpus stream (map-side, below
