@@ -57,6 +57,8 @@ object GraftRuntime {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hashed_score", HashedScore.build, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "langid_score", LangIdScore.build, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dsir_score", DsirScore.build, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "plane_cell", PlaneCell.build, "built-in")

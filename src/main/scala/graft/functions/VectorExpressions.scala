@@ -144,6 +144,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DsirScore].getName, "dsir_score"),
       DsirScore.build _))
     ext.injectFunction((
+      new FunctionIdentifier("langid_score"),
+      new ExpressionInfo(classOf[LangIdScore].getName, "langid_score"),
+      LangIdScore.build _))
+    ext.injectFunction((
       new FunctionIdentifier("simhash_agg"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
       (children: Seq[Expression]) => SimHashAgg(children.head)))

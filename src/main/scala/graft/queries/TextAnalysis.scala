@@ -69,7 +69,7 @@ object TextAnalysis {
   // language marker stopword sets (n-gram heuristic: most-frequent
   // function words per language; deterministic argmax with fixed
   // precedence en > de > fr > es)
-  private val markers = Seq(
+  private[graft] val markers = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "fr" -> Seq("le", "la", "les", "et", "est"),

@@ -696,6 +696,14 @@ class PlanShapeSpec extends SparkSpec {
       s"line df and lang rollup must stay in HashAggregate:\n$p")
   }
 
+  test("q_langid_score: native per-row scoring loop, zero exchanges") {
+    val p = planOf("q_langid_score")
+    assert(!p.contains("Exchange"),
+      s"corpus-wide langid scoring must stay a map stage:\n$p")
+    assert(p.contains("langid_score"),
+      s"scoring must run through the native trigram loop:\n$p")
+  }
+
   test("q_decontaminate_bloom: bloom prefilter sits under the confirm join") {
     val p = planOf("q_decontaminate_bloom")
     // the probe must be a FILTER on the corpus stream (map-side, below
