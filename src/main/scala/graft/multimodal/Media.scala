@@ -645,4 +645,95 @@ object Media {
       }
       .toDF("media_id", "frame_no", "n_px", "px_sum")
   }
+
+  // ---- round-18: temporal-alignment fixture (VERDICT r17 #4) --------------
+
+  /** High-entropy 8×8 gray frame: pixel k (row-major) =
+    * ((fsig >> 8·(k mod 8)) + k) mod 256 — the 60-bit frame signature
+    * spread across the raster, so the decoded CONTENT string is
+    * injective in fsig (unlike the seed formulas, whose dHash
+    * vocabulary is ~57 values — useless for alignment). */
+  private def encodeFsigFrame(fsig: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      IMG_DIM, IMG_DIM, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var k = 0
+    while (k < IMG_DIM * IMG_DIM) {
+      raster.setSample(k % IMG_DIM, k / IMG_DIM, 0,
+        (((fsig >>> ((k % 8) * 8)) + k) % 256).toInt)
+      k += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Length-prefixed container of fsig-derived frames (the standard
+    * container format, arbitrary frame count). */
+  private def encodeFsigVideo(fsigs: Seq[Long]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    fsigs.foreach { f =>
+      val png = encodeFsigFrame(f)
+      dos.writeInt(png.length)
+      dos.write(png)
+    }
+    dos.flush()
+    out.toByteArray
+  }
+
+  /** Frames per aligned-fixture video and the planted overlap length —
+    * mirrored as literals in the q_media_align_videos oracle. */
+  val ALIGN_FRAMES = 8
+  val ALIGN_OVERLAP = 3
+
+  /** Temporal-alignment corpus: for every doc with doc_id % 4 = 1, TWO
+    * real frame containers — a MASTER (media_id = 2·doc, frames 0..7 of
+    * the master sequence `CrossHash('va#doc#pos')`) and a COPY
+    * (media_id = 2·doc + 1) whose first [[ALIGN_OVERLAP]] frames come
+    * from master positions o..o+2 (o = 1 + doc mod 5 — a clipped,
+    * offset re-cut) and whose tail is fresh footage; docs with
+    * doc_id % 7 = 3 instead plant the SCRAMBLED control (same three
+    * master frames at INCONSISTENT offsets 0/2/4 — a bag-of-frames
+    * coincidence no temporal verdict should flag). Overlap 3 of 8 sits
+    * UNDER the q_media_dup_videos majority rule by construction. */
+  def synthesizeAligned(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    import graft.functions.CrossHash
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"))
+      .where(col("doc_id") % 4 === 1)
+      .as[Long]
+      .flatMap { d =>
+        def master(p: Long) = CrossHash.local(s"va#$d#$p")
+        def fresh(f: Long) = CrossHash.local(s"vf#$d#$f")
+        val o = 1 + d % 5
+        val masterSigs = (0L until ALIGN_FRAMES).map(master)
+        val copySigs = (0L until ALIGN_FRAMES).map { f =>
+          if (f < ALIGN_OVERLAP) {
+            if (d % 7 == 3) master(f * 3) else master(o + f)
+          } else fresh(f)
+        }
+        val meta = MediaMeta(IMG_DIM, IMG_DIM, 0, 1000 + d % 9000)
+        Seq(
+          MediaRecord(2 * d, "video", encodeFsigVideo(masterSigs), meta),
+          MediaRecord(2 * d + 1, "video", encodeFsigVideo(copySigs), meta))
+      }
+  }
+
+  /** REAL decode of the aligned fixture: container parse + per-frame
+    * PNG decode + raster read → the canonical content string
+    * (comma-joined row-major samples) the oracle reproduces from the
+    * fsig formula. Undecodable payloads/frames are skipped (the
+    * skip-don't-crash posture). One flatMap, no shuffle. */
+  def alignedFrameContents(ds: Dataset[MediaRecord]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.flatMap { r =>
+      decodeVideo(r.payload).toSeq.flatMap(_.zipWithIndex.flatMap { case (fb, f) =>
+        decodePng(fb).flatMap(grayGrid8).map(g =>
+          (r.media_id, f.toLong, g.mkString(",")))
+      })
+    }.toDF("media_id", "frame_no", "content")
+  }
 }
