@@ -207,15 +207,34 @@ object DistMain {
         graft.streaming.Ingest(spark, op, md, transformed)
       case None => transformed
     }
-    df.writeStream
-      .format(outFmt)
-      .option("path", task.dest.path)
-      .option("checkpointLocation", s"${task.dest.path}/_checkpoint")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-      .start()
-      .awaitTermination()
+    // claim-op stages persist their LEDGER through the batch_id-
+    // partitioned idempotent claim sink (round 18): per-batch folded
+    // deliveries, replay-safe, and compactable via
+    // [[graft.streaming.Streams.compactClaims]] — a long-running
+    // direction's ledger no longer grows without bound. apply_claims
+    // reads either layout through claimView.
+    if (task.ingest.exists(claimOps.contains)) {
+      df.writeStream
+        .foreachBatch((batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.streaming.Streams.upsertClaimBatch(batch, id, task.dest.path))
+        .option("checkpointLocation", s"${task.dest.path}/_checkpoint")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } else {
+      df.writeStream
+        .format(outFmt)
+        .option("path", task.dest.path)
+        .option("checkpointLocation", s"${task.dest.path}/_checkpoint")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
+        .awaitTermination()
+    }
   }
+
+  /** Ingest ops whose output is a claim LEDGER (bucket, id, keeper). */
+  private val claimOps = Set("dedup_claim", "dedup_simhash_claim", "media_dedup")
 
   /** Read a (possibly remote) config file through the Hadoop FS API. */
   def readFile(spark: SparkSession, path: String): String = {

@@ -112,11 +112,14 @@ object Ingest {
           else df.withColumnRenamed("doc_id", "vec_id")
         Streams.encodeIvfadc(vecs.select(col("vec_id"), col("embedding")), cents, cb)
       case "apply_claims" =>
-        // model_dir = the dedup_claim ledger directory; losers (any
-        // claim with an earlier keeper) drop via a stream-static left
-        // anti join — the static loser set is bounded by the claim
-        // ledger and Spark broadcasts it when small
-        val losers = spark.read.parquet(modelDir)
+        // model_dir = the dedup_claim ledger directory, read through
+        // the first-arrival-wins merge-on-read view (claimView — one
+        // row per claim key whether the ledger is freshly appended,
+        // compacted, or legacy-flat); losers (any claim with an
+        // earlier keeper) drop via a stream-static left anti join —
+        // the static loser set is bounded by the claim ledger and
+        // Spark broadcasts it when small
+        val losers = Streams.claimView(spark, modelDir)
           .filter(col("keeper_id") =!= col("doc_id"))
           .select(col("doc_id")).distinct()
         df.join(losers, Seq("doc_id"), "left_anti")

@@ -818,6 +818,92 @@ object Streams {
     fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
   }
 
+  // ---- claim-ledger persistence (round 18, VERDICT r17 #5) ----------------
+  // The keyedView/compact machinery applied to claim ledgers: a
+  // long-running dedup_claim direction appends one micro-batch of
+  // claims per trigger, and the ledger grows without bound. Claims are
+  // FIRST-arrival-wins (the firstClaim protocol), so the ledger fold is
+  // the mirror image of the event upsert's latest-wins: one row per
+  // (bucket, id) from the LOWEST batch that wrote it. A ledger row's
+  // schema is positional — (bucket, idCol, keeperCol) — shared by the
+  // doc ledgers (doc_id/keeper_id) and the media ledger
+  // (item_key/keeper_key).
+
+  /** Idempotent per-batch claim delivery: fold the batch per
+    * (bucket, id) (min keeper — idempotent, deterministic), stamp
+    * batch_id, dynamic-overwrite that one partition. A crash-replayed
+    * micro-batch overwrites its own partition wholesale, exactly the
+    * [[upsertBatch]] contract. Used by DistMain for claim-op stages. */
+  def upsertClaimBatch(batch: DataFrame, batchId: Long, outDir: String): Unit = {
+    val Array(bCol, iCol, kCol) = batch.columns
+    batch
+      .groupBy(col(bCol), col(iCol))
+      .agg(min(col(kCol)).as(kCol))
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+  }
+
+  /** Merge-on-read first-arrival-wins view of a claim ledger: one row
+    * per (bucket, id), keeper from the LOWEST batch_id that wrote the
+    * key (batch_id leads the min-struct — no window sort, one hash
+    * aggregate at any ledger size). A legacy flat ledger (no batch_id)
+    * passes through unchanged. */
+  def claimView(spark: SparkSession, outDir: String): DataFrame = {
+    val df = spark.read.parquet(outDir)
+    if (!df.columns.contains("batch_id")) df
+    else {
+      val Seq(bCol, iCol, kCol) = df.columns.filterNot(_ == "batch_id").toSeq
+      df.groupBy(col(bCol), col(iCol))
+        .agg(min(struct(col("batch_id"), col(kCol))).as("m"))
+        .select(col(bCol), col(iCol), col(s"m.$kCol").as(kCol))
+    }
+  }
+
+  /** Periodic ledger compaction: fold every partition with batch_id <=
+    * `upToBatch` into the partition labeled with the LOWEST folded
+    * batch id — first-arrival-wins means the compacted rows must keep
+    * winning ties against any stale partition a crash leaves behind
+    * (the mirror of [[compact]]'s highest-label rule for latest-wins
+    * upserts). Crash-safe at every step: [[claimView]] returns
+    * identical rows whether the superseded partitions are still
+    * present or gone. `upToBatch` must not exceed the last COMMITTED
+    * batch (the replayable head must stay out of the fold). */
+  def compactClaims(spark: SparkSession, outDir: String, upToBatch: Long): Unit = {
+    val all = spark.read.parquet(outDir)
+    require(all.columns.contains("batch_id"),
+      s"compactClaims expects a batch_id-partitioned claim ledger at $outDir")
+    val Seq(bCol, iCol, kCol) = all.columns.filterNot(_ == "batch_id").toSeq
+    val olds = all.filter(col("batch_id") <= upToBatch)
+    val minB = olds.agg(min(col("batch_id"))).head().getAs[Number](0).longValue()
+    val tmpDir = s"$outDir.compact-tmp-$upToBatch"
+    olds
+      .groupBy(col(bCol), col(iCol))
+      .agg(min(struct(col("batch_id"), col(kCol))).as("m"))
+      .select(col(bCol), col(iCol), col(s"m.$kCol").as(kCol))
+      .write.mode("overwrite").parquet(tmpDir)
+    spark.read.parquet(tmpDir)
+      .withColumn("batch_id", lit(minB))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(outDir)).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("batch_id=")) {
+        val id = name.stripPrefix("batch_id=").toLong
+        if (id > minB && id <= upToBatch) fs.delete(st.getPath, true)
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+  }
+
   /** foreachBatch idempotent sink — the production pattern when the
     * target is not streaming-native: Structured Streaming guarantees
     * batchId is monotonic and replayed verbatim after a crash, and

@@ -681,7 +681,8 @@ class DistPipelineSpec extends SparkSpec {
       .selectExpr("doc_id", "shingles(split(trim(text), '\\\\s+'), 3) AS sh")
       .where("size(sh) > 0").count() * 4
     assert(claims.count() == expBuckets, "4 band claims per scored doc")
-    assert(claims.columns.toSeq == Seq("bucket", "doc_id", "keeper_id"))
+    assert(claims.columns.toSeq == Seq("bucket", "doc_id", "keeper_id", "batch_id"),
+      "claim ledgers are batch_id-partitioned (the compactable layout, r18)")
 
     // incremental: re-running the direction processes nothing new
     DistMain.runDirection(spark, conf.direction("ingest"), "ingest")
@@ -729,7 +730,7 @@ class DistPipelineSpec extends SparkSpec {
     val conf = DistConfig.parse(DistMain.readFile(spark, s"file:$base/config.json"))
     DistMain.runDirection(spark, conf.direction("m"), "m")
     val claims = spark.read.parquet(s"$base/claims")
-    assert(claims.columns.toSeq == Seq("bucket", "item_key", "keeper_key"))
+    assert(claims.columns.toSeq == Seq("bucket", "item_key", "keeper_key", "batch_id"))
     // two-level tier: 57 ball claims per DISTINCT hash's first arrival
     // plus one raw-hash probe per later exact-dup item
     val hashed = graft.multimodal.Media
@@ -741,6 +742,55 @@ class DistPipelineSpec extends SparkSpec {
       "57 ball claims per first arrival + 1 probe per exact-dup item")
     assert(claims.filter(col("keeper_key") =!= col("item_key")).count() > 0,
       "the corpus must contain media near-dup candidates")
+  }
+
+  test("claim ledger: multi-run direction compacts; apply_claims identical pre/post") {
+    // VERDICT r17 #5: a long-running dedup_claim direction appends one
+    // batch partition per run — compaction folds the closed range into
+    // one partition, and the claims-consuming view (and so
+    // apply_claims) must be IDENTICAL before and after; an incremental
+    // re-run with nothing new stays a no-op on the compacted ledger.
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Streams
+    val base = tmpDir("dist")
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    docs.where(col("doc_id") % 2 === 0).write.parquet(s"$base/in")
+    val cfg = s"""{ "c": [{
+        "streaming": true, "ingest": "dedup_claim", "model_dir": "${sf()}",
+        "source": {"adapter": "hadoopParquet", "path": "$base/in"},
+        "dest":   {"adapter": "hadoopParquet", "path": "$base/claims"}}] }"""
+    write(s"$base/config.json", cfg)
+    val conf = DistConfig.parse(DistMain.readFile(spark, s"file:$base/config.json"))
+    DistMain.runDirection(spark, conf.direction("c"), "c")
+    // second run over NEW files — the long-running-direction shape
+    docs.where(col("doc_id") % 2 === 1).write.mode("append").parquet(s"$base/in")
+    DistMain.runDirection(spark, conf.direction("c"), "c")
+    def batchDirs(): Seq[Long] =
+      new java.io.File(s"$base/claims").listFiles()
+        .map(_.getName).filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong).toSeq.sorted
+    val pre = batchDirs()
+    assert(pre.size >= 2, s"two runs must leave >= 2 batch partitions, got $pre")
+    def viewRows(): Seq[(Long, Long, Long)] =
+      Streams.claimView(spark, s"$base/claims").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    def applied(): Seq[Long] =
+      graft.streaming.Ingest(spark, "apply_claims", s"$base/claims", docs)
+        .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    val (viewPre, appliedPre) = (viewRows(), applied())
+    assert(viewPre.nonEmpty && appliedPre.size < docs.count(),
+      "the ledger must contain losers for the test to be non-vacuous")
+    Streams.compactClaims(spark, s"$base/claims", pre.max)
+    assert(batchDirs() == Seq(pre.min),
+      s"compaction must fold everything into the lowest batch partition, got ${batchDirs()}")
+    assert(viewRows() == viewPre, "claim view must be identical post-compaction")
+    assert(applied() == appliedPre, "apply_claims must be identical post-compaction")
+    // incremental re-run with nothing new: the checkpointed direction
+    // processes zero files and the compacted ledger stays untouched
+    DistMain.runDirection(spark, conf.direction("c"), "c")
+    assert(batchDirs() == Seq(pre.min) && viewRows() == viewPre,
+      "re-run with no new files must be a no-op on the compacted ledger")
   }
 
   test("streaming ingest: dedup_simhash_claim op emits the exact-recall ledger through the config surface") {
@@ -757,7 +807,7 @@ class DistPipelineSpec extends SparkSpec {
     DistMain.runDirection(spark, conf.direction("m"), "m")
     val claims = spark.read.parquet(s"$base/claims")
     // same ledger schema as dedup_claim, so apply_claims composes
-    assert(claims.columns.toSeq == Seq("bucket", "doc_id", "keeper_id"))
+    assert(claims.columns.toSeq == Seq("bucket", "doc_id", "keeper_id", "batch_id"))
     val nDocs = spark.read.parquet(s"$base/docs").count()
     assert(claims.count() == nDocs * 252, "C(10,5) block claims per doc")
     assert(claims.filter(col("keeper_id") =!= col("doc_id")).count() > 0,
