@@ -169,6 +169,40 @@ object ScaleSlope {
       sys.env.getOrElse("SPARK_GRAFT_CPUS",
         Runtime.getRuntime.availableProcessors().toString))
 
+    // x64 confirmation mode (VERDICT r17 #6): arg 4 = "64" extends a
+    // SUBSET run with one 64x point per kernel — the fit window that
+    // resolves a superlinear term the 16x window can hide under its
+    // ±0.2 noise band. Diagnostic only (no JSON, no control, no gate);
+    // results are recorded by hand in docs/scale_slope.md with the
+    // min-of-N storm rule.
+    if (args.length > 3 && args(3) == "64") {
+      require(kernelFilter.nonEmpty, "x64 mode is subset-only (pass a kernel list)")
+      val scales64 = Seq(1, 4, 16, 64)
+      for (k <- scales64) {
+        val marker = java.nio.file.Paths.get(s"$work/x$k/_built")
+        if (!java.nio.file.Files.exists(marker)) {
+          System.err.println(s"[scale-slope] building ${k}x corpus")
+          buildScaled(spark, base, s"$work/x$k", k)
+          java.nio.file.Files.createDirectories(marker.getParent)
+          java.nio.file.Files.write(marker, Array.emptyByteArray)
+        }
+        SparkEntry.queries("q_text_stats")(spark, s"$work/x$k")
+          .write.format("noop").mode("overwrite").save()
+      }
+      for (q <- activeKernels) {
+        val times = scales64.map { k =>
+          val reps = if (k == 1) 3 else 2
+          k -> (1 to reps).map(_ => timeOnce(spark, q, s"$work/x$k")).min
+        }.toMap
+        val adj16 = math.log((times(16) - times(1)) / (times(4) - times(1))) / math.log(4.0)
+        val adj64 = math.log((times(64) - times(1)) / (times(16) - times(1))) / math.log(4.0)
+        System.err.println(f"[scale-slope x64] $q t1=${times(1)}%.2f t4=${times(4)}%.2f " +
+          f"t16=${times(16)}%.2f t64=${times(64)}%.2f adj16=$adj16%.2f adj64=$adj64%.2f " +
+          f"ok=${adj64 < MaxAdjSlope}")
+      }
+      return
+    }
+
     for (k <- Scales) {
       val marker = java.nio.file.Paths.get(s"$work/x$k/_built")
       if (!java.nio.file.Files.exists(marker)) {
