@@ -61,7 +61,19 @@ object LangId {
 
   private[graft] val langs: Seq[String] = langTables.map(_._1)
 
-  private def sparkArr(ws: Seq[String]) =
+  /** Fixed-precedence argmax CASE over the k class scores; `score(i)`
+    * renders the i-th class's score expression. ONE formulation shared
+    * by the batch score query, its oracle and the streaming annotator. */
+  private[graft] def precedenceCase(score: Int => String): String = {
+    val arms = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = (i + 1 until langs.size).map(score)
+      val hi = if (rest.size == 1) rest.head else s"greatest(${rest.mkString(", ")})"
+      s"when ${score(i)} >= $hi then '$l'"
+    }.mkString(" ")
+    s"case $arms else '${langs.last}' end"
+  }
+
+  private[graft] def sparkArr(ws: Seq[String]) =
     ws.map("'" + _ + "'").mkString("array(", ", ", ")")
   private def duckArr(ws: Seq[String]) =
     ws.map("'" + _ + "'").mkString("[", ", ", "]")
@@ -338,19 +350,14 @@ object LangId {
       val scoreCol = ColumnBridge.column(graft.functions.LangIdScore(
         ColumnBridge.expression(col("s")),
         wArr.map(ws => scala.collection.immutable.ArraySeq.unsafeWrapArray(ws): Seq[Long]).toSeq))
-      val precedence = langs.init.zipWithIndex.map { case (l, i) =>
-        val rest = langs.drop(i + 1).map(o => s"s_$o")
-        val hi = if (rest.size == 1) rest.head else s"greatest(${rest.mkString(", ")})"
-        s"when s_$l >= $hi then '$l'"
-      }.mkString(" ")
+      val precedence = precedenceCase(i => s"s_${langs(i)}")
       lDocs(s, dir)
         .withColumn("sc", scoreCol)
         .select(col("doc_id") +: col("lang").as("lang_declared") +:
           langs.zipWithIndex.map { case (l, ci) =>
             expr(s"element_at(sc, ${ci + 1})").as(s"s_$l")
           }: _*)
-        .withColumn("lang_predicted",
-          expr(s"case $precedence else '${langs.last}' end"))
+        .withColumn("lang_predicted", expr(precedence))
         .withColumn("correct", col("lang_predicted") === col("lang_declared"))
     })
 }

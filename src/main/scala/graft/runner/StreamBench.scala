@@ -26,6 +26,7 @@ object StreamBench {
   final case class SDoc(doc_id: Long, text: String)
   final case class SVec(vec_id: Long, embedding: Seq[Float])
   final case class SIngest(doc_id: Long, text: String, embedding: Seq[Float])
+  final case class SHtml(doc_id: Long, html: String)
 
   /** Stream-size multiplier over the base corpus and micro-batch count. */
   final val Rep = 10
@@ -150,6 +151,17 @@ object StreamBench {
     val dsirLr = graft.queries.Curation.dsirModel(spark, dir)
     // trained unigram-LM piece table for the online tokenizer encode
     val uniModel = graft.queries.Bpe.unigramModel(spark, dir)
+    // trained char-trigram language-ID model (round 18)
+    val lidModel = graft.queries.LangId.trainedModel(spark, dir)
+    // raw-markup stream for the crawl front end (round 18): the derived
+    // HTML chrome over the corpus text — the per-row cost is the real
+    // tag-strip regexp chain
+    val baseHtml = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", s"${graft.queries.Html.htmlSql} AS html")
+      .as[SHtml].collect().toSeq
+    val htmlRows = (0 until Rep).flatMap(r =>
+      baseHtml.map(h => h.copy(doc_id = h.doc_id + r * 1_000_000_000L)))
+    val wHtml = baseHtml.take(500).map(h => h.copy(doc_id = h.doc_id + 9_000_000_000L))
 
     def onePass(): Seq[(String, Long, Double)] = {
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
@@ -164,6 +176,12 @@ object StreamBench {
     // DP per alpha word per row under the trained piece table
     results += timeStream[SDoc](spark, "encode_unigram", wDocs, docs,
       df => graft.streaming.Streams.unigramEncode(df, uniModel))
+    // the crawl front end (round 18): tag-strip map stage + the
+    // trained-language-ID annotator, both stateless
+    results += timeStream[SHtml](spark, "extract_html", wHtml, htmlRows,
+      df => graft.streaming.Streams.extractHtml(df))
+    results += timeStream[SDoc](spark, "langid", wDocs, docs,
+      df => graft.streaming.Streams.langidAnnotate(df, lidModel))
     results += timeStream[SVec](spark, "encode_pq", wVecs, vecs,
       df => graft.streaming.Streams.encodePq(df, pqcb))
     // micro-batch size sweep (round-16 headroom item): the r15 claim

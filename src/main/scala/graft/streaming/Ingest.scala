@@ -59,6 +59,16 @@ import org.apache.spark.sql.functions._
   *    unigram-LM piece table ([[graft.queries.Bpe.unigramModel]]) —
   *    the online tokenizer-encode tier; annotate-only, all columns
   *    passed through.
+  *  - `extract_html`: input (doc_id, html, ...) — the crawl FRONT
+  *    END (round 18): the q_html_extract tag-strip chain replaces
+  *    `html` with the extracted `text` (+ `n_tags`), so a direction
+  *    can start from raw markup (extract_html → langid → score → ...).
+  *    Stateless map; boilerplate-line removal stays a batch concern
+  *    (corpus-wide line df). No offline model.
+  *  - `langid`: input (doc_id, text, ...) — adds `lang_predicted`
+  *    under the TRAINED character-trigram model
+  *    ([[graft.queries.LangId.trainedModel]]); annotate-only, one
+  *    native loop per row.
   *  - `media_dedup`: input the MediaRecord schema (media_id, kind,
   *    payload, meta) — real decode + dHash + hamming-ball probe-key
   *    claims ([[Streams.mediaDedup]]), the q_media_dedup candidate
@@ -75,7 +85,7 @@ object Ingest {
   val ops: Seq[String] =
     Seq("score", "dedup_claim", "gate_contaminated", "encode_ivfadc",
       "apply_claims", "media_dedup", "dedup_simhash_claim", "dsir_score",
-      "encode_unigram")
+      "encode_unigram", "extract_html", "langid")
 
   def apply(spark: SparkSession, op: String, modelDir: String, df: DataFrame): DataFrame =
     op match {
@@ -95,6 +105,17 @@ object Ingest {
         // online tokenizer encode under the offline-trained unigram-LM
         // piece table — annotate-only, all columns pass through
         Streams.unigramEncode(df, graft.queries.Bpe.unigramModel(spark, modelDir))
+      case "extract_html" =>
+        // the crawl FRONT END: tag-strip the html column to text (the
+        // q_html_extract chain — a pure codegen'd map stage); no
+        // offline model (the media_dedup rule: model_dir required by
+        // the task shape, unused)
+        Streams.extractHtml(df)
+      case "langid" =>
+        // annotate-only language ID under the TRAINED char-trigram
+        // model (train offline from model_dir, score the stream online
+        // through one native loop per row)
+        Streams.langidAnnotate(df, graft.queries.LangId.trainedModel(spark, modelDir))
       case "dsir_score" =>
         // annotate-only: DSIR selection is a GLOBAL rank (Gumbel
         // top-k), which a stream cannot do — the scorer stamps

@@ -229,6 +229,50 @@ object Streams {
       .withColumn("cls_flag", when(col("score") > 0, "keep").otherwise("drop"))
   }
 
+  /** Streaming HTML extraction (round 18) — the crawl FRONT END as a
+    * stateless map stage: input (doc_id, html, ...) runs the
+    * q_html_extract tag-strip chain (block closers → newline, tag
+    * strip → space, entity decode after stripping, whitespace
+    * normalize — all codegen'd string ops, [[graft.queries.Html]]'s
+    * ONE formulation), replacing `html` with the extracted `text` plus
+    * `n_tags`. Pure map, NO STATE; boilerplate-LINE removal stays a
+    * batch concern by design (the line-df signal is a corpus-wide
+    * aggregate a stream cannot see — the dedup_claim split rule). */
+  def extractHtml(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_tags",
+        expr("cast(size(regexp_extract_all(html, '<[^>]*>', 0)) as bigint)"))
+      .withColumn("text", expr(graft.queries.Html.extractSql("html")))
+      .drop("html")
+
+  /** Streaming language ID under the TRAINED char-trigram model (round
+    * 18) — train offline ([[graft.queries.LangId.trainedModel]] on the
+    * model_dir corpus), score the stream online: ONE native loop per
+    * row ([[graft.functions.LangIdScore]], model as a ColumnBridge
+    * reference object — the giant-literal rule at 5×1025 weights),
+    * fixed-precedence argmax stamped as `lang_predicted` (the
+    * formulation shared with q_langid_score via
+    * [[graft.queries.LangId.precedenceCase]]). Annotate-only; pure
+    * map, NO STATE. */
+  def langidAnnotate(docs: DataFrame, model: Array[Array[Long]]): DataFrame = {
+    require(model.length == graft.queries.LangId.langs.size &&
+      model.forall(_.length == graft.queries.LangId.LangB + 1),
+      s"langidAnnotate model must be ${graft.queries.LangId.langs.size} × " +
+        s"${graft.queries.LangId.LangB + 1}; got " +
+        s"${model.length} × ${model.headOption.map(_.length).getOrElse(0)} — " +
+        "stale or foreign model?")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val sc = ColumnBridge.column(graft.functions.LangIdScore(
+      ColumnBridge.expression(col("text")),
+      model.map(ws =>
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(ws): Seq[Long]).toSeq))
+    docs
+      .withColumn("lidsc", sc)
+      .withColumn("lang_predicted",
+        expr(graft.queries.LangId.precedenceCase(i => s"element_at(lidsc, ${i + 1})")))
+      .drop("lidsc")
+  }
+
   /** Streaming DSIR importance scorer — the stateless twin of the batch
     * `q_dsir_weights` frame (round 17): each arriving doc gets
     * `n_feats` and `dsir_weight` under the TRAINED per-bucket log-ratio

@@ -744,6 +744,45 @@ class DistPipelineSpec extends SparkSpec {
       "the corpus must contain media near-dup candidates")
   }
 
+  test("streaming ingest: extract_html -> langid crawl front end through the config surface") {
+    // round 18: a direction can start from RAW MARKUP — tag-strip to
+    // text, then trained-model language ID, both stateless map stages,
+    // each output EXACTLY the batch application of the same op.
+    import org.apache.spark.sql.functions._
+    val base = tmpDir("dist")
+    // the crawl fixture: the derived MULTILINGUAL text (the langid
+    // corpus) wrapped in the derived HTML chrome — extraction must
+    // recover text the trained model can still discriminate on
+    val html = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("doc_id", "source", s"${graft.queries.LangId.derivedSql} as text")
+      .selectExpr("doc_id", s"${graft.queries.Html.htmlSql} as html")
+    html.write.parquet(s"$base/in")
+    def stage(op: String, in: String, out: String) = s"""{
+        "streaming": true, "ingest": "$op", "model_dir": "${sf()}",
+        "source": {"adapter": "hadoopParquet", "path": "$base/$in"},
+        "dest":   {"adapter": "hadoopParquet", "path": "$base/$out"}}"""
+    val cfg = s"""{ "crawl": [
+      ${stage("extract_html", "in", "text")},
+      ${stage("langid", "text", "tagged")}] }"""
+    write(s"$base/config.json", cfg)
+    val conf = DistConfig.parse(DistMain.readFile(spark, s"file:$base/config.json"))
+    DistMain.runDirection(spark, conf.direction("crawl"), "crawl")
+    val got = spark.read.parquet(s"$base/tagged")
+    val exp = graft.streaming.Ingest(spark, "langid", sf(),
+      graft.streaming.Ingest(spark, "extract_html", sf(), html))
+    assert(got.count() == html.count(), "both stages are annotate-only")
+    assert(
+      got.select(col("doc_id"), col("text"), col("lang_predicted")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq ==
+        exp.select(col("doc_id"), col("text"), col("lang_predicted")).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq,
+      "config-surface extraction + language ID must equal the batch application")
+    // the tag-strip really ran: extracted text carries no markup
+    assert(got.filter(col("text").contains("<")).count() == 0)
+    assert(got.select(col("lang_predicted")).distinct().count() > 1,
+      "the trained model must actually discriminate on extracted text")
+  }
+
   test("claim ledger: multi-run direction compacts; apply_claims identical pre/post") {
     // VERDICT r17 #5: a long-running dedup_claim direction appends one
     // batch partition per run — compaction folds the closed range into

@@ -876,7 +876,12 @@ class PlanShapeSpec extends SparkSpec {
       "dsirScore" -> graft.streaming.Streams.dsirScore(
         docs, graft.queries.Curation.dsirModel(spark, dir)),
       "unigramEncode" -> graft.streaming.Streams.unigramEncode(
-        docs, graft.queries.Bpe.unigramModel(spark, dir)))
+        docs, graft.queries.Bpe.unigramModel(spark, dir)),
+      "extractHtml" -> graft.streaming.Streams.extractHtml(
+        graft.io.Tables(spark, dir, "documents")
+          .selectExpr("doc_id", s"${graft.queries.Html.htmlSql} as html")),
+      "langidAnnotate" -> graft.streaming.Streams.langidAnnotate(
+        docs, graft.queries.LangId.trainedModel(spark, dir)))
     graft.io.CacheScope.releaseAll()
     for ((name, df) <- ops) {
       val plan = df.queryExecution.analyzed
