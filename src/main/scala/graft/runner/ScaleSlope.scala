@@ -80,7 +80,11 @@ object ScaleSlope {
     // rows with corpus-derived B — the signature vocabulary grows ∝ N naturally (r17)
     "q_mine_bitext", // margin mining: SRP-cell + hamming-1 probe A×B candidates — the
     // cell count is corpus-derived (semBits), so candidate volume must stay O(N·target)
-    "q_classifier_train")
+    "q_classifier_train",
+    "q_html_pipeline", // crawl front end: line-df aggregate + chrome-cut join-back —
+    // must stay O(total lines); the boilerplate table grows with docs/source (r18)
+    "q_media_align_videos") // offset-histogram alignment: fh equi-join over a frame-hash
+    // vocabulary that grows ∝ N (fresh 60-bit fsig per doc) + real container decode (r18)
 
   final val Scales = Seq(1, 4, 16)
 
