@@ -318,46 +318,70 @@ object LangId {
 
     Q(
       "q_langid_score",
-      s"""WITH $langTrainCtes,
-         |sc AS (
-         |  SELECT f.doc_id, w.ci, CAST(sum(f.c * w.wt) AS BIGINT) AS z
-         |  FROM feat f JOIN w$LangR w USING (b)
-         |  GROUP BY 1, 2
-         |), piv AS (
-         |  SELECT doc_id,
-         |    ${langs.zipWithIndex.map { case (l, ci) =>
-               s"max(CASE WHEN ci = $ci THEN z END) AS s_$l" }.mkString(",\n    ")}
-         |  FROM sc GROUP BY 1
-         |), pred AS (
-         |  SELECT d.doc_id, d.lang AS lang_declared,
-         |    ${langs.map(l => s"s_$l").mkString(", ")},
-         |    CASE ${langs.init.zipWithIndex.map { case (l, i) =>
-               val rest = langs.drop(i + 1).map(o => s"s_$o")
-               val hi = if (rest.size == 1) rest.head else s"greatest(${rest.mkString(", ")})"
-               s"WHEN s_$l >= $hi THEN '$l'"
-             }.mkString(" ")} ELSE '${langs.last}' END AS lang_predicted
-         |  FROM lsrc d JOIN piv USING (doc_id)
-         |)
+      s"""WITH $langScoreCtes
          |SELECT doc_id, lang_declared, ${langs.map(l => s"s_$l").mkString(", ")},
          |  lang_predicted, (lang_predicted = lang_declared) AS correct
          |FROM pred""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.graft.ColumnBridge
-      val wArr =
-        if (graft.io.KernelMemo.isBypassed) initWeights
-        else trainedModel(s, dir)
-      // the 5×1025 model rides as a reference object — rendered as SQL
-      // literals it would be the giant-literal parse hazard (r16 rule)
-      val scoreCol = ColumnBridge.column(graft.functions.LangIdScore(
-        ColumnBridge.expression(col("s")),
-        wArr.map(ws => scala.collection.immutable.ArraySeq.unsafeWrapArray(ws): Seq[Long]).toSeq))
-      val precedence = precedenceCase(i => s"s_${langs(i)}")
-      lDocs(s, dir)
-        .withColumn("sc", scoreCol)
-        .select(col("doc_id") +: col("lang").as("lang_declared") +:
-          langs.zipWithIndex.map { case (l, ci) =>
-            expr(s"element_at(sc, ${ci + 1})").as(s"s_$l")
-          }: _*)
-        .withColumn("lang_predicted", expr(precedence))
+      scoredFrame(s, dir)
         .withColumn("correct", col("lang_predicted") === col("lang_declared"))
+    },
+
+    // ---- confusion matrix: the eval a langid deployment reads ---------------
+    // Per (declared, predicted) doc counts over the full corpus under
+    // the trained model — accuracy, per-class recall and every
+    // confusion cell fall out of these 25 integers. Same scored frame
+    // (and oracle CTE chain) as q_langid_score: one formulation.
+    Q(
+      "q_langid_confusion",
+      s"""WITH $langScoreCtes
+         |SELECT lang_declared, lang_predicted, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM pred
+         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      scoredFrame(s, dir)
+        .groupBy(col("lang_declared"), col("lang_predicted"))
+        .agg(count(lit(1)).as("n_docs"))
     })
+
+  /** The corpus-wide scored/argmaxed frame (doc_id, lang_declared,
+    * s_*, lang_predicted) under the trained model — shared by
+    * q_langid_score and q_langid_confusion. */
+  private def scoredFrame(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val wArr =
+      if (graft.io.KernelMemo.isBypassed) initWeights
+      else trainedModel(s, dir)
+    // the 5×1025 model rides as a reference object — rendered as SQL
+    // literals it would be the giant-literal parse hazard (r16 rule)
+    val scoreCol = ColumnBridge.column(graft.functions.LangIdScore(
+      ColumnBridge.expression(col("s")),
+      wArr.map(ws => scala.collection.immutable.ArraySeq.unsafeWrapArray(ws): Seq[Long]).toSeq))
+    lDocs(s, dir)
+      .withColumn("sc", scoreCol)
+      .select(col("doc_id") +: col("lang").as("lang_declared") +:
+        langs.zipWithIndex.map { case (l, ci) =>
+          expr(s"element_at(sc, ${ci + 1})").as(s"s_$l")
+        }: _*)
+      .withColumn("lang_predicted", expr(precedenceCase(i => s"s_${langs(i)}")))
+  }
+
+  /** Training chain + corpus scoring + argmax as CTE text ending in
+    * `pred(doc_id, lang_declared, s_*, lang_predicted)` — shared by
+    * the scoring and confusion oracles. */
+  private def langScoreCtes: String =
+    s"""$langTrainCtes,
+       |sc AS (
+       |  SELECT f.doc_id, w.ci, CAST(sum(f.c * w.wt) AS BIGINT) AS z
+       |  FROM feat f JOIN w$LangR w USING (b)
+       |  GROUP BY 1, 2
+       |), piv AS (
+       |  SELECT doc_id,
+       |    ${langs.zipWithIndex.map { case (l, ci) =>
+             s"max(CASE WHEN ci = $ci THEN z END) AS s_$l" }.mkString(",\n    ")}
+       |  FROM sc GROUP BY 1
+       |), pred AS (
+       |  SELECT d.doc_id, d.lang AS lang_declared,
+       |    ${langs.map(l => s"s_$l").mkString(", ")},
+       |    ${precedenceCase(i => s"s_${langs(i)}")} AS lang_predicted
+       |  FROM lsrc d JOIN piv USING (doc_id)
+       |)""".stripMargin
 }
