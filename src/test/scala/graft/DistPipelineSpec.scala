@@ -969,8 +969,9 @@ class DistPipelineSpec extends SparkSpec {
 
   test("worked example: streaming ingest config end-to-end") {
     // examples/streaming_ingest.json is the shipped streaming story: a
-    // batch prepare step stages the incoming docs, then a six-stage
-    // "streaming": true direction runs quality gate -> DSIR weights ->
+    // batch prepare step stages the incoming CRAWL DUMP (raw markup —
+    // round 18), then an eight-stage "streaming": true direction runs
+    // HTML extraction -> language ID -> quality gate -> DSIR weights ->
     // near-dup claims -> contamination gate -> claim application ->
     // unigram tokenize, each under AvailableNow with its own
     // checkpoint. The test runs the ACTUAL example file (token
@@ -987,10 +988,17 @@ class DistPipelineSpec extends SparkSpec {
     DistMain.runDirection(spark, conf.direction("ingest"), "ingest")
     val tokenized = spark.read.parquet(s"file:$base/tokenized")
     assert(tokenized.count() > 0)
-    // every stage's annotations survived the chain
-    assert(Set("doc_id", "text", "score", "cls_flag", "dsir_weight",
+    // every stage's annotations survived the chain — including the
+    // crawl front end's tag count and language tag (round 18)
+    assert(Set("doc_id", "text", "n_tags", "lang_predicted", "score",
+      "cls_flag", "dsir_weight",
       "n_feats", "n_words", "n_pieces", "n_chars_alpha")
       .subsetOf(tokenized.columns.toSet), tokenized.columns.mkString(","))
+    // the extraction really ran: raw markup in, clean text out
+    assert(spark.read.parquet(s"file:$base/incoming")
+      .where(col("html").contains("<p>")).count() > 0)
+    assert(spark.read.parquet(s"file:$base/text")
+      .where(col("text").contains("<")).count() == 0)
     // the quality gate dropped something, the claim filter dropped more
     val incoming = spark.read.parquet(s"file:$base/incoming").count()
     val gated = spark.read.parquet(s"file:$base/gated").count()
