@@ -48,7 +48,16 @@ final case class DistLocation(
   * stream after the optional `transform`; `"model_dir"` points at the
   * corpus the operator's offline models train from (required with
   * `ingest`). A direction of chained ingest tasks runs the whole
-  * tier. */
+  * tier.
+  *
+  * `"horizon_ms"` (claim-op ingest tasks only, round 19) bounds the
+  * dedup HORIZON: the input must carry an event-time `ts` column, and
+  * claim state evicts once the watermark passes keeper claim time +
+  * horizon ([[graft.streaming.Streams]] horizoned folds), so a
+  * months-long direction's state store is bounded by the horizon, not
+  * the corpus. `"lateness"` (default "0 seconds") is the watermark
+  * delay for out-of-order arrivals. Without `horizon_ms` the claim
+  * state is unbounded — the whole-corpus dedup semantics. */
 final case class DistTask(
     source: DistLocation,
     dest: DistLocation,
@@ -57,7 +66,9 @@ final case class DistTask(
     verify: Boolean = false,
     verifyColumns: Seq[String] = Seq.empty,
     ingest: Option[String] = None,
-    modelDir: Option[String] = None)
+    modelDir: Option[String] = None,
+    horizonMs: Option[Long] = None,
+    lateness: String = "0 seconds")
 
 final case class DistConfig(directions: Map[String, Seq[DistTask]]) {
   def direction(name: String): Seq[DistTask] =
@@ -85,7 +96,13 @@ object DistConfig {
             .map(_.elements().asScala.map(_.asText()).toSeq)
             .getOrElse(Seq.empty),
           Option(t.get("ingest")).map(_.asText()),
-          Option(t.get("model_dir")).map(_.asText()))
+          Option(t.get("model_dir")).map(_.asText()),
+          Option(t.get("horizon_ms")).map(_.asLong()),
+          Option(t.get("lateness")).map(_.asText()).getOrElse("0 seconds"))
+        require(task.horizonMs.isEmpty ||
+            task.ingest.exists(op => op.contains("claim") || op == "media_dedup"),
+          s"task in direction '${e.getKey}': 'horizon_ms' only applies to " +
+            "claim-op ingest tasks (dedup_claim / dedup_simhash_claim / media_dedup)")
         // fail loudly, at parse time: a batch task with `ingest` set
         // would otherwise copy the data verbatim — the quality/
         // contamination gate silently never runs and the output looks

@@ -466,24 +466,39 @@ object Media {
     import spark.implicits._
     ds.mapPartitions { it =>
       val dec = new PngDecoder // shared per-partition reader (r17)
-      it.flatMap { r =>
-        r.kind match {
-          case "image" =>
-            dec.decode(r.payload).flatMap(grayGrid8).map(g =>
-              (r.media_id, 0L, r.kind, dHash56(g))).toSeq
-          case "video" =>
-            decodeVideo(r.payload).toSeq.flatMap(_.zipWithIndex.flatMap {
-              case (fb, f) =>
-                dec.decode(fb).flatMap(grayGrid8).map(g =>
-                  (r.media_id, f.toLong, r.kind, dHash56(g)))
-            })
-          case "audio" =>
-            decodeWav(r.payload).flatMap(audioSpectral8).map(g =>
-              (r.media_id, 0L, r.kind, dHash56(g))).toSeq
-          case _ => Seq.empty
-        }
-      }
+      it.flatMap(r => dHashRowsOf(dec, r).map { case (f, dh) => (r.media_id, f, r.kind, dh) })
     }.toDF("media_id", "frame_no", "kind", "dhash")
+  }
+
+  /** Per-record body of [[dHashItems]]: (frame_no, dhash) rows — one
+    * decode/skip rule shared with the ts-carrying variant below. */
+  private def dHashRowsOf(dec: PngDecoder, r: MediaRecord): Seq[(Long, Long)] =
+    r.kind match {
+      case "image" =>
+        dec.decode(r.payload).flatMap(grayGrid8).map(g => (0L, dHash56(g))).toSeq
+      case "video" =>
+        decodeVideo(r.payload).toSeq.flatMap(_.zipWithIndex.flatMap {
+          case (fb, f) =>
+            dec.decode(fb).flatMap(grayGrid8).map(g => (f.toLong, dHash56(g)))
+        })
+      case "audio" =>
+        decodeWav(r.payload).flatMap(audioSpectral8).map(g => (0L, dHash56(g))).toSeq
+      case _ => Seq.empty
+    }
+
+  /** Event-time twin of [[dHashItems]] for the horizoned streaming
+    * media dedup (round 19): each input row's timestamp rides through
+    * the decode map so the downstream claim fold can watermark on it.
+    * Columns: (media_id, frame_no, kind, dhash, ts). */
+  def dHashItemsTs(ds: Dataset[(MediaRecord, java.sql.Timestamp)]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      val dec = new PngDecoder
+      it.flatMap { case (r, ts) =>
+        dHashRowsOf(dec, r).map { case (f, dh) => (r.media_id, f, r.kind, dh, ts) }
+      }
+    }.toDF("media_id", "frame_no", "kind", "dhash", "ts")
   }
 
   /** Hamming-ball probe keys for perceptual near-dup candidates

@@ -92,8 +92,14 @@ object LangId {
         else s"concat(x.t, element_at(${sparkArr(suf)}, cast((x.d div 7) % ${suf.size} as int) + 1))"
       s"when '$l' then case when x.d % 3 = 0 then $fwPick else $rest end"
     }.mkString(" ")
+    // the 't' field is ASCII-FORCED (non-ASCII code points map to '_'):
+    // the native scorer hashes UTF-8 BYTE trigrams while training/oracle
+    // hash character substrings, and the equivalence is ASCII-scoped
+    // (ADVICE r18) — the gate makes the scoping enforced, not assumed.
+    // The decision hash 'd' keeps the raw token (same lottery either way).
     "array_join(transform(" +
-      s"transform(split(trim(text), '\\\\s+'), t -> named_struct('t', t, 'd', ${h("concat('ld#', t)")})), " +
+      s"transform(split(trim(text), '\\\\s+'), t -> named_struct(" +
+      s"'t', regexp_replace(t, '[^ -~]', '_'), 'd', ${h("concat('ld#', t)")})), " +
       s"x -> case lang $arms else x.t end), ' ')"
   }
 
@@ -107,7 +113,8 @@ object LangId {
       s"WHEN '$l' THEN CASE WHEN x.d % 3 = 0 THEN $fwPick ELSE $rest END"
     }.mkString(" ")
     "array_to_string(list_transform(" +
-      raw"list_transform(regexp_split_to_array(trim(text), '\s+'), t -> {'t': t, 'd': ${duck("'ld#' || t")}}), " +
+      raw"list_transform(regexp_split_to_array(trim(text), '\s+'), t -> " +
+      raw"{'t': regexp_replace(t, '[^ -~]', '_', 'g'), 'd': ${duck("'ld#' || t")}}), " +
       s"x -> CASE lang $arms ELSE x.t END), ' ')"
   }
 
@@ -202,7 +209,13 @@ object LangId {
         expr(s"${h("concat('lcv#', cast(doc_id as string))")} % 5") === 0)
     base
       .select(col("doc_id"), col("lang"), col("held"),
-        explode(expr("sequence(1, length(s) - 2)")).as("i"), col("s"))
+        // guard: sequence(1, n) steps DOWN for n < 1 (sequence(1,0) =
+        // [1,0]), minting spurious trigram rows for sub-3-char docs,
+        // while the oracle's generate_series(1, n) is empty (ADVICE
+        // r18) — match the empty-range semantics explicitly
+        explode(expr(
+          "case when length(s) >= 3 then sequence(1, length(s) - 2) " +
+            "else cast(array() as array<int>) end")).as("i"), col("s"))
       .select(col("doc_id"), col("lang"), col("held"),
         expr(s"${h("substring(s, cast(i as int), 3)")} % $LangB").as("b"))
       .groupBy(col("doc_id"), col("lang"), col("held"), col("b"))

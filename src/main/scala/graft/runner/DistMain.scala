@@ -204,7 +204,7 @@ object DistMain {
       case Some(op) =>
         val md = task.modelDir.getOrElse(throw new IllegalArgumentException(
           s"ingest task '$op' requires model_dir (the offline training corpus)"))
-        graft.streaming.Ingest(spark, op, md, transformed)
+        graft.streaming.Ingest(spark, op, md, transformed, task.horizonMs, task.lateness)
       case None => transformed
     }
     // claim-op stages persist their LEDGER through the batch_id-
@@ -214,6 +214,14 @@ object DistMain {
     // direction's ledger no longer grows without bound. apply_claims
     // reads either layout through claimView.
     if (task.ingest.exists(claimOps.contains)) {
+      // the claim ledger's layout (batch_id-partitioned parquet, read
+      // back by apply_claims/claimView) is part of the claim protocol —
+      // fail fast on a dest adapter the sink would silently ignore
+      // (ADVICE r18) instead of substituting parquet two layers deep
+      require(task.dest.adapter == "hadoopParquet",
+        s"ingest op '${task.ingest.get}' writes a batch_id-partitioned " +
+          s"parquet claim ledger; dest adapter must be hadoopParquet, " +
+          s"got '${task.dest.adapter}'")
       df.writeStream
         .foreachBatch((batch: org.apache.spark.sql.DataFrame, id: Long) =>
           graft.streaming.Streams.upsertClaimBatch(batch, id, task.dest.path))

@@ -87,20 +87,22 @@ object Ingest {
       "apply_claims", "media_dedup", "dedup_simhash_claim", "dsir_score",
       "encode_unigram", "extract_html", "langid")
 
-  def apply(spark: SparkSession, op: String, modelDir: String, df: DataFrame): DataFrame =
+  def apply(
+      spark: SparkSession, op: String, modelDir: String, df: DataFrame,
+      horizonMs: Option[Long] = None, lateness: String = "0 seconds"): DataFrame =
     op match {
       case "score" =>
         Streams.scoreDocs(df, graft.queries.TextAnalysis.trainedWeights(spark, modelDir))
           .filter(col("cls_flag") === "keep")
       case "dedup_claim" =>
-        Streams.nearDedup(df).toDF()
+        Streams.nearDedup(df, horizonMs, lateness).toDF()
       case "dedup_simhash_claim" =>
         // the EXACT-recall (hamming <= 5) claim ledger — same schema
         // and downstream contract as dedup_claim, so apply_claims
         // consumes either ledger unchanged; no offline model (B is the
         // horizon constant, model_dir unused but required by the task
         // shape, the media_dedup rule)
-        Streams.simhashBlocksDedup(df).toDF()
+        Streams.simhashBlocksDedup(df, horizonMs = horizonMs, lateness = lateness).toDF()
       case "encode_unigram" =>
         // online tokenizer encode under the offline-trained unigram-LM
         // piece table — annotate-only, all columns pass through
@@ -150,9 +152,16 @@ object Ingest {
         // the ball-key claim ledger (bucket, item_key, keeper_key), the
         // q_media_dedup candidate tier.
         import spark.implicits._
-        Streams.mediaDedup(
-          df.select(col("media_id"), col("kind"), col("payload"), col("meta"))
-            .as[graft.multimodal.Media.MediaRecord]).toDF()
+        horizonMs match {
+          case Some(h) =>
+            Streams.mediaDedupHorizon(
+              df.select(col("media_id"), col("kind"), col("payload"),
+                col("meta"), col("ts")), h, lateness).toDF()
+          case None =>
+            Streams.mediaDedup(
+              df.select(col("media_id"), col("kind"), col("payload"), col("meta"))
+                .as[graft.multimodal.Media.MediaRecord]).toDF()
+        }
       case other =>
         throw new IllegalArgumentException(
           s"unknown ingest op '$other'; registered: ${ops.mkString(", ")}")

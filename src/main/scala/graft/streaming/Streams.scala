@@ -451,10 +451,21 @@ object Streams {
     * band bucket, updated in event order within a micro-batch (doc_id
     * tie-break) — so the keeper choice is deterministic for any batch
     * arrangement of the same arrival order. At corpus scale the state
-    * store shards by bucket hash; add a TTL/watermark when buckets may
-    * be evicted (dedup horizon).
+    * store shards by bucket hash.
+    *
+    * DEDUP HORIZON (round 19, VERDICT r18 #1): with `horizonMs` set the
+    * input must carry an event-time `ts` TIMESTAMP column; a bucket's
+    * claim state EVICTS once the watermark passes the keeper's claim
+    * time + horizon ([[firstClaimHorizon]]), so a months-long ingest
+    * direction's state is bounded by the horizon's distinct-signature
+    * volume, not the stream's lifetime. Rows later than `lateness`
+    * (event time below the watermark) are dropped — the standard
+    * watermark contract. Without `horizonMs` the state is unbounded
+    * (claims live forever — the full-corpus dedup semantics).
     */
-  def nearDedup(docs: DataFrame): Dataset[BandClaim] = {
+  def nearDedup(
+      docs: DataFrame, horizonMs: Option[Long] = None,
+      lateness: String = "0 seconds"): Dataset[BandClaim] = {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.functions.GraftRuntime.ensure(spark)
@@ -471,13 +482,19 @@ object Streams {
     // (band, 4-slot) partitioning — the batch-twin equality gate in
     // StreamingSpec is unchanged) runs at ~4.4k docs/s single-node
     // (docs/stream_bench.md), 8x the HOF form.
+    val tsTail = if (horizonMs.isDefined) Seq("ts") else Nil
     val sigs = docs
-      .selectExpr("doc_id", "shingles(split(trim(text), '\\\\s+'), 3) AS sh")
+      .selectExpr(Seq("doc_id", "shingles(split(trim(text), '\\\\s+'), 3) AS sh") ++ tsTail: _*)
       .where("size(sh) > 0")
-      .selectExpr("doc_id", s"minhash_bands(sh, array($seedArr), 4) AS bks")
+      .selectExpr(Seq("doc_id", s"minhash_bands(sh, array($seedArr), 4) AS bks") ++ tsTail: _*)
       .where("bks IS NOT NULL")
-      .selectExpr("doc_id", "explode(bks) AS bucket")
-    firstClaim(sigs.as[(Long, Long)])(BandClaim.apply)
+      .selectExpr(Seq("doc_id", "explode(bks) AS bucket") ++ tsTail: _*)
+    horizonMs match {
+      case Some(h) =>
+        firstClaimHorizon(sigs.withWatermark("ts", lateness)
+          .as[(Long, Long, java.sql.Timestamp)], h)(BandClaim.apply)
+      case None => firstClaim(sigs.as[(Long, Long)])(BandClaim.apply)
+    }
   }
 
   /** The shared first-ARRIVAL-wins claim fold behind [[nearDedup]],
@@ -513,6 +530,59 @@ object Streams {
       }
   }
 
+  /** Horizon-bounded twin of [[firstClaim]] (round 19, VERDICT r18 #1):
+    * the input carries an event-time column (the caller declares the
+    * watermark), and a bucket's stored keeper EVICTS once the watermark
+    * passes the keeper's claim time + `horizonMs` — the dedup horizon.
+    * State is bounded by the horizon's distinct-signature volume
+    * instead of the stream's lifetime, and a duplicate arriving past
+    * the horizon is admitted as a fresh keeper (exactly once per
+    * horizon window). WITHIN the horizon the fold is exactly the
+    * [[firstClaim]] protocol: first-arrival-wins, id tie-break within
+    * the bucket's first micro-batch, never a keeper steal.
+    *
+    * Eviction is visible at WATERMARK time, not timer-fire time: a
+    * stored keeper with claim time + horizon <= current watermark is
+    * treated as evicted even when its bucket receives data in the very
+    * micro-batch its timer would have fired (Spark only delivers
+    * timeout callbacks to groups with no data in the batch) — the
+    * timeout callback is pure garbage collection, never semantics. */
+  private def firstClaimHorizon[T: org.apache.spark.sql.Encoder](
+      keys: Dataset[(Long, Long, java.sql.Timestamp)], horizonMs: Long)(
+      mk: (Long, Long, Long) => T): Dataset[T] = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    require(horizonMs > 0, s"dedup horizon must be positive, got $horizonMs ms")
+    keys.groupByKey(_._2)
+      .flatMapGroupsWithState[(Long, Long), T](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (bucket, rows, state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            val stored = state.getOption.filter(_._2 + horizonMs > wm)
+            val evs = rows.toSeq.sortBy(_._1)
+            var keeper = stored.map(_._1).getOrElse(Long.MaxValue)
+            var claimMs = stored.map(_._2).getOrElse(Long.MinValue)
+            val out = evs.map { case (id, _, ts) =>
+              if (stored.isEmpty && id < keeper) { keeper = id; claimMs = ts.getTime }
+              mk(bucket, id, keeper)
+            }
+            if (keeper != Long.MaxValue) {
+              state.update((keeper, claimMs))
+              // re-arm per invocation (Spark clears the timer whenever
+              // the function runs); clamp above the watermark — a
+              // just-expiring bucket's fresh keeper claims NOW, so its
+              // horizon necessarily ends in the future
+              state.setTimeoutTimestamp(math.max(claimMs + horizonMs, wm + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming EXACT-recall SimHash dedup — the incremental twin of
     * `q_dedup_simhash_blocks`' candidate tier (round 17): each
     * arriving document's 60-bit SimHash and its C(B,5)
@@ -530,16 +600,24 @@ object Streams {
     * (the `semanticDedup(bits)` rule — a stream cannot observe corpus
     * size; batch derives it): state is C(B,5) longs per distinct
     * signature, the mediaDedup claim-volume class. */
-  def simhashBlocksDedup(docs: DataFrame, bB: Int = 10): Dataset[BandClaim] = {
+  def simhashBlocksDedup(
+      docs: DataFrame, bB: Int = 10, horizonMs: Option[Long] = None,
+      lateness: String = "0 seconds"): Dataset[BandClaim] = {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.functions.GraftRuntime.ensure(spark)
+    val tsTail = if (horizonMs.isDefined) Seq("ts") else Nil
     val keys = docs
-      .selectExpr("doc_id",
-        s"simhash_block_keys(split(trim(text), '\\\\s+'), $bB) AS bks")
+      .selectExpr(Seq("doc_id",
+        s"simhash_block_keys(split(trim(text), '\\\\s+'), $bB) AS bks") ++ tsTail: _*)
       .where("bks IS NOT NULL")
-      .selectExpr("doc_id", "explode(bks) AS bucket")
-    firstClaim(keys.as[(Long, Long)])(BandClaim.apply)
+      .selectExpr(Seq("doc_id", "explode(bks) AS bucket") ++ tsTail: _*)
+    horizonMs match {
+      case Some(h) =>
+        firstClaimHorizon(keys.withWatermark("ts", lateness)
+          .as[(Long, Long, java.sql.Timestamp)], h)(BandClaim.apply)
+      case None => firstClaim(keys.as[(Long, Long)])(BandClaim.apply)
+    }
   }
 
   final case class ItemClaim(bucket: Long, item_key: Long, keeper_key: Long)
@@ -603,6 +681,75 @@ object Streams {
           }
       }
     firstClaim(keyed)(ItemClaim.apply)
+  }
+
+  /** Horizon-bounded twin of [[mediaDedup]] (round 19, VERDICT r18 #1):
+    * the input DataFrame carries the MediaRecord columns plus an
+    * event-time `ts` TIMESTAMP column, and BOTH state tiers evict at
+    * the dedup horizon — stage 1's per-distinct-hash collapse state and
+    * stage 2's per-ball-key claim state each expire once the watermark
+    * passes their keeper's claim time + `horizonMs`. The two tiers stay
+    * consistent by construction: a ball bucket's claim time IS the
+    * fanning arrival's event time, i.e. stage 1's claim time for that
+    * hash, so an item whose hash re-fans-out after the horizon finds
+    * its old ball claims expired too (both sides use watermark-time
+    * visibility, the [[firstClaimHorizon]] rule). The watermark is
+    * re-declared between the tiers — a flatMapGroupsWithState output
+    * attribute carries no event-time tag — with the same `lateness`,
+    * so the stage-2 watermark tracks the same event-time column.
+    *
+    * Disables `statefulOperator.checkCorrectness` on the session: the
+    * analyzer flags EVERY watermark-above-stateful pattern because a
+    * generic flatMapGroupsWithState may emit rows older than watermark
+    * + delay (late downstream). Stage 1 here emits only rows stamped
+    * with their OWN input row's event time — inputs the stage-1
+    * watermark already admitted — and stage 2 runs the same lateness,
+    * so no emitted row can be late at stage 2 by construction. */
+  def mediaDedupHorizon(
+      media: DataFrame, horizonMs: Long,
+      lateness: String = "0 seconds"): Dataset[ItemClaim] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    graft.functions.GraftRuntime.ensure(spark)
+    require(horizonMs > 0, s"dedup horizon must be positive, got $horizonMs ms")
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val recs = media
+      .select(
+        struct(col("media_id"), col("kind"), col("payload"), col("meta")).as("_1"),
+        col("ts").as("_2"))
+      .as[(graft.multimodal.Media.MediaRecord, java.sql.Timestamp)]
+    val items = graft.multimodal.Media.dHashItemsTs(recs)
+      .selectExpr(s"${graft.multimodal.Media.ikeySql} AS ikey", "dhash", "ts")
+      .withWatermark("ts", lateness)
+      .as[(Long, Long, java.sql.Timestamp)]
+    // stage 1: horizoned exact-collapse — first arrival per LIVE distinct
+    // hash fans out the ball, later arrivals probe the raw hash only
+    val keyed = items.groupByKey(_._2)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, java.sql.Timestamp)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (dhash, rows, state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            val stored = state.getOption.filter(_._2 + horizonMs > wm)
+            val evs = rows.toSeq.sortBy(_._1)
+            val first = stored.isEmpty
+            val claimMs = if (first) evs.head._3.getTime else stored.get._2
+            state.update((1L, claimMs))
+            state.setTimeoutTimestamp(math.max(claimMs + horizonMs, wm + 1))
+            evs.iterator.zipWithIndex.flatMap { case ((id, _, ts), i) =>
+              if (first && i == 0)
+                graft.multimodal.Media.ballKeys(dhash).iterator.map(b => (id, b, ts))
+              else Iterator.single((id, dhash, ts))
+            }
+          }
+      }
+    firstClaimHorizon(
+      keyed.toDF("ikey", "bucket", "ts")
+        .withWatermark("ts", lateness)
+        .as[(Long, Long, java.sql.Timestamp)], horizonMs)(ItemClaim.apply)
   }
 
   final case class CellClaim(cell: Int, vec_id: Long, keeper_id: Long, dot: Double)
@@ -922,6 +1069,9 @@ object Streams {
       s"compactClaims expects a batch_id-partitioned claim ledger at $outDir")
     val Seq(bCol, iCol, kCol) = all.columns.filterNot(_ == "batch_id").toSeq
     val olds = all.filter(col("batch_id") <= upToBatch)
+    // documented no-op when nothing is old enough to fold — min(batch_id)
+    // over an empty frame is NULL and would NPE below (ADVICE r18)
+    if (olds.isEmpty) return
     val minB = olds.agg(min(col("batch_id"))).head().getAs[Number](0).longValue()
     val tmpDir = s"$outDir.compact-tmp-$upToBatch"
     olds

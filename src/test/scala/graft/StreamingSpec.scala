@@ -656,6 +656,179 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup horizon: within-horizon batch-twin unchanged (nearDedup)") {
+    // VERDICT r18 #1, done-criterion (a): with every arrival inside the
+    // horizon, the horizoned fold must reproduce the unbounded fold —
+    // i.e. the batch band-candidate loser set — exactly
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.io.Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = Streams.nearDedup(
+        mem.toDF().toDF("doc_id", "text", "ts"),
+        horizonMs = Some(10L * 24 * 3600 * 1000))
+      .writeStream.format("memory").queryName("neardup_hz_twin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      mem.addData(b1.map { case (id, t) => (id, t, ts(0)) }.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b2.map { case (id, t) => (id, t, ts(1)) }.toSeq: _*)
+      q.processAllAvailable()
+      val claims = spark.table("neardup_hz_twin").as[Streams.BandClaim].collect()
+      val streamingDups = claims.filter(c => c.keeper_id != c.doc_id).map(_.doc_id).toSet
+      val batchDups = graft.queries.Dedup.minhashCandidates(spark, sf())._3
+        .select(col("id_b")).distinct().collect().map(_.getLong(0)).toSet
+      graft.io.CacheScope.releaseAll()
+      assert(batchDups.nonEmpty, "corpus must contain banded near-dup candidates")
+      assert(streamingDups == batchDups,
+        s"stream-only: ${(streamingDups -- batchDups).toSeq.sorted.take(5)}, " +
+        s"batch-only: ${(batchDups -- streamingDups).toSeq.sorted.take(5)}")
+    } finally q.stop()
+  }
+
+  test("dedup horizon: out-of-horizon duplicate admitted once; state stays bounded") {
+    // done-criteria (b): a duplicate arriving past the horizon claims
+    // itself (admitted exactly once — no stale keeper flags it), and
+    // the state store holds only the horizon's live buckets (the
+    // timed-out buckets are GC'd), asserted on state-store metrics
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "unrelated words about broadcast joins and shuffle partitions mostly"
+    val third = "third corpus chunk speaking of parquet footers and column chunks"
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = Streams.nearDedup(
+        mem.toDF().toDF("doc_id", "text", "ts"),
+        horizonMs = Some(60L * 60000)) // 1 hour
+      .writeStream.format("memory").queryName("neardup_hz_evict")
+      .outputMode(OutputMode.Append()).start()
+    def stateRows: Long =
+      q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators(0).numRowsTotal).getOrElse(-1L)
+    try {
+      mem.addData((100L, text, ts(0))); q.processAllAvailable()
+      // watermark jumps 3 h past doc 100's claims (horizon 1 h)
+      mem.addData((200L, other, ts(180))); q.processAllAvailable()
+      // doc 100's 4 buckets time out HERE (no data for them this batch)
+      mem.addData((300L, third, ts(190))); q.processAllAvailable()
+      assert(stateRows == 8L,
+        s"expired buckets must be GC'd: want 4+4 live bucket rows, got $stateRows")
+      // the out-of-horizon duplicate: same text as doc 100, 3+ h later
+      mem.addData((7L, text, ts(195))); q.processAllAvailable()
+      val claims = spark.table("neardup_hz_evict").as[Streams.BandClaim].collect()
+      assert(claims.filter(_.doc_id == 7L).forall(_.keeper_id == 7L),
+        "a duplicate past the horizon must be admitted as a fresh keeper")
+      assert(claims.filter(_.doc_id == 100L).forall(_.keeper_id == 100L))
+      assert(stateRows == 12L, s"3 live docs x 4 buckets, got $stateRows")
+    } finally q.stop()
+  }
+
+  test("dedup horizon: out-of-order arrival within the horizon still first-arrival-wins") {
+    // done-criterion (c): the r17 keeper-steal protocol holds under the
+    // horizoned fold — a LOWER id with an EARLIER event time arriving
+    // in a later micro-batch (inside lateness + horizon) is a loser
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    for ((name, mk) <- Seq[(String,
+        org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[Streams.BandClaim])](
+        ("neardup_hz_ooo", df =>
+          Streams.nearDedup(df, horizonMs = Some(24L * 3600 * 1000), lateness = "2 hours")),
+        ("simblocks_hz_ooo", df =>
+          Streams.simhashBlocksDedup(df, bB = 10,
+            horizonMs = Some(24L * 3600 * 1000), lateness = "2 hours")))) {
+      val mem = MemoryStream[(Long, String, Timestamp)]
+      val q = mk(mem.toDF().toDF("doc_id", "text", "ts"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData((100L, text, ts(60))); q.processAllAvailable()
+        // same doc, LOWER id, EARLIER event time, later batch — inside
+        // the 2 h lateness so the watermark filter keeps it
+        mem.addData((5L, text, ts(30))); q.processAllAvailable()
+        val claims = spark.table(name).as[Streams.BandClaim].collect()
+        assert(claims.filter(_.doc_id == 100L).forall(_.keeper_id == 100L),
+          s"$name: the first arrival must have claimed every bucket")
+        assert(claims.filter(_.doc_id == 5L).nonEmpty &&
+          claims.filter(_.doc_id == 5L).forall(_.keeper_id == 100L),
+          s"$name: the late lower id must lose to the stored keeper, not steal it")
+      } finally q.stop()
+    }
+  }
+
+  test("dedup horizon: simhashBlocksDedup evicts and re-admits past the horizon") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = Streams.simhashBlocksDedup(
+        mem.toDF().toDF("doc_id", "text", "ts"),
+        bB = 10, horizonMs = Some(60L * 60000))
+      .writeStream.format("memory").queryName("simblocks_hz_evict")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((100L, text, ts(0))); q.processAllAvailable()
+      mem.addData((200L, "different words entirely about joins", ts(180)))
+      q.processAllAvailable()
+      mem.addData((7L, text, ts(185))); q.processAllAvailable()
+      val claims = spark.table("simblocks_hz_evict").as[Streams.BandClaim].collect()
+      assert(claims.filter(_.doc_id == 7L).forall(_.keeper_id == 7L),
+        "an identical doc past the horizon must claim all its C(10,5) keys")
+      assert(claims.count(_.doc_id == 7L) == 252)
+    } finally q.stop()
+  }
+
+  test("dedup horizon: mediaDedup two-level tiers evict consistently") {
+    // both state tiers (exact-collapse by dhash, ball-key claims) expire
+    // at the horizon: a within-horizon exact dup probes ONCE and loses;
+    // the same payload past the horizon re-fans-out all 57 ball claims
+    // and keeps them (stage 1 and stage 2 expire together)
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val samples = graft.multimodal.Media.synthesize(spark, sf())
+      .filter(col("kind") === "image").as[graft.multimodal.Media.MediaRecord]
+      .head(2)
+    def rec(id: Long) = samples(0).copy(media_id = id)
+    val advance = samples(1).copy(media_id = 500L) // distinct payload/dhash
+    val ikeys = graft.multimodal.Media
+      .dHashItems(spark.createDataset(Seq(rec(100L), rec(7L), rec(9L))))
+      .selectExpr("media_id", s"${graft.multimodal.Media.ikeySql} AS ikey")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mem = MemoryStream[(graft.multimodal.Media.MediaRecord, Timestamp)]
+    val q = Streams.mediaDedupHorizon(
+        mem.toDF().select(
+          col("_1.media_id").as("media_id"), col("_1.kind").as("kind"),
+          col("_1.payload").as("payload"), col("_1.meta").as("meta"),
+          col("_2").as("ts")),
+        horizonMs = 60L * 60000)
+      .writeStream.format("memory").queryName("media_hz")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((rec(100L), ts(0))); q.processAllAvailable()
+      // within horizon: an exact dup probes once and loses
+      mem.addData((rec(9L), ts(30))); q.processAllAvailable()
+      // a distinct payload 3 h out advances the watermark past the
+      // horizon (eviction is watermark-visible, so it needs a batch
+      // boundary — the standard lateness model)
+      mem.addData((advance, ts(180))); q.processAllAvailable()
+      // past the horizon: the same payload is fresh again
+      mem.addData((rec(7L), ts(185))); q.processAllAvailable()
+      val claims = spark.table("media_hz").as[Streams.ItemClaim].collect()
+      val first = claims.filter(_.item_key == ikeys(100L))
+      val in = claims.filter(_.item_key == ikeys(9L))
+      val past = claims.filter(_.item_key == ikeys(7L))
+      assert(first.length == 57 && first.forall(_.keeper_key == ikeys(100L)))
+      assert(in.length == 1 && in.head.keeper_key == ikeys(100L),
+        "a within-horizon exact dup must emit one losing probe")
+      assert(past.length == 57 && past.forall(_.keeper_key == ikeys(7L)),
+        s"past the horizon the payload must re-fan-out and keep: got " +
+        s"${past.length} claims, keepers ${past.map(_.keeper_key).distinct.toSeq}")
+    } finally q.stop()
+  }
+
   test("semanticDedup batch-twin: claims are batch pairs and keeps bracket batch keeps") {
     // The streaming exemplar rule is greedier than the batch
     // any-lower-id rule: a streaming drop (v claims exemplar u < v,
