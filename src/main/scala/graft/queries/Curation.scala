@@ -49,6 +49,128 @@ object Curation {
     * inside the guarantee for any data distribution. */
   private val K_MG = 64
 
+  /** Derived fine-grained source key for `q_source_overlap_many` (>62
+    * sources at every SF): the real source crossed with a 4-way
+    * deterministic doc-hash split. Rendered from one rule on both
+    * sides so the fixture cannot drift. */
+  private val fineSrc =
+    s"concat(source, '#', cast(${h("concat('sv#', cast(doc_id as string))")} % 4 as string))"
+  private val duckFineSrc =
+    s"source || '#' || CAST(${duck("'sv#' || doc_id::VARCHAR")} % 4 AS VARCHAR)"
+
+  /** The pairwise source-overlap engine kernel, parameterized by the
+    * source-key expression (`q_source_overlap` passes the raw column,
+    * `q_source_overlap_many` the derived fine key). One corpus-wide
+    * exchange: per-shingle membership folds into a ⌈|S|/62⌉-word
+    * bitmask array via W fixed-size `bit_or` buffers (HashAggregate —
+    * never a per-shingle sid list, the 128-key sort-fallback rule);
+    * the mask-array histogram and everything after it is bounded
+    * side-table work. W derives from the collected |S| (the
+    * srcList collect is the bounded sid map, the Markov-vocab rule). */
+  private def sourceOverlapFrame(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      srcExpr: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(expr(srcExpr).as("source"), col("text"))
+    // bounded: |S| grouping keys; NULL sources can never equi-join
+    // (both engines drop them), so they are excluded from the id map
+    val srcList = docs.select(col("source")).distinct()
+      .collect().map(_.getString(0)).filter(_ != null).sorted
+    val nW = (srcList.length + 61) / 62
+    import s.implicits._
+    val srcs = srcList.zipWithIndex.map { case (src, i) => (src, i.toLong) }
+      .toSeq.toDF("source", "sid")
+    val maskAggs = (0 until nW).map { w =>
+      expr(s"""bit_or(case when sid div 62 = $w
+              |then shiftleft(cast(1 as bigint), cast(sid % 62 as int))
+              |else cast(0 as bigint) end)""".stripMargin).as(s"m_$w")
+    }
+    def member(sidCol: String) =
+      s"((element_at(mask, cast($sidCol div 62 as int) + 1) >> cast($sidCol % 62 as int)) & 1) = 1"
+    // the only corpus-wide exchange: per-shingle source bitmask words
+    // (bit_or is idempotent, so raw duplicate (source, shingle) rows
+    // need no distinct), then the bounded mask-array histogram
+    val mh = docs
+      .select(col("source"), expr(tokens).as("w"))
+      .filter(expr("size(w) >= 3"))
+      .select(col("source"), explode(expr("shingles(w, 3)")).as("sh"))
+      .join(broadcast(srcs), "source")
+      .select(xxhash64(col("sh")).as("v"), col("sid"))
+      .groupBy(col("v")).agg(maskAggs.head, maskAggs.tail: _*)
+      .select(array((0 until nW).map(w => col(s"m_$w")): _*).as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+      .persistScoped() // feeds the per-source sizes and the pair grid
+    val n = srcs
+      .join(mh, expr(member("sid")), "left")
+      .groupBy(col("source"), col("sid"))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_sh"))
+    val pairGrid = srcs.as("a")
+      .join(srcs.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.sid").as("sa"), col("b.sid").as("sb"))
+    val inter = pairGrid
+      .join(mh, expr(member("sa") + " and " + member("sb")), "left")
+      .groupBy(col("sa"), col("sb"))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("inter"))
+    inter
+      .join(broadcast(n.select(col("sid").as("sa"), col("source").as("source_a"),
+        col("n_sh").as("n_a"))), "sa")
+      .join(broadcast(n.select(col("sid").as("sb"), col("source").as("source_b"),
+        col("n_sh").as("n_b"))), "sb")
+      .select(
+        col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("inter"),
+        // zero-denominator NULL guards IDENTICAL to the oracle
+        // (ADVICE r13): the pair grid spans ALL distinct sources,
+        // so a pair where both sides produced zero shingles would be
+        // 0/0 — NaN on Spark, engine-config-dependent in DuckDB, a
+        // hash-gate hazard. Same guard shape as q_classifier_pr_curve.
+        when(col("n_a") + col("n_b") - col("inter") > 0,
+          col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+          .as("jaccard"),
+        when(least(col("n_a"), col("n_b")) > 0,
+          col("inter").cast("double") / least(col("n_a"), col("n_b")))
+          .as("containment"))
+  }
+
+  /** DuckDB twin of [[sourceOverlapFrame]]: the oracle stays static SQL
+    * at ANY source count by folding each shingle's membership into a
+    * sorted DISTINCT sid list and building the histogram on the list —
+    * semantically the mask-array histogram, with no width parameter in
+    * the SQL text. */
+  private def sourceOverlapOracle(duckSrc: String): String =
+    raw"""WITH tok AS (
+      |  SELECT $duckSrc AS source, $duckTokens AS w FROM documents
+      |), srcs AS (
+      |  SELECT source, CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS sid
+      |  FROM (SELECT DISTINCT $duckSrc AS source FROM documents)
+      |), ex AS (
+      |  SELECT source, unnest($duckShingles) AS sh
+      |  FROM tok WHERE len(w) >= 3
+      |), mh AS (
+      |  SELECT sset, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |    SELECT sh, list_sort(list(DISTINCT sid)) AS sset
+      |    FROM ex JOIN srcs USING (source) GROUP BY sh)
+      |  GROUP BY sset
+      |), n AS (
+      |  SELECT s.source, s.sid, CAST(coalesce(sum(
+      |      CASE WHEN list_contains(mh.sset, s.sid) THEN mh.cnt END), 0) AS BIGINT) AS n_sh
+      |  FROM srcs s LEFT JOIN mh ON list_contains(mh.sset, s.sid)
+      |  GROUP BY s.source, s.sid
+      |), i AS (
+      |  SELECT a.sid AS sa, b.sid AS sb, CAST(coalesce(sum(
+      |      CASE WHEN list_contains(mh.sset, a.sid) AND list_contains(mh.sset, b.sid)
+      |        THEN mh.cnt END), 0) AS BIGINT) AS inter
+      |  FROM srcs a JOIN srcs b ON a.source < b.source
+      |  LEFT JOIN mh ON list_contains(mh.sset, a.sid) AND list_contains(mh.sset, b.sid)
+      |  GROUP BY a.sid, b.sid
+      |)
+      |SELECT na.source AS source_a, nb.source AS source_b,
+      |  na.n_sh AS n_a, nb.n_sh AS n_b, i.inter,
+      |  CASE WHEN na.n_sh + nb.n_sh - i.inter > 0
+      |    THEN CAST(i.inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.inter) END AS jaccard,
+      |  CASE WHEN least(na.n_sh, nb.n_sh) > 0
+      |    THEN CAST(i.inter AS DOUBLE) / least(na.n_sh, nb.n_sh) END AS containment
+      |FROM i JOIN n na ON na.sid = i.sa JOIN n nb ON nb.sid = i.sb""".stripMargin
+
   /** Count-Min geometry: d hash rows × w counters (w deliberately tight
     * for the harness vocabulary so collisions — est > exact — actually
     * show up in the output). */
@@ -567,102 +689,28 @@ object Curation {
     // duplicate each other, and is one contained in another (mirror
     // sites, syndication)? Round-13 formulation: instead of a distinct
     // + inverted self-join (3 corpus-wide exchanges), each shingle
-    // aggregates its source-membership BITMASK in one `bit_or` pass — a
-    // fixed 8-byte HashAggregate buffer per key, duplicates are
-    // idempotent so no distinct is needed, and the ONLY corpus shuffle
-    // is that groupBy. Every pairwise intersection, union and set size
-    // then falls out of the tiny mask HISTOGRAM (≤ min(#shingles,
-    // 2^|S|) rows) joined against the |S|²/2 pair grid — bounded
-    // side-table work. Sources are a bounded set (the Markov-vocab
-    // rule): the dense id map collects |S| rows behind a loud guard.
-    // Jaccard and containment stay single int/int divisions.
-    Q(
-      "q_source_overlap",
-      raw"""WITH tok AS (
-        |  SELECT source, $duckTokens AS w FROM documents
-        |), srcs AS (
-        |  SELECT source, CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS sid
-        |  FROM (SELECT DISTINCT source FROM documents)
-        |), ex AS (
-        |  SELECT source, unnest($duckShingles) AS sh
-        |  FROM tok WHERE len(w) >= 3
-        |), mh AS (
-        |  SELECT mask, CAST(count(*) AS BIGINT) AS cnt FROM (
-        |    SELECT sh, CAST(bit_or(1::BIGINT << sid) AS BIGINT) AS mask
-        |    FROM ex JOIN srcs USING (source) GROUP BY sh)
-        |  GROUP BY mask
-        |), n AS (
-        |  SELECT s.source, s.sid, CAST(coalesce(sum(
-        |      CASE WHEN ((mh.mask >> s.sid) & 1) = 1 THEN mh.cnt END), 0) AS BIGINT) AS n_sh
-        |  FROM srcs s LEFT JOIN mh ON ((mh.mask >> s.sid) & 1) = 1
-        |  GROUP BY s.source, s.sid
-        |), i AS (
-        |  SELECT a.sid AS sa, b.sid AS sb, CAST(coalesce(sum(
-        |      CASE WHEN ((mh.mask >> a.sid) & 1) = 1 AND ((mh.mask >> b.sid) & 1) = 1
-        |        THEN mh.cnt END), 0) AS BIGINT) AS inter
-        |  FROM srcs a JOIN srcs b ON a.source < b.source
-        |  LEFT JOIN mh ON ((mh.mask >> a.sid) & 1) = 1 AND ((mh.mask >> b.sid) & 1) = 1
-        |  GROUP BY a.sid, b.sid
-        |)
-        |SELECT na.source AS source_a, nb.source AS source_b,
-        |  na.n_sh AS n_a, nb.n_sh AS n_b, i.inter,
-        |  CASE WHEN na.n_sh + nb.n_sh - i.inter > 0
-        |    THEN CAST(i.inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.inter) END AS jaccard,
-        |  CASE WHEN least(na.n_sh, nb.n_sh) > 0
-        |    THEN CAST(i.inter AS DOUBLE) / least(na.n_sh, nb.n_sh) END AS containment
-        |FROM i JOIN n na ON na.sid = i.sa JOIN n nb ON nb.sid = i.sb""".stripMargin) { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
-      // bounded: |S| grouping keys; NULL sources can never equi-join
-      // (both engines drop them), so they are excluded from the id map
-      val srcList = docs.select(col("source")).distinct()
-        .collect().map(_.getString(0)).filter(_ != null).sorted
-      require(srcList.length <= 62,
-        s"q_source_overlap bitmask packs sources into one BIGINT; got ${srcList.length} > 62")
-      import s.implicits._
-      val srcs = srcList.zipWithIndex.map { case (src, i) => (src, i.toLong) }
-        .toSeq.toDF("source", "sid")
-      // the only corpus-wide exchange: per-shingle source bitmask
-      // (bit_or is idempotent, so raw duplicate (source, shingle) rows
-      // need no distinct), then the bounded mask histogram
-      val mh = docs
-        .select(col("source"), expr(tokens).as("w"))
-        .filter(expr("size(w) >= 3"))
-        .select(col("source"), explode(expr("shingles(w, 3)")).as("sh"))
-        .join(broadcast(srcs), "source")
-        .select(xxhash64(col("sh")).as("v"),
-          expr("shiftleft(cast(1 as bigint), cast(sid as int))").as("bit"))
-        .groupBy(col("v")).agg(expr("bit_or(bit)").as("mask"))
-        .groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
-        .persistScoped() // feeds the per-source sizes and the pair grid
-      val n = srcs
-        .join(mh, expr("((mask >> sid) & 1) = 1"), "left")
-        .groupBy(col("source"), col("sid"))
-        .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_sh"))
-      val pairGrid = srcs.as("a")
-        .join(srcs.as("b"), col("a.source") < col("b.source"))
-        .select(col("a.sid").as("sa"), col("b.sid").as("sb"))
-      val inter = pairGrid
-        .join(mh, expr("((mask >> sa) & 1) = 1 and ((mask >> sb) & 1) = 1"), "left")
-        .groupBy(col("sa"), col("sb"))
-        .agg(coalesce(sum(col("cnt")), lit(0L)).as("inter"))
-      inter
-        .join(broadcast(n.select(col("sid").as("sa"), col("source").as("source_a"),
-          col("n_sh").as("n_a"))), "sa")
-        .join(broadcast(n.select(col("sid").as("sb"), col("source").as("source_b"),
-          col("n_sh").as("n_b"))), "sb")
-        .select(
-          col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("inter"),
-          // zero-denominator NULL guards IDENTICAL to the oracle
-          // (ADVICE r13): the r13 pair grid spans ALL distinct sources,
-          // so a pair where both sides produced zero shingles would be
-          // 0/0 — NaN on Spark, engine-config-dependent in DuckDB, a
-          // hash-gate hazard. Same guard shape as q_classifier_pr_curve.
-          when(col("n_a") + col("n_b") - col("inter") > 0,
-            col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
-            .as("jaccard"),
-          when(least(col("n_a"), col("n_b")) > 0,
-            col("inter").cast("double") / least(col("n_a"), col("n_b")))
-            .as("containment"))
+    // aggregates its source-membership BITMASK in one `bit_or` pass —
+    // a fixed per-key HashAggregate buffer, duplicates are idempotent
+    // so no distinct is needed, and the ONLY corpus shuffle is that
+    // groupBy. Round 19 (VERDICT r18 #2) lifts the 62-source BIGINT
+    // ceiling: the mask is now ⌈|S|/62⌉ words wide, corpus-derived —
+    // a real crawl has thousands of domains. Every pairwise
+    // intersection, union and set size falls out of the tiny mask
+    // HISTOGRAM (≤ min(#shingles, 2^|S|) rows) joined against the
+    // |S|²/2 pair grid — bounded side-table work. Sources are a
+    // bounded set (the Markov-vocab rule): the dense id map collects
+    // |S| rows. Jaccard and containment stay single int/int divisions.
+    Q("q_source_overlap", sourceOverlapOracle("source")) { (s, dir) =>
+      sourceOverlapFrame(s, dir, "source")
+    },
+
+    // The SAME kernel forced past one mask word: a derived fine-grained
+    // source key (source × a 4-way content-hash split → 80 sources at
+    // every SF) exercises the multi-word path under the hash gate —
+    // the derived-corpus fixture rule (r18); the base query above runs
+    // whatever width the real corpus needs.
+    Q("q_source_overlap_many", sourceOverlapOracle(duckFineSrc)) { (s, dir) =>
+      sourceOverlapFrame(s, dir, fineSrc)
     },
 
     // ---- per-source data card ----------------------------------------------
