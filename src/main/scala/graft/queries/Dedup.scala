@@ -435,6 +435,74 @@ object Dedup {
       |  SELECT fp, count(DISTINCT doc_id) AS dfc FROM nlinep GROUP BY fp
       |)""".stripMargin
 
+  /** PARAGRAPH-granularity segmenter (round 19, VERDICT r18 #4 —
+    * completes doc → span → line → paragraph): paragraphs split on
+    * BLANK-LINE boundaries ('\n\n'), with fixed [[PARA_W]]-token
+    * regrouping as the blank-line-free fallback. The corpus carries no
+    * newlines, so the fixture derives them deterministically and
+    * identically in both engines (the nlLineFrame precedent): a
+    * '\n\n' replaces the space after every token ending in 'p'
+    * (paragraph break), then a '\n' after every token ending in 'e'
+    * (an intra-paragraph line break — paragraphs genuinely contain
+    * newlines, as extracted crawl text does), except docs with
+    * doc_id % 7 = 0 which keep raw text and exercise the fallback
+    * arm. Returns (doc_id, paras array<string>); LineSegmentSpec
+    * proves token-stream coverage (disjoint, order-preserving, no
+    * token lost or invented). */
+  private val PARA_W = 30
+
+  private[graft] def paraFrame(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, col("text"))
+          .otherwise(regexp_replace(
+            regexp_replace(col("text"), "([a-z0-9]*p) ", "$1\n\n"),
+            "([a-z0-9]*e) ", "$1\n")).as("nt"))
+      .select(col("doc_id"), col("nt"), expr("split(trim(nt), '\\\\s+')").as("w"))
+      .select(col("doc_id"),
+        expr(s"""case when contains(nt, concat(chr(10), chr(10)))
+                |then split(nt, concat(chr(10), chr(10)))
+                |else transform(sequence(1, size(w), $PARA_W),
+                |  i -> concat_ws(' ', slice(w, i, $PARA_W))) end""".stripMargin).as("paras"))
+
+  /** (doc_id, para_no, n_tok, fp) over [[paraFrame]]: hash AFTER the
+    * explode as a flat codegen'd projection (the windowFps rule);
+    * n_tok splits on the whitespace CLASS — paragraphs carry internal
+    * newlines. */
+  private def paraFps(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    paraFrame(s, dir)
+      .select(col("doc_id"), posexplode(col("paras")).as(Seq("p", "para")))
+      .select(col("doc_id"),
+        expr("cast(p + 1 as bigint)").as("para_no"),
+        expr("cast(size(split(trim(para), '\\\\s+')) as bigint)").as("n_tok"),
+        expr(h("para")).as("fp"))
+
+  /** DuckDB twin of [[paraFrame]]/[[paraFps]] + per-paragraph cross-doc
+    * document frequency — shared verbatim by both paragraph oracles. */
+  private val duckParaCtes: String =
+    raw"""pnl AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text
+      |    ELSE regexp_replace(regexp_replace(text,
+      |      '([a-z0-9]*p) ', '\1' || chr(10) || chr(10), 'g'),
+      |      '([a-z0-9]*e) ', '\1' || chr(10), 'g') END AS nt
+      |  FROM documents
+      |), pseg AS (
+      |  SELECT doc_id, CASE WHEN contains(nt, chr(10) || chr(10))
+      |    THEN string_split(nt, chr(10) || chr(10))
+      |    ELSE list_transform(generate_series(1, len(w), $PARA_W),
+      |      i -> array_to_string(w[i:i+${PARA_W - 1}], ' ')) END AS paras
+      |  FROM (SELECT doc_id, nt, regexp_split_to_array(trim(nt), '\s+') AS w FROM pnl)
+      |), parap AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS para_no,
+      |    CAST(len(regexp_split_to_array(trim(paras[i]), '\s+')) AS BIGINT) AS n_tok,
+      |    ${duck("paras[i]")} AS fp
+      |  FROM pseg, unnest(generate_series(1, len(paras))) AS t(i)
+      |), padf AS (
+      |  SELECT fp, count(DISTINCT doc_id) AS dfc FROM parap GROUP BY fp
+      |)""".stripMargin
+
   /** Losers of the exact-dedup stage: every doc whose lowercased
     * content fingerprint has a lower doc_id holder. One column
     * `loser_id`. */
@@ -2043,6 +2111,71 @@ object Dedup {
           expr("cast(size(lines) as bigint)").as("n_before"),
           expr("cast(size(kept) as bigint)").as("n_after"),
           expr(h("concat_ws(chr(10), kept)")).as("remediated_fp"))
+    },
+
+    // ---- paragraph dedup (blank-line segmenter, round 19) ------------------
+    // VERDICT r18 #4: the last text granularity — doc → span → line →
+    // PARAGRAPH (the RefinedWeb/C4 paragraph-dedup transform). Same
+    // kernel shape as the line family: ONE df HashAggregate over
+    // paragraph fingerprints + join-back, O(total paragraphs), no pair
+    // join anywhere.
+    Q(
+      "q_dedup_paragraphs",
+      raw"""WITH $duckParaCtes
+        |SELECT doc_id, para_no, n_tok, CAST(dfc AS BIGINT) AS df
+        |FROM parap JOIN padf USING (fp) WHERE dfc >= 2""") { (s, dir) =>
+      val pp = paraFps(s, dir)
+        .persistScoped() // feeds the df count and the join-back
+      val dfTab = pp.select(col("doc_id"), col("fp")).distinct()
+        .groupBy(col("fp")).agg(count(lit(1)).as("dfc"))
+      pp.join(dfTab.filter(col("dfc") >= 2), Seq("fp"))
+        .select(col("doc_id"), col("para_no"), col("n_tok"), col("dfc").as("df"))
+    },
+
+    // The remediated corpus: cut every cross-doc-duplicated paragraph,
+    // keep the rest, surface the remediated text as a cross-engine
+    // hash (paragraphs re-joined with '\n\n' — the segmenter's
+    // inverse). Flagged ordinals collect into one small per-doc array
+    // (list agg over the FLAGGED subset only — the span-removal budget
+    // rule); the cut is a pure indexed-HOF map stage.
+    Q(
+      "q_dedup_para_removal",
+      raw"""WITH $duckParaCtes,
+        |flagged AS (
+        |  SELECT doc_id, para_no FROM parap JOIN padf USING (fp) WHERE dfc >= 2
+        |), perdoc AS (
+        |  SELECT doc_id, list(para_no) AS cut FROM flagged GROUP BY doc_id
+        |), cutq AS (
+        |  SELECT s.doc_id, s.paras,
+        |    CASE WHEN p.cut IS NULL THEN s.paras
+        |         ELSE list_filter(s.paras, (x, i) ->
+        |           len(list_filter(p.cut, c -> c = i)) = 0) END AS kept
+        |  FROM pseg s LEFT JOIN perdoc p USING (doc_id)
+        |)
+        |SELECT doc_id, CAST(len(paras) AS BIGINT) AS n_before,
+        |  CAST(len(kept) AS BIGINT) AS n_after,
+        |  ${duck("coalesce(array_to_string(kept, chr(10) || chr(10)), '')")} AS remediated_fp
+        |FROM cutq""") { (s, dir) =>
+      val pp = paraFps(s, dir)
+        .persistScoped() // feeds the df count and the flagged join
+      val dfTab = pp.select(col("doc_id"), col("fp")).distinct()
+        .groupBy(col("fp")).agg(count(lit(1)).as("dfc"))
+      val flagged = pp
+        .join(dfTab.filter(col("dfc") >= 2).select(col("fp")), Seq("fp"))
+        .select(col("doc_id"), col("para_no"))
+      val perDoc = flagged.groupBy(col("doc_id").as("p_doc"))
+        .agg(collect_list(col("para_no")).as("cut"))
+      paraFrame(s, dir)
+        .join(perDoc, col("doc_id") === col("p_doc"), "left")
+        .select(col("doc_id"), col("paras"),
+          // Spark HOF filter index is 0-based; paragraph ordinals 1-based
+          expr("""case when cut is null then paras
+                 |else filter(paras, (x, idx) ->
+                 |  not exists(cut, c -> c = idx + 1)) end""".stripMargin).as("kept"))
+        .select(col("doc_id"),
+          expr("cast(size(paras) as bigint)").as("n_before"),
+          expr("cast(size(kept) as bigint)").as("n_after"),
+          expr(h("concat_ws(concat(chr(10), chr(10)), kept)")).as("remediated_fp"))
     },
 
     // ---- embedding cosine near-dup (label + multi-probe LSH cells) ---------
