@@ -17,7 +17,8 @@ object SparkEntry {
     Relational.queries ++ Breadth.queries ++ TpchShapes.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Events.queries ++ Multimodal.queries ++ Sampling.queries ++
-      Bpe.queries ++ Curation.queries ++ Html.queries ++ LangId.queries
+      Bpe.queries ++ Curation.queries ++ Html.queries ++ LangId.queries ++
+      Url.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

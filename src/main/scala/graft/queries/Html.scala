@@ -52,7 +52,7 @@ object Html {
       |  '<div class="footer">copyright 2024 ', source, ' all rights reserved</div>',
       |  '</body></html>')""".stripMargin
 
-  private val duckHtml: String =
+  private[queries] val duckHtml: String =
     raw"""'<html><head><title>doc &amp; ' || CAST(doc_id AS VARCHAR) || '</title></head><body>'
       || '<div class="nav">home about contact ' || source || '</div>'
       || '<p>' || regexp_replace(text, '([a-z0-9]*[ep]) ', '\1</p><p>', 'g') || '</p>'
@@ -71,7 +71,7 @@ object Html {
           '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
         ' *\n *', chr(10)), '\n+', chr(10)), ' +', ' '))"""
 
-  private def duckExtract(x: String): String =
+  private[queries] def duckExtract(x: String): String =
     raw"""trim(regexp_replace(regexp_replace(regexp_replace(
       replace(replace(replace(
         regexp_replace(regexp_replace($x, '</(p|div|title)>', chr(10), 'g'), '<[^>]*>', ' ', 'g'),

@@ -85,7 +85,7 @@ object Ingest {
   val ops: Seq[String] =
     Seq("score", "dedup_claim", "gate_contaminated", "encode_ivfadc",
       "apply_claims", "media_dedup", "dedup_simhash_claim", "dsir_score",
-      "encode_unigram", "extract_html", "langid")
+      "encode_unigram", "extract_html", "langid", "url_filter")
 
   def apply(
       spark: SparkSession, op: String, modelDir: String, df: DataFrame,
@@ -107,6 +107,13 @@ object Ingest {
         // online tokenizer encode under the offline-trained unigram-LM
         // piece table — annotate-only, all columns pass through
         Streams.unigramEncode(df, graft.queries.Bpe.unigramModel(spark, modelDir))
+      case "url_filter" =>
+        // the crawl tier BEFORE extract_html: normalize + gate on the
+        // URL string alone (stateless map; no offline model — the
+        // media_dedup rule: model_dir required by the task shape,
+        // unused). URL dedup composes as a downstream dedup_claim on
+        // the stamped `norm` column.
+        Streams.urlFilter(df)
       case "extract_html" =>
         // the crawl FRONT END: tag-strip the html column to text (the
         // q_html_extract chain — a pure codegen'd map stage); no

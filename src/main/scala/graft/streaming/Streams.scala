@@ -245,6 +245,20 @@ object Streams {
       .withColumn("text", expr(graft.queries.Html.extractSql("html")))
       .drop("html")
 
+  /** Streaming URL gate (round 19, VERDICT r18 #3) — the tier BEFORE
+    * [[extractHtml]] in a crawl direction, as a stateless map stage:
+    * input carries a `url` column; the row is annotated with the
+    * parsed scheme/host/path, the NORMALIZED url (lowercased
+    * www-stripped host, port/fragment dropped, tracking params
+    * filtered — [[graft.queries.Url]]'s ONE formulation), the
+    * precedence-ordered drop `reasons`, and the keep/drop `verdict`;
+    * drops are filtered out. Pure map, NO STATE; URL DEDUP stays a
+    * claim-ledger concern (`dedup_claim` on the normalized key — the
+    * corpus-wide first-arrival signal a stateless stage cannot see). */
+  def urlFilter(urls: DataFrame): DataFrame =
+    graft.queries.Url.urlGateOf(urls)
+      .filter(col("verdict") === "keep")
+
   /** Streaming language ID under the TRAINED char-trigram model (round
     * 18) — train offline ([[graft.queries.LangId.trainedModel]] on the
     * model_dir corpus), score the stream online: ONE native loop per

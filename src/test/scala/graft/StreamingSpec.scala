@@ -656,6 +656,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("url_filter batch-twin: streaming keeps and stamped norms equal the batch gate") {
+    // the stateless URL tier (round 19): the stream must reproduce the
+    // batch q_url_filter verdicts and the normalized keys exactly —
+    // same parse, same blocklist, same precedence
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val batch = graft.queries.Url.urlGate(spark, sf())
+      .select(col("doc_id"), col("url"), col("norm"), col("verdict"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.urlFilter(mem.toDF().toDF("doc_id", "url"))
+      .select(col("doc_id"), col("norm"))
+      .writeStream.format("memory").queryName("urlfilter_twin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = batch.map(r => (r._1, r._2)).splitAt(batch.length / 2)
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("urlfilter_twin")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batchKeeps = batch.filter(_._4 == "keep").map(r => r._1 -> r._3).toMap
+      assert(batchKeeps.nonEmpty && batchKeeps.size < batch.length,
+        "the gate must both keep and drop on this corpus")
+      assert(streamed == batchKeeps,
+        s"stream-only: ${(streamed.keySet -- batchKeeps.keySet).toSeq.sorted.take(5)}, " +
+        s"batch-only: ${(batchKeeps.keySet -- streamed.keySet).toSeq.sorted.take(5)}")
+    } finally q.stop()
+  }
+
   test("dedup horizon: within-horizon batch-twin unchanged (nearDedup)") {
     // VERDICT r18 #1, done-criterion (a): with every arrival inside the
     // horizon, the horizoned fold must reproduce the unbounded fold —
