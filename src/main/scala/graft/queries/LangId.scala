@@ -22,7 +22,9 @@ import graft.io.Tables
   * syllable chrome no marker list covers. The derivation is the
   * fixture; the OPERATORS under test are:
   *
-  *  - `q_langid_train`: 5 one-vs-rest integer perceptrons over hashed
+  *  - `q_langid_train`: k one-vs-rest integer perceptrons — k is the
+  *    CORPUS-DERIVED class count ([[langsOf]], round 19: a 20-language
+  *    corpus trains 20 perceptrons with no code change) — over hashed
   *    character trigrams (B = [[LangB]] buckets + bias), trained
   *    [[LangR]] rounds on a BOUNDED content-hash sample
   *    ([[LangTrainDocBudget]] docs — the q_classifier_train rule, so
@@ -32,8 +34,10 @@ import graft.io.Tables
   *    run as unrolled CTEs, so the hash gate verifies every update.
   *  - `q_langid_score`: corpus-wide scoring under the trained model as
   *    ONE native per-row loop ([[graft.functions.LangIdScore]] via
-  *    ColumnBridge — the hashed_score/dsir_score rule), fixed-
-  *    precedence argmax, correctness flag against the declared label.
+  *    ColumnBridge — the hashed_score/dsir_score rule), first-index
+  *    argmax over the sorted class list (ties → lexicographically
+  *    smallest lang, mirrored by the oracle's min-among-maxima),
+  *    correctness flag against the declared label.
   *
   * LangIdSpec pins trained held-out accuracy ≥ the marker baseline on
   * the same derived corpus (and a fixed floor), and pins the native
@@ -59,18 +63,30 @@ object LangId {
     ("es", Seq("el", "los", "las", "y", "es", "no"), Seq("cion", "dad", "ando", "oso")),
     ("zh", Seq("ma", "ne", "ba", "ge", "hen", "shi"), Seq("zhou", "feng", "ming", "hua")))
 
-  private[graft] val langs: Seq[String] = langTables.map(_._1)
+  // NOTE: langTables' keys are the FIXTURE languages (the derivation
+  // arms), NOT the class set — classes are corpus-derived ([[langsOf]],
+  // round 19, VERDICT r18 #6). A corpus lang outside the table derives
+  // as identity text (the `else x.t` arm) and still trains its own
+  // perceptron (LangIdSpec's 10-class fixture proves it).
 
-  /** Fixed-precedence argmax CASE over the k class scores; `score(i)`
-    * renders the i-th class's score expression. ONE formulation shared
-    * by the batch score query, its oracle and the streaming annotator. */
-  private[graft] def precedenceCase(score: Int => String): String = {
-    val arms = langs.init.zipWithIndex.map { case (l, i) =>
-      val rest = (i + 1 until langs.size).map(score)
-      val hi = if (rest.size == 1) rest.head else s"greatest(${rest.mkString(", ")})"
-      s"when ${score(i)} >= $hi then '$l'"
-    }.mkString(" ")
-    s"case $arms else '${langs.last}' end"
+  /** Corpus-derived CLASS set: the distinct non-null declared langs,
+    * sorted — a 20-language corpus trains 20 perceptrons with no code
+    * change. A bounded |classes|-row collect (the sid-map rule),
+    * memoized per (session, dir); the oracle mirrors it as a
+    * row_number() OVER (ORDER BY lang) CTE, so the ci ↔ lang map can
+    * never drift between engines. */
+  private val classCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Seq[String]]]()
+  private[graft] def langsOf(s: SparkSession, dir: String): Seq[String] = {
+    val m = classCache.synchronized {
+      var c = classCache.get(s)
+      if (c == null) { c = scala.collection.concurrent.TrieMap.empty; classCache.put(s, c) }
+      c
+    }
+    m.getOrElseUpdate(dir,
+      Tables(s, dir, "documents").select(col("lang")).distinct()
+        .collect().map(_.getString(0)).filter(_ != null).sorted.toSeq)
   }
 
   private[graft] def sparkArr(ws: Seq[String]) =
@@ -142,10 +158,10 @@ object LangId {
 
   /** tok → lab → trn → feat → classes → w0 → z0,g1,w1 … w$LangR — the
     * training chain shared VERBATIM by the telemetry and scoring
-    * oracles (one text, one model). */
+    * oracles (one text, one model). The cls CTE is CORPUS-DERIVED
+    * (r19): row_number over the sorted distinct langs, the exact twin
+    * of [[langsOf]]. */
   private def langTrainCtes: String = {
-    val clsRows = langTables.zipWithIndex
-      .map { case ((l, _, _), ci) => s"('$l', $ci)" }.mkString(", ")
     s"""lsrc AS (
        |  SELECT doc_id, lang, $duckDerived AS s FROM documents
        |), lab AS (
@@ -162,7 +178,8 @@ object LangId {
        |  UNION ALL
        |  SELECT doc_id, CAST($LangB AS BIGINT) AS b, CAST(1 AS BIGINT) AS c FROM lsrc
        |), cls AS (
-       |  SELECT * FROM (VALUES $clsRows) c(clang, ci)
+       |  SELECT lang AS clang, CAST(row_number() OVER (ORDER BY lang) - 1 AS BIGINT) AS ci
+       |  FROM (SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL)
        |), lab2 AS (
        |  SELECT l.doc_id, c.clang, c.ci,
        |    CASE WHEN l.lang = c.clang THEN 1 ELSE -1 END AS y, l.held
@@ -173,8 +190,8 @@ object LangId {
        |), ${(1 to LangR).map(r => zCte(r - 1) + ", " + gwCtes(r)).mkString(", ")}""".stripMargin
   }
 
-  private def initWeights: Array[Array[Long]] =
-    Array.tabulate(langs.size, LangB + 1) { (ci, b) =>
+  private def initWeights(k: Int): Array[Array[Long]] =
+    Array.tabulate(k, LangB + 1) { (ci, b) =>
       (b.toLong * 2654435761L + ci.toLong * 48271L) % 2001L - 1000L
     }
 
@@ -231,15 +248,16 @@ object LangId {
   private[graft] def trainLangId(
       s: SparkSession, dir: String): (Array[Array[Long]], Seq[(Int, String, Long, Long, Long)]) = {
     import s.implicits._
+    val cls = langsOf(s, dir)
     val feat = lFeat(s, dir, Some(lTrainIds(s, dir)))
       .repartition(col("doc_id")).persistScoped()
-    var wArr = initWeights
+    var wArr = initWeights(cls.size)
     val telemetry = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long, Long)]
     for (r <- 0 to LangR) {
       val wDf = wArr.zipWithIndex.flatMap { case (ws, ci) =>
         ws.zipWithIndex.map { case (wt, b) => (ci, b.toLong, wt) }
       }.toSeq.toDF("ci", "b", "wt")
-      val langDf = langs.zipWithIndex.map { case (l, ci) => (ci, l) }.toDF("ci", "clang")
+      val langDf = cls.zipWithIndex.map { case (l, ci) => (ci, l) }.toDF("ci", "clang")
       val scored = feat.join(broadcast(wDf), "b")
         .groupBy(col("doc_id"), col("lang"), col("held"), col("ci"))
         .agg(sum(col("c") * col("wt")).cast("long").as("z"))
@@ -253,7 +271,7 @@ object LangId {
           .cast("long").as("he")).collect()
       for (row <- errRows.sortBy(_.getInt(0))) {
         val ci = row.getInt(0)
-        telemetry += ((r, langs(ci), row.getLong(1), row.getLong(2),
+        telemetry += ((r, cls(ci), row.getLong(1), row.getLong(2),
           wArr(ci).map(math.abs).sum))
       }
       if (r < LangR) {
@@ -332,8 +350,8 @@ object LangId {
     Q(
       "q_langid_score",
       s"""WITH $langScoreCtes
-         |SELECT doc_id, lang_declared, ${langs.map(l => s"s_$l").mkString(", ")},
-         |  lang_predicted, (lang_predicted = lang_declared) AS correct
+         |SELECT doc_id, lang_declared, s_max, lang_predicted,
+         |  (lang_predicted = lang_declared) AS correct
          |FROM pred""".stripMargin) { (s, dir) =>
       scoredFrame(s, dir)
         .withColumn("correct", col("lang_predicted") === col("lang_declared"))
@@ -356,45 +374,51 @@ object LangId {
     })
 
   /** The corpus-wide scored/argmaxed frame (doc_id, lang_declared,
-    * s_*, lang_predicted) under the trained model — shared by
-    * q_langid_score and q_langid_confusion. */
+    * s_max, lang_predicted) under the trained model — shared by
+    * q_langid_score and q_langid_confusion. The argmax is
+    * FIRST-INDEX-of-max over the k-class score array: classes are
+    * sorted, so ties resolve to the lexicographically smallest lang —
+    * expressed identically by the oracle's min(clang)-among-maxima
+    * (never a tie-arbitrary arg_max; the CLAUDE determinism rule). */
   private def scoredFrame(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
+    val cls = langsOf(s, dir)
     val wArr =
-      if (graft.io.KernelMemo.isBypassed) initWeights
+      if (graft.io.KernelMemo.isBypassed) initWeights(cls.size)
       else trainedModel(s, dir)
-    // the 5×1025 model rides as a reference object — rendered as SQL
+    // the k×1025 model rides as a reference object — rendered as SQL
     // literals it would be the giant-literal parse hazard (r16 rule)
     val scoreCol = ColumnBridge.column(graft.functions.LangIdScore(
       ColumnBridge.expression(col("s")),
       wArr.map(ws => scala.collection.immutable.ArraySeq.unsafeWrapArray(ws): Seq[Long]).toSeq))
+    val clsArr = cls.map("'" + _ + "'").mkString("array(", ", ", ")")
     lDocs(s, dir)
       .withColumn("sc", scoreCol)
-      .select(col("doc_id") +: col("lang").as("lang_declared") +:
-        langs.zipWithIndex.map { case (l, ci) =>
-          expr(s"element_at(sc, ${ci + 1})").as(s"s_$l")
-        }: _*)
-      .withColumn("lang_predicted", expr(precedenceCase(i => s"s_${langs(i)}")))
+      .select(col("doc_id"), col("lang").as("lang_declared"),
+        expr("array_max(sc)").as("s_max"),
+        expr(s"element_at($clsArr, cast(array_position(sc, array_max(sc)) as int))")
+          .as("lang_predicted"))
   }
 
   /** Training chain + corpus scoring + argmax as CTE text ending in
-    * `pred(doc_id, lang_declared, s_*, lang_predicted)` — shared by
-    * the scoring and confusion oracles. */
+    * `pred(doc_id, lang_declared, s_max, lang_predicted)` — shared by
+    * the scoring and confusion oracles. Class-count-generic: nothing
+    * here mentions a language by name (r19). */
   private def langScoreCtes: String =
     s"""$langTrainCtes,
        |sc AS (
        |  SELECT f.doc_id, w.ci, CAST(sum(f.c * w.wt) AS BIGINT) AS z
        |  FROM feat f JOIN w$LangR w USING (b)
        |  GROUP BY 1, 2
-       |), piv AS (
-       |  SELECT doc_id,
-       |    ${langs.zipWithIndex.map { case (l, ci) =>
-             s"max(CASE WHEN ci = $ci THEN z END) AS s_$l" }.mkString(",\n    ")}
-       |  FROM sc GROUP BY 1
+       |), mx AS (
+       |  SELECT doc_id, CAST(max(z) AS BIGINT) AS s_max FROM sc GROUP BY 1
+       |), pm AS (
+       |  SELECT sc.doc_id, min(c.clang) AS lang_predicted
+       |  FROM sc JOIN mx ON sc.doc_id = mx.doc_id AND sc.z = mx.s_max
+       |  JOIN cls c ON c.ci = sc.ci
+       |  GROUP BY sc.doc_id
        |), pred AS (
-       |  SELECT d.doc_id, d.lang AS lang_declared,
-       |    ${langs.map(l => s"s_$l").mkString(", ")},
-       |    ${precedenceCase(i => s"s_${langs(i)}")} AS lang_predicted
-       |  FROM lsrc d JOIN piv USING (doc_id)
+       |  SELECT d.doc_id, d.lang AS lang_declared, m.s_max, p.lang_predicted
+       |  FROM lsrc d JOIN mx m USING (doc_id) JOIN pm p ON p.doc_id = d.doc_id
        |)""".stripMargin
 }

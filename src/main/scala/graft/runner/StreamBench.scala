@@ -181,7 +181,8 @@ object StreamBench {
     results += timeStream[SHtml](spark, "extract_html", wHtml, htmlRows,
       df => graft.streaming.Streams.extractHtml(df))
     results += timeStream[SDoc](spark, "langid", wDocs, docs,
-      df => graft.streaming.Streams.langidAnnotate(df, lidModel))
+      df => graft.streaming.Streams.langidAnnotate(df, lidModel,
+        graft.queries.LangId.langsOf(spark, dir)))
     results += timeStream[SVec](spark, "encode_pq", wVecs, vecs,
       df => graft.streaming.Streams.encodePq(df, pqcb))
     // micro-batch size sweep (round-16 headroom item): the r15 claim

@@ -124,7 +124,8 @@ object Ingest {
         // annotate-only language ID under the TRAINED char-trigram
         // model (train offline from model_dir, score the stream online
         // through one native loop per row)
-        Streams.langidAnnotate(df, graft.queries.LangId.trainedModel(spark, modelDir))
+        Streams.langidAnnotate(df, graft.queries.LangId.trainedModel(spark, modelDir),
+          graft.queries.LangId.langsOf(spark, modelDir))
       case "dsir_score" =>
         // annotate-only: DSIR selection is a GLOBAL rank (Gumbel
         // top-k), which a stream cannot do — the scorer stamps

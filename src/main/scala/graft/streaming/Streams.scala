@@ -263,15 +263,18 @@ object Streams {
     * 18) — train offline ([[graft.queries.LangId.trainedModel]] on the
     * model_dir corpus), score the stream online: ONE native loop per
     * row ([[graft.functions.LangIdScore]], model as a ColumnBridge
-    * reference object — the giant-literal rule at 5×1025 weights),
-    * fixed-precedence argmax stamped as `lang_predicted` (the
-    * formulation shared with q_langid_score via
-    * [[graft.queries.LangId.precedenceCase]]). Annotate-only; pure
-    * map, NO STATE. */
-  def langidAnnotate(docs: DataFrame, model: Array[Array[Long]]): DataFrame = {
-    require(model.length == graft.queries.LangId.langs.size &&
+    * reference object — the giant-literal rule at k×1025 weights),
+    * first-index-of-max argmax stamped as `lang_predicted` (classes
+    * sorted, so ties resolve to the lexicographically smallest lang —
+    * the formulation shared with q_langid_score). `classes` is the
+    * CORPUS-DERIVED class list the model was trained with
+    * ([[graft.queries.LangId.langsOf]], round 19). Annotate-only;
+    * pure map, NO STATE. */
+  def langidAnnotate(
+      docs: DataFrame, model: Array[Array[Long]], classes: Seq[String]): DataFrame = {
+    require(model.length == classes.size &&
       model.forall(_.length == graft.queries.LangId.LangB + 1),
-      s"langidAnnotate model must be ${graft.queries.LangId.langs.size} × " +
+      s"langidAnnotate model must be ${classes.size} × " +
         s"${graft.queries.LangId.LangB + 1}; got " +
         s"${model.length} × ${model.headOption.map(_.length).getOrElse(0)} — " +
         "stale or foreign model?")
@@ -280,10 +283,11 @@ object Streams {
       ColumnBridge.expression(col("text")),
       model.map(ws =>
         scala.collection.immutable.ArraySeq.unsafeWrapArray(ws): Seq[Long]).toSeq))
+    val clsArr = classes.map("'" + _ + "'").mkString("array(", ", ", ")")
     docs
       .withColumn("lidsc", sc)
       .withColumn("lang_predicted",
-        expr(graft.queries.LangId.precedenceCase(i => s"element_at(lidsc, ${i + 1})")))
+        expr(s"element_at($clsArr, cast(array_position(lidsc, array_max(lidsc)) as int))"))
       .drop("lidsc")
   }
 

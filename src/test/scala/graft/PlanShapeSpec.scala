@@ -881,7 +881,8 @@ class PlanShapeSpec extends SparkSpec {
         graft.io.Tables(spark, dir, "documents")
           .selectExpr("doc_id", s"${graft.queries.Html.htmlSql} as html")),
       "langidAnnotate" -> graft.streaming.Streams.langidAnnotate(
-        docs, graft.queries.LangId.trainedModel(spark, dir)))
+        docs, graft.queries.LangId.trainedModel(spark, dir),
+        graft.queries.LangId.langsOf(spark, dir)))
     graft.io.CacheScope.releaseAll()
     for ((name, df) <- ops) {
       val plan = df.queryExecution.analyzed
