@@ -146,16 +146,29 @@ object Media {
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Batched decode seam (round 17, VERDICT r16 #4): ONE PNG
-    * ImageReader instance serves every payload a task decodes, instead
-    * of a fresh provider-registry scan + reader + disposal per call
-    * (what `ImageIO.read` does). PNG signature-checked up front;
-    * anything else — other formats, corrupt bytes — falls back to the
-    * generic [[decodePng]] path, so behavior is IDENTICAL and the
-    * skip-don't-crash posture survives. Not thread-safe by design: one
-    * instance per partition/batch, the single-threaded task loop.
-    * docs/stream_bench.md records the measured delta. */
-  private[multimodal] final class PngDecoder {
+  /** Batched decode seam (round 17, VERDICT r16 #4; fast path round
+    * 19, VERDICT r18 #5): the decode ladder is
+    *
+    *  1. [[fastGray]] — a DIRECT zlib-path decoder for the 8-bit
+    *     GRAYSCALE non-interlaced PNG subset (the libspng-style move a
+    *     production media pipeline makes): chunk walk with CRC32
+    *     verification, one Inflater over the concatenated IDATs, the
+    *     five scanline filters unapplied in a tight loop, pixels
+    *     written straight into a TYPE_BYTE_GRAY buffer. No ImageIO
+    *     reader, no ImageInputStream, no color-model conversion.
+    *  2. ONE shared PNG ImageReader instance per task (r17) for PNGs
+    *     outside the fast subset (RGB, palette, 16-bit, interlaced).
+    *  3. Generic [[decodePng]] for everything else.
+    *
+    * The fast path accepts ONLY structurally-valid, CRC-clean gray8
+    * streams — anything questionable (truncated, tampered, exotic)
+    * falls through, so seam behavior is IDENTICAL to ImageIO by
+    * construction (MediaSpec pins pixel equality on every payload
+    * class) and the skip-don't-crash posture survives. Not
+    * thread-safe by design: one instance per partition/batch, the
+    * single-threaded task loop. docs/stream_bench.md records the
+    * measured deltas for both rungs. */
+  private[graft] final class PngDecoder {
     private val reader: Option[javax.imageio.ImageReader] = {
       val it = javax.imageio.ImageIO.getImageReadersByFormatName("png")
       if (it.hasNext) Some(it.next()) else None
@@ -163,8 +176,126 @@ object Media {
     private def isPng(b: Array[Byte]): Boolean =
       b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P'.toByte &&
         b(2) == 'N'.toByte && b(3) == 'G'.toByte
+    private def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+    private val crc = new java.util.zip.CRC32()
+
+    /** Direct decode of the gray8 subset; None on ANYTHING outside it
+      * (wrong shape, CRC mismatch, truncated/over-long zlib stream,
+      * unknown filter), which falls through to the ImageIO rungs. */
+    private[graft] def fastGray(b: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try {
+        if (!isPng(b)) return None
+        var off = 8
+        var w = 0
+        var h = 0
+        var sawIhdr = false
+        var ended = false
+        val idat = new java.io.ByteArrayOutputStream()
+        while (!ended) {
+          if (off + 12 > b.length) return None
+          val len = be32(b, off)
+          if (len < 0 || off + 12L + len > b.length) return None
+          crc.reset()
+          crc.update(b, off + 4, 4 + len)
+          if (crc.getValue.toInt != be32(b, off + 8 + len)) return None
+          val t0 = b(off + 4) & 0xff
+          val t1 = b(off + 5) & 0xff
+          val t2 = b(off + 6) & 0xff
+          val t3 = b(off + 7) & 0xff
+          if (t0 == 'I' && t1 == 'H' && t2 == 'D' && t3 == 'R') {
+            if (len != 13 || sawIhdr) return None
+            w = be32(b, off + 8)
+            h = be32(b, off + 12)
+            // bitDepth 8, colorType 0 (gray), deflate, filter 0,
+            // non-interlaced; dimension cap keeps a hostile header from
+            // allocating unbounded buffers on the fast path
+            if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26) ||
+              b(off + 16) != 8 || b(off + 17) != 0 ||
+              b(off + 18) != 0 || b(off + 19) != 0 || b(off + 20) != 0) return None
+            sawIhdr = true
+          } else if (t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T') {
+            if (!sawIhdr) return None
+            idat.write(b, off + 8, len)
+          } else if (t0 == 'I' && t1 == 'E' && t2 == 'N' && t3 == 'D') {
+            ended = true
+          }
+          off += 12 + len
+        }
+        if (!sawIhdr) return None
+        val stride = w + 1
+        val raw = new Array[Byte](stride * h)
+        val inf = new java.util.zip.Inflater()
+        try {
+          inf.setInput(idat.toByteArray)
+          var got = 0
+          while (got < raw.length && !inf.finished()) {
+            val n = inf.inflate(raw, got, raw.length - got)
+            if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+            got += n
+          }
+          if (got != raw.length) return None
+        } finally inf.end()
+        // unapply the per-scanline filter; bytes-per-pixel = 1
+        val out = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          val ro = y * stride + 1
+          val oo = y * w
+          (raw(y * stride) & 0xff) match {
+            case 0 => System.arraycopy(raw, ro, out, oo, w)
+            case 1 =>
+              var x = 0
+              while (x < w) {
+                val left = if (x > 0) out(oo + x - 1) & 0xff else 0
+                out(oo + x) = (raw(ro + x) + left).toByte
+                x += 1
+              }
+            case 2 =>
+              var x = 0
+              while (x < w) {
+                val up = if (y > 0) out(oo - w + x) & 0xff else 0
+                out(oo + x) = (raw(ro + x) + up).toByte
+                x += 1
+              }
+            case 3 =>
+              var x = 0
+              while (x < w) {
+                val left = if (x > 0) out(oo + x - 1) & 0xff else 0
+                val up = if (y > 0) out(oo - w + x) & 0xff else 0
+                out(oo + x) = (raw(ro + x) + ((left + up) >> 1)).toByte
+                x += 1
+              }
+            case 4 =>
+              var x = 0
+              while (x < w) {
+                val a = if (x > 0) out(oo + x - 1) & 0xff else 0
+                val up = if (y > 0) out(oo - w + x) & 0xff else 0
+                val c = if (x > 0 && y > 0) out(oo - w + x - 1) & 0xff else 0
+                val p = a + up - c
+                val pa = math.abs(p - a)
+                val pb = math.abs(p - up)
+                val pc = math.abs(p - c)
+                val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+                out(oo + x) = (raw(ro + x) + pred).toByte
+                x += 1
+              }
+            case _ => return None
+          }
+          y += 1
+        }
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        System.arraycopy(out, 0,
+          img.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferByte].getData, 0, w * h)
+        Some(img)
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
-      reader match {
+      fastGray(bytes).orElse(reader match {
         case Some(r) if isPng(bytes) =>
           try {
             val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
@@ -173,7 +304,7 @@ object Media {
             finally iis.close()
           } catch { case scala.util.control.NonFatal(_) => None }
         case _ => decodePng(bytes)
-      }
+      })
   }
 
   /** Synthetic audio is AUD_N samples of 8-bit unsigned mono PCM at

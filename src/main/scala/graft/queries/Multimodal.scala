@@ -197,7 +197,11 @@ object Multimodal {
         .join(probes.as("b"), expr("a.bkey = b.bkey and a.dhash != b.dhash"))
         .select(col("a.dhash").as("dhash"), col("b.dhash").as("h_b"), col("b.rep_key").as("nrep"))
         .distinct() // a hash pair shares exactly two ball keys — count once
-        .filter(expr("bit_count(dhash ^ h_b) <= 2")) // provably a no-op; kept as the stated contract
+        // provably a no-op — MediaSpec's midpoint theorem ("ball-probe
+        // candidates ≡ brute-force hamming ≤ 2"): distinct hashes share
+        // a ball key ⟺ d ≤ 2, so the equi-join above already admits
+        // exactly the pairs this predicate states; kept as the contract
+        .filter(expr("bit_count(dhash ^ h_b) <= 2"))
       val near = cand.groupBy(col("dhash"))
         .agg(count(lit(1)).as("n_near_hashes"), min(col("nrep")).as("near_min"))
       val reps = groups.join(near, Seq("dhash"), "left")
