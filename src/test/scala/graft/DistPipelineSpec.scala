@@ -744,33 +744,42 @@ class DistPipelineSpec extends SparkSpec {
       "the corpus must contain media near-dup candidates")
   }
 
-  test("streaming ingest: extract_html -> langid crawl front end through the config surface") {
-    // round 18: a direction can start from RAW MARKUP — tag-strip to
-    // text, then trained-model language ID, both stateless map stages,
-    // each output EXACTLY the batch application of the same op.
+  test("streaming ingest: url_filter -> extract_html -> langid crawl front end through the config surface") {
+    // round 18 (+ the r19 URL tier): a direction can start from a RAW
+    // (url, markup) crawl dump — URL gate first (stateless filter),
+    // tag-strip to text, then trained-model language ID, each output
+    // EXACTLY the batch application of the same op chain.
     import org.apache.spark.sql.functions._
     val base = tmpDir("dist")
     // the crawl fixture: the derived MULTILINGUAL text (the langid
-    // corpus) wrapped in the derived HTML chrome — extraction must
-    // recover text the trained model can still discriminate on
+    // corpus) wrapped in the derived HTML chrome, plus the derived URL
+    // column (the q_url_filter fixture rule) — extraction must recover
+    // text the trained model can still discriminate on
     val html = spark.read.parquet(s"${sf()}/documents.parquet")
       .selectExpr("doc_id", "source", s"${graft.queries.LangId.derivedSql} as text")
-      .selectExpr("doc_id", s"${graft.queries.Html.htmlSql} as html")
+      .withColumn("ud", expr(
+        graft.functions.CrossHash.h("concat('url#', cast(doc_id as string))")))
+      .selectExpr("doc_id", s"${graft.queries.Url.urlSql} as url",
+        s"${graft.queries.Html.htmlSql} as html")
     html.write.parquet(s"$base/in")
     def stage(op: String, in: String, out: String) = s"""{
         "streaming": true, "ingest": "$op", "model_dir": "${sf()}",
         "source": {"adapter": "hadoopParquet", "path": "$base/$in"},
         "dest":   {"adapter": "hadoopParquet", "path": "$base/$out"}}"""
     val cfg = s"""{ "crawl": [
-      ${stage("extract_html", "in", "text")},
+      ${stage("url_filter", "in", "kept")},
+      ${stage("extract_html", "kept", "text")},
       ${stage("langid", "text", "tagged")}] }"""
     write(s"$base/config.json", cfg)
     val conf = DistConfig.parse(DistMain.readFile(spark, s"file:$base/config.json"))
     DistMain.runDirection(spark, conf.direction("crawl"), "crawl")
     val got = spark.read.parquet(s"$base/tagged")
     val exp = graft.streaming.Ingest(spark, "langid", sf(),
-      graft.streaming.Ingest(spark, "extract_html", sf(), html))
-    assert(got.count() == html.count(), "both stages are annotate-only")
+      graft.streaming.Ingest(spark, "extract_html", sf(),
+        graft.streaming.Ingest(spark, "url_filter", sf(), html)))
+    val expKept = exp.count()
+    assert(got.count() == expKept && expKept < html.count() && expKept > 0,
+      "the URL gate must drop some fetches; the later stages are annotate-only")
     assert(
       got.select(col("doc_id"), col("text"), col("lang_predicted")).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq ==
@@ -969,14 +978,14 @@ class DistPipelineSpec extends SparkSpec {
 
   test("worked example: streaming ingest config end-to-end") {
     // examples/streaming_ingest.json is the shipped streaming story: a
-    // batch prepare step stages the incoming CRAWL DUMP (raw markup —
-    // round 18), then an eight-stage "streaming": true direction runs
-    // HTML extraction -> language ID -> quality gate -> DSIR weights ->
-    // near-dup claims -> contamination gate -> claim application ->
-    // unigram tokenize, each under AvailableNow with its own
-    // checkpoint. The test runs the ACTUAL example file (token
-    // substitution only), so the docs can never drift from a config
-    // that parses and runs.
+    // batch prepare step stages the incoming CRAWL DUMP (url + raw
+    // markup — rounds 18/19), then a nine-stage "streaming": true
+    // direction runs URL gate -> HTML extraction -> language ID ->
+    // quality gate -> DSIR weights -> near-dup claims -> contamination
+    // gate -> claim application -> unigram tokenize, each under
+    // AvailableNow with its own checkpoint. The test runs the ACTUAL
+    // example file (token substitution only), so the docs can never
+    // drift from a config that parses and runs.
     import org.apache.spark.sql.functions._
     val base = tmpDir("dist")
     val raw = new String(
@@ -994,15 +1003,21 @@ class DistPipelineSpec extends SparkSpec {
       "cls_flag", "dsir_weight",
       "n_feats", "n_words", "n_pieces", "n_chars_alpha")
       .subsetOf(tokenized.columns.toSet), tokenized.columns.mkString(","))
+    // the URL gate really ran: ftp/.jpg fetches dropped, the
+    // normalized key stamped for a downstream dedup_claim to use
+    val incoming = spark.read.parquet(s"file:$base/incoming").count()
+    val fetched = spark.read.parquet(s"file:$base/fetched")
+    assert(fetched.count() < incoming, "the URL gate must drop fetches")
+    assert(fetched.columns.contains("norm") &&
+      fetched.where(col("verdict") =!= "keep").count() == 0)
     // the extraction really ran: raw markup in, clean text out
     assert(spark.read.parquet(s"file:$base/incoming")
       .where(col("html").contains("<p>")).count() > 0)
     assert(spark.read.parquet(s"file:$base/text")
       .where(col("text").contains("<")).count() == 0)
     // the quality gate dropped something, the claim filter dropped more
-    val incoming = spark.read.parquet(s"file:$base/incoming").count()
     val gated = spark.read.parquet(s"file:$base/gated").count()
-    assert(gated < incoming, "the gates must drop documents")
+    assert(gated < fetched.count(), "the gates must drop documents")
     assert(tokenized.count() < gated, "apply_claims must drop near-dup losers")
     assert(tokenized.where(col("n_pieces") > 0).count() > 0)
     // incremental: re-running the ingest direction processes nothing
