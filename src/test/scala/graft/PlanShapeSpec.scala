@@ -48,6 +48,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), "global-order window funnels all rows to one partition")
   }
 
+  test("q_url_filter: a pure map chain — zero exchanges, zero joins") {
+    // the URL gate must stay the shape that runs at frontier scale
+    // (round 19): parse/normalize/verdict as one codegen'd projection
+    val p = planOf("q_url_filter")
+    assert(!p.contains("Exchange"), s"the URL gate must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"the URL gate must not join:\n$p")
+  }
+
+  test("q_source_overlap: the corpus aggregate keeps fixed-width HashAggregate buffers") {
+    // the multi-word mask fold (round 19) must stay W bit_or longs per
+    // shingle key — a sid-LIST aggregate would hit ObjectHashAggregate's
+    // 128-key sort fallback on the high-cardinality shingle key, and an
+    // array-typed BUFFER would demote to SortAggregate (CLAUDE rules)
+    val p = planOf("q_source_overlap_many") // the forced multi-word path
+    assert(!p.contains("ObjectHashAggregate"),
+      s"the shingle fold must be a plain HashAggregate:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"a SortAggregate crept into the overlap plan:\n$p")
+    assert(p.contains("HashAggregate"))
+  }
+
   test("no query plan contains a cartesian product or nested-loop join") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val p = planOf(name)
