@@ -99,8 +99,10 @@ object DistConfig {
           Option(t.get("model_dir")).map(_.asText()),
           Option(t.get("horizon_ms")).map(_.asLong()),
           Option(t.get("lateness")).map(_.asText()).getOrElse("0 seconds"))
-        require(task.horizonMs.isEmpty ||
-            task.ingest.exists(op => op.contains("claim") || op == "media_dedup"),
+        // exact op set, not a substring test: apply_claims CONSUMES a
+        // ledger and would silently ignore a horizon
+        require(task.horizonMs.isEmpty || task.ingest.exists(
+            Set("dedup_claim", "dedup_simhash_claim", "media_dedup").contains),
           s"task in direction '${e.getKey}': 'horizon_ms' only applies to " +
             "claim-op ingest tasks (dedup_claim / dedup_simhash_claim / media_dedup)")
         // fail loudly, at parse time: a batch task with `ingest` set

@@ -30,6 +30,20 @@ class DistPipelineSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](c.direction("nope"))
   }
 
+  test("config parse: horizon_ms only on claim-emitting ingest ops") {
+    // round 19: a horizon on apply_claims (a ledger CONSUMER) would be
+    // silently ignored — the parse guard is an exact op set, not a
+    // substring test
+    def cfg(op: String) = s"""{"d": [{
+      "streaming": true, "ingest": "$op", "model_dir": "/m", "horizon_ms": 3600000,
+      "source": {"adapter": "hadoopParquet", "path": "/a"},
+      "dest":   {"adapter": "hadoopParquet", "path": "/b"}}]}"""
+    val ok = DistConfig.parse(cfg("dedup_claim")).direction("d").head
+    assert(ok.horizonMs.contains(3600000L) && ok.lateness == "0 seconds")
+    assertThrows[IllegalArgumentException](DistConfig.parse(cfg("apply_claims")))
+    assertThrows[IllegalArgumentException](DistConfig.parse(cfg("extract_html")))
+  }
+
   test("parquet -> csv -> parquet round trip preserves rows and projection") {
     val base = tmpDir("dist")
     val cfg = s"""{
