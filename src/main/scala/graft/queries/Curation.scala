@@ -76,7 +76,9 @@ object Curation {
     // (both engines drop them), so they are excluded from the id map
     val srcList = docs.select(col("source")).distinct()
       .collect().map(_.getString(0)).filter(_ != null).sorted
-    val nW = (srcList.length + 61) / 62
+    // max(1,·): a source-less corpus degenerates to one all-zero word
+    // (empty output) instead of an opaque empty-aggregate crash
+    val nW = math.max(1, (srcList.length + 61) / 62)
     import s.implicits._
     val srcs = srcList.zipWithIndex.map { case (src, i) => (src, i.toLong) }
       .toSeq.toDF("source", "sid")

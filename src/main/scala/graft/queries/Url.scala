@@ -101,7 +101,11 @@ object Url {
   /** Spark SQL fragments over a `url` column. Every step is a
     * codegen'd regexp/string op except the query-param filter (a tiny
     * per-row lambda over ≤ a handful of params). */
-  private[graft] def schemeSql(u: String) = s"regexp_extract($u, '^([a-z]+)://', 1)"
+  // coalesce: a NULL/schemeless url must yield scheme '' (→ a loud
+  // 'non_http' reject), not a NULL that nulls the whole verdict CASE
+  // into a reasonless drop
+  private[graft] def schemeSql(u: String) =
+    s"coalesce(regexp_extract($u, '^([a-z]+)://', 1), '')"
   private[graft] def hostSql(u: String) =
     s"""regexp_replace(regexp_replace(lower(regexp_extract($u, '^[a-z]+://([^/?#]*)', 1)),
        | ':[0-9]+$$', ''), '^www\\\\.', '')""".stripMargin.replace("\n", "")
@@ -114,7 +118,8 @@ object Url {
   private[graft] def normSql(host: String, path: String, kq: String) =
     s"concat($host, $path, case when $kq != '' then concat('?', $kq) else '' end)"
 
-  private def duckScheme(u: String) = s"regexp_extract($u, '^([a-z]+)://', 1)"
+  private def duckScheme(u: String) =
+    s"coalesce(regexp_extract($u, '^([a-z]+)://', 1), '')"
   private def duckHost(u: String) =
     raw"""regexp_replace(regexp_replace(lower(regexp_extract($u, '^[a-z]+://([^/?#]*)', 1)),
        | ':[0-9]+$$', ''), '^www\.', '')""".stripMargin.replace("\n", "")

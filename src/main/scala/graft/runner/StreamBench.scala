@@ -1,7 +1,7 @@
 package graft.runner
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.DataStreamWriter
 
@@ -27,6 +27,8 @@ object StreamBench {
   final case class SVec(vec_id: Long, embedding: Seq[Float])
   final case class SIngest(doc_id: Long, text: String, embedding: Seq[Float])
   final case class SHtml(doc_id: Long, html: String)
+  final case class SUrl(doc_id: Long, url: String)
+  final case class SDocTs(doc_id: Long, text: String, ts: java.sql.Timestamp)
 
   /** Stream-size multiplier over the base corpus and micro-batch count. */
   final val Rep = 10
@@ -163,6 +165,23 @@ object StreamBench {
       baseHtml.map(h => h.copy(doc_id = h.doc_id + r * 1_000_000_000L)))
     val wHtml = baseHtml.take(500).map(h => h.copy(doc_id = h.doc_id + 9_000_000_000L))
 
+    // derived URL rows for the round-19 URL tier (the q_url_filter
+    // fixture rule: the per-row cost is the real parse/normalize chain)
+    val baseUrls = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("ud", expr(
+        graft.functions.CrossHash.h("concat('url#', cast(doc_id as string))")))
+      .selectExpr("doc_id", s"${graft.queries.Url.urlSql} AS url")
+      .as[SUrl].collect().toSeq
+    val urls = (0 until Rep).flatMap(r =>
+      baseUrls.map(u => u.copy(doc_id = u.doc_id + r * 1_000_000_000L)))
+    val wUrls = baseUrls.take(500).map(u => u.copy(doc_id = u.doc_id + 9_000_000_000L))
+    // event-time rows for the horizoned claim fold (constant ts: no
+    // evictions fire, so the number isolates the horizon machinery —
+    // tuple state, timestamp filter, per-invocation timer arming)
+    val ts0 = new java.sql.Timestamp(86_400_000L)
+    val docsTs = docs.map(d => SDocTs(d.doc_id, d.text, ts0))
+    val wDocsTs = wDocs.map(d => SDocTs(d.doc_id, d.text, ts0))
+
     def onePass(): Seq[(String, Long, Double)] = {
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
     results += timeStream[SDoc](spark, "score_docs", wDocs, docs,
@@ -196,8 +215,16 @@ object StreamBench {
       df => graft.streaming.Streams.encodeIvfadc(df, adcCents, adcCb))
     results += timeStream[SDoc](spark, "gate_contaminated", wDocs, docs,
       df => graft.streaming.Streams.gateContaminated(df, evalBloom))
+    // the URL tier (round 19): parse + normalize + gate, stateless
+    results += timeStream[SUrl](spark, "url_filter", wUrls, urls,
+      df => graft.streaming.Streams.urlFilter(df))
     results += timeStream[SDoc](spark, "near_dedup", wDocs, docs,
       df => graft.streaming.Streams.nearDedup(df).toDF())
+    // the horizoned twin (round 19): same claim semantics within the
+    // horizon; the delta prices the event-time machinery
+    results += timeStream[SDocTs](spark, "near_dedup_horizon", wDocsTs, docsTs,
+      df => graft.streaming.Streams.nearDedup(df,
+        horizonMs = Some(24L * 3600 * 1000)).toDF())
     // the exact-recall simhash block-combination claim tier (round
     // 17): 252 state keys per doc vs near_dedup's 4 — the price of
     // never missing a hamming-<=5 pair; rows/s quantifies it
