@@ -40,6 +40,10 @@ object GraftRuntime {
         distinct = false),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mask_sids",
+      (children: Seq[Expression]) => MaskSids(children.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ngram_stats",
       (children: Seq[Expression]) => NGramStats(
         children(0), children(1).eval().asInstanceOf[Number].intValue()),

@@ -98,6 +98,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         children(0), children(1).eval().asInstanceOf[Number].intValue(),
         distinct = false)))
     ext.injectFunction((
+      new FunctionIdentifier("mask_sids"),
+      new ExpressionInfo(classOf[MaskSids].getName, "mask_sids"),
+      (children: Seq[Expression]) => MaskSids(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("ngram_stats"),
       new ExpressionInfo(classOf[NGramStats].getName, "ngram_stats"),
       (children: Seq[Expression]) => NGramStats(

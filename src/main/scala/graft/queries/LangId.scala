@@ -379,7 +379,7 @@ object LangId {
     * FIRST-INDEX-of-max over the k-class score array: classes are
     * sorted, so ties resolve to the lexicographically smallest lang —
     * expressed identically by the oracle's min(clang)-among-maxima
-    * (never a tie-arbitrary arg_max; the CLAUDE determinism rule). */
+    * (never a tie-arbitrary arg_max; docs/determinism.md tie-break rule). */
   private def scoredFrame(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     val cls = langsOf(s, dir)

@@ -222,13 +222,20 @@ object DistMain {
         s"ingest op '${task.ingest.get}' writes a batch_id-partitioned " +
           s"parquet claim ledger; dest adapter must be hadoopParquet, " +
           s"got '${task.dest.adapter}'")
-      df.writeStream
+      def startLedger() = df.writeStream
         .foreachBatch((batch: org.apache.spark.sql.DataFrame, id: Long) =>
           graft.streaming.Streams.upsertClaimBatch(batch, id, task.dest.path))
         .option("checkpointLocation", s"${task.dest.path}/_checkpoint")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-        .awaitTermination()
+      // the horizoned media pipeline re-declares its watermark between
+      // two stateful stages (safety proof in mediaDedupHorizon's
+      // scaladoc); the analyzer override is scoped to this one start
+      val query =
+        if (task.ingest.contains("media_dedup") && task.horizonMs.isDefined)
+          graft.streaming.Streams.relaxedStatefulCheck(spark)(startLedger())
+        else startLedger()
+      query.awaitTermination()
     } else {
       df.writeStream
         .format(outFmt)

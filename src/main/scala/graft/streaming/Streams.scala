@@ -565,6 +565,16 @@ object Streams {
     * micro-batch its timer would have fired (Spark only delivers
     * timeout callbacks to groups with no data in the batch) — the
     * timeout callback is pure garbage collection, never semantics. */
+  /** Saturating `a + b` for claim-time + horizon arithmetic (ADVICE
+    * r19): a pathological `horizon_ms` near Long.MaxValue must clamp to
+    * "never expires", not wrap negative — a wrapped sum reads as
+    * already-expired every batch and the horizon silently degenerates
+    * to ~zero (dedup stops working). */
+  private def satAdd(a: Long, b: Long): Long = {
+    val s = a + b
+    if (((a ^ s) & (b ^ s)) < 0) Long.MaxValue else s
+  }
+
   private def firstClaimHorizon[T: org.apache.spark.sql.Encoder](
       keys: Dataset[(Long, Long, java.sql.Timestamp)], horizonMs: Long)(
       mk: (Long, Long, Long) => T): Dataset[T] = {
@@ -580,7 +590,7 @@ object Streams {
             Iterator.empty
           } else {
             val wm = state.getCurrentWatermarkMs()
-            val stored = state.getOption.filter(_._2 + horizonMs > wm)
+            val stored = state.getOption.filter(st => satAdd(st._2, horizonMs) > wm)
             val evs = rows.toSeq.sortBy(_._1)
             var keeper = stored.map(_._1).getOrElse(Long.MaxValue)
             var claimMs = stored.map(_._2).getOrElse(Long.MinValue)
@@ -594,7 +604,7 @@ object Streams {
               // the function runs); clamp above the watermark — a
               // just-expiring bucket's fresh keeper claims NOW, so its
               // horizon necessarily ends in the future
-              state.setTimeoutTimestamp(math.max(claimMs + horizonMs, wm + 1))
+              state.setTimeoutTimestamp(math.max(satAdd(claimMs, horizonMs), wm + 1))
             }
             out.iterator
           }
@@ -716,13 +726,17 @@ object Streams {
     * attribute carries no event-time tag — with the same `lateness`,
     * so the stage-2 watermark tracks the same event-time column.
     *
-    * Disables `statefulOperator.checkCorrectness` on the session: the
-    * analyzer flags EVERY watermark-above-stateful pattern because a
-    * generic flatMapGroupsWithState may emit rows older than watermark
-    * + delay (late downstream). Stage 1 here emits only rows stamped
-    * with their OWN input row's event time — inputs the stage-1
-    * watermark already admitted — and stage 2 runs the same lateness,
-    * so no emitted row can be late at stage 2 by construction. */
+    * Requires `statefulOperator.checkCorrectness` relaxed AT START
+    * TIME: the analyzer flags EVERY watermark-above-stateful pattern
+    * because a generic flatMapGroupsWithState may emit rows older than
+    * watermark + delay (late downstream). Stage 1 here emits only rows
+    * stamped with their OWN input row's event time — inputs the
+    * stage-1 watermark already admitted — and stage 2 runs the same
+    * lateness, so no emitted row can be late at stage 2 by
+    * construction. The caller wraps its `.start()` in
+    * [[relaxedStatefulCheck]] (ADVICE r19: the override is scoped to
+    * the one query whose safety proof this is, never left disabled on
+    * the shared session). */
   def mediaDedupHorizon(
       media: DataFrame, horizonMs: Long,
       lateness: String = "0 seconds"): Dataset[ItemClaim] = {
@@ -730,7 +744,6 @@ object Streams {
     import spark.implicits._
     graft.functions.GraftRuntime.ensure(spark)
     require(horizonMs > 0, s"dedup horizon must be positive, got $horizonMs ms")
-    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     val recs = media
       .select(
         struct(col("media_id"), col("kind"), col("payload"), col("meta")).as("_1"),
@@ -751,12 +764,12 @@ object Streams {
             Iterator.empty
           } else {
             val wm = state.getCurrentWatermarkMs()
-            val stored = state.getOption.filter(_._2 + horizonMs > wm)
+            val stored = state.getOption.filter(st => satAdd(st._2, horizonMs) > wm)
             val evs = rows.toSeq.sortBy(_._1)
             val first = stored.isEmpty
             val claimMs = if (first) evs.head._3.getTime else stored.get._2
             state.update((1L, claimMs))
-            state.setTimeoutTimestamp(math.max(claimMs + horizonMs, wm + 1))
+            state.setTimeoutTimestamp(math.max(satAdd(claimMs, horizonMs), wm + 1))
             evs.iterator.zipWithIndex.flatMap { case ((id, _, ts), i) =>
               if (first && i == 0)
                 graft.multimodal.Media.ballKeys(dhash).iterator.map(b => (id, b, ts))
@@ -768,6 +781,27 @@ object Streams {
       keyed.toDF("ikey", "bucket", "ts")
         .withWatermark("ts", lateness)
         .as[(Long, Long, java.sql.Timestamp)], horizonMs)(ItemClaim.apply)
+  }
+
+  /** Run `start` — which must synchronously `.start()` its streaming
+    * query — with `statefulOperator.checkCorrectness` disabled,
+    * restoring the session's prior value before returning (ADVICE r19:
+    * the raw `spark.conf.set` left the analyzer safety check silently
+    * off for every LATER streaming query on the shared session). Safe
+    * to restore right after `.start()`: the start-time analysis check
+    * runs synchronously inside it, and the running stream re-analyzes
+    * batches against the session CLONE captured at start. Only
+    * [[mediaDedupHorizon]] queries (watermark re-declared between two
+    * stateful stages, safety proven in its scaladoc) need this. */
+  def relaxedStatefulCheck[A](spark: SparkSession)(start: => A): A = {
+    val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try start
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   final case class CellClaim(cell: Int, vec_id: Long, keeper_id: Long, dot: Double)

@@ -60,13 +60,26 @@ class PlanShapeSpec extends SparkSpec {
     // the multi-word mask fold (round 19) must stay W bit_or longs per
     // shingle key — a sid-LIST aggregate would hit ObjectHashAggregate's
     // 128-key sort fallback on the high-cardinality shingle key, and an
-    // array-typed BUFFER would demote to SortAggregate (CLAUDE rules)
+    // array-typed BUFFER would demote to SortAggregate (SURVEY §8.4 aggregate-buffer rule)
     val p = planOf("q_source_overlap_many") // the forced multi-word path
     assert(!p.contains("ObjectHashAggregate"),
       s"the shingle fold must be a plain HashAggregate:\n$p")
     assert(!p.contains("SortAggregate"),
       s"a SortAggregate crept into the overlap plan:\n$p")
     assert(p.contains("HashAggregate"))
+  }
+
+  test("q_source_overlap_cooc: the scale arm never nested-loop joins the histogram") {
+    // VERDICT r19 #5: past the grid budget the co-occurrence table
+    // comes from the per-mask set-bit pair explode — the plan must
+    // carry NO BroadcastNestedLoopJoin at all (the old pair-grid ×
+    // mask-histogram join was quadratic in |S| through a frame bounded
+    // only by membership-pattern diversity)
+    val p = planOf("q_source_overlap_cooc")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the forced scale arm must not nested-loop join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Generate"), s"expected the mask_sids explode:\n$p")
   }
 
   test("no query plan contains a cartesian product or nested-loop join") {

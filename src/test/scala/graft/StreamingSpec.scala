@@ -827,14 +827,20 @@ class StreamingSpec extends SparkSpec {
       .selectExpr("media_id", s"${graft.multimodal.Media.ikeySql} AS ikey")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val mem = MemoryStream[(graft.multimodal.Media.MediaRecord, Timestamp)]
-    val q = Streams.mediaDedupHorizon(
-        mem.toDF().select(
-          col("_1.media_id").as("media_id"), col("_1.kind").as("kind"),
-          col("_1.payload").as("payload"), col("_1.meta").as("meta"),
-          col("_2").as("ts")),
-        horizonMs = 60L * 60000)
-      .writeStream.format("memory").queryName("media_hz")
-      .outputMode(OutputMode.Append()).start()
+    val q = Streams.relaxedStatefulCheck(spark) {
+      Streams.mediaDedupHorizon(
+          mem.toDF().select(
+            col("_1.media_id").as("media_id"), col("_1.kind").as("kind"),
+            col("_1.payload").as("payload"), col("_1.meta").as("meta"),
+            col("_2").as("ts")),
+          horizonMs = 60L * 60000)
+        .writeStream.format("memory").queryName("media_hz")
+        .outputMode(OutputMode.Append()).start()
+    }
+    // the override is scoped to the start (ADVICE r19): the shared
+    // session's analyzer check must be back on while the query runs
+    assert(spark.conf.get(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled") != "false")
     try {
       mem.addData((rec(100L), ts(0))); q.processAllAvailable()
       // within horizon: an exact dup probes once and loses
