@@ -215,9 +215,12 @@ object StreamBench {
       df => graft.streaming.Streams.encodeIvfadc(df, adcCents, adcCb))
     results += timeStream[SDoc](spark, "gate_contaminated", wDocs, docs,
       df => graft.streaming.Streams.gateContaminated(df, evalBloom))
-    // the URL tier (round 19): parse + normalize + gate, stateless
+    // the URL tier (round 19): parse + normalize + gate; round 20 adds
+    // the stream-static blocklist-frame probe (broadcast arm)
     results += timeStream[SUrl](spark, "url_filter", wUrls, urls,
-      df => graft.streaming.Streams.urlFilter(df))
+      df => graft.streaming.Streams.urlFilter(df,
+        graft.queries.Url.blocklistFrame(spark, dir),
+        graft.queries.Url.blocklistRows(spark, dir)))
     results += timeStream[SDoc](spark, "near_dedup", wDocs, docs,
       df => graft.streaming.Streams.nearDedup(df).toDF())
     // the horizoned twin (round 19): same claim semantics within the

@@ -109,11 +109,14 @@ object Ingest {
         Streams.unigramEncode(df, graft.queries.Bpe.unigramModel(spark, modelDir))
       case "url_filter" =>
         // the crawl tier BEFORE extract_html: normalize + gate on the
-        // URL string alone (stateless map; no offline model — the
-        // media_dedup rule: model_dir required by the task shape,
-        // unused). URL dedup composes as a downstream dedup_claim on
-        // the stamped `norm` column.
-        Streams.urlFilter(df)
+        // URL string. The blocklist is DATA (round 20, VERDICT r19
+        // #3): the task's `model_dir` corpus derives the host frame
+        // (production points it at a real blocklist table), probed
+        // stream-static. URL dedup composes as the downstream
+        // url_dedup_claim stage on the stamped `norm` column.
+        Streams.urlFilter(df,
+          graft.queries.Url.blocklistFrame(spark, modelDir),
+          graft.queries.Url.blocklistRows(spark, modelDir))
       case "extract_html" =>
         // the crawl FRONT END: tag-strip the html column to text (the
         // q_html_extract chain — a pure codegen'd map stage); no

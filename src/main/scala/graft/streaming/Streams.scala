@@ -252,11 +252,17 @@ object Streams {
     * www-stripped host, port/fragment dropped, tracking params
     * filtered — [[graft.queries.Url]]'s ONE formulation), the
     * precedence-ordered drop `reasons`, and the keep/drop `verdict`;
-    * drops are filtered out. Pure map, NO STATE; URL DEDUP stays a
-    * claim-ledger concern (`dedup_claim` on the normalized key — the
-    * corpus-wide first-arrival signal a stateless stage cannot see). */
-  def urlFilter(urls: DataFrame): DataFrame =
-    graft.queries.Url.urlGateOf(urls)
+    * drops are filtered out. NO STATE; the blocklist is a host-
+    * granular static FRAME (round 20, VERDICT r19 #3) probed through
+    * one stream-static broadcast join under the row budget and the
+    * bloom-prefilter + exact-confirm arms past it — identical blocked
+    * set either way. URL DEDUP stays a claim-ledger concern
+    * (`url_dedup_claim` on the stamped `norm` — the corpus-wide
+    * first-arrival signal a stateless stage cannot see). */
+  def urlFilter(
+      urls: DataFrame, blocklist: DataFrame, blkRows: Long,
+      rowBudget: Long = graft.queries.Url.UrlBlockRowBudget): DataFrame =
+    graft.queries.Url.urlGateOf(urls, blocklist, blkRows, rowBudget)
       .filter(col("verdict") === "keep")
 
   /** Streaming language ID under the TRAINED char-trigram model (round

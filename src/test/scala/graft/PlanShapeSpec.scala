@@ -48,12 +48,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), "global-order window funnels all rows to one partition")
   }
 
-  test("q_url_filter: a pure map chain — zero exchanges, zero joins") {
-    // the URL gate must stay the shape that runs at frontier scale
-    // (round 19): parse/normalize/verdict as one codegen'd projection
+  test("q_url_filter: corpus side stays map-only; blocklist probes via one broadcast") {
+    // the URL gate must stay the shape that runs at frontier scale:
+    // parse/normalize/verdict as one codegen'd projection, the
+    // blocklist FRAME (round 20, VERDICT r19 #3) joined as exactly one
+    // bounded broadcast — never a corpus shuffle
     val p = planOf("q_url_filter")
-    assert(!p.contains("Exchange"), s"the URL gate must not shuffle:\n$p")
-    assert(!p.contains("Join"), s"the URL gate must not join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus side of the URL gate must never shuffle-join:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 1,
+      s"expected exactly one blocklist broadcast join:\n$p")
+    // the only hash exchange allowed is the bounded blocklist DISTINCT
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"a corpus shuffle crept into the URL gate:\n$p")
+  }
+
+  test("url gate scale branch (budget 0): bloom prefilter arms, no forced broadcast") {
+    // VERDICT r19 #3 done-criterion: forcing the blocklist row budget
+    // to 0 must flip the gate to the bloom-prefilter + exact-confirm
+    // shape — the map-only miss arm unions the candidate confirm join,
+    // and no broadcast HINT survives (AQE sizes the confirm join)
+    val p = graft.io.KernelMemo.bypassed {
+      graft.queries.Url.urlGate(spark, sf(), rowBudget = 0L)
+        .queryExecution.executedPlan.toString
+    }
+    assert(p.contains("bloom_hits"), s"expected the bloom prefilter:\n$p")
+    assert(p.contains("Union"), s"expected the miss/candidate union arms:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the candidate confirm join must stay hash-based at fixture scale:\n$p")
   }
 
   test("q_source_overlap: the corpus aggregate keeps fixed-width HashAggregate buffers") {

@@ -666,7 +666,9 @@ class StreamingSpec extends SparkSpec {
       .select(col("doc_id"), col("url"), col("norm"), col("verdict"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
     val mem = MemoryStream[(Long, String)]
-    val q = Streams.urlFilter(mem.toDF().toDF("doc_id", "url"))
+    val q = Streams.urlFilter(mem.toDF().toDF("doc_id", "url"),
+        graft.queries.Url.blocklistFrame(spark, sf()),
+        graft.queries.Url.blocklistRows(spark, sf()))
       .select(col("doc_id"), col("norm"))
       .writeStream.format("memory").queryName("urlfilter_twin")
       .outputMode(OutputMode.Append()).start()
@@ -682,6 +684,34 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batchKeeps,
         s"stream-only: ${(streamed.keySet -- batchKeeps.keySet).toSeq.sorted.take(5)}, " +
         s"batch-only: ${(batchKeeps.keySet -- streamed.keySet).toSeq.sorted.take(5)}")
+    } finally q.stop()
+  }
+
+  test("url_filter bloom arm batch-twin: forced budget 0 keeps the identical set") {
+    // VERDICT r19 #3: the bloom is a PREFILTER, never a verdict — the
+    // scale branch (blocklist past the row budget) must keep exactly
+    // the broadcast branch's rows, in streaming too
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val batch = graft.queries.Url.urlGate(spark, sf())
+      .select(col("doc_id"), col("url"), col("verdict"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.urlFilter(mem.toDF().toDF("doc_id", "url"),
+        graft.queries.Url.blocklistFrame(spark, sf()),
+        graft.queries.Url.blocklistRows(spark, sf()), rowBudget = 0L)
+      .select(col("doc_id"))
+      .writeStream.format("memory").queryName("urlfilter_bloom_twin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(batch.map(r => (r._1, r._2)).toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("urlfilter_bloom_twin")
+        .collect().map(_.getLong(0)).toSet
+      val batchKeeps = batch.filter(_._3 == "keep").map(_._1).toSet
+      assert(streamed == batchKeeps,
+        s"stream-only: ${(streamed -- batchKeeps).toSeq.sorted.take(5)}, " +
+        s"batch-only: ${(batchKeeps -- streamed).toSeq.sorted.take(5)}")
     } finally q.stop()
   }
 
