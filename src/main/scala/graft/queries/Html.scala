@@ -162,12 +162,12 @@ object Html {
         |  FROM hseg s LEFT JOIN perdoc p USING (doc_id)
         |), scored AS (
         |  SELECT doc_id, lang, kept,
+        |    array_to_string(kept, chr(10)) AS qt,
         |    regexp_split_to_array(trim(array_to_string(kept, ' ')), '\\s+') AS w
         |  FROM cleaned
         |)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(CASE WHEN len(w) >= 10
-        |                 AND ${TextAnalysis.duckStopRatio("w")} >= 0.01
+        |  CAST(sum(CASE WHEN ${TextAnalysis.duckExtQuality("qt", "w")}
         |            THEN 1 ELSE 0 END) AS BIGINT) AS kept
         |FROM scored
         |GROUP BY lang""".stripMargin) { (s, dir) =>
@@ -196,11 +196,15 @@ object Html {
                  |else filter(lines, (x, idx) -> not exists(cut, c -> c = idx)) end"""
             .stripMargin).as("kept"))
         .select(col("doc_id"), col("lang"),
+          // qt keeps the line structure (the \n-joined kept lines) for
+          // the line-class rules; tokens are whitespace-split so the
+          // word stream is unchanged (round 20, VERDICT r19 #4)
+          expr("array_join(kept, '\\n')").as("qt"),
           expr("split(trim(array_join(kept, ' ')), '\\\\s+')").as("w"))
         .groupBy(col("lang"))
         .agg(
           count(lit(1)).as("n_docs"),
-          sum(when(expr(s"size(w) >= 10 and ${TextAnalysis.stopRatio("w")} >= 0.01"),
+          sum(when(expr(TextAnalysis.extQualitySql("qt", "w")),
             1L).otherwise(0L)).as("kept"))
     })
 

@@ -89,6 +89,61 @@ object TextAnalysis {
   private[graft] def duckStopRatio(arr: String): String =
     s"CAST(len(list_filter($arr, t -> t IN ($stopIn))) AS DOUBLE) / len($arr)"
 
+  // ---- Gopher/FineWeb surface-quality rules (round 20, VERDICT r19 #4) ----
+  // Symbol-to-word ratio ('#'/ellipsis glyphs per word), mean-word-
+  // length bounds, and line-class fractions (bullet starts, ellipsis
+  // ends) — the public Gopher/C4 repetition-adjacent rules, defined
+  // ONCE and threaded through q_filter_reasons and the composed
+  // html/crawl quality gates. Every ratio is an int/int division
+  // (exact cross-engine); line counting splits on the \n segmenter
+  // (the q_dedup_lines rule); the line-class regexes anchor on
+  // (^|\n) / (\n|$) so neither engine needs a multiline flag. Each
+  // fragment takes the TEXT expr and a word-count expr `nw` (callers
+  // pass ms.total / size(w) / len(w) — never a second tokenization).
+  private[graft] final val SymbolRatioMax = 0.1
+  private[graft] final val WordLenMin = 3.0
+  private[graft] final val WordLenMax = 10.0
+  private[graft] final val BulletFracMax = 0.9
+  private[graft] final val EllipsisFracMax = 0.3
+
+  private[graft] def symbolRatio(t: String, nw: String): String =
+    raw"cast(size(regexp_extract_all($t, '#|\\.{3}|…', 0)) as double) / ($nw)"
+  private[graft] def duckSymbolRatio(t: String, nw: String): String =
+    raw"CAST(len(regexp_extract_all($t, '#|\.{3}|…')) AS DOUBLE) / ($nw)"
+  private[graft] def meanWordLen(t: String, nw: String): String =
+    raw"cast(length(regexp_replace($t, '\\s+', '')) as double) / ($nw)"
+  private[graft] def duckMeanWordLen(t: String, nw: String): String =
+    raw"CAST(len(regexp_replace($t, '\s+', '', 'g')) AS DOUBLE) / ($nw)"
+  private[graft] def bulletFrac(t: String): String =
+    raw"cast(size(regexp_extract_all($t, '(^|\\n)[ \\t]*[-*•]', 0)) as double) / size(split($t, '\\n', -1))"
+  private[graft] def duckBulletFrac(t: String): String =
+    raw"CAST(len(regexp_extract_all($t, '(^|\n)[ \t]*[-*•]')) AS DOUBLE) / len(string_split($t, chr(10)))"
+  private[graft] def ellipsisFrac(t: String): String =
+    raw"cast(size(regexp_extract_all($t, '(\\.{3}|…)(\\n|$$)', 0)) as double) / size(split($t, '\\n', -1))"
+  private[graft] def duckEllipsisFrac(t: String): String =
+    raw"CAST(len(regexp_extract_all($t, '(\.{3}|…)(\n|$$)')) AS DOUBLE) / len(string_split($t, chr(10)))"
+
+  /** The EXTENDED composed-pipeline quality gate (token floor +
+    * stopword ratio + the three surface rules above) as one boolean
+    * SQL fragment — q_html_pipeline and q_crawl_funnel thread it so
+    * the content tier and the audit query can never disagree on what
+    * "kept" means. Repetition/PII stay q_filter_reasons-only (they
+    * need ngram_stats / the raw pre-extraction text). */
+  private[graft] def extQualitySql(t: String, w: String): String =
+    s"size($w) >= 10 and ${stopRatio(w)} >= 0.01" +
+      s" and ${symbolRatio(t, s"size($w)")} <= $SymbolRatioMax" +
+      s" and ${meanWordLen(t, s"size($w)")} >= $WordLenMin" +
+      s" and ${meanWordLen(t, s"size($w)")} <= $WordLenMax" +
+      s" and ${bulletFrac(t)} <= $BulletFracMax" +
+      s" and ${ellipsisFrac(t)} <= $EllipsisFracMax"
+  private[graft] def duckExtQuality(t: String, w: String): String =
+    s"len($w) >= 10 AND ${duckStopRatio(w)} >= 0.01" +
+      s" AND ${duckSymbolRatio(t, s"len($w)")} <= $SymbolRatioMax" +
+      s" AND ${duckMeanWordLen(t, s"len($w)")} >= $WordLenMin" +
+      s" AND ${duckMeanWordLen(t, s"len($w)")} <= $WordLenMax" +
+      s" AND ${duckBulletFrac(t)} <= $BulletFracMax" +
+      s" AND ${duckEllipsisFrac(t)} <= $EllipsisFracMax"
+
   // single-pass variant of the marker/stopword counts: the codegen'd
   // marker_scores expression scores all four language sets (c0..c3 in
   // `markers` order; c0 = en = THE stopword set) plus the token total in
@@ -1594,18 +1649,37 @@ object TextAnalysis {
     // ---- explainable filtering: per-doc drop reasons ------------------------
     // The audit artifact a pipeline ships next to its filtered corpus:
     // every document labeled with WHICH gates it failed (length,
-    // stopword ratio, Gopher repetition, PII) — debugging a filter
-    // cascade needs the reasons, not just the survivor set. Pure map
-    // stage (repetition fracs via the codegen'd per-row ngram_stats,
-    // null-guarded for short docs); the reasons list is serialized with
-    // commas (no arrays in final output — hash gate). Thresholds are
-    // tuned to the synthetic corpus so the first three gates all fire;
-    // the email gate is structurally verified (the corpus contains no
-    // PII-shaped strings — q_text_pii_redact counts agree).
+    // stopword ratio, Gopher repetition, symbol ratio, word-length
+    // bounds, bullet/ellipsis line fractions, PII) — debugging a
+    // filter cascade needs the reasons, not just the survivor set.
+    // Pure map stage (repetition fracs via the codegen'd per-row
+    // ngram_stats, null-guarded for short docs); the reasons list is
+    // serialized with commas (no arrays in final output — hash gate).
+    // Round 20 (VERDICT r19 #4) adds the Gopher/FineWeb surface rules
+    // AND a derived fixture (the URL-fixture rule): the raw corpus is
+    // single-line prose that trips none of them, so a deterministic
+    // 1-in-12 hash arm decorates docs to trip EACH new rule — plus
+    // below-threshold negative arms for both line-class fractions —
+    // identically on both engines. The email gate stays structurally
+    // verified (the corpus contains no PII-shaped strings).
     Q(
       "q_filter_reasons",
-      raw"""WITH tok AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w, text FROM documents
+      raw"""WITH qsrc AS (
+        |  SELECT doc_id, text, ${duck("'qf#' || doc_id::VARCHAR")} AS ud FROM documents
+        |), qd AS (
+        |  SELECT doc_id,
+        |    CASE CAST(ud % 12 AS INT)
+        |      WHEN 0 THEN '- ' || text
+        |      WHEN 1 THEN '- ' || text || chr(10) || 'plain one' || chr(10) || 'plain two' || chr(10) || 'plain three'
+        |      WHEN 2 THEN text || '...'
+        |      WHEN 3 THEN text || '...' || chr(10) || 'plain one' || chr(10) || 'plain two' || chr(10) || 'plain three'
+        |      WHEN 4 THEN text || repeat(' #', CAST(len(regexp_split_to_array(trim(text), '\s+')) // 5 + 1 AS INT))
+        |      WHEN 5 THEN text || ' ' || repeat('z', 2000)
+        |      WHEN 6 THEN regexp_replace(text, '\S+', 'a', 'g')
+        |      ELSE text END AS text
+        |  FROM qsrc
+        |), tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w, text FROM qd
         |), c2 AS (
         |  SELECT doc_id, g, count(*) AS c FROM (
         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
@@ -1622,25 +1696,51 @@ object TextAnalysis {
         |  SELECT doc_id,
         |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS dup3_frac
         |  FROM c3 GROUP BY doc_id
+        |), qr AS (
+        |  SELECT doc_id, w, text,
+        |    ${duckSymbolRatio("text", "len(w)")} AS sym_r,
+        |    ${duckMeanWordLen("text", "len(w)")} AS mean_wl,
+        |    ${duckBulletFrac("text")} AS bullet_f,
+        |    ${duckEllipsisFrac("text")} AS ellipsis_f
+        |  FROM tok
         |)
         |SELECT t.doc_id AS doc_id,
         |  concat_ws(',',
         |    CASE WHEN len(w) < 15 THEN 'too_short' END,
         |    CASE WHEN ${duckStopRatio("w")} < 0.01 THEN 'low_stopword' END,
         |    CASE WHEN top2_frac > 0.10 OR dup3_frac > 0.08 THEN 'repetitive' END,
+        |    CASE WHEN sym_r > $SymbolRatioMax THEN 'symbol_ratio' END,
+        |    CASE WHEN mean_wl < $WordLenMin OR mean_wl > $WordLenMax THEN 'word_length' END,
+        |    CASE WHEN bullet_f > $BulletFracMax THEN 'bullet_lines' END,
+        |    CASE WHEN ellipsis_f > $EllipsisFracMax THEN 'ellipsis_lines' END,
         |    CASE WHEN len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+')) > 0
         |         THEN 'pii' END)
         |    AS reasons,
         |  CASE WHEN len(w) >= 15
         |        AND ${duckStopRatio("w")} >= 0.01
         |        AND NOT coalesce(top2_frac > 0.10 OR dup3_frac > 0.08, false)
+        |        AND sym_r <= $SymbolRatioMax
+        |        AND mean_wl >= $WordLenMin AND mean_wl <= $WordLenMax
+        |        AND bullet_f <= $BulletFracMax AND ellipsis_f <= $EllipsisFracMax
         |        AND len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+')) = 0
         |       THEN 'keep' ELSE 'drop' END AS verdict
-        |FROM tok t LEFT JOIN s2 ON t.doc_id = s2.doc_id LEFT JOIN s3 ON t.doc_id = s3.doc_id""") { (s, dir) =>
+        |FROM qr t LEFT JOIN s2 ON t.doc_id = s2.doc_id LEFT JOIN s3 ON t.doc_id = s3.doc_id""") { (s, dir) =>
       // token-derived gates all come off ONE marker_scores struct
       // (ms.total = size(w), ms.c0/ms.total = the stopword ratio) so no
       // interpreted HOF pins its own copy of the tokenization
       Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          expr(h("concat('qf#', cast(doc_id as string))")).as("ud"))
+        .select(col("doc_id"), expr(
+          """case cast(ud % 12 as int)
+            |  when 0 then concat('- ', text)
+            |  when 1 then concat('- ', text, '\nplain one\nplain two\nplain three')
+            |  when 2 then concat(text, '...')
+            |  when 3 then concat(text, '...\nplain one\nplain two\nplain three')
+            |  when 4 then concat(text, repeat(' #', cast(size(split(trim(text), '\\s+')) div 5 + 1 as int)))
+            |  when 5 then concat(text, ' ', repeat('z', 2000))
+            |  when 6 then regexp_replace(text, '\\S+', 'a')
+            |  else text end""".stripMargin).as("text"))
         .select(col("doc_id"), col("text"), expr(tokens).as("w"))
         .select(col("doc_id"), col("text"),
           expr(markerCall("w")).as("ms"),
@@ -1648,18 +1748,29 @@ object TextAnalysis {
           expr("case when size(w) >= 3 then ngram_stats(w, 3) end").as("s3"))
         .select(col("doc_id"), col("text"), col("ms"),
           expr("cast(s2.top as double) / s2.total").as("top2_frac"),
-          expr("cast(s3.dup as double) / s3.total").as("dup3_frac"))
+          expr("cast(s3.dup as double) / s3.total").as("dup3_frac"),
+          expr(symbolRatio("text", "ms.total")).as("sym_r"),
+          expr(meanWordLen("text", "ms.total")).as("mean_wl"),
+          expr(bulletFrac("text")).as("bullet_f"),
+          expr(ellipsisFrac("text")).as("ellipsis_f"))
         .select(
           col("doc_id"),
           expr(s"""concat_ws(',',
             |  case when ms.total < 15 then 'too_short' end,
             |  case when cast(ms.c0 as double) / ms.total < 0.01 then 'low_stopword' end,
             |  case when top2_frac > 0.10 or dup3_frac > 0.08 then 'repetitive' end,
+            |  case when sym_r > $SymbolRatioMax then 'symbol_ratio' end,
+            |  case when mean_wl < $WordLenMin or mean_wl > $WordLenMax then 'word_length' end,
+            |  case when bullet_f > $BulletFracMax then 'bullet_lines' end,
+            |  case when ellipsis_f > $EllipsisFracMax then 'ellipsis_lines' end,
             |  case when size(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', 0)) > 0
             |    then 'pii' end)"""
             .stripMargin).as("reasons"),
           expr(s"""case when ms.total >= 15 and cast(ms.c0 as double) / ms.total >= 0.01
             |  and not coalesce(top2_frac > 0.10 or dup3_frac > 0.08, false)
+            |  and sym_r <= $SymbolRatioMax
+            |  and mean_wl >= $WordLenMin and mean_wl <= $WordLenMax
+            |  and bullet_f <= $BulletFracMax and ellipsis_f <= $EllipsisFracMax
             |  and size(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', 0)) = 0
             |  then 'keep' else 'drop' end""".stripMargin).as("verdict"))
     },

@@ -376,14 +376,15 @@ object Url {
          |  SELECT doc_id, lang, source, ${Html.duckHtml} AS html FROM documents
          |), hqual AS (
          |  SELECT doc_id,
+         |    trim(${Html.duckExtract("html")}) AS qt,
          |    regexp_split_to_array(trim(${Html.duckExtract("html")}), '\\s+') AS w
          |  FROM hsrc
          |)
          |SELECT g.lang, CAST(count(*) AS BIGINT) AS n_fetched,
          |  CAST(sum(CASE WHEN g.verdict = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS url_kept,
          |  CAST(sum(CASE WHEN u.keep_id = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS url_unique,
-         |  CAST(sum(CASE WHEN u.keep_id = g.doc_id AND len(q.w) >= 10
-         |                 AND ${TextAnalysis.duckStopRatio("q.w")} >= 0.01
+         |  CAST(sum(CASE WHEN u.keep_id = g.doc_id
+         |                 AND ${TextAnalysis.duckExtQuality("q.qt", "q.w")}
          |            THEN 1 ELSE 0 END) AS BIGINT) AS text_kept
          |FROM ugate g
          |LEFT JOIN udf u ON g.norm = u.norm AND g.verdict = 'keep'
@@ -394,9 +395,13 @@ object Url {
         .groupBy(col("norm")).agg(min(col("doc_id")).as("keep_id"))
       val qual = Tables(s, dir, "documents")
         .select(col("doc_id"),
+          expr(s"trim(${Html.extractSql(Html.htmlSql)})").as("qt"),
           expr(s"split(trim(${Html.extractSql(Html.htmlSql)}), '\\\\s+')").as("w"))
+        // the extended content gate (round 20, VERDICT r19 #4): token
+        // floor + stopwords + the Gopher surface rules, one shared
+        // fragment with q_html_pipeline / q_filter_reasons
         .select(col("doc_id"),
-          expr(s"size(w) >= 10 and ${TextAnalysis.stopRatio("w")} >= 0.01").as("ok"))
+          expr(TextAnalysis.extQualitySql("qt", "w")).as("ok"))
       gate
         .join(firsts.withColumnRenamed("norm", "f_norm"),
           col("norm") === col("f_norm") && col("verdict") === "keep", "left")

@@ -78,8 +78,22 @@ class HtmlSpec extends SparkSpec {
         val kept = expected(id, src, text).split("\n").toSeq
           .filterNot(l => boiler.contains((src, l)))
         val w = kept.mkString(" ").trim.split("\\s+").toSeq
+        // brute-force twin of TextAnalysis.extQualitySql (round 20):
+        // token floor + stopwords + symbol ratio + mean word length +
+        // bullet/ellipsis line fractions over the \n-joined kept lines
+        val qt = kept.mkString("\n")
+        val symbols = "#|\\.{3}|…".r.findAllIn(qt).size
+        val chars = qt.replaceAll("\\s+", "").length
+        val nLines = qt.split("\n", -1).length
+        val bullets = "(^|\n)[ \t]*[-*•]".r.findAllIn(qt).size
+        val ellipses = "(\\.{3}|…)(\n|$)".r.findAllIn(qt).size
+        val meanWl = chars.toDouble / w.size
         val ok = w.size >= 10 &&
-          w.count(stops.contains).toDouble / w.size >= 0.01
+          w.count(stops.contains).toDouble / w.size >= 0.01 &&
+          symbols.toDouble / w.size <= TextAnalysis.SymbolRatioMax &&
+          meanWl >= TextAnalysis.WordLenMin && meanWl <= TextAnalysis.WordLenMax &&
+          bullets.toDouble / nLines <= TextAnalysis.BulletFracMax &&
+          ellipses.toDouble / nLines <= TextAnalysis.EllipsisFracMax
         (lang, ok)
       }
       .groupBy(_._1)
