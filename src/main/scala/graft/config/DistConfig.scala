@@ -102,9 +102,11 @@ object DistConfig {
         // exact op set, not a substring test: apply_claims CONSUMES a
         // ledger and would silently ignore a horizon
         require(task.horizonMs.isEmpty || task.ingest.exists(
-            Set("dedup_claim", "dedup_simhash_claim", "media_dedup").contains),
+            Set("dedup_claim", "dedup_simhash_claim", "media_dedup",
+              "url_dedup_claim").contains),
           s"task in direction '${e.getKey}': 'horizon_ms' only applies to " +
-            "claim-op ingest tasks (dedup_claim / dedup_simhash_claim / media_dedup)")
+            "claim-op ingest tasks (dedup_claim / dedup_simhash_claim / " +
+            "media_dedup / url_dedup_claim)")
         // fail loudly, at parse time: a batch task with `ingest` set
         // would otherwise copy the data verbatim — the quality/
         // contamination gate silently never runs and the output looks

@@ -244,15 +244,25 @@ object Url {
     * and false positives cost confirm input, never verdicts. Both
     * branches flag the IDENTICAL blocked set, so one oracle text
     * covers them. */
-  private[graft] def urlGateOf(
-      urls: DataFrame, blocklist: DataFrame, blkRows: Long,
-      rowBudget: Long = UrlBlockRowBudget): DataFrame = {
-    val parsed = urls
+  /** The parse/normalize projection — stamps (scheme, host, path, kq,
+    * norm) onto any frame carrying a `url` column. ONE formulation
+    * (the SimhashBlockKeys.masks single-source rule) shared by the
+    * batch gate, the streaming `url_filter` op, and the
+    * `url_dedup_claim` key derivation (round 20, VERDICT r19 #2) —
+    * the claim tier and q_url_dedup can never disagree on what
+    * "the normalized url" means. */
+  private[graft] def parseNorm(urls: DataFrame): DataFrame =
+    urls
       .withColumn("scheme", expr(schemeSql("url")))
       .withColumn("host", expr(hostSql("url")))
       .withColumn("path", expr(pathSql("url")))
       .withColumn("kq", expr(keptQsSql("url")))
       .withColumn("norm", expr(normSql("host", "path", "kq")))
+
+  private[graft] def urlGateOf(
+      urls: DataFrame, blocklist: DataFrame, blkRows: Long,
+      rowBudget: Long = UrlBlockRowBudget): DataFrame = {
+    val parsed = parseNorm(urls)
     val blk = blocklist.select(col("bhost")).distinct()
     val flagged =
       if (blkRows <= rowBudget)

@@ -249,7 +249,8 @@ object DistMain {
   }
 
   /** Ingest ops whose output is a claim LEDGER (bucket, id, keeper). */
-  private val claimOps = Set("dedup_claim", "dedup_simhash_claim", "media_dedup")
+  private val claimOps =
+    Set("dedup_claim", "dedup_simhash_claim", "media_dedup", "url_dedup_claim")
 
   /** Read a (possibly remote) config file through the Hadoop FS API. */
   def readFile(spark: SparkSession, path: String): String = {

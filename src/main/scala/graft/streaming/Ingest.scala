@@ -69,6 +69,14 @@ import org.apache.spark.sql.functions._
   *    under the TRAINED character-trigram model
   *    ([[graft.queries.LangId.trainedModel]]); annotate-only, one
   *    native loop per row.
+  *  - `url_dedup_claim`: input (doc_id, url | norm, ...) — the exact
+  *    URL dedup claim LEDGER on the CrossHash of the normalized url
+  *    (round 20, VERDICT r19 #2): the stage between url_filter and
+  *    extract_html, so refetches are flagged before the content tier
+  *    runs; same (bucket, doc_id, keeper_id) schema, so apply_claims
+  *    consumes it unchanged. `horizon_ms` bounds state and re-admits
+  *    a url once per horizon (recrawl). No offline model (the
+  *    media_dedup rule).
   *  - `media_dedup`: input the MediaRecord schema (media_id, kind,
   *    payload, meta) — real decode + dHash + hamming-ball probe-key
   *    claims ([[Streams.mediaDedup]]), the q_media_dedup candidate
@@ -85,7 +93,8 @@ object Ingest {
   val ops: Seq[String] =
     Seq("score", "dedup_claim", "gate_contaminated", "encode_ivfadc",
       "apply_claims", "media_dedup", "dedup_simhash_claim", "dsir_score",
-      "encode_unigram", "extract_html", "langid", "url_filter")
+      "encode_unigram", "extract_html", "langid", "url_filter",
+      "url_dedup_claim")
 
   def apply(
       spark: SparkSession, op: String, modelDir: String, df: DataFrame,
@@ -107,6 +116,16 @@ object Ingest {
         // online tokenizer encode under the offline-trained unigram-LM
         // piece table — annotate-only, all columns pass through
         Streams.unigramEncode(df, graft.queries.Bpe.unigramModel(spark, modelDir))
+      case "url_dedup_claim" =>
+        // exact URL dedup claim ledger on the NORMALIZED url (round
+        // 20, VERDICT r19 #2) — the stage between url_filter and
+        // extract_html that stops refetches reaching the expensive
+        // content tier; consumes url_filter's stamped `norm` (or
+        // re-parses a raw `url` column), same ledger schema as
+        // dedup_claim so apply_claims composes unchanged. No offline
+        // model (the media_dedup rule: model_dir required by the task
+        // shape, unused).
+        Streams.urlDedup(df, horizonMs, lateness).toDF()
       case "url_filter" =>
         // the crawl tier BEFORE extract_html: normalize + gate on the
         // URL string. The blocklist is DATA (round 20, VERDICT r19

@@ -521,6 +521,46 @@ object Streams {
     }
   }
 
+  /** Streaming EXACT URL dedup — the claim-ledger twin of
+    * `q_url_dedup`, completing the crawl funnel the r19 URL tier
+    * started (round 20, VERDICT r19 #2): each arriving row's claim
+    * key is the CrossHash of its NORMALIZED url, and per key the
+    * first arrival claims it — so a refetch (mirror scheme, tracking
+    * decoration, explicit port, www. prefix) is flagged a loser
+    * BEFORE the expensive extract/langid/score stages run. The
+    * normalization is [[graft.queries.Url.parseNorm]] — the ONE
+    * formulation q_url_dedup groups on — reused verbatim; rows
+    * already carrying a `norm` column (the `url_filter` stage output)
+    * skip the re-parse. Same (bucket, doc_id, keeper_id) ledger
+    * schema and [[firstClaim]]/[[firstClaimHorizon]] fold as
+    * dedup_claim, so `apply_claims`, the idempotent claim sink, and
+    * compaction all compose unchanged. The 60-bit hash key makes this
+    * a CANDIDATE tier like every claim ledger (a cross-norm hash
+    * collision can only add a false loser; exact confirm stays a
+    * batch concern — the prefilter/confirm split). With `horizonMs`
+    * set the input carries event-time `ts` and a url's claim evicts
+    * at the horizon (recrawl-friendly: the same url is admitted once
+    * per horizon window). */
+  def urlDedup(
+      urls: DataFrame, horizonMs: Option[Long] = None,
+      lateness: String = "0 seconds"): Dataset[BandClaim] = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    graft.functions.GraftRuntime.ensure(spark)
+    val tsTail = if (horizonMs.isDefined) Seq("ts") else Nil
+    val normed =
+      if (urls.columns.contains("norm")) urls
+      else graft.queries.Url.parseNorm(urls)
+    val keys = normed.selectExpr(
+      Seq("doc_id", s"${graft.functions.CrossHash.h("norm")} AS bucket") ++ tsTail: _*)
+    horizonMs match {
+      case Some(hz) =>
+        firstClaimHorizon(keys.withWatermark("ts", lateness)
+          .as[(Long, Long, java.sql.Timestamp)], hz)(BandClaim.apply)
+      case None => firstClaim(keys.as[(Long, Long)])(BandClaim.apply)
+    }
+  }
+
   /** The shared first-ARRIVAL-wins claim fold behind [[nearDedup]],
     * [[simhashBlocksDedup]] and [[mediaDedup]] — one protocol, one
     * implementation (a fix to the claim semantics can never leave the

@@ -780,9 +780,17 @@ class DistPipelineSpec extends SparkSpec {
         "streaming": true, "ingest": "$op", "model_dir": "${sf()}",
         "source": {"adapter": "hadoopParquet", "path": "$base/$in"},
         "dest":   {"adapter": "hadoopParquet", "path": "$base/$out"}}"""
+    // round 20 (VERDICT r19 #2): the crawl funnel gains URL dedup
+    // between url_filter and extract_html — refetches never reach the
+    // content tier
     val cfg = s"""{ "crawl": [
       ${stage("url_filter", "in", "kept")},
-      ${stage("extract_html", "kept", "text")},
+      ${stage("url_dedup_claim", "kept", "urlclaims")},
+      {
+        "streaming": true, "ingest": "apply_claims", "model_dir": "$base/urlclaims",
+        "source": {"adapter": "hadoopParquet", "path": "$base/kept"},
+        "dest":   {"adapter": "hadoopParquet", "path": "$base/unique"}},
+      ${stage("extract_html", "unique", "text")},
       ${stage("langid", "text", "tagged")}] }"""
     write(s"$base/config.json", cfg)
     val conf = DistConfig.parse(DistMain.readFile(spark, s"file:$base/config.json"))
@@ -790,8 +798,12 @@ class DistPipelineSpec extends SparkSpec {
     val got = spark.read.parquet(s"$base/tagged")
     val exp = graft.streaming.Ingest(spark, "langid", sf(),
       graft.streaming.Ingest(spark, "extract_html", sf(),
-        graft.streaming.Ingest(spark, "url_filter", sf(), html)))
+        graft.streaming.Ingest(spark, "apply_claims", s"$base/urlclaims",
+          graft.streaming.Ingest(spark, "url_filter", sf(), html))))
     val expKept = exp.count()
+    val nKept = spark.read.parquet(s"$base/kept").count()
+    val nUnique = spark.read.parquet(s"$base/unique").count()
+    assert(nUnique < nKept, "URL dedup must drop refetches before extraction")
     assert(got.count() == expKept && expKept < html.count() && expKept > 0,
       "the URL gate must drop some fetches; the later stages are annotate-only")
     assert(
@@ -993,13 +1005,14 @@ class DistPipelineSpec extends SparkSpec {
   test("worked example: streaming ingest config end-to-end") {
     // examples/streaming_ingest.json is the shipped streaming story: a
     // batch prepare step stages the incoming CRAWL DUMP (url + raw
-    // markup — rounds 18/19), then a nine-stage "streaming": true
-    // direction runs URL gate -> HTML extraction -> language ID ->
-    // quality gate -> DSIR weights -> near-dup claims -> contamination
-    // gate -> claim application -> unigram tokenize, each under
-    // AvailableNow with its own checkpoint. The test runs the ACTUAL
-    // example file (token substitution only), so the docs can never
-    // drift from a config that parses and runs.
+    // markup — rounds 18/19), then an eleven-stage "streaming": true
+    // direction runs URL gate -> URL dedup claims + application
+    // (round 20) -> HTML extraction -> language ID -> quality gate ->
+    // DSIR weights -> near-dup claims -> contamination gate -> claim
+    // application -> unigram tokenize, each under AvailableNow with
+    // its own checkpoint. The test runs the ACTUAL example file (token
+    // substitution only), so the docs can never drift from a config
+    // that parses and runs.
     import org.apache.spark.sql.functions._
     val base = tmpDir("dist")
     val raw = new String(
@@ -1024,6 +1037,11 @@ class DistPipelineSpec extends SparkSpec {
     assert(fetched.count() < incoming, "the URL gate must drop fetches")
     assert(fetched.columns.contains("norm") &&
       fetched.where(col("verdict") =!= "keep").count() == 0)
+    // URL dedup really ran (round 20): the claim ledger flags the
+    // prepare step's deliberate refetches, apply_claims drops them
+    val unique = spark.read.parquet(s"file:$base/unique").count()
+    assert(unique < fetched.count(),
+      "url_dedup_claim + apply_claims must drop refetches before extraction")
     // the extraction really ran: raw markup in, clean text out
     assert(spark.read.parquet(s"file:$base/incoming")
       .where(col("html").contains("<p>")).count() > 0)

@@ -715,6 +715,84 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("url_dedup batch-twin: streaming losers equal q_url_dedup's df>=2 losers") {
+    // round 20 (VERDICT r19 #2): the claim tier and the batch query
+    // share ONE normalization (Url.parseNorm), so feeding the gate
+    // survivors in id order must flag exactly the batch loser set
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val keeps = graft.queries.Url.urlGate(spark, sf())
+      .filter(col("verdict") === "keep")
+      .select(col("doc_id"), col("url"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.urlDedup(mem.toDF().toDF("doc_id", "url"))
+      .writeStream.format("memory").queryName("urldedup_twin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = keeps.splitAt(keeps.length / 2)
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      val claims = spark.table("urldedup_twin").as[Streams.BandClaim].collect()
+      val streamLosers = claims.filter(c => c.keeper_id != c.doc_id).map(_.doc_id).toSet
+      val batch = SparkEntry.queries("q_url_dedup")(spark, sf())
+        .select(col("doc_id"), col("keep_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      graft.io.CacheScope.releaseAll()
+      val batchLosers = batch.filter(r => r._1 != r._2).map(_._1).toSet
+      assert(batchLosers.nonEmpty, "the derived URL corpus must contain refetches")
+      assert(streamLosers == batchLosers,
+        s"stream-only: ${(streamLosers -- batchLosers).toSeq.sorted.take(5)}, " +
+        s"batch-only: ${(batchLosers -- streamLosers).toSeq.sorted.take(5)}")
+    } finally q.stop()
+  }
+
+  test("url_dedup out-of-order: a later lower id is a loser, never a keeper steal") {
+    // first-arrival-wins (the shared firstClaim fold): both urls
+    // normalize to site.example.com/p/1, the higher id arrives first
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.urlDedup(mem.toDF().toDF("doc_id", "url"))
+      .writeStream.format("memory").queryName("urldedup_ooo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((200L, "https://www.Site.example.com/p/1")); q.processAllAvailable()
+      mem.addData((7L, "http://site.example.com:80/p/1#frag")); q.processAllAvailable()
+      val claims = spark.table("urldedup_ooo").as[Streams.BandClaim].collect()
+      assert(claims.length == 2 && claims.map(_.bucket).distinct.length == 1,
+        "mirror/port/fragment variants must share one normalized claim key")
+      assert(claims.forall(_.keeper_id == 200L),
+        "the stored keeper must never be stolen by a later lower id")
+    } finally q.stop()
+  }
+
+  test("url_dedup horizon: a refetch past the horizon is admitted once per window") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = Streams.urlDedup(
+        mem.toDF().toDF("doc_id", "url", "ts"),
+        horizonMs = Some(60L * 60000))
+      .writeStream.format("memory").queryName("urldedup_hz")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val u = "https://site.example.com/p/1"
+      mem.addData((100L, u, ts(0))); q.processAllAvailable()
+      // within the horizon: the refetch loses
+      mem.addData((150L, u, ts(30))); q.processAllAvailable()
+      // advance the watermark past the horizon with a different url
+      mem.addData((300L, "https://other.example.com/p/9", ts(180)))
+      q.processAllAvailable()
+      // past the horizon: the same url claims fresh
+      mem.addData((7L, u, ts(185))); q.processAllAvailable()
+      val claims = spark.table("urldedup_hz").as[Streams.BandClaim].collect()
+      assert(claims.find(_.doc_id == 150L).get.keeper_id == 100L)
+      assert(claims.find(_.doc_id == 7L).get.keeper_id == 7L,
+        "an expired url claim must be re-admitted as a fresh keeper")
+    } finally q.stop()
+  }
+
   test("dedup horizon: within-horizon batch-twin unchanged (nearDedup)") {
     // VERDICT r18 #1, done-criterion (a): with every arrival inside the
     // horizon, the horizoned fold must reproduce the unbounded fold —
