@@ -57,7 +57,19 @@ final case class DistLocation(
   * months-long direction's state store is bounded by the horizon, not
   * the corpus. `"lateness"` (default "0 seconds") is the watermark
   * delay for out-of-order arrivals. Without `horizon_ms` the claim
-  * state is unbounded — the whole-corpus dedup semantics. */
+  * state is unbounded — the whole-corpus dedup semantics.
+  *
+  * `"model_export": true` (round 20) turns the task into an offline
+  * model-training export: every model family the ingest tier applies
+  * online is trained ONCE from the `source` corpus and persisted as a
+  * small parquet table under the `dest` artifact directory (manifest
+  * last — [[graft.io.ModelStore]]). An ingest task whose `model_dir`
+  * points at an exported directory LOADS the artifact instead of
+  * retraining (train-once / apply-everywhere); re-running the export
+  * against the same corpus is a no-op. `"model_families"` restricts
+  * the export (default: every family in
+  * `graft.io.ModelStore.Families` — restrict when the corpus lacks a
+  * family's inputs, e.g. no embeddings table for `ivfadc`). */
 final case class DistTask(
     source: DistLocation,
     dest: DistLocation,
@@ -68,7 +80,9 @@ final case class DistTask(
     ingest: Option[String] = None,
     modelDir: Option[String] = None,
     horizonMs: Option[Long] = None,
-    lateness: String = "0 seconds")
+    lateness: String = "0 seconds",
+    modelExport: Boolean = false,
+    modelFamilies: Seq[String] = Seq.empty)
 
 final case class DistConfig(directions: Map[String, Seq[DistTask]]) {
   def direction(name: String): Seq[DistTask] =
@@ -98,7 +112,22 @@ object DistConfig {
           Option(t.get("ingest")).map(_.asText()),
           Option(t.get("model_dir")).map(_.asText()),
           Option(t.get("horizon_ms")).map(_.asLong()),
-          Option(t.get("lateness")).map(_.asText()).getOrElse("0 seconds"))
+          Option(t.get("lateness")).map(_.asText()).getOrElse("0 seconds"),
+          Option(t.get("model_export")).exists(_.asBoolean()),
+          Option(t.get("model_families"))
+            .map(_.elements().asScala.map(_.asText()).toSeq)
+            .getOrElse(Seq.empty))
+        // model_export is a self-contained batch verb (source = the
+        // training corpus, dest = the artifact dir): combining it with
+        // streaming/ingest/verify/transform would silently apply only
+        // one of the two semantics
+        require(!task.modelExport || (!task.streaming && !task.verify &&
+            task.ingest.isEmpty && task.transform.isEmpty),
+          s"task in direction '${e.getKey}': 'model_export' is a standalone " +
+            "batch task and cannot combine with streaming/ingest/verify/transform")
+        require(task.modelFamilies.isEmpty || task.modelExport,
+          s"task in direction '${e.getKey}': 'model_families' only applies " +
+            "to a 'model_export' task")
         // exact op set, not a substring test: apply_claims CONSUMES a
         // ledger and would silently ignore a horizon
         require(task.horizonMs.isEmpty || task.ingest.exists(

@@ -200,10 +200,13 @@ object Bpe {
     * ([[graft.streaming.Streams.unigramEncode]]). */
   private[graft] def unigramModel(
       s: org.apache.spark.sql.SparkSession, dir: String): Seq[(String, Long)] =
-    uniModelMap(s).getOrElseUpdate(dir, {
-      val (_, sc2) = uniTrain(s, dir)
-      sc2.map(r => (r._1, r._3.movePointRight(9).longValueExact()))
-    })
+    uniModelMap(s).getOrElseUpdate(dir,
+      // exported artifact dir → load the persisted piece table in its
+      // trained order (round 20); raw corpus → train on demand
+      graft.io.ModelStore.loadUnigram(s, dir).getOrElse {
+        val (_, sc2) = uniTrain(s, dir)
+        sc2.map(r => (r._1, r._3.movePointRight(9).longValueExact()))
+      })
 
   /** Hard-EM unigram-LM training (one Viterbi re-estimation round):
     * seed scores from weighted substring frequencies over the kept

@@ -1106,7 +1106,10 @@ object Curation {
     * batch aggregate on training-corpus docs (the batch-twin gate). */
   private[graft] def dsirModel(
       s: org.apache.spark.sql.SparkSession, dir: String): Array[Long] =
-    dsirModelMap(s).getOrElseUpdate(dir, {
+    // exported artifact dir → the persisted bucket table (round 20);
+    // raw corpus → train on demand
+    dsirModelMap(s).getOrElseUpdate(dir,
+      graft.io.ModelStore.loadDsir(s, dir).getOrElse {
       val agg = dsirFeats(s, dir).groupBy(col("f")).agg(
         sum(col("cnt")).as("raw"),
         coalesce(sum(when(col("lang") === "en", col("cnt"))), lit(0L)).as("tgt"))

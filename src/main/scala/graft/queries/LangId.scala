@@ -85,8 +85,11 @@ object LangId {
       c
     }
     m.getOrElseUpdate(dir,
-      Tables(s, dir, "documents").select(col("lang")).distinct()
-        .collect().map(_.getString(0)).filter(_ != null).sorted.toSeq)
+      // exported artifact dir → the persisted class list (ci order =
+      // the trained sorted order, round 20); raw corpus → derive
+      graft.io.ModelStore.loadLangid(s, dir).map(_._1).getOrElse(
+        Tables(s, dir, "documents").select(col("lang")).distinct()
+          .collect().map(_.getString(0)).filter(_ != null).sorted.toSeq))
   }
 
   private[graft] def sparkArr(ws: Seq[String]) =
@@ -311,7 +314,11 @@ object LangId {
     m
   }
   private[graft] def trainedModel(s: SparkSession, dir: String): Array[Array[Long]] =
-    modelMap(s).getOrElseUpdate(dir, trainLangId(s, dir)._1)
+    modelMap(s).getOrElseUpdate(dir,
+      // exported artifact dir → persisted per-class weight rows (round
+      // 20); raw corpus → train on demand
+      graft.io.ModelStore.loadLangid(s, dir).map(_._2)
+        .getOrElse(trainLangId(s, dir)._1))
 
   // ---- registered queries ---------------------------------------------------
 

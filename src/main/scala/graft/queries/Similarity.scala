@@ -1057,6 +1057,17 @@ object Similarity {
       s: org.apache.spark.sql.SparkSession,
       dir: String): (Seq[(Long, Seq[Float])], Seq[(Int, Int, Seq[Float])]) = {
     import s.implicits._
+    if (graft.io.ModelStore.isArtifactDir(s, dir)) {
+      // exported artifact dir (round 20): load the persisted coarse
+      // centroids + residual codebook instead of re-running the
+      // corpus-scale Lloyd/PQ training; memoized through the same
+      // session caches so repeated stream starts skip the read
+      val cents = adcCentMap(s).getOrElseUpdate(dir,
+        graft.io.ModelStore.loadIvfadc(s, dir).get._1)
+      val cb = pqCbModelMap(s).getOrElseUpdate(dir + "#adc",
+        PqModel(graft.io.ModelStore.loadIvfadc(s, dir).get._2, Seq.empty)).cb
+      return (cents, cb)
+    }
     val centRows = adcCentMap(s).getOrElseUpdate(dir, trainAdcCents(s, dir))
     val cents = centRows.toDF("cell", "c_emb")
     val res = adcResiduals(kmAssign(s, dir, cents), cents)

@@ -281,7 +281,8 @@ object TextAnalysis {
     * bloom_agg, collected once (the bloom is a bounded model artifact —
     * estBits/8 bytes — like a trained codebook). */
   private[graft] def evalBloomBytes(
-      s: org.apache.spark.sql.SparkSession, dir: String): Array[Byte] = {
+      s: org.apache.spark.sql.SparkSession, dir: String): Array[Byte] =
+    graft.io.ModelStore.loadBloom(s, dir).getOrElse {
     graft.functions.GraftRuntime.ensure(s)
     graft.io.Tables.registerAll(s, dir)
     val maxItems = s.conf.get(
@@ -548,7 +549,11 @@ object TextAnalysis {
     * applies the classifier outside the registered queries. */
   private[graft] def trainedWeights(
       s: org.apache.spark.sql.SparkSession, dir: String): Array[Long] =
-    clsModelMap(s).getOrElseUpdate(dir, trainClassifier(s, dir)._1)
+    clsModelMap(s).getOrElseUpdate(dir,
+      // an exported artifact dir LOADS the persisted weights (round 20,
+      // train-once-offline); a raw corpus trains on demand as before
+      graft.io.ModelStore.loadClassifier(s, dir)
+        .getOrElse(trainClassifier(s, dir)._1))
 
   /** Operating-point evaluation of the TRAINED classifier on the
     * held-out split: tp/fp/fn/tn and precision/recall/F1 at a fixed

@@ -57,7 +57,11 @@ object Url {
     * hosts that never match, giving the list a few dozen entries at
     * every SF. Host granularity, normalized form (the gate compares
     * post-normalization hosts). */
-  private[graft] def blocklistFrame(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def blocklistFrame(s: SparkSession, dir: String): DataFrame =
+    // exported artifact dir (round 20): the persisted host table (the
+    // production shape — a real deployment points model_dir at its
+    // blocklist artifact); raw corpus → the derived fixture below
+    graft.io.ModelStore.loadBlocklist(s, dir).getOrElse {
     // no distinct here: the gate DISTINCTs the blocklist once at probe
     // build (one bounded exchange total — the q_url_filter plan gate)
     val corpusArm = Tables(s, dir, "documents")

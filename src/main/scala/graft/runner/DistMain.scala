@@ -72,9 +72,26 @@ object DistMain {
   def runDirection(spark: SparkSession, tasks: Seq[DistTask], direction: String): Unit =
     tasks.zipWithIndex.foreach { case (task, i) =>
       if (task.verify) runVerifyTask(spark, task, direction, i)
+      else if (task.modelExport) runModelExportTask(spark, task)
       else if (task.streaming) runStreamingTask(spark, task)
       else runBatchTask(spark, task, direction, i)
     }
+
+  /** `"model_export": true` task — train the requested model families
+    * from the `source` corpus and persist each as a bounded parquet
+    * artifact under `dest` ([[graft.io.ModelStore.exportModels]]). A re-run
+    * against an unchanged corpus exports nothing (manifest-complete =
+    * no-op), so a direction can lead with its export task and stay
+    * idempotent. */
+  private def runModelExportTask(spark: SparkSession, task: DistTask): Unit = {
+    val fams =
+      if (task.modelFamilies.nonEmpty) task.modelFamilies
+      else graft.io.ModelStore.Families
+    val wrote = graft.io.ModelStore.exportModels(spark, task.source.path, task.dest.path, fams)
+    println(s"[dist] model_export -> ${task.dest.path}: " +
+      (if (wrote.isEmpty) s"up to date (${fams.mkString(", ")})"
+       else s"exported ${wrote.mkString(", ")}"))
+  }
 
   /** `"verify": true` task — post-copy integrity check (the distcp
     * `-diff` of this tool): load BOTH locations through their adapters,

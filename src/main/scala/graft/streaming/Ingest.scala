@@ -84,10 +84,14 @@ import org.apache.spark.sql.functions._
   *    is the model, `model_dir` is unused but still required by the
   *    task shape).
   *
-  * Models are trained ON DEMAND from the task's `model_dir` corpus
-  * (train offline, apply online — every op's documented deployment
-  * shape); the trainers cache per (session, dir), so a 4-stage chain
-  * trains each model once. */
+  * Models resolve from the task's `model_dir` in two ways (round 20,
+  * [[graft.io.ModelStore]]): an EXPORTED ARTIFACT directory (stamped
+  * by the `model_export` batch task) loads the persisted model —
+  * train once offline, ship the artifact, restart without retraining,
+  * bit-identical output (DistPipelineSpec round-trip gate) — while a
+  * raw corpus directory trains on demand as before. Either way the
+  * trainers cache per (session, dir), so a multi-stage chain resolves
+  * each model once. */
 object Ingest {
 
   val ops: Seq[String] =

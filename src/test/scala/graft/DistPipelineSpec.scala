@@ -1002,10 +1002,84 @@ class DistPipelineSpec extends SparkSpec {
     DistMain.runDirection(spark, conf.direction("audit"), "audit")
   }
 
+  test("model_export: artifact-loaded ingest ops are bit-identical to on-demand training") {
+    // round 20 (VERDICT r19 #1): train once offline, ship the artifact.
+    // The export task persists every model family as a bounded parquet
+    // table + manifest; an ingest op whose model_dir points at the
+    // artifact dir LOADS instead of retraining — and its output must be
+    // BIT-identical to the on-demand-trained run (same Scala model
+    // value: integer weights/log-probs exactly, float vectors exactly
+    // through parquet, Seq order pinned by the idx column).
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Ingest
+    val base = tmpDir("dist")
+    val cfg = s"""{ "export": [{
+        "model_export": true,
+        "source": {"adapter": "hadoopParquet", "path": "${sf()}"},
+        "dest":   {"adapter": "hadoopParquet", "path": "file:$base/models"}}] }"""
+    write(s"$base/config.json", cfg)
+    val conf = DistConfig.parse(DistMain.readFile(spark, s"file:$base/config.json"))
+    DistMain.runDirection(spark, conf.direction("export"), "export")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/models/_graft_models.json")),
+      "export must stamp the manifest (written last = export complete)")
+
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val vecs = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val urls = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("doc_id", "concat('https://', source, " +
+        "'.example.com/p/', cast(doc_id % 40 as string), '.html') AS url")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "score" -> docs, "langid" -> docs, "dsir_score" -> docs,
+      "encode_unigram" -> docs, "gate_contaminated" -> docs,
+      "encode_ivfadc" -> vecs, "url_filter" -> urls)
+    cases.foreach { case (op, in) =>
+      val trained = rows(Ingest(spark, op, sf(), in))
+      val loaded = rows(Ingest(spark, op, s"file:$base/models", in))
+      assert(trained.nonEmpty, s"$op: empty on-demand output")
+      assert(loaded == trained,
+        s"$op: artifact-loaded output differs from on-demand-trained")
+    }
+  }
+
+  test("model_export: re-run no-op, incremental families, fail-fast guards") {
+    import graft.io.ModelStore
+    val base = tmpDir("dist")
+    val out = s"file:$base/m"
+    assert(ModelStore.exportModels(spark, sf(), out, Seq("classifier")) ==
+      Seq("classifier"))
+    // incremental: a wider request exports ONLY the missing family
+    assert(ModelStore.exportModels(spark, sf(), out, Seq("classifier", "dsir")) ==
+      Seq("dsir"))
+    // complete artifact + unchanged corpus: a re-run is a no-op
+    assert(ModelStore.exportModels(spark, sf(), out, Seq("classifier", "dsir")).isEmpty)
+    // unknown family fails fast at the export surface
+    assertThrows[IllegalArgumentException](
+      ModelStore.exportModels(spark, sf(), out, Seq("nope")))
+    // an artifact dir LACKING a family fails loudly instead of falling
+    // through to training (which would read corpus tables that do not
+    // exist there and fail far from the cause)
+    assertThrows[IllegalArgumentException](graft.queries.Bpe.unigramModel(spark, out))
+    // parse guards: model_export is a standalone batch verb
+    def parse(extra: String) = DistConfig.parse(s"""{"d": [{$extra
+      "source": {"adapter": "hadoopParquet", "path": "/a"},
+      "dest":   {"adapter": "hadoopParquet", "path": "/b"}}]}""")
+    assert(parse("\"model_export\": true,").direction("d").head.modelExport)
+    assertThrows[IllegalArgumentException](
+      parse("\"model_export\": true, \"streaming\": true,"))
+    assertThrows[IllegalArgumentException](parse("\"model_families\": [\"dsir\"],"))
+  }
+
   test("worked example: streaming ingest config end-to-end") {
     // examples/streaming_ingest.json is the shipped streaming story: a
     // batch prepare step stages the incoming CRAWL DUMP (url + raw
-    // markup — rounds 18/19), then an eleven-stage "streaming": true
+    // markup — rounds 18/19), a model_export direction persists every
+    // trained model as a parquet artifact (round 20), then an
+    // eleven-stage "streaming": true
     // direction runs URL gate -> URL dedup claims + application
     // (round 20) -> HTML extraction -> language ID -> quality gate ->
     // DSIR weights -> near-dup claims -> contamination gate -> claim
@@ -1021,6 +1095,13 @@ class DistPipelineSpec extends SparkSpec {
     val conf = DistConfig.parse(
       raw.replace("{SF_DIR}", sf()).replace("{OUT}", base))
     DistMain.runDirection(spark, conf.direction("prepare"), "prepare")
+    // round 20: the export direction trains every model family ONCE
+    // and persists the artifacts; the ingest direction's model-backed
+    // stages point model_dir at file:{OUT}/models — the stream tier
+    // runs with no corpus access at all (the production hand-off)
+    DistMain.runDirection(spark, conf.direction("export"), "export")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/models/_graft_models.json")))
     DistMain.runDirection(spark, conf.direction("ingest"), "ingest")
     val tokenized = spark.read.parquet(s"file:$base/tokenized")
     assert(tokenized.count() > 0)
