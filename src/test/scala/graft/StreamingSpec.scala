@@ -471,6 +471,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("semanticDedup contract: exemplar state is permanent — bits picks the horizon, not time") {
+    // VERDICT r19 #6, closed by CONTRACT: semanticDedup's state is the
+    // exemplar set (a MODEL), not a claim ledger — evicting an exemplar
+    // would change the ANSWER (a later near-dup would mint a fresh
+    // exemplar instead of claiming the original), not just bound
+    // memory. So unlike the claim folds (firstClaimHorizon, where state
+    // expires at claimTime + horizon), exemplars live forever
+    // (GroupStateTimeout.NoTimeout) and the dedup horizon is picked by
+    // `bits` — cell geometry: more planes, smaller cells, shorter
+    // exemplar lists. This pins the design: an exemplar from batch 1
+    // must still win arbitrarily many batches later.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def vec(hot: Int, eps: Float = 0f): Seq[Float] = {
+      val a = Array.fill(64)(0f)
+      a(hot) = 1f
+      if (eps != 0f) a((hot + 1) % 64) = eps
+      a.toSeq
+    }
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.semanticDedup(mem.toDF().toDF("vec_id", "embedding"), bits = 4)
+      .writeStream.format("memory").queryName("semdedup_contract")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, vec(0)))
+      q.processAllAvailable()
+      // six intervening batches of unrelated traffic (orthogonal hots)
+      (1 to 6).foreach { b =>
+        mem.addData((100L + b, vec(8 + b)))
+        q.processAllAvailable()
+      }
+      // a near-dup of the batch-1 exemplar arrives long after: the
+      // ORIGINAL exemplar claims it — no TTL ever fires on model state
+      mem.addData((999L, vec(0, eps = 0.01f)))
+      q.processAllAvailable()
+      val byId = spark.table("semdedup_contract").as[Streams.CellClaim]
+        .collect().map(c => c.vec_id -> c).toMap
+      assert(byId(999L).cell == byId(1L).cell,
+        "the epsilon perturbation must not flip any plane sign")
+      assert(byId(999L).keeper_id == 1L,
+        "exemplar state must survive arbitrarily many batches — " +
+          "bits, not time, is semanticDedup's dedup horizon")
+    } finally q.stop()
+  }
+
   test("mediaDedup batch-twin: streaming claims equal the batch ball-candidate loser set") {
     // the q_media_dedup candidate tier run incrementally over the REAL
     // media corpus (genuine PNG/container payloads, real decode in the
