@@ -67,9 +67,16 @@ class MarkerScoresSpec extends SparkSpec {
       val s = plan.toString
       assert(!s.contains("lambdafunction"), s"$q still evaluates an interpreted HOF:\n$s")
       // the split feeding marker_scores must not be duplicated into
-      // multiple consumers (the round-8 ~6-tokenizations-per-row bug)
-      val splits = "split\\(trim\\(".r.findAllIn(s).size
-      assert(splits <= 1, s"$q tokenizes $splits times per row:\n$s")
+      // multiple consumers (the round-8 ~6-tokenizations-per-row bug).
+      // Counted PER ARGUMENT: a derived-fixture decoration may
+      // legitimately tokenize the RAW text once to size its padding
+      // (q_filter_reasons' symbol-ratio arm, r19) — that is a different
+      // column from the operator's tokenization, not a duplication; the
+      // bug class is the SAME attribute split twice
+      val splitArgs = "split\\(trim\\((\\w+#\\d+)".r
+        .findAllMatchIn(s).map(_.group(1)).toSeq
+      assert(splitArgs.size == splitArgs.distinct.size,
+        s"$q re-tokenizes a column (${splitArgs.mkString(", ")}):\n$s")
     }
   }
 }
