@@ -1706,7 +1706,10 @@ object TextAnalysis {
         |    ${duckSymbolRatio("text", "len(w)")} AS sym_r,
         |    ${duckMeanWordLen("text", "len(w)")} AS mean_wl,
         |    ${duckBulletFrac("text")} AS bullet_f,
-        |    ${duckEllipsisFrac("text")} AS ellipsis_f
+        |    ${duckEllipsisFrac("text")} AS ellipsis_f,
+        |    CASE WHEN strpos(text, '@') > 0
+        |         THEN len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+'))
+        |         ELSE 0 END AS pii_n
         |  FROM tok
         |)
         |SELECT t.doc_id AS doc_id,
@@ -1718,8 +1721,7 @@ object TextAnalysis {
         |    CASE WHEN mean_wl < $WordLenMin OR mean_wl > $WordLenMax THEN 'word_length' END,
         |    CASE WHEN bullet_f > $BulletFracMax THEN 'bullet_lines' END,
         |    CASE WHEN ellipsis_f > $EllipsisFracMax THEN 'ellipsis_lines' END,
-        |    CASE WHEN len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+')) > 0
-        |         THEN 'pii' END)
+        |    CASE WHEN pii_n > 0 THEN 'pii' END)
         |    AS reasons,
         |  CASE WHEN len(w) >= 15
         |        AND ${duckStopRatio("w")} >= 0.01
@@ -1727,7 +1729,7 @@ object TextAnalysis {
         |        AND sym_r <= $SymbolRatioMax
         |        AND mean_wl >= $WordLenMin AND mean_wl <= $WordLenMax
         |        AND bullet_f <= $BulletFracMax AND ellipsis_f <= $EllipsisFracMax
-        |        AND len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+')) = 0
+        |        AND pii_n = 0
         |       THEN 'keep' ELSE 'drop' END AS verdict
         |FROM qr t LEFT JOIN s2 ON t.doc_id = s2.doc_id LEFT JOIN s3 ON t.doc_id = s3.doc_id""") { (s, dir) =>
       // token-derived gates all come off ONE marker_scores struct
@@ -1757,7 +1759,16 @@ object TextAnalysis {
           expr(symbolRatio("text", "ms.total")).as("sym_r"),
           expr(meanWordLen("text", "ms.total")).as("mean_wl"),
           expr(bulletFrac("text")).as("bullet_f"),
-          expr(ellipsisFrac("text")).as("ellipsis_f"))
+          expr(ellipsisFrac("text")).as("ellipsis_f"),
+          // PII count hoisted to ONE column behind a linear instr('@')
+          // pre-check (r20 bench fix): the fixture's word-length arm
+          // appends a 2000-char alphanumeric run, on which the email
+          // regex backtracks O(n^2) per start position — 21 of this
+          // query's 23 s at sf0.1, doubled by the old reasons+verdict
+          // duplication. No '@' in the text means zero matches, so the
+          // short-circuit is value-identical (mirrored in the oracle)
+          expr("case when instr(text, '@') > 0 then size(regexp_extract_all(" +
+            "text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', 0)) else 0 end").as("pii_n"))
         .select(
           col("doc_id"),
           expr(s"""concat_ws(',',
@@ -1768,15 +1779,14 @@ object TextAnalysis {
             |  case when mean_wl < $WordLenMin or mean_wl > $WordLenMax then 'word_length' end,
             |  case when bullet_f > $BulletFracMax then 'bullet_lines' end,
             |  case when ellipsis_f > $EllipsisFracMax then 'ellipsis_lines' end,
-            |  case when size(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', 0)) > 0
-            |    then 'pii' end)"""
+            |  case when pii_n > 0 then 'pii' end)"""
             .stripMargin).as("reasons"),
           expr(s"""case when ms.total >= 15 and cast(ms.c0 as double) / ms.total >= 0.01
             |  and not coalesce(top2_frac > 0.10 or dup3_frac > 0.08, false)
             |  and sym_r <= $SymbolRatioMax
             |  and mean_wl >= $WordLenMin and mean_wl <= $WordLenMax
             |  and bullet_f <= $BulletFracMax and ellipsis_f <= $EllipsisFracMax
-            |  and size(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', 0)) = 0
+            |  and pii_n = 0
             |  then 'keep' else 'drop' end""".stripMargin).as("verdict"))
     },
 
