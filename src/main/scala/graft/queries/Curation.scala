@@ -505,22 +505,25 @@ object Curation {
           |SELECT exact.t, cnt AS exact_cnt, est, est - cnt AS overcount
           |FROM exact JOIN est ON exact.t = est.t""".stripMargin
       }) { (s, dir) =>
-      def bucket(row: Int) = expr(s"${h(s"concat('cm$row#', t)")} % $CM_W")
+      // r20: ONE corpus tokenize pass. The sketch is a pure function of
+      // the exact token counts (the oracle builds it FROM exact), so
+      // derive everything from the persistScoped vocab frame: d bucket
+      // rows per DISTINCT token weighted by cnt — the old shape
+      // re-exploded the raw corpus for the sketch and read the exact
+      // aggregate through a 3-arm union (4 evaluations of the
+      // tokenize+count subtree; vocab is Heap's-law bounded, so the
+      // scoped cache is a model-sized frame, not the corpus).
       val toks = Tables(s, dir, "documents").select(explode(expr(tokens)).as("t"))
-      // the sketch: one bounded aggregate — d rows per token, then
-      // groupBy (r, b) with <= CM_D*CM_W groups; partial aggregation
-      // collapses the explode map-side, the shuffle moves d*w counters
-      val hashed = toks.select(
+      val exact = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+        .persistScoped() // feeds the bucket explode AND the final join
+      val rb = exact.select(col("t"), col("cnt"),
         explode(expr(s"array(${(0 until CM_D).map(r =>
           s"struct(${r} as r, ${h(s"concat('cm$r#', t)")} % $CM_W as b)").mkString(", ")})")).as("rb"))
-      val sketch = hashed
-        .select(col("rb.r").as("r"), col("rb.b").as("b"))
+        .select(col("t"), col("cnt"), col("rb.r").as("r"), col("rb.b").as("b"))
+      val sketch = rb
         .groupBy(col("r"), col("b"))
-        .agg(count(lit(1)).cast("long").as("counter"))
-      val exact = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
-      val est = (0 until CM_D).map { r =>
-        exact.select(col("t"), col("cnt"), lit(r).as("r"), bucket(r).as("b"))
-      }.reduce(_.unionByName(_))
+        .agg(sum(col("cnt")).cast("long").as("counter"))
+      val est = rb
         .join(broadcast(sketch), Seq("r", "b"))
         .groupBy(col("t"))
         .agg(min(col("counter")).as("est"))

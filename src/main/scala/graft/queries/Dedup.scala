@@ -661,8 +661,13 @@ object Dedup {
       .join(probes.as("b"),
         expr("a.mask = b.mask and a.bkey = b.bkey and a.simhash != b.simhash"))
       .select(col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
-      .distinct() // a close pair collides on MANY masks — count once
+      // r20: hamming-verify BEFORE the dedup exchange — the block-key
+      // collisions that fail the <= 5 verify (most of them: a shared
+      // 30-bit block says nothing about the other 30 bits) drop
+      // map-side instead of shuffling through the distinct; the
+      // surviving multi-mask duplicates still collapse to one row
       .filter(expr("bit_count(sig_a ^ sig_b) <= 5"))
+      .distinct() // a close pair collides on MANY masks — count once
     // directed signature pairs + id_a < id_b keep each doc pair once
     val cross = sigPairs
       .join(sigs.select(col("doc_id").as("id_a"), col("simhash").as("sig_a")), "sig_a")
@@ -1427,8 +1432,11 @@ object Dedup {
           expr("a.mask = b.mask and a.bkey = b.bkey and a.simhash != b.simhash"))
         .select(col("a.simhash").as("simhash"),
           col("b.simhash").as("sim_b"), col("b.rep_id").as("nrep"))
-        .distinct() // a close pair collides on MANY masks — count once
+        // r20: hamming-verify before the dedup exchange (the
+        // simhashPairsBlocksJoin rule) — failing block collisions drop
+        // map-side instead of shuffling through the distinct
         .filter(expr("bit_count(simhash ^ sim_b) <= 5"))
+        .distinct() // a close pair collides on MANY masks — count once
       val near = cand.groupBy(col("simhash"))
         .agg(count(lit(1)).as("n_near_hashes"), min(col("nrep")).as("near_min"))
       groups.join(near, Seq("simhash"), "left")

@@ -579,15 +579,21 @@ object Events {
         .agg(min(col("tus")).as("t0"), max(col("tus")).as("t1"))
       val hb = sess.select(col("user_id"), col("sid"), col("t0"), col("t1"),
         explode(expr(s"sequence(t0 div $hourUs, t1 div $hourUs)")).as("h"))
+      // r20: a qualifying pair is emitted ONLY from the bucket holding
+      // the overlap's start (greatest(t0a, t0b) — inside both spans by
+      // the interval predicate, so exactly one shared bucket matches).
+      // That replaces the oracle's DISTINCT collapse of multi-bucket
+      // duplicates with a map-side predicate: same pair set, one fewer
+      // corpus exchange (the distinct's all-column shuffle is gone).
       val pairs = hb.as("a")
         .join(hb.as("b"),
           expr("a.h = b.h and a.user_id <> b.user_id " +
-            "and a.t0 <= b.t1 and b.t0 <= a.t1"))
+            "and a.t0 <= b.t1 and b.t0 <= a.t1 " +
+            s"and a.h = greatest(a.t0, b.t0) div $hourUs"))
         .select(
           col("a.user_id").as("ua"), col("a.sid").as("sa"),
           col("b.user_id").as("ub"), col("b.sid").as("sb"),
           expr("least(a.t1, b.t1) - greatest(a.t0, b.t0)").as("overlap_us"))
-        .distinct()
       pairs.groupBy(col("ua").as("user_id"))
         .agg(
           countDistinct(col("ub")).cast("bigint").as("n_partners"),

@@ -267,28 +267,38 @@ object LangId {
         .join(broadcast(langDf), "ci")
         .withColumn("y", when(col("lang") === col("clang"), 1).otherwise(-1))
         .persistScoped()
-      val errRows = scored.groupBy(col("ci")).agg(
+      val errDf = scored.groupBy(col("ci")).agg(
         sum(when(!col("held") && col("y") * col("z") <= 0, 1L).otherwise(0L))
           .cast("long").as("te"),
         sum(when(col("held") && col("y") * col("z") <= 0, 1L).otherwise(0L))
-          .cast("long").as("he")).collect()
-      for (row <- errRows.sortBy(_.getInt(0))) {
+          .cast("long").as("he"))
+      // r20: per-class error telemetry and the gradient ride ONE
+      // collect (bias slot b = -1 tags the error rows — the
+      // trainClassifier fusion with a class dimension); both branches
+      // read the just-persisted scored frame in the same job
+      val rows =
+        if (r < LangR) {
+          val mis = scored
+            .filter(!col("held") && col("y") * col("z") <= 0)
+            .select(col("doc_id"), col("ci"), col("y"))
+          val gradDf = feat.join(mis, "doc_id")
+            .groupBy(col("ci"), col("b"))
+            .agg(sum(col("y").cast("long") * col("c")).cast("long").as("g"),
+              sum(col("c")).cast("long").as("tc"))
+          errDf.select(col("ci"), lit(-1L).as("b"), col("te").as("g"),
+              col("he").as("tc"))
+            .unionByName(gradDf).collect()
+        } else errDf.select(col("ci"), lit(-1L).as("b"), col("te").as("g"),
+          col("he").as("tc")).collect()
+      for (row <- rows.filter(_.getLong(1) == -1L).sortBy(_.getInt(0))) {
         val ci = row.getInt(0)
-        telemetry += ((r, cls(ci), row.getLong(1), row.getLong(2),
+        telemetry += ((r, cls(ci), row.getLong(2), row.getLong(3),
           wArr(ci).map(math.abs).sum))
       }
       if (r < LangR) {
-        val mis = scored
-          .filter(!col("held") && col("y") * col("z") <= 0)
-          .select(col("doc_id"), col("ci"), col("y"))
-        val grad = feat.join(mis, "doc_id")
-          .groupBy(col("ci"), col("b"))
-          .agg(sum(col("y").cast("long") * col("c")).cast("long").as("g"),
-            sum(col("c")).cast("long").as("tc"))
-          .collect()
         val wNew = wArr.map(_.clone())
         val rate = 1000L >> r
-        for (row <- grad) {
+        for (row <- rows if row.getLong(1) >= 0L) {
           val ci = row.getInt(0)
           val b = row.getLong(1).toInt
           wNew(ci)(b) += math.floor((row.getLong(2) * rate).toDouble /

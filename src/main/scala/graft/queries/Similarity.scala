@@ -866,8 +866,18 @@ object Similarity {
     * centroids join back onto the ~1 survivor per vector. */
   private[graft] def kmAssign(
       s: org.apache.spark.sql.SparkSession, dir: String,
-      cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val e = Tables(s, dir, "embeddings")
+      cents: org.apache.spark.sql.DataFrame,
+      carry: Option[org.apache.spark.sql.DataFrame] = None): org.apache.spark.sql.DataFrame = {
+    // r20: `carry` threads the PREVIOUS round's assignment through as
+    // both the corpus source and a passthrough `prev_cell` column, so a
+    // training loop's moved-cell telemetry becomes a plain aggregate
+    // over this frame's own materialization instead of a per-round
+    // vec_id shuffle join of two persisted assignments (measured ~2x
+    // the fused aggregate's cost per round at sf0.1). Callers without
+    // a loop keep the parquet scan and the old 3-column schema.
+    val e = carry
+      .map(_.select(col("vec_id"), col("embedding"), col("cell").as("prev_cell")))
+      .getOrElse(Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
     val dd = centroidScores(
         s, dir, e.select(col("vec_id"), col("embedding")),
         cents.select(col("cell").as("c_id"), col("c_emb")))
@@ -876,14 +886,15 @@ object Similarity {
       .withColumn("mx", max(col("dd")).over(Window.partitionBy(col("vec_id"))))
       .filter(col("dd") >= col("mx") - 1e-9)
       .select(col("vec_id").as("b_vec"), col("cell"))
+    val out = Seq(col("vec_id"), col("embedding"), col("cell")) ++
+      (if (carry.isDefined) Seq(col("prev_cell")) else Nil)
     e.join(best, col("vec_id") === col("b_vec"))
       .join(broadcast(cents), "cell")
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        expr(dot("embedding", "c_emb")).as("cd"))
+      .select(out :+ expr(dot("embedding", "c_emb")).as("cd"): _*)
       .withColumn("crn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cd").desc, col("cell"))))
       .filter(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+      .select(out: _*)
   }
 
   /** One Lloyd UPDATE step: each nonempty cell's centroid becomes the
@@ -985,11 +996,13 @@ object Similarity {
     var converged = false
     while (r <= ADC_KM_MAX_ROUNDS && !converged) {
       cents = localizedModel(kmUpdate(a))
-      val a2 = kmAssign(s, dir, cents).persistScoped()
-      val moved = a2.select(col("vec_id"), col("cell").as("cell_b"))
-        .join(a.select(col("vec_id"), col("cell").as("cell_a")), "vec_id")
-        .filter(col("cell_b") =!= col("cell_a"))
-        .count()
+      // prev_cell rides the assignment (kmAssign carry, r20): the
+      // moved count is one aggregate over a2's own materialization —
+      // no per-round vec_id join of two persisted assignments
+      val a2 = kmAssign(s, dir, cents,
+        carry = Some(a.select(col("vec_id"), col("embedding"), col("cell"))))
+        .persistScoped()
+      val moved = a2.filter(col("cell") =!= col("prev_cell")).count()
       a.unpersist()
       a = a2
       converged = moved * 10 < n
@@ -2607,13 +2620,19 @@ object Similarity {
         // bounded model — one collect job each round (the loop already
         // collects telemetry), and the carried plan stays CONSTANT
         // size (assign references its centroid input 4x; as a subtree
-        // that is 4^r plan growth — the r10 exponential-plan lesson)
-        val a2 = assign(localizedModel(train(a))).persistScoped()
-        val row = a2.select(col("vec_id"), col("cell").as("c2"))
-          .join(a.select(col("vec_id"), col("cell").as("c1")), "vec_id")
+        // that is 4^r plan growth — the r10 exponential-plan lesson).
+        // r20: prev_cell rides the new assignment (kmAssign carry), so
+        // the telemetry is one aggregate over a2's own materialization
+        // — the former per-round vec_id join of two persisted
+        // assignments measured ~2x the fused aggregate's cost.
+        val a2 = kmAssign(s, dir, localizedModel(train(a)),
+          carry = Some(a.select(col("vec_id"), col("embedding"), col("cell"))))
+          .persistScoped()
+        val row = a2
           .agg(
-            sum(when(col("c1") =!= col("c2"), 1).otherwise(0)).cast("long").as("moved"),
-            countDistinct(col("c2")).as("n_cells"))
+            sum(when(col("prev_cell") =!= col("cell"), 1).otherwise(0))
+              .cast("long").as("moved"),
+            countDistinct(col("cell")).as("n_cells"))
           .head()
         a.unpersist() // keep at most two assignments pinned (loop pattern)
         a = a2

@@ -471,34 +471,45 @@ object TextAnalysis {
         .groupBy(col("doc_id"), col("y"), col("held"))
         .agg(sum(col("c") * col("wt")).cast("long").as("z"))
         .persistScoped()
-      val errRow = scored.agg(
+      val errDf = scored.agg(
         sum(when(!col("held") && col("y") * col("z") <= 0, 1L).otherwise(0L))
           .cast("long").as("te"),
         sum(when(col("held") && col("y") * col("z") <= 0, 1L).otherwise(0L))
-          .cast("long").as("he")).head()
-      telemetry += ((r, errRow.getLong(0), errRow.getLong(1), wArr.map(math.abs).sum))
+          .cast("long").as("he"))
+      // r20: the error telemetry and the gradient ride ONE collect —
+      // a union of the two bounded aggregates (bias slot b = -1 tags
+      // the error row) halves the per-round driver actions; both
+      // branches read the just-persisted scored frame in the same job
       if (r < ClsR) {
         val mis = scored
           .filter(!col("held") && col("y") * col("z") <= 0)
           .select(col("doc_id"))
-        val grad = feat.join(mis, "doc_id")
+        val gradDf = feat.join(mis, "doc_id")
           .groupBy(col("b"))
           .agg(sum(col("y").cast("long") * col("c")).cast("long").as("g"),
             sum(col("c")).cast("long").as("tc"))
+        val rows = errDf
+          .select(lit(-1L).as("b"), col("te").as("g"), col("he").as("tc"))
+          .unionByName(gradDf)
           .collect()
+        val errRow = rows.find(_.getLong(0) == -1L).get
+        telemetry += ((r, errRow.getLong(1), errRow.getLong(2), wArr.map(math.abs).sum))
         val wNew = wArr.clone()
         // step r+1 uses the halving rate 1000 >> r (1000, 500, 250):
         // the round-2 full-step overshoot oscillated between two
         // weight states; decay is the standard subgradient fix and
         // unrolls as a per-round CONSTANT in the oracle CTEs
         val rate = 1000L >> r
-        for (row <- grad) {
+        for (row <- rows if row.getLong(0) >= 0L) {
           val b = row.getLong(0).toInt
           // identical IEEE division + floor in the oracle's update
           wNew(b) += math.floor((row.getLong(1) * rate).toDouble /
             row.getLong(2).toDouble).toLong
         }
         wArr = wNew
+      } else {
+        val errRow = errDf.head()
+        telemetry += ((r, errRow.getLong(0), errRow.getLong(1), wArr.map(math.abs).sum))
       }
       scored.unpersist()
     }
