@@ -878,6 +878,61 @@ object Similarity {
     val e = carry
       .map(_.select(col("vec_id"), col("embedding"), col("cell").as("prev_cell")))
       .getOrElse(Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
+    val outCols = Seq(col("vec_id"), col("embedding"), col("cell")) ++
+      (if (carry.isDefined) Seq(col("prev_cell")) else Nil)
+    // r20: at the flat arm (|C| <= PRUNE_SWITCH_C — the same switch
+    // centroidScores derives) every vector's candidate scores are
+    // generated inside one task anyway, so the whole two-phase argmax
+    // reduces PER ROW: graft.functions.BestCell replicates the double
+    // prefilter + exact-DECIMAL re-rank value-for-value (BestCellSpec
+    // pins it against an independent reference on the fixture; the
+    // DuckDB oracle verifies every consumer end-to-end) and turns the
+    // assignment into a ZERO-EXCHANGE map — the SQL formulation below
+    // shuffles the full (vector, cell, dd) stream through the vec_id
+    // window exchange and joins the survivors back twice. The model
+    // rides as reference objects off the LocalRelation the callers
+    // already pass (localizedModel); any other centroid frame — or the
+    // plan-extraction stand-in under KernelMemo.bypassed, so the plan
+    // gates keep seeing the full SQL pipeline — falls through to the
+    // window formulation.
+    val localModel: Option[(Seq[Long], Seq[Seq[Float]])] =
+      if (ncIvf(s, dir) > PRUNE_SWITCH_C) None
+      else cents.queryExecution.optimizedPlan match {
+        // the OPTIMIZED root must be the LocalRelation: localizedModel
+        // frames are one directly, and ConvertToLocalRelation folds the
+        // rename Project that `.toDF("cell", "c_emb")` wraps around one
+        // (adcCents); the bypass stand-in (range-based by design) and
+        // any pipeline frame stay non-local and fall through
+        case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+            if lr.output.size == 2 &&
+              lr.output.map(_.name) == Seq("cell", "c_emb") &&
+              lr.output.head.dataType == org.apache.spark.sql.types.LongType &&
+              (lr.output(1).dataType match {
+                case org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.FloatType, _) => true
+                case _ => false
+              }) =>
+          val rows = lr.data
+          val ok = rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1) && {
+            val a = r.getArray(1)
+            (0 until a.numElements()).forall(i => !a.isNullAt(i))
+          })
+          if (!ok) None
+          else Some((rows.map(_.getLong(0)).toSeq,
+            rows.map(_.getArray(1).toFloatArray().toSeq).toSeq))
+        case _ => None
+      }
+    localModel match {
+      case Some((cellIds, cembs)) =>
+        return e
+          .withColumn("cell", org.apache.spark.sql.graft.ColumnBridge.column(
+            graft.functions.BestCell(
+              org.apache.spark.sql.graft.ColumnBridge.expression(col("embedding")),
+              cellIds, cembs)))
+          .filter(col("cell").isNotNull)
+          .select(outCols: _*)
+      case None => ()
+    }
     val dd = centroidScores(
         s, dir, e.select(col("vec_id"), col("embedding")),
         cents.select(col("cell").as("c_id"), col("c_emb")))
@@ -1388,31 +1443,16 @@ object Similarity {
             expr(cHash).as("ch"))
           .orderBy(col("ch"), col("c_id")).limit(ncIvf(s, dir))
           .select(col("c_id"), col("c_emb")))
-      // two-phase assignment over the PRUNED candidate stream
-      // ([[prunedScores]]: SRP-cell probe hits + the anchor cross —
-      // O(log|C|) candidates per vector instead of the |V| x |C| scan);
-      // per-vector argmax stays a WINDOW over the flat 20-byte score
-      // stream — one exchange on vec_id, no join-back, nothing
-      // broadcast that grows with the corpus. Exact DECIMAL dot runs
-      // only on the ~1 surviving centroid per vector (margin 1e-9 >>
-      // the double dot's ~1e-13 error, so the exact ranking is
-      // unaffected).
-      val ddots = centroidScores(
-        s, dir, e.select(col("vec_id"), col("embedding")), cents)
-      val best = ddots
-        .withColumn("mx", max(col("cdd")).over(Window.partitionBy(col("vec_id"))))
-        .filter(col("cdd") >= col("mx") - 1e-9)
-        .select(col("vec_id").as("b_vec"), col("c_id"))
-      // best is ~1 row per vector — unhinted join; AQE picks the strategy
-      val assign = e
-        .join(best, col("vec_id") === col("b_vec"))
-        .join(broadcast(cents), "c_id")
-        .select(col("vec_id"), col("embedding"), col("c_id"),
-          expr(dot("embedding", "c_emb")).as("cdot"))
-        .withColumn("crn", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("cdot").desc, col("c_id"))))
-        .filter(col("crn") === 1)
-        .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+      // two-phase assignment via the shared kmAssign kernel (r20): at
+      // the flat arm the whole reduction is the zero-exchange best_cell
+      // map; past PRUNE_SWITCH_C it stays the windowed argmax over the
+      // PRUNED candidate stream ([[prunedScores]]: SRP-cell probe hits
+      // + the anchor cross — O(log|C|) candidates per vector instead of
+      // the |V| x |C| scan). Exact DECIMAL dot runs only on the ~1
+      // surviving centroid per vector (margin 1e-9 >> the double dot's
+      // ~1e-13 error, so the exact ranking is unaffected).
+      val assign = kmAssign(s, dir,
+          cents.select(col("c_id").as("cell"), col("c_emb")))
         .persistScoped() // assignment feeds both probe sides
       // fixed-|Q| probe set: assign has exactly one row per vector, so
       // the hash-ordered LIMIT picks the same ids as over the raw scan
@@ -1596,69 +1636,28 @@ object Similarity {
         |  min(vec_id) AS min_member
         |FROM assign2 GROUP BY cell2""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
+      // r20: both assignment phases route through the SHARED kmAssign
+      // kernel (identical two-phase formulation this query previously
+      // inlined — double prefilter over the switched score stream +
+      // exact-DECIMAL re-rank, ties to lowest cell): at the flat arm
+      // each assignment is now the zero-exchange best_cell map, and the
+      // moved count rides the carry (prev_cell) instead of the window +
+      // double join-back + assign1-join pipeline. kmUpdate IS the
+      // centroid update this query inlined (same (18,8)/(28,8) DECIMAL
+      // mean recipe). Oracle text unchanged.
       val cents = localizedModel(
-        e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        e.select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
             expr(cHash).as("ch"))
-          .orderBy(col("ch"), col("c_id")).limit(ncIvf(s, dir))
-          .select(col("c_id"), col("c_emb")))
-      // phase 1: nearest seed (double prefilter over the PRUNED
-      // candidate stream + exact decimal on the surviving ~1 candidate
-      // per vector — same two-phase shape as ivf). Per-vector argmax is
-      // a window over the flat score stream: one exchange on vec_id,
-      // no join-back, nothing broadcast that grows with the corpus.
-      val dd1 = centroidScores(
-        s, dir, e.select(col("vec_id"), col("embedding")), cents)
-      val best1 = dd1
-        .withColumn("mx", max(col("cdd")).over(Window.partitionBy(col("vec_id"))))
-        .filter(col("cdd") >= col("mx") - 1e-9)
-        .select(col("vec_id").as("b_vec"), col("c_id"))
-      val assign1 = e.join(best1, col("vec_id") === col("b_vec"))
-        .join(broadcast(cents), "c_id")
-        .select(col("vec_id"), col("embedding"), col("c_id"),
-          expr(dot("embedding", "c_emb")).as("cdot"))
-        .withColumn("crn", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("cdot").desc, col("c_id"))))
-        .filter(col("crn") === 1)
-        .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+          .orderBy(col("ch"), col("cell")).limit(ncIvf(s, dir))
+          .select(col("cell"), col("c_emb")))
+      val assign1 = kmAssign(s, dir, cents)
         .persistScoped() // feeds centroid update AND reassignment
-      // phase 2: element-wise mean per cell — one (cell, dim) shuffle
-      // with map-side partials, exactly the q_label_centroids shape;
-      // then localizedModel: the trained centroids are the bounded
-      // model, and the reassignment consumes them from four branches
-      val trained = localizedModel(assign1
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy(col("cell"), col("dim"))
-        .agg((sum(expr("dec_cast(cast(x as double), 18, 8)")).cast("decimal(28,8)").cast("double")
-          / count(lit(1))).as("mean"))
-        .groupBy(col("cell"))
-        .agg(expr("transform(array_sort(collect_list(struct(dim, mean))), r -> cast(r.mean as float))")
-          .as("t_emb"))
-        .select(col("cell").as("t_cell"), col("t_emb")))
-      // phase 3: reassign against the trained centroids — the same
-      // pruned double prefilter; the exact decimal dot runs only on the
-      // ~1 surviving trained centroid per vector. trained stays
-      // broadcast inside prunedScores: one row per CELL — k is a fixed
-      // model parameter, matching the fixed-|C| hash-ordered seed rule
-      val dd2 = centroidScores(
-          s, dir, assign1.select(col("vec_id"), col("embedding")),
-          trained.select(col("t_cell").as("c_id"), col("t_emb").as("c_emb")))
-        .select(col("vec_id"), col("c_id").as("t_cell"), col("cdd").as("tdd"))
-      val surv2 = dd2
-        .withColumn("mx2", max(col("tdd")).over(Window.partitionBy(col("vec_id"))))
-        .filter(col("tdd") >= col("mx2") - 1e-9)
-        .select(col("vec_id").as("s_vec"), col("t_cell").as("s_cell"))
-      val assign2 = assign1.select(col("vec_id"), col("embedding"), col("cell").as("cell1"))
-        .join(surv2, col("vec_id") === col("s_vec"))
-        .join(broadcast(trained), col("s_cell") === col("t_cell"))
-        .select(col("vec_id"), col("cell1"), col("t_cell"),
-          expr(dot("embedding", "t_emb")).as("tdot"))
-        .withColumn("crn", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("tdot").desc, col("t_cell"))))
-        .filter(col("crn") === 1)
-      assign2.groupBy(col("t_cell").as("cell"))
+      val trained = localizedModel(kmUpdate(assign1))
+      val assign2 = kmAssign(s, dir, trained, carry = Some(assign1))
+      assign2.groupBy(col("cell"))
         .agg(
           count(lit(1)).as("n_members"),
-          sum(when(col("cell1") =!= col("t_cell"), 1).otherwise(0)).cast("bigint").as("moved"),
+          sum(when(col("prev_cell") =!= col("cell"), 1).otherwise(0)).cast("bigint").as("moved"),
           min(col("vec_id")).as("min_member"))
     },
 
@@ -1869,23 +1868,11 @@ object Similarity {
             expr(cHash).as("ch"))
           .orderBy(col("ch"), col("c_id")).limit(ncIvf(s, dir))
           .select(col("c_id"), col("c_emb")))
-      // IDENTICAL assignment pipeline to q_ann_ivf (two-phase pruned
-      // scores, window argmax, exact-DECIMAL tie-break)
-      val ddots = centroidScores(
-        s, dir, e.select(col("vec_id"), col("embedding")), cents)
-      val best = ddots
-        .withColumn("mx", max(col("cdd")).over(Window.partitionBy(col("vec_id"))))
-        .filter(col("cdd") >= col("mx") - 1e-9)
-        .select(col("vec_id").as("b_vec"), col("c_id"))
-      val assign = e
-        .join(best, col("vec_id") === col("b_vec"))
-        .join(broadcast(cents), "c_id")
-        .select(col("vec_id"), col("embedding"), col("c_id"),
-          expr(dot("embedding", "c_emb")).as("cdot"))
-        .withColumn("crn", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("cdot").desc, col("c_id"))))
-        .filter(col("crn") === 1)
-        .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+      // IDENTICAL assignment pipeline to q_ann_ivf — via the shared
+      // kmAssign kernel (r20): two-phase pruned scores + exact-DECIMAL
+      // tie-break, zero-exchange best_cell map at the flat arm
+      val assign = kmAssign(s, dir,
+          cents.select(col("c_id").as("cell"), col("c_emb")))
         .persistScoped() // feeds the probe side and the candidate side
       val q = assign
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"),
